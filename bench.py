@@ -1,0 +1,68 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line with per-query wall seconds.
+
+Each query executes fully via the noop sink (no driver collect, no
+result materialization cost) — measuring the distributed plan, not
+toPandas serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from blockchain_indexer_spark.plans import REGISTRY
+from blockchain_indexer_spark.session import get_spark
+
+BENCH_QUERIES = (
+    "pricing_summary",
+    "broadcast_join_agg",
+    "multi_join_revenue",
+    "union_activity_timeline",
+    "latest_event_per_user",
+    "topk_per_group",
+    "gap_detection",
+    "doc_fingerprint_dedup",
+    "ngram_jaccard_near_dups",
+    "minhash_lsh_candidates",
+    "embedding_topk_mips",
+    "embedding_lsh_topk",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark("bench")
+    # Warm the JVM + parquet footers once so per-query numbers measure
+    # the plans, not first-touch JIT/IO.
+    REGISTRY["pricing_summary"].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        q = REGISTRY[name]
+        t0 = time.time()
+        q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

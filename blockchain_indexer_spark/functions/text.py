@@ -1,0 +1,76 @@
+"""Text-analysis column functions (JVM-side, no Python UDFs).
+
+Everything here is built from pyspark.sql.functions so it stays inside
+whole-stage codegen — these run in the hot path of 100 TB document
+pipelines, so per-row Python is off the table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small, fixed English stopword list for the n-gram/stopword language
+# heuristic. Deliberately tiny and frozen: it is part of the operator's
+# contract (changing it changes fingerprints downstream).
+EN_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are",
+    "was", "for", "on", "with", "as", "at", "by", "it", "this", "that",
+)
+
+PUNCT_CLASS = r"[.,!?;:]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of lowercased, trimmed text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("bigint")
+
+
+def stopword_count(col: Column | str) -> Column:
+    """Number of tokens (with duplicates) that are EN stopwords."""
+    return F.size(
+        F.filter(tokens(col), lambda t: t.isin(*EN_STOPWORDS))
+    ).cast("bigint")
+
+
+def punct_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.length(c) - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))).cast("bigint")
+
+
+def digit_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.length(c) - F.length(F.regexp_replace(c, r"[0-9]", ""))).cast("bigint")
+
+
+def normalized_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapsed whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint_md5(col: Column | str) -> Column:
+    """Deterministic document fingerprint over the normalized text."""
+    return F.md5(normalized_text(col))
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Array of k-word shingles (space-joined); empty when < k tokens.
+
+    Built with sequence+transform so it stays a JVM expression; the
+    short-text guard matters because F.sequence(0, -1) would produce a
+    descending sequence, not an empty one.
+    """
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), n - k)
+    mk = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]),
+    )
+    return F.when(n >= k, mk).otherwise(F.array().cast("array<string>"))

@@ -1,0 +1,195 @@
+"""Deduplication operators for large-scale document pipelines.
+
+Exact, n-gram-Jaccard, MinHash+LSH and SimHash dedup, all expressed as
+shuffle-conscious DataFrame plans:
+
+- exact: one groupBy on the content hash — a single shuffle keyed by
+  md5, no skew (hash keys are uniform).
+- n-gram Jaccard: inverted-index self-join on shingles. The
+  document-frequency cap is the scale guard — it removes stop-shingles
+  that would otherwise produce O(df^2) candidate pairs per shingle.
+- MinHash+LSH: signatures via xxhash64 (JVM, deterministic), banded
+  into buckets; only same-bucket pairs are compared, so the self-join
+  is on (band, bucket-hash) — the standard sub-quadratic path at
+  100 TB.
+- SimHash: 64-bit signature via per-bit majority vote of token hashes;
+  near-dup candidates share the signature on at least one 16-bit
+  sub-band (Charikar-style blocking).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from blockchain_indexer_spark.functions.text import fingerprint_md5, word_shingles
+
+
+def exact_dup_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group rows by exact normalized-content fingerprint.
+
+    Returns (fingerprint, keep_id, n_copies): keep_id is the smallest id
+    (deterministic survivor), n_copies the cluster size.
+    """
+    return (
+        df.select(F.col(id_col).alias("_id"), fingerprint_md5(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def shingle_index(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, max_doc_freq: int | None = 100
+) -> DataFrame:
+    """Inverted index (shingle, id), distinct per doc, stop-shingles
+    removed by the document-frequency cap."""
+    idx = (
+        df.select(F.col(id_col).alias("_id"), F.explode(word_shingles(text_col, k)).alias("shingle"))
+        .distinct()
+    )
+    if max_doc_freq is not None:
+        freq = idx.groupBy("shingle").agg(F.count("*").alias("df"))
+        idx = (
+            idx.join(freq.filter(F.col("df") <= max_doc_freq).select("shingle"), "shingle")
+        )
+    return idx
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.2,
+    max_doc_freq: int | None = 100,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard similarity above ``threshold``.
+
+    Exact Jaccard over distinct k-shingles via inverted-index self-join
+    (shuffle keyed on shingle). Returns (doc_a, doc_b, n_common,
+    jaccard) with doc_a < doc_b. Jaccard uses the UNCAPPED distinct
+    shingle counts per doc; the df-cap only prunes candidate
+    generation, which can only lose pairs whose common shingles are all
+    stop-shingles — the standard trade, stated here explicitly.
+    """
+    idx = shingle_index(df, id_col, text_col, k, max_doc_freq)
+    sizes = (
+        df.select(F.col(id_col).alias("_id"), F.explode(word_shingles(text_col, k)).alias("shingle"))
+        .distinct()
+        .groupBy("_id")
+        .agg(F.count("*").alias("n_shingles"))
+    )
+    a = idx.select(F.col("_id").alias("doc_a"), "shingle")
+    b = idx.select(F.col("_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 64
+) -> DataFrame:
+    """(id, signature array<bigint>) — min of xxhash64(shingle, seed)
+    per seed. Seeds are 0..num_hashes-1; fully deterministic."""
+    sh = df.select(
+        F.col(id_col).alias("_id"), F.explode(word_shingles(text_col, k)).alias("shingle")
+    ).distinct()
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("_id").agg(*mins)
+    return sig.select("_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs agreeing on all rows of ≥1 band.
+
+    Band signature is hashed to one bigint so the self-join key is
+    (band, bucket) — compact to shuffle. Returns distinct
+    (doc_a, doc_b), doc_a < doc_b.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    band_cols = [
+        F.xxhash64(F.lit(b), *[F.col("signature")[b * rows + r] for r in range(rows)]).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("_id", *band_cols)
+    stacked = banded.select(
+        "_id",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket")) for b in range(bands)])
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+    a = stacked.select(F.col("_id").alias("doc_a"), "band", "bucket")
+    b = stacked.select(F.col("_id").alias("doc_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over whitespace tokens (with multiplicity).
+
+    Per-bit majority vote of xxhash64(token): explode tokens × 64 bit
+    positions, sum ±1 votes, reassemble the signature. All JVM-side;
+    the bit-position explode multiplies rows 64× before the groupBy —
+    acceptable because the payload is 3 small ints.
+    """
+    from blockchain_indexer_spark.functions.text import tokens
+
+    tok = df.select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("tok"))
+    h = tok.select("_id", F.xxhash64("tok").alias("h"))
+    # Signed shiftright + &1 extracts every bit correctly, including the
+    # sign bit (for bit 63, -1 & 1 == 1); pyspark's shift helpers only
+    # accept literal shift amounts, hence F.expr.
+    bits = h.select(
+        "_id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        F.col("h"),
+    ).select(
+        "_id",
+        "bit",
+        F.expr("(shiftright(h, cast(bit as int)) & 1) * 2 - 1").alias("vote"),
+    )
+    votes = bits.groupBy("_id", "bit").agg(F.sum("vote").alias("v"))
+    return (
+        votes.groupBy("_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("v") > 0,
+                    F.expr("shiftleft(cast(1 as bigint), cast(bit as int))"),
+                ).otherwise(F.lit(0).cast("bigint"))
+            ).alias("simhash")
+        )
+        .select(F.col("_id"), F.col("simhash"))
+    )

@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a production ANN stack would have:
+
+- ``brute_force_topk`` — exact top-k by a chosen metric. The join is
+  queries × corpus; with |Q| ≪ |C| the query side broadcasts, so the
+  corpus is scanned once with no shuffle: this scales to any corpus
+  size (it is the "flat index" baseline).
+- ``lsh_topk`` — random-hyperplane LSH: sign-bit signatures over fixed
+  deterministic pseudo-random hyperplanes, candidates share a
+  signature band, exact re-rank on candidates only. Sub-linear probe
+  cost at the price of recall; the scale path when |Q| is large.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from blockchain_indexer_spark.functions.vectors import cosine, dot, quantize, to_double
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    metric: str = "quantized_dot",
+    scale: int = 1000,
+) -> DataFrame:
+    """Exact top-k neighbors for each query row.
+
+    metric='quantized_dot' ranks by integer inner product of
+    round(x*scale) vectors — exact and engine-reproducible (see
+    functions.vectors). metric='cosine' ranks by double cosine.
+    Returns (query_id, rank, neighbor_id, score).
+    """
+    if metric == "quantized_dot":
+        prep = lambda df: df.withColumn("_v", quantize(vec_col, scale))  # noqa: E731
+        score = dot
+    elif metric == "cosine":
+        prep = lambda df: df.withColumn("_v", to_double(vec_col))  # noqa: E731
+        score = cosine
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+
+    q = prep(queries).select(F.col(id_col).alias("query_id"), F.col("_v").alias("_qv"))
+    c = prep(corpus).select(F.col(id_col).alias("neighbor_id"), F.col("_v").alias("_cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", score(F.col("_qv"), F.col("_cv")))
+        .select("query_id", "neighbor_id", "score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane: a fixed integer
+    hash of (plane, i) mapped to [-1, 1). No RNG state — reproducible
+    anywhere."""
+    out = []
+    for i in range(dim):
+        # splitmix64-style integer scramble, public-domain constant
+        z = (plane * 0x9E3779B97F4A7C15 + i * 0xBF58476D1CE4E5B9 + 0x94D049BB133111EB) % (1 << 64)
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) % (1 << 64)
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) % (1 << 64)
+        z = z ^ (z >> 31)
+        out.append((z / float(1 << 63)) - 1.0)
+    return out
+
+
+def signbit_signature(df: DataFrame, vec_col: str, dim: int, num_planes: int = 16) -> DataFrame:
+    """Append ``sig`` (bigint bitmask of hyperplane sign bits)."""
+    v = to_double(vec_col)
+    sig = F.lit(0).cast("bigint")
+    for p in range(num_planes):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, p)])
+        proj = F.aggregate(
+            F.zip_with(v, plane, lambda x, y: x * y),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(proj > 0, F.shiftleft(F.lit(1).cast("bigint"), p)).otherwise(F.lit(0).cast("bigint"))
+    return df.withColumn("sig", sig)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 5,
+    num_planes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Approximate top-k: candidates must share ≥1 signature band
+    (num_planes/bands bits each), re-ranked by exact quantized dot."""
+    rows = num_planes // bands
+    mask = (1 << rows) - 1
+
+    def banded(df: DataFrame, role: str) -> DataFrame:
+        s = signbit_signature(df, vec_col, dim, num_planes)
+        return s.select(
+            F.col(id_col).alias(f"{role}_id"),
+            F.col(vec_col).alias(f"_{role}v"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftrightunsigned(F.col("sig"), b * rows)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(f"{role}_id", f"_{role}v", "bb.band", "bb.bucket")
+
+    qb = banded(queries, "query")
+    cb = banded(corpus, "neighbor")
+    cand = (
+        cb.join(qb, ["band", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "_queryv", "_neighborv")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "score", dot(quantize("_queryv"), quantize("_neighborv"))
+    ).select("query_id", "neighbor_id", "score")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )

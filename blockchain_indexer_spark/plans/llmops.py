@@ -1,0 +1,273 @@
+"""Training-data pipeline queries: dedup, similarity search, text
+analysis over the documents/embeddings tables, with DuckDB oracles
+wherever the semantics are SQL-expressible deterministically.
+
+Cross-engine exactness notes:
+- Jaccard / ratios are divisions of exact integers — identical doubles
+  on both engines.
+- Embedding similarity is ranked by quantized integer dot product
+  (functions.vectors): exact in IEEE double, so scores and ranks are
+  bit-identical across engines. Cosine variants exist as rows-only
+  checks (operators.similarity).
+- MinHash/SimHash use Spark's xxhash64 — no DuckDB equivalent, so those
+  register without oracles (the driver records a rows-only check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blockchain_indexer_spark.functions.text import (
+    EN_STOPWORDS,
+    digit_count,
+    fingerprint_md5,
+    punct_count,
+    stopword_count,
+    token_count,
+)
+from blockchain_indexer_spark.operators.dedup import (
+    exact_dup_clusters,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from blockchain_indexer_spark.operators.similarity import brute_force_topk, lsh_topk
+from blockchain_indexer_spark.plans.registry import register
+from blockchain_indexer_spark.sources.parquet import load_table
+
+_SW = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+
+@register(
+    "doc_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           CAST(length(text) AS DOUBLE)
+             / len(string_split_regex(trim(lower(text)), '\s+')) AS chars_per_token
+    FROM documents
+    """,
+    doc="Token counting (whitespace tokenizer) + basic length stats — "
+    "the word-count primitive of a data-quality pipeline.",
+    survey_refs=("LLM-text",),
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        (F.length("text").cast("double") / token_count("text")).alias("chars_per_token"),
+    )
+
+
+@register(
+    "doc_lang_id",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                  x -> x IN ({_SW}))) AS BIGINT) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, lang AS declared_lang,
+           n_stop,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+           CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens >= 0.08 THEN 'en' ELSE 'other' END AS detected_lang
+    FROM t
+    """,
+    doc="Language-ID heuristic: stopword-hit ratio against a frozen EN "
+    "stopword list; threshold classification.",
+    survey_refs=("LLM-text",),
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ratio = stopword_count("text").cast("double") / token_count("text")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        stopword_count("text").alias("n_stop"),
+        ratio.alias("stopword_ratio"),
+        F.when(ratio >= 0.08, "en").otherwise("other").alias("detected_lang"),
+    )
+
+
+@register(
+    "doc_quality_score",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+           CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT)   AS n_digits,
+           CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+             / length(text) AS punct_ratio,
+           (CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) >= 20
+            AND CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                / length(text) < 0.1) AS passes_quality
+    FROM documents
+    """,
+    doc="Quality scoring: punctuation/digit ratios + length gate, the "
+    "filter stage of a pretraining-data pipeline.",
+    survey_refs=("LLM-text",),
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pr = punct_count("text").cast("double") / F.length("text")
+    return d.select(
+        "doc_id",
+        punct_count("text").alias("n_punct"),
+        digit_count("text").alias("n_digits"),
+        pr.alias("punct_ratio"),
+        ((token_count("text") >= 20) & (pr < 0.1)).alias("passes_quality"),
+    )
+
+
+@register(
+    "doc_fingerprint_dedup",
+    oracle=r"""
+    SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Exact dedup on normalized-content fingerprint: one shuffle on "
+    "the md5 key; survivor = min id (deterministic).",
+    survey_refs=("LLM-dedup", "A8"),
+)
+def doc_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dup_clusters(d, "doc_id", "text")
+
+
+@register(
+    "ngram_jaccard_near_dups",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+      WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    kept AS (
+      SELECT sh.* FROM sh
+      JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100) f
+        USING (shingle)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, p.n_common,
+           CAST(p.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.n_common) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE CAST(p.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.n_common) >= 0.2
+    """,
+    doc="Near-dup detection by exact 3-gram Jaccard via inverted-index "
+    "self-join with a stop-shingle document-frequency cap (the "
+    "sub-quadratic candidate guard).",
+    survey_refs=("LLM-dedup",),
+)
+def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.2, max_doc_freq=100)
+
+
+@register(
+    "embedding_topk_mips",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS cv
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] * cv[i] AS DOUBLE))) AS DOUBLE) AS score
+      FROM q JOIN c ON q.query_id != c.neighbor_id
+    )
+    SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id, score
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+    doc="Exact top-5 inner-product similarity search (flat-index ANN "
+    "baseline): query side broadcast, corpus scanned once; scores are "
+    "quantized-integer dots so ranking is engine-exact.",
+    survey_refs=("LLM-sim",),
+)
+def embedding_topk_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return brute_force_topk(emb, queries, "vec_id", "embedding", k=5, metric="quantized_dot")
+
+
+# --- rows-only checks (no SQL-expressible oracle) -----------------------
+
+
+@register(
+    "minhash_lsh_candidates",
+    oracle=None,
+    doc="MinHash(64)+LSH(16 bands) near-dup candidate pairs; xxhash64 "
+    "based, deterministic, but not reproducible in DuckDB SQL → "
+    "rows-only check. Validated in tests against ngram_jaccard truth.",
+    survey_refs=("LLM-dedup",),
+)
+def minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(d, "doc_id", "text", k=3, num_hashes=64, bands=16)
+
+
+@register(
+    "simhash_signatures",
+    oracle=None,
+    doc="64-bit SimHash per document (per-bit majority of token "
+    "xxhash64). Deterministic; rows-only check.",
+    survey_refs=("LLM-dedup",),
+)
+def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return simhash64(d, "doc_id", "text").select(F.col("_id").alias("doc_id"), "simhash")
+
+
+@register(
+    "embedding_topk_cosine",
+    oracle=None,
+    doc="Exact cosine top-5 (double precision) — the floating-point "
+    "twin of embedding_topk_mips; rows-only check (fp summation order "
+    "is engine-specific).",
+    survey_refs=("LLM-sim",),
+)
+def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    out = brute_force_topk(emb, queries, "vec_id", "embedding", k=5, metric="cosine")
+    return out.withColumn("score", F.round("score", 6))
+
+
+@register(
+    "embedding_lsh_topk",
+    oracle=None,
+    doc="Random-hyperplane LSH top-5 (16 planes, 4 bands) re-ranked by "
+    "quantized dot — the sub-linear scale path; rows-only check, "
+    "recall measured in tests against the exact baseline.",
+    survey_refs=("LLM-sim",),
+)
+def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return lsh_topk(emb, queries, "vec_id", "embedding", dim=64, k=5)

@@ -1,0 +1,552 @@
+"""Relational operator library over the driver testdata.
+
+Every query here re-expresses one operator shape from the reference
+(cited as ``file:line`` under /root/reference) as idiomatic PySpark with
+a DuckDB oracle. The blockchain-domain versions of these operators live
+in ``operators/`` and run on chain-shaped tables; this module proves the
+same shapes on the harness tables (SURVEY.md §2 inventory).
+
+Scale notes (100 TB design intent), per shape:
+
+- Aggregations are plain ``groupBy`` → map-side partial agg + one
+  shuffle on the group keys; AQE coalesces post-shuffle partitions.
+- Dimension joins (part/nation/region/customer at TPC-H ratios)
+  broadcast explicitly — no shuffle of the fact table.
+- Window "latest per key" partitions by the key — shuffle is on the
+  high-cardinality key, so it scales linearly; no global sort.
+- Gap detection is the one intrinsically order-dependent op; the
+  reference runs it over block numbers (``Sources/GapSource.cs:79-93``).
+  Here it's a lead() window; at 100 TB you'd range-partition by key
+  chunk and check chunk boundaries separately (noted in sources/blocks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from blockchain_indexer_spark.plans.registry import register
+from blockchain_indexer_spark.sources.parquet import load_table
+
+
+def _dec(c: str | Column) -> Column:
+    """Lossless decimal view of an exact-2dp double (see registry doc)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("decimal(18,2)")
+
+
+def _dsum(c: str | Column) -> Column:
+    """Order-independent exact sum of 2dp doubles, returned as double."""
+    return F.sum(_dec(c)).cast("double")
+
+
+CREDIT_TYPES = ("purchase", "signup")  # ledger "in" side; rest are "out"
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)       AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)  AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)      AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: multi-agg groupBy (reference balance views, "
+    "0.0.64.sql:786-805). Map-side partial agg; shuffle only on the "
+    "2-col low-cardinality key.",
+    survey_refs=("A2", "A3", "P7"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "per_day_counts",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_day, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Per-day tumbling aggregate (crc_signups_per_day 0.0.64.sql:1563-1569, "
+    "crc_hub_transfers_per_day :1253-1259).",
+    survey_refs=("A4", "P7"),
+)
+def per_day_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("event_day"), "event_type")
+        .agg(F.count("*").alias("n_events"), _dsum("value").alias("total_value"))
+    )
+
+
+@register(
+    "scalar_total",
+    oracle="""
+    SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_purchase_value,
+           COUNT(*) AS n_purchases
+    FROM events WHERE event_type = 'purchase'
+    """,
+    doc="Global scalar aggregate with filter (crc_total_minted_amount "
+    "0.0.64.sql:1575-1578; mint filter erc20_minting_2 :1265-1275).",
+    survey_refs=("A5", "P2"),
+)
+def scalar_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "purchase").agg(
+        _dsum("value").alias("total_purchase_value"), F.count("*").alias("n_purchases")
+    )
+
+
+@register(
+    "double_entry_ledger",
+    oracle=f"""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type IN {CREDIT_TYPES}
+                         THEN CAST(value AS DECIMAL(18,2))
+                         ELSE -CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS balance,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Signed double-entry sum (crc_ledger_2 add/remove branches "
+    "0.0.64.sql:743-780; signed CASE direction erc20_balances "
+    ":1584-1637). Single pass instead of the reference's UNION of +/- "
+    "subqueries.",
+    survey_refs=("A1", "A6", "P11"),
+)
+def double_entry_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    signed = F.when(F.col("event_type").isin(*CREDIT_TYPES), _dec("value")).otherwise(
+        -_dec("value")
+    )
+    return ev.groupBy("user_id").agg(
+        F.sum(signed).cast("double").alias("balance"), F.count("*").alias("n_events")
+    )
+
+
+@register(
+    "dedup_first_seen",
+    oracle="""
+    SELECT user_id, event_type,
+           MIN(event_id) AS first_event_id,
+           COUNT(*) AS n_occurrences
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+    doc="Deterministic dedup: keep first row per logical key (staging "
+    "SELECT DISTINCT promotion, 0.0.64.sql:2139-2263; dropDuplicates "
+    "made deterministic via argmin).",
+    survey_refs=("A8", "T4"),
+)
+def dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id"), F.count("*").alias("n_occurrences")
+    )
+
+
+@register(
+    "completeness_gate",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus, COUNT(DISTINCT l.l_linenumber) AS n_lines
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_orderstatus
+    HAVING COUNT(DISTINCT l.l_linenumber) = MAX(l.l_linenumber)
+       AND COUNT(DISTINCT l.l_linenumber) >= 6
+    """,
+    doc="Completeness gating: promote only when distinct child count "
+    "matches the declared total (import marker 0.0.64.sql:2106-2119; "
+    "README.md:101-106).",
+    survey_refs=("J11", "A7", "T3"),
+)
+def completeness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.countDistinct("l_linenumber").alias("n_lines"),
+            F.max("l_linenumber").alias("declared"),
+        )
+    )
+    return agg.filter((F.col("n_lines") == F.col("declared")) & (F.col("n_lines") >= 6)).select(
+        "o_orderkey", "o_orderstatus", "n_lines"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "broadcast_join_agg",
+    oracle="""
+    SELECT p.p_brand,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    doc="Fact-to-dimension equi join, dimension broadcast so the fact "
+    "table never shuffles (crc_token_transfer_2 signup join "
+    "0.0.64.sql:688-698 — signups are the small side).",
+    survey_refs=("J1", "J3"),
+)
+def broadcast_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            _dsum("l_quantity").alias("total_qty"),
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@register(
+    "multi_join_revenue",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    doc="Chained dimension joins (3-way join of crc_alive_accounts "
+    "0.0.64.sql:704-714; capacity-graph CTE chains :815-939). All "
+    "dimensions broadcast; one shuffle for the final agg.",
+    survey_refs=("J2", "J5"),
+)
+def multi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_orders"), _dsum("o_totalprice").alias("revenue"))
+    )
+
+
+@register(
+    "anti_join_inactive",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_inactive_customers
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '2000-01-01 00:00:00'
+    )
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Anti join: keys with no match in a filtered child (non-CRC "
+    "token filter 0.0.64.sql:1523-1524; GetLastValidBlock missing-block "
+    "probe Persistence/BlockTracker.cs:13-36).",
+    survey_refs=("J7", "J10"),
+)
+def anti_join_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2000-01-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_inactive_customers"))
+    )
+
+
+@register(
+    "semi_join_parts",
+    oracle="""
+    SELECT p.p_partkey, p.p_brand, p.p_type
+    FROM part p
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 45)
+    """,
+    doc="Semi join: existence probe without multiplying rows "
+    "(CleanImported survivor selection Persistence/StagingTables.cs:37-55; "
+    "stale-key scoping 0.0.64.sql:2275-2296).",
+    survey_refs=("J13", "J15"),
+)
+def semi_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", "p_brand", "p_type"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           value AS last_value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+    doc="Latest row per key via ranking window (latest trust per pair, "
+    "row_number at 0.0.64.sql:1084,1097). Tie broken by unique "
+    "event_id for cross-engine determinism.",
+    survey_refs=("W1", "J9"),
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+@register(
+    "version_disambiguation",
+    oracle="""
+    SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS event_day, value AS latest_value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+    doc="Keep-newest-version disambiguation (duplicate block versions: "
+    "same number, different timestamp ⇒ newest wins, "
+    "0.0.64.sql:2048-2101).",
+    survey_refs=("A10", "T7"),
+)
+def version_disambiguation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    w = W.partitionBy("user_id", "event_day").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_day", F.col("value").alias("latest_value"))
+    )
+
+
+@register(
+    "gap_detection",
+    oracle="""
+    WITH present AS (
+        SELECT o_orderkey FROM orders WHERE o_orderkey % 97 >= 5
+    )
+    SELECT o_orderkey + 1 AS gap_start, next_key - 1 AS gap_end
+    FROM (SELECT o_orderkey,
+                 lead(o_orderkey) OVER (ORDER BY o_orderkey) AS next_key
+          FROM present)
+    WHERE next_key > o_orderkey + 1
+    """,
+    doc="Missing-range detection via lead() (FindMissingBlocks, "
+    "Sources/GapSource.cs:79-93). Holes synthesized deterministically "
+    "(every key with key%97<5 removed) since the harness keys are "
+    "contiguous. Global-order window is fine at block-number "
+    "cardinality; at 100 TB, range-partition and check chunk edges.",
+    survey_refs=("S4", "W2"),
+)
+def gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 >= 5)
+    w = W.orderBy("o_orderkey")
+    return (
+        o.select("o_orderkey")
+        .withColumn("next_key", F.lead("o_orderkey").over(w))
+        .filter(F.col("next_key") > F.col("o_orderkey") + 1)
+        .select(
+            (F.col("o_orderkey") + 1).alias("gap_start"),
+            (F.col("next_key") - 1).alias("gap_end"),
+        )
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT o_custkey, CAST(rn AS BIGINT) AS rank, o_orderkey, o_totalprice
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """,
+    doc="Top-K per group (argmax-by-self-join crc_safe_accepted_crc "
+    "0.0.64.sql:1296-1319 rewritten as a ranking window — same result, "
+    "one shuffle instead of a join).",
+    survey_refs=("J8", "W1"),
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "rank", "o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projections / set ops / payloads
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filtered_projection",
+    oracle="""
+    SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+           lower(o_orderpriority) AS priority, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 250000
+    """,
+    doc="Filter + projection + scalar normalization, pushed to the scan "
+    "(formatted_* views 0.0.64.sql:1324-1382; lowercase normalization "
+    "Indexer.cs:416,433).",
+    survey_refs=("P1", "P5", "P7"),
+)
+def filtered_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 250000)).select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.lower("o_orderpriority").alias("priority"),
+        "o_totalprice",
+    )
+
+
+@register(
+    "union_activity_timeline",
+    oracle=f"""
+    SELECT o_custkey AS account_id, o_orderdate AS ts, 'order' AS activity_type,
+           CASE WHEN o_orderstatus = 'O' THEN 'open' ELSE 'closed' END AS direction,
+           o_totalprice AS amount
+    FROM orders
+    UNION ALL
+    SELECT user_id AS account_id, ts, event_type AS activity_type,
+           CASE WHEN event_type IN {CREDIT_TYPES} THEN 'in' ELSE 'out' END AS direction,
+           value AS amount
+    FROM events
+    """,
+    doc="Unified activity timeline: N-branch UNION ALL of heterogeneous "
+    "event tables normalized to one schema with CASE direction "
+    "(crc_safe_timeline_2 0.0.64.sql:1397-1557).",
+    survey_refs=("J6", "P11"),
+)
+def union_activity_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    orders_branch = o.select(
+        F.col("o_custkey").alias("account_id"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit("order").alias("activity_type"),
+        F.when(F.col("o_orderstatus") == "O", "open").otherwise("closed").alias("direction"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    events_branch = ev.select(
+        F.col("user_id").alias("account_id"),
+        "ts",
+        F.col("event_type").alias("activity_type"),
+        F.when(F.col("event_type").isin(*CREDIT_TYPES), "in").otherwise("out").alias("direction"),
+        F.col("value").alias("amount"),
+    )
+    return orders_branch.unionByName(events_branch)
+
+
+@register(
+    "json_payload",
+    oracle="""
+    SELECT event_id,
+           CAST(json_object('event_id', event_id,
+                            'event_type', event_type,
+                            'user_id', user_id) AS VARCHAR) AS payload
+    FROM events WHERE event_id % 100 = 0
+    """,
+    doc="Row-to-JSON payload construction (row_to_json / json_agg in "
+    "the timeline views, 0.0.64.sql:1411,1431-1444).",
+    survey_refs=("P9",),
+)
+def json_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id") % 100 == 0).select(
+        "event_id",
+        F.to_json(F.struct("event_id", "event_type", "user_id")).alias("payload"),
+    )
+
+
+@register(
+    "membership_collect",
+    oracle="""
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_seen,
+           list_contains(list(DISTINCT event_type), 'purchase') AS has_purchase
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Collect-to-array + membership test (array_agg of stale keys "
+    "0.0.64.sql:2323,2373; = ANY(array) membership :2323). Array "
+    "emitted as a sorted joined string for stable comparison.",
+    survey_refs=("A11", "P10"),
+)
+def membership_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types_seen"),
+        F.array_contains(F.collect_set("event_type"), "purchase").alias("has_purchase"),
+    )

@@ -1,0 +1,3 @@
+from blockchain_indexer_spark.sources.parquet import TABLES, load_table, load_tables
+
+__all__ = ["TABLES", "load_table", "load_tables"]

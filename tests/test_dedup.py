@@ -1,0 +1,49 @@
+"""Dedup operator semantics: LSH candidate recall vs exact n-gram
+Jaccard truth, simhash determinism and locality."""
+
+from __future__ import annotations
+
+from blockchain_indexer_spark.operators.dedup import (
+    exact_dup_clusters,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from blockchain_indexer_spark.sources.parquet import load_table
+
+
+def test_exact_dup_clusters_finds_planted_dupes(spark):
+    rows = [
+        (1, "Hello   World"),
+        (2, "hello world"),  # same after normalization
+        (3, "something else entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["keep_id"]: r["n_copies"] for r in exact_dup_clusters(df, "doc_id", "text").collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_recall_vs_jaccard_truth(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.35).collect()
+    }
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates(docs, "doc_id", "text").collect()
+    }
+    if truth:
+        recall = len(truth & cands) / len(truth)
+        # 16 bands × 4 rows at J>=0.35 → expected per-pair recall
+        # 1-(1-J^4)^16 ≳ 0.2; across the pair population well above.
+        assert recall >= 0.5, f"LSH recall too low: {recall} over {len(truth)} true pairs"
+
+
+def test_simhash_deterministic_and_local(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    rows = [(1, base), (2, base), (3, "completely different words " * 8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["_id"]: r["simhash"] for r in simhash64(df, "doc_id", "text").collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]

@@ -1,0 +1,29 @@
+"""Similarity-search operators: exact baseline sanity + LSH recall."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from blockchain_indexer_spark.operators.similarity import brute_force_topk, lsh_topk
+from blockchain_indexer_spark.sources.parquet import load_table
+
+
+def test_brute_force_topk_shape_and_self_exclusion(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    out = brute_force_topk(emb, queries, k=3).toPandas()
+    n_queries = queries.count()
+    assert len(out) == n_queries * 3
+    assert (out["query_id"] != out["neighbor_id"]).all()
+    assert set(out["rank"]) == {1, 2, 3}
+
+
+def test_lsh_recall_vs_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = brute_force_topk(emb, queries, k=5).toPandas()
+    approx = lsh_topk(emb, queries, k=5).toPandas()
+    exact_pairs = set(zip(exact["query_id"], exact["neighbor_id"]))
+    approx_pairs = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.3, f"LSH recall {recall} too low"
