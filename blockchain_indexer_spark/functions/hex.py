@@ -1,0 +1,61 @@
+"""Hex / topic decoding column functions — all JVM-side expressions.
+
+The reference does these per-row in C# (`TransactionClassifier.cs`
+topic stripping :61-62 etc., `HexBigInteger` value decode :189-193);
+here they are Catalyst expressions so classification stays inside
+whole-stage codegen at 100 TB scan scale. No Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from blockchain_indexer_spark.schemas import ADDRESS_EMPTY_BYTES_PREFIX
+
+# 2^64 as an exact decimal literal, for two-limb hex composition.
+_TWO_POW_64 = "18446744073709551616"
+
+
+def strip_topic_address(col: Column) -> Column:
+    """`0x` + 24 zero bytes + 40 hex → `0x` + 40 hex.
+
+    Mirrors `Replace(AddressEmptyBytesPrefix, "0x")`
+    (TransactionClassifier.cs:61-62): the pattern is anchored by "0x",
+    which only occurs at position 0 of a hex string, so a prefix
+    replace is exactly equivalent.
+    """
+    return F.regexp_replace(col, f"^{ADDRESS_EMPTY_BYTES_PREFIX}", "0x")
+
+
+def hex_to_decimal(col: Column) -> Column:
+    """0x-hex string → DecimalType(38,0), NULL on NULL input or on
+    values ≥ ~1e38 (uint256 overflow policy, SURVEY §1.2).
+
+    Two-limb decode: low/high 64-bit halves via conv(,16,10) (conv is
+    correct through the full unsigned-64 range), composed with exact
+    decimal arithmetic. Values needing > 128 bits are nulled
+    explicitly; 2^126..2^128 values beyond decimal(38,0) null out via
+    Spark's non-ANSI overflow-to-null. "0x" (empty payload) decodes to
+    0, like HexBigInteger.
+    """
+    h = F.lower(F.regexp_replace(col, "^0x", ""))
+    h = F.regexp_replace(h, "^0+", "")  # canonical: no leading zeros
+    too_big = F.length(h) > 32
+    padded = F.lpad(h, 32, "0")
+    hi = F.conv(F.substring(padded, 1, 16), 16, 10).cast("decimal(38,0)")
+    lo = F.conv(F.substring(padded, 17, 16), 16, 10).cast("decimal(38,0)")
+    composed = (hi * F.lit(_TWO_POW_64).cast("decimal(38,0)") + lo).cast("decimal(38,0)")
+    return F.when(col.isNull() | too_big, F.lit(None).cast("decimal(38,0)")).otherwise(composed)
+
+
+def hex_slot(input_col: Column, slot: int) -> Column:
+    """64-hex-char ABI head slot `slot` of calldata (after the 4-byte
+    method id): substring of the 0x-prefixed input string."""
+    start = 2 + 8 + slot * 64 + 1  # 1-based substring
+    return F.substring(input_col, start, 64)
+
+
+def hex_slot_address(input_col: Column, slot: int) -> Column:
+    """ABI head slot decoded as a lowercase 0x address."""
+    return F.lower(F.concat(F.lit("0x"), F.substring(hex_slot(input_col, slot), 25, 40)))

@@ -1,0 +1,248 @@
+"""Transaction classification — the 7 predicates of
+`DetailExtractors/TransactionClassifier.cs`, re-expressed as Catalyst
+column expressions over a `logs` array<struct> column.
+
+Semantics ported exactly (file:line cites are /root/reference):
+
+- C1 Erc20Transfer  — any log with Transfer topic and exactly 3
+  topics (TransactionClassifier.cs:241-275).
+- C2 CrcSignup      — ≥3 logs; exactly one Signup log from the hub
+  with 2 topics; exactly one valid self-Trust log (canSendTo == user
+  == signup user, 0 ≤ limit ≤ 100); exactly one Transfer log minting
+  exactly 50e18 from the zero address to the user on the signup token
+  (:25-126).
+- C3 CrcOrganisationSignup — any OrgSignup log from hub with 2 topics
+  (:128-155).
+- C4 CrcHubTransfer — exactly one HubTransfer-topic log, from hub,
+  3 topics, plus ≥1 Transfer log (:157-198).
+- C5 CrcTrust       — any Trust log from hub with 3 topics and
+  0 ≤ limit ≤ 100 (:200-239).
+- C6 SafeEthTransfer — input starts with 0x6a761202; ABI-decoded
+  `data` empty and `operation` == 0; exactly one ExecutionSuccess log
+  (:277-337). Pure hex slicing — no UDF needed.
+- C7 EoaEthTransfer — value > 0, zero logs, input == "0x", to not
+  null (:339-375).
+
+Poisoning: the reference classifies inside try/catch — a
+`SingleOrDefault` over ≥2 matching logs, or a malformed safe-transfer
+ABI payload, throws and the WHOLE transaction collapses to Unknown
+(:377-444). That is replicated as the `_poisoned` predicate; when it
+fires, every flag is dropped and classification == ["Unknown"].
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from blockchain_indexer_spark.functions.hex import (
+    hex_slot,
+    hex_slot_address,
+    hex_to_decimal,
+    strip_topic_address,
+)
+from blockchain_indexer_spark.schemas import (
+    ALL_CLASS_LABELS,
+    CLASS_CRC_HUB_TRANSFER,
+    CLASS_CRC_ORGANISATION_SIGNUP,
+    CLASS_CRC_SIGNUP,
+    CLASS_CRC_TRUST,
+    CLASS_EOA_ETH_TRANSFER,
+    CLASS_ERC20_TRANSFER,
+    CLASS_SAFE_ETH_TRANSFER,
+    CLASS_UNKNOWN,
+    CRC_HUB_TRANSFER_TOPIC,
+    CRC_ORGANISATION_SIGNUP_TOPIC,
+    CRC_SIGNUP_MINT_WEI,
+    CRC_SIGNUP_TOPIC,
+    CRC_TRUST_TOPIC,
+    EMPTY_ADDRESS,
+    EXEC_TRANSACTION_METHOD_ID,
+    EXECUTION_SUCCESS_TOPIC,
+    HUB_ADDRESS,
+    TRANSFER_TOPIC,
+)
+
+def _has_topic(log: Column, topic: str) -> Column:
+    return F.array_contains(log["topics"], topic)
+
+
+def is_erc20_transfer_log(log: Column) -> Column:
+    """TransactionClassifier.cs:241-275 (no address restriction)."""
+    return _has_topic(log, TRANSFER_TOPIC) & (F.size(log["topics"]) == 3)
+
+
+def is_crc_trust_log(log: Column, hub: str) -> Column:
+    """TransactionClassifier.cs:200-239 incl. the 0..100 limit bound."""
+    limit = hex_to_decimal(log["data"])
+    return (
+        _has_topic(log, CRC_TRUST_TOPIC)
+        & (log["address"] == hub)
+        & (F.size(log["topics"]) == 3)
+        & limit.isNotNull()
+        & (limit >= 0)
+        & (limit <= 100)
+    )
+
+
+def is_org_signup_log(log: Column, hub: str) -> Column:
+    """TransactionClassifier.cs:128-155."""
+    return (
+        _has_topic(log, CRC_ORGANISATION_SIGNUP_TOPIC)
+        & (log["address"] == hub)
+        & (F.size(log["topics"]) == 2)
+    )
+
+
+def classify(df: DataFrame, hub: str = HUB_ADDRESS) -> DataFrame:
+    """Append per-class boolean flags, extraction payloads and the
+    `classification` label array to a TX_WITH_LOGS_SCHEMA DataFrame.
+
+    One pass, all flags computed as expressions — a single projection
+    over the scan; no shuffle, no UDF, fully codegen'd.
+    """
+    LOGS = F.col("logs")
+    n_logs = F.size(LOGS)
+
+    # --- C1 / C5 / C3: simple exists() predicates ---------------------
+    is_erc20 = F.exists(LOGS, is_erc20_transfer_log)
+    is_trust = F.exists(LOGS, lambda l: is_crc_trust_log(l, hub))
+    is_org = F.exists(LOGS, lambda l: is_org_signup_log(l, hub))
+
+    # --- C2: compound signup predicate, staged like the reference -----
+    signup_logs = F.filter(LOGS, lambda l: _has_topic(l, CRC_SIGNUP_TOPIC))
+    signup_poison = (n_logs >= 3) & (F.size(signup_logs) >= 2)  # SingleOrDefault throw
+    s_log = F.get(signup_logs, 0)
+    signup_stage1 = (
+        (n_logs >= 3)
+        & (F.size(signup_logs) == 1)
+        & (s_log["address"] == hub)
+        & (F.size(s_log["topics"]) == 2)
+    )
+    signup_user = strip_topic_address(s_log["topics"][1])
+    signup_token = strip_topic_address(s_log["data"])
+
+    trust_logs = F.filter(LOGS, lambda l: is_crc_trust_log(l, hub))
+    trust_poison = signup_stage1 & (F.size(trust_logs) >= 2)
+    t_log = F.get(trust_logs, 0)
+    t_can_send_to = strip_topic_address(t_log["topics"][1])
+    t_user = strip_topic_address(t_log["topics"][2])
+    signup_trust_ok = (
+        signup_stage1
+        & (F.size(trust_logs) == 1)
+        & (t_can_send_to == t_user)
+        & (t_can_send_to == signup_user)
+    )
+
+    transfer_logs = F.filter(LOGS, is_erc20_transfer_log)
+    transfer_poison = signup_trust_ok & (F.size(transfer_logs) >= 2)
+    tr_log = F.get(transfer_logs, 0)
+    mint_value = hex_to_decimal(tr_log["data"])
+    is_signup = (
+        signup_trust_ok
+        & (F.size(transfer_logs) == 1)
+        & (tr_log["address"] == signup_token)
+        & (strip_topic_address(tr_log["topics"][1]) == EMPTY_ADDRESS)
+        & (strip_topic_address(tr_log["topics"][2]) == signup_user)
+        & (mint_value == F.lit(CRC_SIGNUP_MINT_WEI).cast("decimal(38,0)"))
+    )
+
+    # --- C4: hub transfer ---------------------------------------------
+    ht_logs = F.filter(LOGS, lambda l: _has_topic(l, CRC_HUB_TRANSFER_TOPIC))
+    ht_poison = F.size(ht_logs) >= 2  # SingleOrDefault throw (:166)
+    h_log = F.get(ht_logs, 0)
+    is_hub_transfer = (
+        (F.size(ht_logs) == 1)
+        & (h_log["address"] == hub)
+        & (F.size(h_log["topics"]) == 3)
+        & is_erc20  # ":197 hub transfers always come with ≥1 ERC-20 transfer"
+    )
+
+    # --- C7: EOA eth transfer -----------------------------------------
+    tx_value = F.col("value").cast("decimal(38,0)")
+    is_eoa = (
+        (tx_value > 0) & (n_logs == 0) & (F.col("input") == "0x") & F.col("to").isNotNull()
+    )
+
+    # --- C6: safe eth transfer (ABI via hex slicing, :277-337) --------
+    has_method = F.coalesce(F.col("input"), F.lit("")).startswith(EXEC_TRANSACTION_METHOD_ID)
+    # 0x + 8 method chars + 10 * 64 head chars
+    head_ok = F.length(F.col("input")) >= 2 + 8 + 640
+    data_offset = hex_to_decimal(F.concat(F.lit("0x"), hex_slot(F.col("input"), 2)))
+    # data length word sits at input[2 + 8 + offset*2 .. +64]
+    data_len_pos = (F.lit(2 + 8).cast("decimal(38,0)") + data_offset * 2 + 1).cast("int")
+    data_len_word = F.substring(F.col("input"), data_len_pos, 64)
+    decode_ok = head_ok & data_offset.isNotNull() & (
+        F.length(F.col("input")) >= (F.lit(2 + 8).cast("decimal(38,0)") + data_offset * 2 + 64).cast("int")
+    )
+    safe_decode_poison = has_method & ~decode_ok  # DecodeFunctionInput throw
+    data_empty = hex_to_decimal(F.concat(F.lit("0x"), data_len_word)) == 0
+    operation_zero = hex_to_decimal(F.concat(F.lit("0x"), hex_slot(F.col("input"), 3))) == 0
+    exec_logs = F.filter(LOGS, lambda l: _has_topic(l, EXECUTION_SUCCESS_TOPIC))
+    safe_exec_poison = has_method & decode_ok & data_empty & operation_zero & (
+        F.size(exec_logs) >= 2
+    )
+    is_safe = (
+        has_method & decode_ok & data_empty & operation_zero & (F.size(exec_logs) == 1)
+    )
+
+    poisoned = (
+        signup_poison | trust_poison | transfer_poison | ht_poison
+        | safe_decode_poison | safe_exec_poison
+    )
+
+    flags = {
+        CLASS_ERC20_TRANSFER: is_erc20,
+        CLASS_CRC_SIGNUP: is_signup,
+        CLASS_CRC_ORGANISATION_SIGNUP: is_org,
+        CLASS_CRC_HUB_TRANSFER: is_hub_transfer,
+        CLASS_CRC_TRUST: is_trust,
+        CLASS_EOA_ETH_TRANSFER: is_eoa,
+        CLASS_SAFE_ETH_TRANSFER: is_safe,
+    }
+    out = df
+    for label in ALL_CLASS_LABELS:
+        out = out.withColumn(f"is_{label}", F.when(poisoned, F.lit(False)).otherwise(flags[label]))
+    label_array = F.filter(
+        F.array(
+            *[
+                F.when(F.col(f"is_{label}"), F.lit(label)).otherwise(F.lit(None))
+                for label in ALL_CLASS_LABELS
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    out = out.withColumn(
+        "classification",
+        F.when(F.size(label_array) == 0, F.array(F.lit(CLASS_UNKNOWN))).otherwise(label_array),
+    )
+    # Extraction payloads reused by operators.extract (computed once,
+    # pruned by Catalyst if unused downstream).
+    out = (
+        out.withColumn("_signup_user", F.when(F.col(f"is_{CLASS_CRC_SIGNUP}"), signup_user))
+        .withColumn("_signup_token", F.when(F.col(f"is_{CLASS_CRC_SIGNUP}"), signup_token))
+        .withColumn(
+            "_hub_from",
+            F.when(F.col(f"is_{CLASS_CRC_HUB_TRANSFER}"), strip_topic_address(h_log["topics"][1])),
+        )
+        .withColumn(
+            "_hub_to",
+            F.when(F.col(f"is_{CLASS_CRC_HUB_TRANSFER}"), strip_topic_address(h_log["topics"][2])),
+        )
+        .withColumn(
+            "_hub_value_hex",
+            F.when(F.col(f"is_{CLASS_CRC_HUB_TRANSFER}"), h_log["data"]),
+        )
+        .withColumn(
+            "_safe_to",
+            F.when(F.col(f"is_{CLASS_SAFE_ETH_TRANSFER}"), hex_slot_address(F.col("input"), 0)),
+        )
+        .withColumn(
+            "_safe_value_hex",
+            F.when(
+                F.col(f"is_{CLASS_SAFE_ETH_TRANSFER}"),
+                F.concat(F.lit("0x"), hex_slot(F.col("input"), 1)),
+            ),
+        )
+    )
+    return out

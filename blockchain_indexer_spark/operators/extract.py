@@ -1,0 +1,234 @@
+"""Detail extraction — `DetailExtractors/*DetailExtractor.cs` as
+DataFrame transforms: a classified transaction yields 0..N typed event
+rows (`README.md:65-66`), one output DataFrame per event class.
+
+Design: `assemble_transactions` builds the classify/extract input once
+(tx ⋈ block timestamp, logs collected per tx); each extractor is a
+filter + explode/projection over that — no additional shuffles beyond
+the one logs-groupBy, and every extractor shares the same scan.
+
+uint256 note: event `value` columns carry DecimalType(38,0) plus a
+lossless `value_string` (decimal string when in range, original hex
+otherwise — divergence from the reference's unbounded numeric is
+documented in schemas.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from blockchain_indexer_spark.functions.hex import hex_to_decimal, strip_topic_address
+from blockchain_indexer_spark.operators.classify import (
+    is_crc_trust_log,
+    is_erc20_transfer_log,
+    is_org_signup_log,
+)
+from blockchain_indexer_spark.schemas import (
+    CLASS_CRC_HUB_TRANSFER,
+    CLASS_CRC_ORGANISATION_SIGNUP,
+    CLASS_CRC_SIGNUP,
+    CLASS_CRC_TRUST,
+    CLASS_EOA_ETH_TRANSFER,
+    CLASS_ERC20_TRANSFER,
+    CLASS_SAFE_ETH_TRANSFER,
+    CRC_TRUST_TOPIC,
+    HUB_ADDRESS,
+    TRANSFER_TOPIC,
+)
+
+_COMMON = ["block_number", "timestamp", "hash", "index"]
+
+
+def assemble_transactions(
+    blocks: DataFrame, transactions: DataFrame, logs: DataFrame
+) -> DataFrame:
+    """raw blocks + transactions + logs → TX_WITH_LOGS rows.
+
+    Logs are collected per tx ordered by log_index (sort_array on the
+    struct orders by its first field). Transactions without logs get
+    an empty array. Shuffles: one groupBy(tx_hash) for the logs, one
+    join on block identity — both keyed on high-cardinality columns.
+    """
+    log_structs = logs.groupBy("tx_hash").agg(
+        F.sort_array(
+            F.collect_list(F.struct("log_index", "address", "topics", "data"))
+        ).alias("logs")
+    )
+    b = blocks.select(
+        F.col("number").alias("block_number"),
+        F.col("hash").alias("block_hash"),
+        F.timestamp_seconds("timestamp").alias("timestamp"),
+    )
+    empty_logs = F.array().cast(log_structs.schema["logs"].dataType)
+    return (
+        transactions.join(b, ["block_number", "block_hash"])
+        .join(log_structs, transactions["hash"] == log_structs["tx_hash"], "left")
+        .drop("tx_hash")
+        .withColumn("logs", F.coalesce(F.col("logs"), empty_logs))
+    )
+
+
+def _value_cols(value_hex: Column) -> list[Column]:
+    dec = hex_to_decimal(value_hex)
+    return [
+        dec.alias("value"),
+        F.coalesce(dec.cast("string"), value_hex).alias("value_string"),
+    ]
+
+
+def extract_erc20_transfers(classified: DataFrame) -> DataFrame:
+    """One row per valid Transfer log (Erc20TransferDetailExtractor.cs:
+    11-46 — iterates Transfer-topic logs, skips malformed ones)."""
+    exploded = (
+        classified.filter(F.col(f"is_{CLASS_ERC20_TRANSFER}"))
+        .select(
+            *_COMMON,
+            F.explode(
+                F.filter(F.col("logs"), lambda l: F.array_contains(l["topics"], TRANSFER_TOPIC))
+            ).alias("log"),
+        )
+        .filter(is_erc20_transfer_log(F.col("log")))
+    )
+    return exploded.select(
+        *_COMMON,
+        strip_topic_address(F.col("log")["topics"][1]).alias("from"),
+        strip_topic_address(F.col("log")["topics"][2]).alias("to"),
+        F.col("log")["address"].alias("token"),
+        *_value_cols(F.col("log")["data"]),
+    )
+
+
+def extract_crc_trusts(classified: DataFrame, hub: str = HUB_ADDRESS) -> DataFrame:
+    """FIRST Trust-topic log only (CrcTrustDetailExtractor.cs:12-42
+    uses FirstOrDefault on the topic), emitted when fully valid."""
+    first = F.get(
+        F.filter(F.col("logs"), lambda l: F.array_contains(l["topics"], CRC_TRUST_TOPIC)), 0
+    )
+    return (
+        classified.filter(F.col(f"is_{CLASS_CRC_TRUST}"))
+        .withColumn("_t", first)
+        .filter(is_crc_trust_log(F.col("_t"), hub))
+        .select(
+            *_COMMON,
+            strip_topic_address(F.col("_t")["topics"][2]).alias("address"),
+            strip_topic_address(F.col("_t")["topics"][1]).alias("can_send_to"),
+            hex_to_decimal(F.col("_t")["data"]).cast("long").alias("limit"),
+        )
+    )
+
+
+def extract_crc_signups(
+    classified: DataFrame, safe_owners: DataFrame | None = None
+) -> DataFrame:
+    """(user, token) from the signup classification
+    (CrcSignupDetailExtractor.cs:11-25) + owners enrichment — the
+    reference resolves owners via a getOwners eth_call per signup
+    (Indexer.cs:404-439); here owners come from an injectable
+    side-input DataFrame (safe_address, owners) so tests stub the RPC.
+    Owners are lowercased like Indexer.cs:416,433.
+    """
+    out = classified.filter(F.col(f"is_{CLASS_CRC_SIGNUP}")).select(
+        *_COMMON,
+        F.col("_signup_user").alias("user"),
+        F.col("_signup_token").alias("token"),
+    )
+    if safe_owners is None:
+        return out.withColumn("owners", F.lit(None).cast("array<string>"))
+    so = safe_owners.select(
+        F.col("safe_address"),
+        F.transform(F.col("owners"), F.lower).alias("owners"),
+    )
+    return out.join(
+        F.broadcast(so), out["user"] == so["safe_address"], "left"
+    ).drop("safe_address")
+
+
+def extract_crc_organisation_signups(
+    classified: DataFrame, hub: str = HUB_ADDRESS
+) -> DataFrame:
+    """First valid OrgSignup log → (organisation)
+    (CrcOrganisationSignupDetailExtractor.cs:11-36)."""
+    first = F.get(F.filter(F.col("logs"), lambda l: is_org_signup_log(l, hub)), 0)
+    return (
+        classified.filter(F.col(f"is_{CLASS_CRC_ORGANISATION_SIGNUP}"))
+        .withColumn("_o", first)
+        .select(
+            *_COMMON,
+            strip_topic_address(F.col("_o")["topics"][1]).alias("organisation"),
+        )
+    )
+
+
+def extract_crc_hub_transfers(classified: DataFrame) -> DataFrame:
+    """(from, to, value) of the single HubTransfer log
+    (CrcHubTransferDetailExtractor.cs:10-31)."""
+    return classified.filter(F.col(f"is_{CLASS_CRC_HUB_TRANSFER}")).select(
+        *_COMMON,
+        F.col("_hub_from").alias("from"),
+        F.col("_hub_to").alias("to"),
+        *_value_cols(F.col("_hub_value_hex")),
+    )
+
+
+def extract_eth_transfers(classified: DataFrame) -> DataFrame:
+    """Plain EOA transfer from tx fields (EthTransferDetailExtractor
+    .cs:9-18 — addresses NOT lowercased there, preserved as-is)."""
+    dec = F.col("value").cast("decimal(38,0)")
+    return classified.filter(F.col(f"is_{CLASS_EOA_ETH_TRANSFER}")).select(
+        *_COMMON,
+        F.col("from"),
+        F.col("to"),
+        dec.alias("value"),
+        F.col("value").alias("value_string"),
+    )
+
+
+def extract_gnosis_safe_eth_transfers(classified: DataFrame) -> DataFrame:
+    """(initiator=tx.from, from=tx.to(safe), to=decoded, value=decoded)
+    — all lowercased (GnosisSafeEthTransferDetailExtractor.cs:13-37,
+    TransactionClassifier.cs:309-312)."""
+    return classified.filter(F.col(f"is_{CLASS_SAFE_ETH_TRANSFER}")).select(
+        *_COMMON,
+        F.lower(F.col("from")).alias("initiator"),
+        F.lower(F.col("to")).alias("from"),
+        F.col("_safe_to").alias("to"),
+        *_value_cols(F.col("_safe_value_hex")),
+    )
+
+
+def extract_transactions(classified: DataFrame) -> DataFrame:
+    """The transaction_2-shaped table (0.0.64.sql:358-377) with the
+    classification label array (P8)."""
+    dec = F.col("value").cast("decimal(38,0)")
+    return classified.select(
+        "block_number",
+        "timestamp",
+        "hash",
+        "index",
+        F.col("from"),
+        F.col("to"),
+        dec.alias("value"),
+        F.col("value").alias("value_string"),
+        "input",
+        "nonce",
+        "type",
+        "classification",
+    )
+
+
+def extract_all(
+    classified: DataFrame, safe_owners: DataFrame | None = None, hub: str = HUB_ADDRESS
+) -> dict[str, DataFrame]:
+    """All event tables from one classified DataFrame
+    (TransactionDetailExtractor.cs:10-48 dispatcher)."""
+    return {
+        "transaction": extract_transactions(classified),
+        "crc_signup": extract_crc_signups(classified, safe_owners),
+        "erc20_transfer": extract_erc20_transfers(classified),
+        "crc_organisation_signup": extract_crc_organisation_signups(classified, hub),
+        "crc_trust": extract_crc_trusts(classified, hub),
+        "crc_hub_transfer": extract_crc_hub_transfers(classified),
+        "eth_transfer": extract_eth_transfers(classified),
+        "gnosis_safe_eth_transfer": extract_gnosis_safe_eth_transfers(classified),
+    }
