@@ -132,6 +132,25 @@ CASES: list[tuple[str, str | None, str, str, list, list[str]]] = [
         (HUB_ADDRESS, [CRC_HUB_TRANSFER_TOPIC, topic_addr(USER2), topic_addr(USER1)], hex256(2)),
         (TOKEN1, [TRANSFER_TOPIC, topic_addr(USER1), topic_addr(USER2)], hex256(3)),
     ], ["Unknown"]),
+    # --- denser CRC activity so the analytics views are non-trivial ---
+    # USER2 signs up with TOKEN2
+    ("signup2", HUB_ADDRESS, "0", "0x01", [
+        (HUB_ADDRESS, [CRC_SIGNUP_TOPIC, topic_addr(USER2)], topic_addr(TOKEN2)),
+        (HUB_ADDRESS, [CRC_TRUST_TOPIC, topic_addr(USER2), topic_addr(USER2)], hex256(100)),
+        (TOKEN2, [TRANSFER_TOPIC, topic_addr(EMPTY_ADDRESS), topic_addr(USER2)], hex256(MINT)),
+    ], ["Erc20Transfer", "CrcSignup", "CrcTrust"]),
+    # later update of the trust_pos edge (USER1 → canSendTo USER2): 50 → 80
+    ("trust_update", HUB_ADDRESS, "0", "0x01", [
+        (HUB_ADDRESS, [CRC_TRUST_TOPIC, topic_addr(USER2), topic_addr(USER1)], hex256(80)),
+    ], ["CrcTrust"]),
+    # reverse trust edge (USER2 → canSendTo USER1), limit 100
+    ("trust_back", HUB_ADDRESS, "0", "0x01", [
+        (HUB_ADDRESS, [CRC_TRUST_TOPIC, topic_addr(USER1), topic_addr(USER2)], hex256(100)),
+    ], ["CrcTrust"]),
+    # a CRC token transfer USER1 → USER2 of 5e18 on TOKEN1
+    ("transfer_crc", TOKEN1, "0", "0xabcdef", [
+        (TOKEN1, [TRANSFER_TOPIC, topic_addr(USER1), topic_addr(USER2)], hex256(5 * 10**18)),
+    ], ["Erc20Transfer"]),
 ]
 
 

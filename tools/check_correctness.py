@@ -35,6 +35,10 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    for col in df.columns:
+        dtype = df[col].dtype
+        if isinstance(dtype, pd.DatetimeTZDtype):
+            df[col] = df[col].dt.tz_convert("UTC").dt.tz_localize(None)
     if len(df):
         df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
