@@ -1,0 +1,178 @@
+"""Streaming ingest — the reference's round loop (`Indexer.cs:87-175`)
+as Structured Streaming + foreachBatch.
+
+Stream element = one transaction WITH its receipt logs and block
+metadata embedded (the reference's widening tuple, Indexer.cs:149-150,
+flattened); empty blocks ride along as a row with NULL tx hash
+(BlockTracker.InsertEmptyBlock, Persistence/BlockTracker.cs:49-66).
+
+Each micro-batch runs the same idempotent promote→classify→extract→
+append round the batch path uses (operators.promote); exactly-once
+comes from the anti-join merge against the already-promoted tables,
+not from Spark state — a duplicate delivery (redeployed feed files,
+overlapping backfill) lands as zero new rows (T4, README.md:85-87).
+Completeness gating works across batches because incomplete blocks
+simply fail the gate again until their missing txs arrive (T3).
+
+Sink layout: one parquet directory per final table, partitioned by
+block range (`block_group = block_number div 100_000`) so reorg
+retraction (T5) and block-range queries prune partitions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from blockchain_indexer_spark.operators.classify import classify
+from blockchain_indexer_spark.operators.extract import extract_all
+from blockchain_indexer_spark.operators.promote import promote
+from blockchain_indexer_spark.schemas import (
+    HUB_ADDRESS,
+    LOG_STRUCT,
+    RAW_TRANSACTION_SCHEMA,
+)
+
+FEED_SCHEMA = T.StructType(
+    [
+        T.StructField("block_number", T.LongType(), False),
+        T.StructField("block_hash", T.StringType(), False),
+        T.StructField("block_timestamp", T.LongType(), False),
+        T.StructField("total_transaction_count", T.IntegerType(), False),
+        # tx fields; NULL hash ⇒ empty-block marker row
+        T.StructField("hash", T.StringType(), True),
+        T.StructField("index", T.IntegerType(), True),
+        T.StructField("from", T.StringType(), True),
+        T.StructField("to", T.StringType(), True),
+        T.StructField("value", T.StringType(), True),
+        T.StructField("input", T.StringType(), True),
+        T.StructField("nonce", T.StringType(), True),
+        T.StructField("type", T.StringType(), True),
+        T.StructField("logs", T.ArrayType(LOG_STRUCT), True),
+    ]
+)
+
+EVENT_TABLES = (
+    "transaction",
+    "crc_signup",
+    "erc20_transfer",
+    "crc_organisation_signup",
+    "crc_trust",
+    "crc_hub_transfer",
+    "eth_transfer",
+    "gnosis_safe_eth_transfer",
+)
+
+BLOCK_GROUP_SIZE = 100_000
+
+
+class IngestPipeline:
+    """Batch-or-streaming ingest into partitioned parquet final tables."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        hub: str = HUB_ADDRESS,
+        safe_owners: DataFrame | None = None,
+    ) -> None:
+        self.spark = spark
+        self.out_dir = out_dir
+        self.hub = hub
+        self.safe_owners = safe_owners
+
+    def _table_path(self, name: str) -> str:
+        return os.path.join(self.out_dir, name)
+
+    def read_final(self, name: str) -> DataFrame | None:
+        path = self._table_path(name)
+        try:
+            return self.spark.read.parquet(path)
+        except Exception:  # noqa: BLE001 — first batch: table doesn't exist yet
+            return None
+
+    def _append(self, name: str, df: DataFrame, block_col: str) -> None:
+        (
+            df.withColumn("block_group", (F.col(block_col) / BLOCK_GROUP_SIZE).cast("long"))
+            .write.mode("append")
+            .partitionBy("block_group")
+            .parquet(self._table_path(name))
+        )
+
+    def process_batch(self, feed: DataFrame, epoch_id: int = 0) -> None:
+        """foreachBatch body: staging split → promote → classify →
+        extract → idempotent append. Also usable directly in batch mode.
+        """
+        feed.persist()
+        try:
+            block_staging = feed.select(
+                F.col("block_number").alias("number"),
+                F.col("block_hash").alias("hash"),
+                F.col("block_timestamp").alias("timestamp"),
+                "total_transaction_count",
+            ).dropDuplicates(["number", "hash"])
+            tx_rows = feed.filter(F.col("hash").isNotNull())
+            tx_staging = tx_rows.select(*[f.name for f in RAW_TRANSACTION_SCHEMA.fields])
+            log_staging = tx_rows.select(
+                F.col("hash").alias("tx_hash"), F.explode_outer("logs").alias("l")
+            ).select("tx_hash", "l.log_index", "l.address", "l.topics", "l.data").filter(
+                F.col("log_index").isNotNull()
+            )
+
+            promoted = promote(
+                block_staging,
+                tx_staging,
+                log_staging,
+                existing_blocks=self.read_final("block"),
+                existing_txs=self.read_final("transaction"),
+            )
+            # Eagerly snapshot the merge results BEFORE any append:
+            # their plans anti-join against the very tables we are
+            # about to append to, and a lazy plan would re-list the
+            # parquet dir after the write and see its own output
+            # (read-modify-append hazard). localCheckpoint truncates
+            # the lineage at materialized partitions.
+            new_blocks = promoted["block"].localCheckpoint(eager=True)
+            new_txs = promoted["transaction_raw"].localCheckpoint(eager=True)
+            new_logs = promoted["log_raw"].localCheckpoint(eager=True)
+
+            self._append(
+                "block",
+                new_blocks.select(
+                    "number",
+                    "hash",
+                    F.timestamp_seconds("timestamp").alias("timestamp"),
+                    "total_transaction_count",
+                ),
+                "number",
+            )
+
+            from blockchain_indexer_spark.operators.extract import assemble_transactions
+
+            assembled = assemble_transactions(new_blocks, new_txs, new_logs)
+            tables = extract_all(
+                classify(assembled, self.hub), self.safe_owners, self.hub
+            )
+            for name in EVENT_TABLES:
+                self._append(name, tables[name], "block_number")
+        finally:
+            feed.unpersist()
+
+    def start_stream(self, feed_dir: str, checkpoint_dir: str, available_now: bool = True):
+        """File-fed Structured Streaming ingest: new parquet files in
+        feed_dir are one-shot processed (Trigger.AvailableNow) or
+        continuously tailed — the reference's bulk vs live modes
+        (T11) with the same batch body."""
+        stream = self.spark.readStream.schema(FEED_SCHEMA).parquet(feed_dir)
+        writer = (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime="500 milliseconds")
+        return writer.start()

@@ -1,0 +1,93 @@
+"""End-to-end streaming ingest: chain feed files → Structured
+Streaming foreachBatch → partitioned parquet final tables, with
+exactly-once semantics under overlapping redelivery."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from blockchain_indexer_spark.streaming.runner import FEED_SCHEMA, IngestPipeline
+from tests.chain_fixtures import EXPECTED, build_raw_tables
+
+
+def _feed_rows(spark):
+    """Fixture chain flattened to the feed layout (tx rows with logs +
+    empty-block markers)."""
+    blocks, txs, logs = build_raw_tables(spark)
+    log_structs = logs.groupBy("tx_hash").agg(
+        F.sort_array(F.collect_list(F.struct("log_index", "address", "topics", "data"))).alias(
+            "logs"
+        )
+    )
+    b = blocks.select(
+        F.col("number").alias("block_number"),
+        F.col("hash").alias("block_hash"),
+        F.col("timestamp").alias("block_timestamp"),
+        "total_transaction_count",
+    )
+    tx_rows = (
+        txs.join(b, ["block_number", "block_hash"])
+        .join(log_structs, txs["hash"] == log_structs["tx_hash"], "left")
+        .drop("tx_hash")
+    )
+    empty_blocks = b.join(
+        txs.select("block_number").distinct(), "block_number", "left_anti"
+    ).select(
+        "block_number",
+        "block_hash",
+        "block_timestamp",
+        "total_transaction_count",
+        *[F.lit(None).alias(c) for c in ["hash", "index", "from", "to", "value", "input", "nonce", "type"]],
+        F.lit(None).cast(FEED_SCHEMA["logs"].dataType).alias("logs"),
+    )
+    cols = [f.name for f in FEED_SCHEMA.fields]
+    return tx_rows.select(*cols).unionByName(empty_blocks.select(*cols))
+
+
+@pytest.fixture(scope="module")
+def feed_df(spark):
+    return _feed_rows(spark).cache()
+
+
+def test_streaming_ingest_exactly_once(spark, tmp_path_factory, feed_df):
+    root = str(tmp_path_factory.mktemp("stream"))
+    feed_dir, ckpt, out = (os.path.join(root, d) for d in ("feed", "ckpt", "final"))
+    os.makedirs(feed_dir)
+
+    n_txs = feed_df.filter(F.col("hash").isNotNull()).count()
+    split = feed_df.filter(F.col("block_number") % 2 == 0)
+    rest_plus_overlap = feed_df  # second delivery contains EVERYTHING again
+
+    pipe = IngestPipeline(spark, out)
+
+    # chunk 1: half the blocks
+    split.coalesce(1).write.mode("append").parquet(os.path.join(feed_dir))
+    q = pipe.start_stream(feed_dir, ckpt)
+    q.awaitTermination(120)
+
+    mid_blocks = pipe.read_final("block").count()
+    assert 0 < mid_blocks < feed_df.select("block_number").distinct().count()
+
+    # chunk 2: full redelivery (overlap with chunk 1)
+    rest_plus_overlap.coalesce(1).write.mode("append").parquet(os.path.join(feed_dir))
+    q = pipe.start_stream(feed_dir, ckpt)
+    q.awaitTermination(120)
+
+    blocks_final = pipe.read_final("block")
+    txs_final = pipe.read_final("transaction")
+    assert blocks_final.count() == feed_df.select("block_number").distinct().count()
+    assert txs_final.count() == n_txs
+    # no duplicate keys despite overlapping delivery
+    assert txs_final.select("hash").distinct().count() == n_txs
+    assert blocks_final.select("number").distinct().count() == blocks_final.count()
+    # classification survived the trip
+    got = {
+        r["hash"]: r["classification"]
+        for r in txs_final.select("hash", "classification").collect()
+    }
+    assert got == EXPECTED
+    # partition pruning layout exists
+    assert any("block_group=" in p for p in os.listdir(os.path.join(out, "transaction")))
