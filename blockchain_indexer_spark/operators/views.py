@@ -214,6 +214,47 @@ def crc_safe_accepted_crc(crc_trust: DataFrame, crc_signup: DataFrame) -> DataFr
     )
 
 
+def erc20_balances_by_safe_and_token(
+    erc20_transfer: DataFrame,
+    crc_signup: DataFrame,
+    crc_organisation_signup: DataFrame,
+) -> DataFrame:
+    """0.0.64.sql:1584-1637 — signed in/out balances of NON-CRC tokens
+    (J7 anti-join) per signed-up account (A6 signed sum).
+
+    Faithfulness note: the reference OR-joins crc_all_signups TWICE
+    (non_circles_transfers :1595, then non_circles_ledger :1619), so a
+    transfer with BOTH endpoints signed up is counted twice per
+    endpoint; that multiplicity is preserved here. The OR join is
+    rewritten as explode(array_distinct([from, to])) + equi join (one
+    match per distinct endpoint value, same as the OR predicate).
+    """
+    alls = F.broadcast(
+        crc_all_signups(crc_signup, crc_organisation_signup).select("user")
+    )
+    crc_tokens = F.broadcast(crc_signup.select("token").distinct())
+    non_crc = erc20_transfer.join(crc_tokens, "token", "left_anti")
+    endpoints = F.explode(F.array_distinct(F.array(F.col("from"), F.col("to"))))
+    # join 1: multiplies each transfer by its signed-up endpoint count
+    multiplied = (
+        non_crc.withColumn("_ep", endpoints)
+        .join(alls, F.col("_ep") == F.col("user"))
+        .drop("_ep", "user")
+    )
+    # join 2: one ledger row per (copy, matching endpoint)
+    ledger = multiplied.withColumn("user", endpoints).join(alls, "user")
+    signed = F.when(F.col("from") == F.col("user"), -F.col("value")).otherwise(
+        F.col("value")
+    )
+    return (
+        ledger.groupBy(F.col("user").alias("safe_address"), "token")
+        .agg(
+            F.sum(signed).cast("decimal(38,0)").alias("balance"),
+            F.max("timestamp").alias("last_changed_at"),
+        )
+    )
+
+
 def formatted(df: DataFrame) -> DataFrame:
     """formatted_* views (0.0.64.sql:1324-1382): value numeric → text.
     Works for any event table carrying a `value` column."""
@@ -512,7 +553,10 @@ def crc_capacity_graph(
         .withColumn(
             "actual_capacity",
             F.when(F.col("max_capacity") < F.col("balance"), F.col("max_capacity")).otherwise(
-                F.col("balance")
+                # scale 6 so the CASE below does not collapse the
+                # fractional branches to scale 0 (HALF_UP sub-wei
+                # rounding the reference's unbounded numeric never does)
+                F.col("balance").cast("decimal(38,6)")
             ),
         )
     )
@@ -524,10 +568,11 @@ def crc_capacity_graph(
         "can_send_to",
         "can_send_to_is_orga",
         F.when(
-            F.col("is_receivers_own_token") | F.col("can_send_to_is_orga"), F.col("balance")
+            F.col("is_receivers_own_token") | F.col("can_send_to_is_orga"),
+            F.col("balance").cast("decimal(38,6)"),
         )
         .otherwise(
-            F.when(F.col("zero"), F.lit(0).cast("decimal(38,0)")).otherwise(
+            F.when(F.col("zero"), F.lit(0).cast("decimal(38,6)")).otherwise(
                 F.col("actual_capacity")
             )
         )
@@ -577,6 +622,11 @@ def build_all(
         "formatted_gnosis_safe_eth_transfer": formatted(tables["gnosis_safe_eth_transfer"]),
         "formatted_crc_minting": formatted(
             crc_minting(tables["erc20_transfer"], tables["crc_signup"])
+        ),
+        "erc20_balances_by_safe_and_token": erc20_balances_by_safe_and_token(
+            tables["erc20_transfer"],
+            tables["crc_signup"],
+            tables["crc_organisation_signup"],
         ),
         "crc_safe_timeline": crc_safe_timeline(tables, as_of),
         "crc_capacity_graph": crc_capacity_graph(trust, balances, signups),

@@ -16,15 +16,27 @@ Derivation contract (identical on both sides):
 - addr(u)    = '0x' || %040x of (u+1)
 - token(u)   = '0x' || %040x of (u+1 + 2^24)      (CRC tokens)
 - nctoken(u) = '0x' || %040x of (u+1 + 2^25)      (non-CRC tokens)
+- org(u)     = '0x' || %040x of (u+1 + 2^26)      (organisations)
+- init(u)    = '0x' || %040x of (u+1 + 2^27)      (safe initiators)
 - cents(v)   = CAST(round(v*100) AS BIGINT)        (exact: v is 2dp)
 - signup tx of user u: block 12_529_458+u (Signup + self-Trust(100) +
   50e18 mint on token(u))
+- org signup tx for users with u%5==0: block 11_000_000+u, org(u)
 - event tx of event e: block 12_600_000 + e/10, index e%10
-- trust event receiver: addr(user_id+13) — may not be a signed-up
-  user, so the current-trust both-endpoints join has real negatives
+- purchase → CrcHubTransfer: HubTransfer(addr(u)→addr(u+8), cents)
+  log + the CRC token hop on token(u)
+- view → non-CRC transfer addr(u)→addr(u+4) on nctoken(u)
+- click → EOA eth transfer addr(u)→addr(u+2) of cents wei
+- signup → trust event addr(u+14) may not be a signed-up user, so
+  the current-trust both-endpoints join has real negatives
+- error, odd event_id → safe eth transfer: execTransaction calldata
+  (to=addr(u+22), value=cents, empty data, op 0) from safe addr(u),
+  initiator init(u), one ExecutionSuccess log; even → Unknown
 """
 
 from __future__ import annotations
+
+import datetime as _dt
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -32,18 +44,32 @@ from pyspark.sql import functions as F
 from blockchain_indexer_spark.operators.classify import classify
 from blockchain_indexer_spark.operators.extract import extract_all
 from blockchain_indexer_spark.operators.views import (
+    crc_alive_accounts,
     crc_all_signups,
     crc_balances_by_safe_and_token,
+    crc_capacity_graph,
     crc_current_trust,
+    crc_dead_accounts,
+    crc_hub_transfers_per_day,
     crc_ledger,
+    crc_safe_accepted_crc,
+    crc_safe_timeline,
+    crc_token_transfer,
+    crc_total_minted_amount,
+    erc20_balances_by_safe_and_token,
 )
 from blockchain_indexer_spark.plans.registry import register
 from blockchain_indexer_spark.schemas import (
     ADDRESS_EMPTY_BYTES_PREFIX,
+    CRC_HUB_TRANSFER_TOPIC,
+    CRC_ORGANISATION_SIGNUP_TOPIC,
     CRC_SIGNUP_MINT_WEI,
     CRC_SIGNUP_TOPIC,
     CRC_TRUST_TOPIC,
     EMPTY_ADDRESS,
+    EMPTY_UINT256,
+    EXEC_TRANSACTION_METHOD_ID,
+    EXECUTION_SUCCESS_TOPIC,
     HUB_ADDRESS,
     LOG_STRUCT,
     TRANSFER_TOPIC,
@@ -52,7 +78,15 @@ from blockchain_indexer_spark.sources.parquet import load_table
 
 MINT_HEX = "0x" + format(int(CRC_SIGNUP_MINT_WEI), "064x")
 ADDR_SPACE, TOKEN_SPACE, NCTOKEN_SPACE = 1, 1 + 2**24, 1 + 2**25
+ORG_SPACE, INIT_SPACE = 1 + 2**26, 1 + 2**27
 SIGNUP_BLOCK_BASE, EVENT_BLOCK_BASE, EPOCH = 12_529_458, 12_600_000, 1_600_000_000
+ORG_BLOCK_BASE = 11_000_000
+# execTransaction head slots 2..9 + empty data/signatures tail words:
+# data offset 320 (10 slots), operation 0, 5 zero gas/address slots,
+# signatures offset 352, then len(data)=0 and len(signatures)=0
+_SAFE_INPUT_CONST = (
+    format(320, "064x") + "0" * 64 * 6 + format(352, "064x") + "0" * 128
+)
 
 
 def _addr(offset: int, col):
@@ -124,13 +158,55 @@ def derive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("logs"),
     )
 
-    transfer_logs = lambda token_offset, to_offset: F.array(  # noqa: E731
-        _log(
-            0,
+    # organisation signups: every 5th user also registers an org
+    orgs = users.filter(F.col("user_id") % 5 == 0).select(
+        (F.lit(ORG_BLOCK_BASE) + F.col("user_id")).alias("block_number"),
+        F.concat(F.lit("0xc"), F.format_string("%063x", F.col("user_id"))).alias("block_hash"),
+        F.concat(F.lit("0x"), F.md5(F.concat(F.lit("org-"), F.col("user_id").cast("string")))).alias("hash"),
+        F.lit(0).cast("int").alias("index"),
+        _addr(ADDR_SPACE, F.col("user_id")).alias("from"),
+        F.lit(HUB_ADDRESS).alias("to"),
+        F.lit("0").alias("value"),
+        F.lit("0x01").alias("input"),
+        F.lit("1").alias("nonce"),
+        F.lit("0").alias("type"),
+        F.array(
+            _log(
+                0,
+                F.lit(HUB_ADDRESS),
+                F.array(
+                    F.lit(CRC_ORGANISATION_SIGNUP_TOPIC),
+                    _topic(ORG_SPACE, F.col("user_id")),
+                ),
+                F.lit(EMPTY_UINT256),
+            )
+        ).alias("logs"),
+    )
+
+    def _transfer_log(idx, token_offset, to_offset):
+        return _log(
+            idx,
             _addr(token_offset, u),
             F.array(F.lit(TRANSFER_TOPIC), _topic(ADDR_SPACE, u), _topic(to_offset, u)),
             _hex256(cents),
         )
+
+    # purchases are CRC hub transfers: HubTransfer log + the token hop
+    hub_logs = F.array(
+        _log(
+            0,
+            F.lit(HUB_ADDRESS),
+            F.array(
+                F.lit(CRC_HUB_TRANSFER_TOPIC),
+                _topic(ADDR_SPACE, u),
+                _topic(ADDR_SPACE + 7, u),
+            ),
+            _hex256(cents),
+        ),
+        _transfer_log(1, TOKEN_SPACE, ADDR_SPACE + 7),
+    )
+    transfer_logs = lambda token_offset, to_offset: F.array(  # noqa: E731
+        _transfer_log(0, token_offset, to_offset)
     )
     trust_logs = F.array(
         _log(
@@ -143,6 +219,22 @@ def derive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty_logs = F.array().cast(f"array<{LOG_STRUCT.simpleString()}>")
 
     et = F.col("event_type")
+    # odd-id error events are Gnosis-safe eth transfers (C6); even stay Unknown
+    is_safe_tx = (et == "error") & (F.col("event_id") % 2 == 1)
+    safe_input = F.concat(
+        F.lit(EXEC_TRANSACTION_METHOD_ID),
+        F.format_string("%064x", u + F.lit(ADDR_SPACE + 21)),  # to = addr(u+22)
+        F.format_string("%064x", cents),
+        F.lit(_SAFE_INPUT_CONST),
+    )
+    safe_logs = F.array(
+        _log(
+            0,
+            _addr(ADDR_SPACE, u),
+            F.array(F.lit(EXECUTION_SUCCESS_TOPIC)),
+            F.lit(EMPTY_UINT256),
+        )
+    )
     evtx = ev.select(
         (F.lit(EVENT_BLOCK_BASE) + (F.col("event_id") / 10).cast("long")).alias("block_number"),
         F.concat(
@@ -150,30 +242,47 @@ def derive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("block_hash"),
         F.concat(F.lit("0x"), F.md5(F.concat(F.lit("tx-"), F.col("event_id").cast("string")))).alias("hash"),
         (F.col("event_id") % 10).cast("int").alias("index"),
-        _addr(ADDR_SPACE, u).alias("from"),
-        F.when(et == "click", _addr(ADDR_SPACE + 1, u)).otherwise(_addr(ADDR_SPACE + 99, u)).alias("to"),
+        F.when(is_safe_tx, _addr(INIT_SPACE, u)).otherwise(_addr(ADDR_SPACE, u)).alias("from"),
+        F.when(et == "click", _addr(ADDR_SPACE + 1, u))
+        .when(is_safe_tx, _addr(ADDR_SPACE, u))  # the user's own safe executes
+        .otherwise(_addr(ADDR_SPACE + 99, u))
+        .alias("to"),
         F.when(et == "click", cents.cast("string")).otherwise(F.lit("0")).alias("value"),
         F.when(et == "click", F.lit("0x"))
+        .when(is_safe_tx, safe_input)
         .when(et == "error", F.lit("0xdead"))
         .otherwise(F.lit("0x01"))
         .alias("input"),
         F.lit("1").alias("nonce"),
         F.lit("0").alias("type"),
-        F.when(et == "purchase", transfer_logs(TOKEN_SPACE, ADDR_SPACE + 7))
+        F.when(et == "purchase", hub_logs)
         .when(et == "view", transfer_logs(NCTOKEN_SPACE, ADDR_SPACE + 3))
         .when(et == "signup", trust_logs)
+        .when(is_safe_tx, safe_logs)
         .otherwise(empty_logs)
         .alias("logs"),
     )
 
-    chain = su.unionByName(evtx)
+    chain = su.unionByName(orgs).unionByName(evtx)
     return chain.withColumn(
         "timestamp", F.timestamp_seconds(F.lit(EPOCH) + F.col("block_number"))
     )
 
 
+_PIPELINE_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
 def _pipeline_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    return extract_all(classify(derive_chain(spark, sf_dir)))
+    """Derive → classify → extract once per (session, sf_dir); the
+    event tables are persisted so the ~15 gate queries share one
+    materialization instead of re-running the classifier each (the
+    same shape as production, where promote writes these tables out).
+    """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PIPELINE_CACHE:
+        tables = extract_all(classify(derive_chain(spark, sf_dir)))
+        _PIPELINE_CACHE[key] = {k: v.persist() for k, v in tables.items()}
+    return _PIPELINE_CACHE[key]
 
 
 # Shared oracle derivation CTEs (DuckDB SQL)
@@ -190,12 +299,16 @@ _D = """
     , labels AS (
         SELECT 'Erc20Transfer,CrcSignup,CrcTrust' AS label FROM users
         UNION ALL
+        SELECT 'CrcOrganisationSignup' FROM users WHERE user_id % 5 = 0
+        UNION ALL
         SELECT CASE event_type
-                   WHEN 'purchase' THEN 'Erc20Transfer'
+                   WHEN 'purchase' THEN 'Erc20Transfer,CrcHubTransfer'
                    WHEN 'view' THEN 'Erc20Transfer'
                    WHEN 'click' THEN 'EoaEthTransfer'
                    WHEN 'signup' THEN 'CrcTrust'
-                   ELSE 'Unknown' END
+                   ELSE CASE WHEN event_id % 2 = 1 THEN 'SafeEthTransfer'
+                             ELSE 'Unknown' END
+               END
         FROM ev
     )
     SELECT label, COUNT(*) AS n FROM labels GROUP BY label
@@ -203,7 +316,7 @@ _D = """
     doc="End-to-end classifier check: the derived chain runs through "
     "operators.classify; the oracle knows each tx's class by "
     "construction (C1-C8, TransactionClassifier.cs semantics).",
-    survey_refs=("C1", "C2", "C5", "C7", "C8"),
+    survey_refs=("C1", "C2", "C3", "C4", "C5", "C6", "C7", "C8"),
 )
 def chain_classification_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     classified = classify(derive_chain(spark, sf_dir))
@@ -312,4 +425,327 @@ def chain_eth_transfer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t["eth_transfer"].agg(
         F.count("*").alias("n_transfers"),
         F.sum("value").cast("bigint").alias("total_wei"),
+    )
+
+
+@register(
+    "chain_hub_transfers_per_day",
+    oracle=_D
+    + """
+    SELECT CAST(DATE '1970-01-01'
+               + CAST((1600000000 + 12600000 + event_id // 10) // 86400 AS INT)
+               AS VARCHAR) AS day,
+           COUNT(*) AS transfers
+    FROM ev WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    doc="Hub-transfer extraction (C4/E3) + per-day tumbling count "
+    "(0.0.64.sql:1253-1259); purchases carry a HubTransfer log.",
+    survey_refs=("C4", "E3", "A4", "P7"),
+)
+def chain_hub_transfers_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _pipeline_tables(spark, sf_dir)
+    per_day = crc_hub_transfers_per_day(t["crc_hub_transfer"])
+    return per_day.select(F.col("day").cast("string").alias("day"), "transfers")
+
+
+@register(
+    "chain_safe_eth_transfers",
+    oracle=_D
+    + """
+    SELECT '0x' || printf('%040x', user_id + 1 + 134217728) AS initiator,
+           '0x' || printf('%040x', user_id + 1) AS "from",
+           '0x' || printf('%040x', user_id + 22) AS "to",
+           cents AS value_wei
+    FROM ev WHERE event_type = 'error' AND event_id % 2 = 1
+    """,
+    doc="execTransaction ABI decode (C6/P12) + detail extraction (E7): "
+    "to/value recovered from calldata head slots, initiator=tx.from, "
+    "from=the safe (tx.to), all lowercase.",
+    survey_refs=("C6", "P12", "E7"),
+)
+def chain_safe_eth_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _pipeline_tables(spark, sf_dir)
+    return t["gnosis_safe_eth_transfer"].select(
+        "initiator", "from", "to", F.col("value").cast("bigint").alias("value_wei")
+    )
+
+
+@register(
+    "chain_org_signups",
+    oracle=_D
+    + """
+    SELECT '0x' || printf('%040x', user_id + 1 + 67108864) AS organisation,
+           CAST(11000000 + user_id AS BIGINT) AS block_number
+    FROM users WHERE user_id % 5 = 0
+    """,
+    doc="Organisation-signup classification (C3) + extraction (E5).",
+    survey_refs=("C3", "E5"),
+)
+def chain_org_signups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _pipeline_tables(spark, sf_dir)
+    return t["crc_organisation_signup"].select("organisation", "block_number")
+
+
+@register(
+    "chain_total_minted",
+    oracle=_D
+    + """
+    SELECT CAST(COUNT(*) * CAST('50000000000000000000' AS HUGEINT) AS VARCHAR)
+               AS crc_total_minted_amount
+    FROM users
+    """,
+    doc="Zero-address minting filter (P2) + global scalar sum (A5), "
+    "0.0.64.sql:1575-1578; exact uint256 compare via decimal strings.",
+    survey_refs=("P2", "A5"),
+)
+def chain_total_minted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _pipeline_tables(spark, sf_dir)
+    return crc_total_minted_amount(t["erc20_transfer"], t["crc_signup"]).select(
+        F.col("crc_total_minted_amount").cast("string").alias("crc_total_minted_amount")
+    )
+
+
+@register(
+    "chain_erc20_balances",
+    oracle=_D
+    + """
+    , alls AS (
+        SELECT '0x' || printf('%040x', user_id + 1) AS a FROM users
+        UNION ALL
+        SELECT '0x' || printf('%040x', user_id + 1 + 67108864)
+        FROM users WHERE user_id % 5 = 0
+    ), tr AS (
+        SELECT '0x' || printf('%040x', user_id + 1) AS f,
+               '0x' || printf('%040x', user_id + 4) AS t,
+               '0x' || printf('%040x', user_id + 1 + 33554432) AS token,
+               CAST(cents AS HUGEINT) AS cents
+        FROM ev WHERE event_type = 'view'
+    ), nct AS (
+        SELECT tr.* FROM tr JOIN alls ON alls.a = tr.f OR alls.a = tr.t
+    ), led AS (
+        SELECT alls.a AS safe_address, nct.token,
+               CASE WHEN nct.f = alls.a THEN -nct.cents ELSE nct.cents END AS v
+        FROM alls JOIN nct ON alls.a = nct.f OR alls.a = nct.t
+    )
+    SELECT safe_address, token, CAST(SUM(v) AS VARCHAR) AS balance
+    FROM led GROUP BY safe_address, token
+    """,
+    doc="Non-CRC balances (0.0.64.sql:1584-1637): anti-join against "
+    "signup tokens (J7) + the reference's double OR-join multiplicity "
+    "+ signed in/out sum (A6). View-type events are the non-CRC "
+    "transfers; receiver addr(u+4) is signed up only when user u+3 "
+    "exists, so the endpoint-multiplicity path (k=1 vs k=2) is real.",
+    survey_refs=("A6", "J7", "J6"),
+)
+def chain_erc20_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _pipeline_tables(spark, sf_dir)
+    return erc20_balances_by_safe_and_token(
+        t["erc20_transfer"], t["crc_signup"], t["crc_organisation_signup"]
+    ).select("safe_address", "token", F.col("balance").cast("string").alias("balance"))
+
+
+@register(
+    "chain_timeline_counts",
+    oracle=_D
+    + """
+    , u AS (SELECT user_id FROM users),
+    t AS (
+        SELECT 'CrcSignup' AS type, 'self' AS direction FROM users
+        UNION ALL SELECT 'CrcSignup', 'self' FROM users WHERE user_id % 5 = 0
+        UNION ALL SELECT 'CrcHubTransfer', 'out' FROM ev WHERE event_type = 'purchase'
+        UNION ALL SELECT 'CrcHubTransfer', 'in' FROM ev e
+                  JOIN u ON e.user_id + 7 = u.user_id WHERE e.event_type = 'purchase'
+        UNION ALL SELECT 'CrcTrust', 'self' FROM users
+        UNION ALL SELECT 'CrcTrust', 'in' FROM ev WHERE event_type = 'signup'
+        UNION ALL SELECT 'CrcTrust', 'out' FROM ev e
+                  JOIN u ON e.user_id + 13 = u.user_id WHERE e.event_type = 'signup'
+        UNION ALL SELECT 'CrcMinting', 'in' FROM users
+        UNION ALL SELECT 'EthTransfer', 'out' FROM ev WHERE event_type = 'click'
+        UNION ALL SELECT 'EthTransfer', 'in' FROM ev e
+                  JOIN u ON e.user_id + 1 = u.user_id WHERE e.event_type = 'click'
+        UNION ALL SELECT 'Erc20Transfer', 'out' FROM ev WHERE event_type = 'view'
+        UNION ALL SELECT 'Erc20Transfer', 'in' FROM ev e
+                  JOIN u ON e.user_id + 3 = u.user_id WHERE e.event_type = 'view'
+        UNION ALL SELECT 'GnosisSafeEthTransfer', 'out' FROM ev
+                  WHERE event_type = 'error' AND event_id % 2 = 1
+        UNION ALL SELECT 'GnosisSafeEthTransfer', 'in' FROM ev e
+                  JOIN u ON e.user_id + 21 = u.user_id
+                  WHERE e.event_type = 'error' AND e.event_id % 2 = 1
+    )
+    SELECT type, direction, COUNT(*) AS n FROM t GROUP BY type, direction
+    """,
+    doc="The 7-branch unified timeline (0.0.64.sql:1397-1557): OR-equi "
+    "join rewritten as explode+equi-join (J6), JSON payloads (P9), "
+    "UNION ALL of all event classes; the oracle derives each branch's "
+    "row multiplicity and direction from events alone.",
+    survey_refs=("J6", "P9", "P11"),
+)
+def chain_timeline_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _pipeline_tables(spark, sf_dir)
+    tl = crc_safe_timeline(t)
+    return tl.groupBy("type", "direction").agg(F.count("*").alias("n"))
+
+
+@register(
+    "chain_accepted_crc",
+    oracle=_D
+    + """
+    , tr AS (
+        SELECT '0x' || printf('%040x', user_id + 1) AS safe_address,
+               '0x' || printf('%040x', user_id + 1 + 16777216) AS accepted_token,
+               '0x' || printf('%040x', user_id + 1) AS accepted_token_owner,
+               CAST(100 AS BIGINT) AS "limit",
+               CAST(12529458 + user_id AS BIGINT) AS bn, 0 AS idx
+        FROM users
+        UNION ALL
+        SELECT '0x' || printf('%040x', user_id + 14),
+               '0x' || printf('%040x', user_id + 1 + 16777216),
+               '0x' || printf('%040x', user_id + 1),
+               cents % 101,
+               CAST(12600000 + event_id // 10 AS BIGINT),
+               CAST(event_id % 10 AS INT)
+        FROM ev WHERE event_type = 'signup'
+    )
+    SELECT safe_address, accepted_token, accepted_token_owner, "limit"
+    FROM (SELECT *, row_number() OVER (PARTITION BY safe_address, accepted_token,
+                                       accepted_token_owner
+                                       ORDER BY bn DESC, idx DESC) AS rn
+          FROM tr)
+    WHERE rn = 1
+    """,
+    doc="crc_safe_accepted_crc (0.0.64.sql:1296-1319): argmax-by-self-"
+    "join rewritten as one ranking window (J8→W1 rewrite).",
+    survey_refs=("J8", "W1"),
+)
+def chain_accepted_crc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _pipeline_tables(spark, sf_dir)
+    return crc_safe_accepted_crc(t["crc_trust"], t["crc_signup"]).select(
+        "safe_address", "accepted_token", "accepted_token_owner", "limit"
+    )
+
+
+# now() for the alive/dead split: between the derived signup blocks and
+# the event blocks + 90 days, so mint-only accounts are dead and
+# purchase receivers are alive — both branches non-empty.
+_AS_OF = _dt.datetime.fromtimestamp(
+    EPOCH + 12_590_000 + 90 * 86_400, _dt.timezone.utc
+).replace(tzinfo=None)
+
+
+@register(
+    "chain_alive_accounts",
+    oracle=_D
+    + """
+    SELECT DISTINCT '0x' || printf('%040x', user_id + 8) AS "to"
+    FROM ev WHERE event_type = 'purchase'
+    """,
+    doc="crc_alive_accounts (0.0.64.sql:704-714): last CRC inflow per "
+    "account vs now()-90d (J2 join chain + A9 max-HAVING), now() "
+    "parameterized for determinism.",
+    survey_refs=("J2", "A9"),
+)
+def chain_alive_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _pipeline_tables(spark, sf_dir)
+    tt = crc_token_transfer(t["erc20_transfer"], t["crc_signup"])
+    return crc_alive_accounts(tt, _AS_OF)
+
+
+@register(
+    "chain_dead_accounts",
+    oracle=_D
+    + """
+    SELECT '0x' || printf('%040x', user_id + 1) AS "to"
+    FROM users
+    WHERE user_id NOT IN (SELECT user_id + 7 FROM ev WHERE event_type = 'purchase')
+    """,
+    doc="crc_dead_accounts (0.0.64.sql:1241-1251): mint-only accounts "
+    "whose last inflow predates the cutoff.",
+    survey_refs=("J2", "A9"),
+)
+def chain_dead_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _pipeline_tables(spark, sf_dir)
+    tt = crc_token_transfer(t["erc20_transfer"], t["crc_signup"])
+    return crc_dead_accounts(tt, _AS_OF)
+
+
+@register(
+    "chain_capacity_graph",
+    oracle=_D
+    + """
+    , purch AS (
+        SELECT user_id, SUM(CAST(cents AS HUGEINT)) AS s
+        FROM ev WHERE event_type = 'purchase' GROUP BY user_id
+    ), bal AS (
+        -- (token index, holder address, balance): mint - outgoing,
+        -- incoming at addr(u+8), and the zero-address debit
+        SELECT u.user_id AS tok, '0x' || printf('%040x', u.user_id + 1) AS safe,
+               CAST('50000000000000000000' AS HUGEINT) - COALESCE(p.s, 0) AS b
+        FROM users u LEFT JOIN purch p ON p.user_id = u.user_id
+        UNION ALL
+        SELECT p.user_id, '0x' || printf('%040x', p.user_id + 8), p.s FROM purch p
+        UNION ALL
+        SELECT u.user_id, '0x0000000000000000000000000000000000000000',
+               -CAST('50000000000000000000' AS HUGEINT)
+        FROM users u
+    ), sev_latest AS (
+        SELECT user_id, lim FROM (
+            SELECT user_id, cents % 101 AS lim,
+                   row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+            FROM ev WHERE event_type = 'signup')
+        WHERE rn = 1
+    ), trust AS (
+        SELECT user_id AS owner, user_id AS receiver, CAST(100 AS BIGINT) AS lim FROM users
+        UNION ALL
+        SELECT s.user_id, s.user_id + 13, s.lim
+        FROM sev_latest s JOIN users r ON r.user_id = s.user_id + 13
+    ), holdings AS (
+        SELECT t.owner, t.receiver, t.lim, h.safe AS holder, h.b AS balance
+        FROM trust t JOIN bal h ON h.tok = t.owner
+        WHERE t.lim > 0 AND h.b > 0
+          AND h.safe != '0x0000000000000000000000000000000000000000'
+          AND h.safe != '0x0000000000000000000000000000000000000001'
+          AND h.safe != '0x' || printf('%040x', t.receiver + 1)
+    ), enriched AS (
+        SELECT h.*, COALESCE(ob.b, 0) AS ob, COALESCE(rb.b, 0) AS rb
+        FROM holdings h
+        LEFT JOIN bal ob ON ob.tok = h.owner
+                        AND ob.safe = '0x' || printf('%040x', h.owner + 1)
+        LEFT JOIN bal rb ON rb.tok = h.owner
+                        AND rb.safe = '0x' || printf('%040x', h.receiver + 1)
+    )
+    SELECT holder AS token_holder,
+           '0x' || printf('%040x', owner + 1 + 16777216) AS token,
+           '0x' || printf('%040x', owner + 1) AS token_owner,
+           CAST(balance AS VARCHAR) AS balance,
+           '0x' || printf('%040x', receiver + 1) AS can_send_to,
+           FALSE AS can_send_to_is_orga,
+           CAST(CASE WHEN owner = receiver THEN balance
+                     WHEN rb > 0 AND ob * lim < rb * 100 THEN 0
+                     ELSE LEAST((ob * lim - rb * (100 - lim)) // 100, balance)
+                END AS VARCHAR) AS capacity_wei
+    FROM enriched
+    """,
+    doc="The pathfinder capacity graph (0.0.64.sql:815-939, J5): "
+    "current-trust x balances x signups left-join chain with the "
+    "clamp ladder. Capacity canonicalized to floor(wei) on both sides "
+    "so decimal-division scale differences cannot drift; floor(min(a/"
+    "100, b)) == min(a//100, b) for the non-negative else-branch.",
+    survey_refs=("J5", "J4", "P11"),
+)
+def chain_capacity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _pipeline_tables(spark, sf_dir)
+    signups = crc_all_signups(t["crc_signup"], t["crc_organisation_signup"])
+    trust = crc_current_trust(t["crc_trust"], signups)
+    ledger = crc_ledger(t["erc20_transfer"], t["crc_signup"])
+    balances = crc_balances_by_safe_and_token(ledger)
+    g = crc_capacity_graph(trust, balances, signups)
+    return g.select(
+        "token_holder",
+        "token",
+        "token_owner",
+        F.col("balance").cast("string").alias("balance"),
+        "can_send_to",
+        "can_send_to_is_orga",
+        F.floor("capacity").cast("decimal(38,0)").cast("string").alias("capacity_wei"),
     )

@@ -58,6 +58,7 @@ MINT = int(CRC_SIGNUP_MINT_WEI)
 USER1, USER2, ORG1, TOKEN1, TOKEN2, SAFE1, DEST1 = (
     addr(0x101), addr(0x102), addr(0x103), addr(0x201), addr(0x202), addr(0x301), addr(0x302)
 )
+TOKEN3 = addr(0x203)  # never signed up — non-CRC
 
 # (tx_hash_id, to, value, input, logs[(address, topics, data)], expected_classes)
 CASES: list[tuple[str, str | None, str, str, list, list[str]]] = [
@@ -150,6 +151,15 @@ CASES: list[tuple[str, str | None, str, str, list, list[str]]] = [
     # a CRC token transfer USER1 → USER2 of 5e18 on TOKEN1
     ("transfer_crc", TOKEN1, "0", "0xabcdef", [
         (TOKEN1, [TRANSFER_TOPIC, topic_addr(USER1), topic_addr(USER2)], hex256(5 * 10**18)),
+    ], ["Erc20Transfer"]),
+    # non-CRC (TOKEN3 has no signup) transfers for the erc20 balances
+    # view: both endpoints signed up → reference double-counts it;
+    # then only one endpoint signed up
+    ("transfer_noncrc_both", TOKEN3, "0", "0xabcdef", [
+        (TOKEN3, [TRANSFER_TOPIC, topic_addr(USER1), topic_addr(USER2)], hex256(9 * 10**17)),
+    ], ["Erc20Transfer"]),
+    ("transfer_noncrc_one", TOKEN3, "0", "0xabcdef", [
+        (TOKEN3, [TRANSFER_TOPIC, topic_addr(USER1), topic_addr(DEST1)], hex256(10**17)),
     ], ["Erc20Transfer"]),
 ]
 

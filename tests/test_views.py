@@ -110,6 +110,26 @@ ORACLE_SQL = {
               FROM all_events)
         WHERE rn = 1
     """,
+    "erc20_balances_by_safe_and_token": """
+        WITH alls AS (
+            SELECT "user" FROM crc_signup
+            UNION ALL SELECT organisation FROM crc_organisation_signup
+        ), nct AS (
+            SELECT et.* FROM erc20_transfer et
+            JOIN alls ON alls."user" = et."from" OR alls."user" = et."to"
+            LEFT JOIN (SELECT DISTINCT token FROM crc_signup) s ON s.token = et.token
+            WHERE s.token IS NULL
+        ), led AS (
+            SELECT alls."user" AS safe_address, nct.token,
+                   CASE WHEN nct."from" = alls."user" THEN -nct.value
+                        ELSE nct.value END AS v,
+                   nct.timestamp
+            FROM alls JOIN nct ON alls."user" = nct."from" OR alls."user" = nct."to"
+        )
+        SELECT safe_address, token, CAST(sum(v) AS DECIMAL(38,0)) AS balance,
+               max(timestamp) AS last_changed_at
+        FROM led GROUP BY safe_address, token
+    """,
     "crc_capacity_graph": """
         WITH all_signups AS (
             SELECT "user", token FROM crc_signup
