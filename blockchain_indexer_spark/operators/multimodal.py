@@ -1,0 +1,226 @@
+"""Multimodal (image/audio/video) column handling for the
+training-data pipeline: opaque ``binary`` payloads + typed metadata,
+with decode / feature-extract / resize / frame-sample implemented as
+Arrow-batched ``mapInPandas`` stages.
+
+Design for 100 TB:
+- Blobs stay opaque BinaryType columns; nothing row-at-a-time touches
+  them on the JVM side. All byte work happens inside vectorized
+  pandas batches (one Arrow transfer per partition batch, not per
+  row), so per-row overhead is amortized exactly like a production
+  image pipeline.
+- Each stage is schema-stable (explicit StructType out), so Catalyst
+  can prune columns: a consumer selecting only `width` never ships
+  the blob back.
+- Real codec work (PIL/libvips/ffmpeg/librosa) is NOT available in
+  this environment; `decode_image`/`sample_frames` run a clearly
+  marked deterministic stub decoder over the raw bytes instead, and
+  `decode_image_real` raises NotImplementedError unless PIL imports.
+  The Spark-side plumbing — blob layout, metadata struct, UDF
+  signature, batch shape, partitioning — is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+try:  # real decoder path — absent in this container by design
+    from PIL import Image  # noqa: F401
+
+    _HAVE_PIL = True
+except Exception:  # pragma: no cover
+    _HAVE_PIL = False
+
+# Deterministic fake-decode geometry (documented contract; the DuckDB
+# oracle recomputes these from octet_length):
+#   width  = 16 + nbytes % 624    height = 16 + nbytes % 464
+FAKE_W_MOD, FAKE_H_MOD, FAKE_BASE = 624, 464, 16
+FRAME_BYTES = 1024  # fake video: one "frame" per KiB
+HIST_BINS = 16
+
+
+def attach_blob(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """documents → rows carrying an opaque media payload.
+
+    The blob is the UTF-8 encoding of the text (deterministic stand-in
+    for real image bytes) plus a typed metadata struct — the layout a
+    real ingest would produce (payload + sidecar metadata).
+    """
+    blob = F.encode(F.col(text_col), "UTF-8").cast("binary")
+    return documents.withColumn("blob", blob).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            F.length(F.col("blob")).alias("nbytes"),
+            F.lit("stub-v1").alias("codec"),
+        ),
+    )
+
+
+_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("nbytes", LongType()),
+        StructField("mean_byte", DoubleType()),
+    ]
+)
+
+
+def decode_image(with_blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Stub image decode: binary → (width, height, channels, stats).
+
+    mapInPandas so the bytes are decoded in Arrow batches; a real
+    implementation swaps `_fake_geometry` for PIL.Image.open and keeps
+    the identical dataframe-in/dataframe-out shape.
+    """
+    src = with_blobs.select(id_col, "blob")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = pdf["blob"].map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": (FAKE_BASE + n % FAKE_W_MOD).astype("int32"),
+                    "height": (FAKE_BASE + n % FAKE_H_MOD).astype("int32"),
+                    "channels": 3,
+                    "nbytes": n.astype("int64"),
+                    "mean_byte": pdf["blob"].map(
+                        lambda b: float(sum(b)) / len(b) if len(b) else 0.0
+                    ),
+                }
+            )
+
+    return src.mapInPandas(batches, _DECODE_SCHEMA)
+
+
+def decode_image_real(with_blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Real decoder entry point — requires PIL, absent here by design."""
+    if not _HAVE_PIL:
+        raise NotImplementedError(
+            "PIL is not available in this environment; use decode_image "
+            "(stub) — swap _fake_geometry for Image.open when deployed"
+        )
+    raise NotImplementedError("real decode wired up only where PIL exists")
+
+
+_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("feature", ArrayType(DoubleType())),
+    ]
+)
+
+
+def extract_features(with_blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Binary → fixed-dim feature vector (16-bin byte histogram,
+    L1-normalized). The histogram is numpy-vectorized per Arrow batch;
+    output is array<double> ready for the similarity operators."""
+    import numpy as np
+
+    src = with_blobs.select(id_col, "blob")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for b in pdf["blob"]:
+                arr = np.frombuffer(b, dtype=np.uint8)
+                hist = np.bincount(arr >> 4, minlength=HIST_BINS).astype(np.float64)
+                total = hist.sum()
+                feats.append((hist / total if total else hist).tolist())
+            yield pd.DataFrame({"doc_id": pdf[id_col], "feature": feats})
+
+    return src.mapInPandas(batches, _FEATURE_SCHEMA)
+
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("thumb_nbytes", LongType()),
+    ]
+)
+
+
+def resize_thumbnail(
+    with_blobs: DataFrame, max_side: int = 64, id_col: str = "doc_id"
+) -> DataFrame:
+    """Stub resize: scales the fake geometry to fit max_side and
+    reports the implied thumbnail byte size (w*h*3). Real codec swap
+    point identical to decode_image."""
+    src = with_blobs.select(id_col, "blob")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = pdf["blob"].map(len)
+            w = (FAKE_BASE + n % FAKE_W_MOD).astype("int64")
+            h = (FAKE_BASE + n % FAKE_H_MOD).astype("int64")
+            scale = (w.combine(h, max) / float(max_side)).clip(lower=1.0)
+            tw = (w / scale).astype("int64").clip(lower=1)
+            th = (h / scale).astype("int64").clip(lower=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": tw.astype("int32"),
+                    "height": th.astype("int32"),
+                    "thumb_nbytes": tw * th * 3,
+                }
+            )
+
+    return src.mapInPandas(batches, _RESIZE_SCHEMA)
+
+
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("frame_nbytes", IntegerType()),
+    ]
+)
+
+
+def sample_frames(
+    with_blobs: DataFrame, every: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Stub video frame sampling: the blob is treated as FRAME_BYTES
+    sized frames; every `every`-th frame is emitted (0..n_frames-1
+    stepping). One input row → 0..N output rows, the fan-out shape a
+    real ffmpeg keyframe sampler has."""
+    src = with_blobs.select(id_col, "blob")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, sizes = [], [], []
+            for did, b in zip(pdf[id_col], pdf["blob"]):
+                nbytes = len(b)
+                n_frames = (nbytes + FRAME_BYTES - 1) // FRAME_BYTES
+                for fi in range(0, n_frames, every):
+                    ids.append(did)
+                    idxs.append(fi)
+                    sizes.append(min(FRAME_BYTES, nbytes - fi * FRAME_BYTES))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_index": pd.Series(idxs, dtype="int32"),
+                    "frame_nbytes": pd.Series(sizes, dtype="int32"),
+                }
+            )
+
+    return src.mapInPandas(batches, _FRAME_SCHEMA)

@@ -7,5 +7,6 @@ from blockchain_indexer_spark.plans.registry import REGISTRY, Query, register
 from blockchain_indexer_spark.plans import relational as _relational  # noqa: E402,F401
 from blockchain_indexer_spark.plans import llmops as _llmops  # noqa: E402,F401
 from blockchain_indexer_spark.plans import chain as _chain  # noqa: E402,F401
+from blockchain_indexer_spark.plans import multimodal as _multimodal  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "register"]

@@ -1,0 +1,118 @@
+"""Multimodal-column queries for the correctness gate.
+
+The testdata has no binary columns, so blobs are derived
+deterministically (UTF-8 bytes of documents.text — see
+operators.multimodal.attach_blob); the decode/resize/frame-sample
+stubs compute only byte-derived fields, which the DuckDB oracle can
+recompute from octet_length(text) without ever seeing a blob. That
+verifies the mapInPandas plumbing (Arrow batch shape, schema, fan-out
+multiplicity) end to end. The byte-histogram feature extractor is not
+SQL-expressible, so it registers rows-only with exact-value coverage
+in tests/test_multimodal.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blockchain_indexer_spark.operators.multimodal import (
+    attach_blob,
+    decode_image,
+    extract_features,
+    resize_thumbnail,
+    sample_frames,
+)
+from blockchain_indexer_spark.plans.registry import register
+from blockchain_indexer_spark.sources.parquet import load_table
+
+
+def _blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return attach_blob(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "mm_decode_stats",
+    oracle="""
+    WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents)
+    SELECT CAST(16 + nb % 624 AS INT) AS width,
+           CAST(16 + nb % 464 AS INT) AS height,
+           COUNT(*) AS n,
+           CAST(SUM(nb) AS BIGINT) AS total_bytes
+    FROM d GROUP BY 1, 2
+    """,
+    doc="Image decode plumbing: binary payloads decoded per Arrow "
+    "batch via mapInPandas (stub geometry from byte length; real "
+    "codec swaps in at the same seam), aggregated by decoded shape.",
+    survey_refs=("LLM-multimodal",),
+)
+def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    decoded = decode_image(_blobs(spark, sf_dir))
+    return decoded.groupBy("width", "height").agg(
+        F.count("*").alias("n"), F.sum("nbytes").alias("total_bytes")
+    )
+
+
+@register(
+    "mm_thumbnail_geometry",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               16 + octet_length(encode(text)) % 624 AS w,
+               16 + octet_length(encode(text)) % 464 AS h
+        FROM documents
+    ), s AS (
+        SELECT doc_id, w, h,
+               GREATEST(GREATEST(w, h) / 64.0, 1.0) AS scale
+        FROM d
+    )
+    SELECT doc_id,
+           CAST(FLOOR(w / scale) AS INT) AS width,
+           CAST(FLOOR(h / scale) AS INT) AS height,
+           CAST(FLOOR(w / scale) * FLOOR(h / scale) * 3 AS BIGINT) AS thumb_nbytes
+    FROM s
+    """,
+    doc="Thumbnail resize stage (stub math, real codec seam): "
+    "per-row geometry compared exactly; scale arithmetic is IEEE "
+    "double on both engines.",
+    survey_refs=("LLM-multimodal",),
+)
+def mm_thumbnail_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resize_thumbnail(_blobs(spark, sf_dir), max_side=64)
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+    WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents)
+    SELECT doc_id, CAST(u AS INT) AS frame_index,
+           CAST(LEAST(1024, nb - u * 1024) AS INT) AS frame_nbytes
+    FROM d, UNNEST(range(0, CAST(ceil(nb / 1024.0) AS BIGINT), 4)) AS t(u)
+    """,
+    doc="Video frame sampling fan-out: one blob row explodes to every "
+    "4th KiB-frame (0..N rows per input, the ffmpeg-keyframe shape) "
+    "inside mapInPandas.",
+    survey_refs=("LLM-multimodal",),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(_blobs(spark, sf_dir), every=4)
+
+
+@register(
+    "mm_feature_vectors",
+    oracle=None,  # byte histograms aren't SQL-expressible; exact values
+    # asserted in tests/test_multimodal.py
+    doc="Binary → fixed-dim feature vector (16-bin byte histogram, "
+    "L1-normalized) ready for the ANN operators; numpy-vectorized per "
+    "Arrow batch.",
+    survey_refs=("LLM-multimodal",),
+)
+def mm_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = extract_features(_blobs(spark, sf_dir))
+    return feats.select(
+        "doc_id",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias(
+            "feature_l1"
+        ),
+        F.array_max("feature").alias("feature_max"),
+    )

@@ -1,0 +1,99 @@
+"""Multimodal operators: exact-value checks of the stub decoders'
+contracts (geometry, fan-out multiplicity, feature histograms) against
+pure-Python recomputation, plus the NotImplementedError gate for the
+real-codec path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from blockchain_indexer_spark.operators.multimodal import (
+    FRAME_BYTES,
+    attach_blob,
+    decode_image,
+    decode_image_real,
+    extract_features,
+    resize_thumbnail,
+    sample_frames,
+)
+
+TEXTS = [
+    "tiny",
+    "a" * 100,
+    "mixed 123 punctuation!?" * 40,
+    "unicode éüß tails " * 7,  # multi-byte UTF-8
+    "x" * 5000,  # multiple fake frames
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, t) for i, t in enumerate(TEXTS)]
+    return attach_blob(spark.createDataFrame(rows, "doc_id long, text string"))
+
+
+def nbytes(t: str) -> int:
+    return len(t.encode("utf-8"))
+
+
+def test_blob_layout(docs):
+    got = {r["doc_id"]: r for r in docs.select("doc_id", "blob", "media_meta").collect()}
+    for i, t in enumerate(TEXTS):
+        assert bytes(got[i]["blob"]) == t.encode("utf-8")
+        assert got[i]["media_meta"]["nbytes"] == nbytes(t)
+        assert got[i]["media_meta"]["mime"] == "image/fake"
+
+
+def test_decode_geometry_exact(docs):
+    got = {r["doc_id"]: r for r in decode_image(docs).collect()}
+    for i, t in enumerate(TEXTS):
+        n = nbytes(t)
+        b = t.encode("utf-8")
+        assert got[i]["width"] == 16 + n % 624
+        assert got[i]["height"] == 16 + n % 464
+        assert got[i]["channels"] == 3
+        assert got[i]["nbytes"] == n
+        assert got[i]["mean_byte"] == pytest.approx(sum(b) / n)
+
+
+def test_resize_fits_max_side(docs):
+    got = {r["doc_id"]: r for r in resize_thumbnail(docs, max_side=64).collect()}
+    for i, t in enumerate(TEXTS):
+        n = nbytes(t)
+        w, h = 16 + n % 624, 16 + n % 464
+        scale = max(max(w, h) / 64.0, 1.0)
+        assert got[i]["width"] == int(w / scale)
+        assert got[i]["height"] == int(h / scale)
+        assert max(got[i]["width"], got[i]["height"]) <= 64
+        assert got[i]["thumb_nbytes"] == got[i]["width"] * got[i]["height"] * 3
+
+
+def test_frame_sampling_multiplicity(docs):
+    rows = sample_frames(docs, every=4).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, t in enumerate(TEXTS):
+        n = nbytes(t)
+        n_frames = (n + FRAME_BYTES - 1) // FRAME_BYTES
+        expected = list(range(0, n_frames, 4))
+        got = sorted(by_doc.get(i, []), key=lambda r: r["frame_index"])
+        assert [r["frame_index"] for r in got] == expected
+        for r in got:
+            assert r["frame_nbytes"] == min(FRAME_BYTES, n - r["frame_index"] * FRAME_BYTES)
+
+
+def test_feature_histogram_exact(docs):
+    got = {r["doc_id"]: r for r in extract_features(docs).collect()}
+    for i, t in enumerate(TEXTS):
+        arr = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+        hist = np.bincount(arr >> 4, minlength=16).astype(float)
+        hist /= hist.sum()
+        assert np.allclose(got[i]["feature"], hist)
+        assert len(got[i]["feature"]) == 16
+
+
+def test_real_decoder_gated():
+    with pytest.raises(NotImplementedError):
+        decode_image_real(None)
