@@ -32,6 +32,16 @@ BENCH_QUERIES = (
     "minhash_lsh_candidates",
     "embedding_topk_mips",
     "embedding_lsh_topk",
+    # chain domain: the first query pays the one-time derive+classify+
+    # extract materialization (the production ingest path), the rest
+    # run the analytics views over the promoted tables
+    "chain_crc_balances",
+    "chain_current_trust",
+    "chain_timeline_counts",
+    "chain_capacity_graph",
+    # multimodal mapInPandas stages
+    "mm_decode_stats",
+    "mm_frame_sample",
 )
 
 

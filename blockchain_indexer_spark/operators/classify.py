@@ -99,62 +99,101 @@ def classify(df: DataFrame, hub: str = HUB_ADDRESS) -> DataFrame:
     `classification` label array to a TX_WITH_LOGS_SCHEMA DataFrame.
 
     One pass, all flags computed as expressions — a single projection
-    over the scan; no shuffle, no UDF, fully codegen'd.
+    over the scan; no shuffle, no UDF.
+
+    Perf note: every log is parsed ONCE up front (one `transform`
+    building typed fields: topic flags, decoded data, stripped
+    addresses), and all predicates run over the parsed structs.
+    Letting each `exists`/`filter` re-derive hex decodes inline
+    multiplies the regex+conv work ~8x per log and blows the codegen
+    method size — measured ~5x slower at sf0.1.
     """
-    LOGS = F.col("logs")
-    n_logs = F.size(LOGS)
+    n_logs = F.size(F.col("logs"))
+
+    def parse(l: Column) -> Column:
+        return F.struct(
+            l["address"].alias("address"),
+            l["data"].alias("data"),
+            F.size(l["topics"]).alias("n_topics"),
+            hex_to_decimal(l["data"]).alias("data_dec"),
+            strip_topic_address(l["data"]).alias("data_addr"),
+            strip_topic_address(F.get(l["topics"], 1)).alias("t1"),
+            strip_topic_address(F.get(l["topics"], 2)).alias("t2"),
+            F.array_contains(l["topics"], TRANSFER_TOPIC).alias("has_transfer"),
+            F.array_contains(l["topics"], CRC_TRUST_TOPIC).alias("has_trust"),
+            F.array_contains(l["topics"], CRC_SIGNUP_TOPIC).alias("has_signup"),
+            F.array_contains(l["topics"], CRC_ORGANISATION_SIGNUP_TOPIC).alias("has_org"),
+            F.array_contains(l["topics"], CRC_HUB_TRANSFER_TOPIC).alias("has_hub"),
+            F.array_contains(l["topics"], EXECUTION_SUCCESS_TOPIC).alias("has_exec"),
+        )
+
+    df = df.withColumn("_lp", F.transform(F.col("logs"), parse))
+    LOGS = F.col("_lp")
+
+    def _erc20_p(l: Column) -> Column:
+        return l["has_transfer"] & (l["n_topics"] == 3)
+
+    def _trust_p(l: Column) -> Column:
+        d = l["data_dec"]
+        return (
+            l["has_trust"]
+            & (l["address"] == hub)
+            & (l["n_topics"] == 3)
+            & d.isNotNull()
+            & (d >= 0)
+            & (d <= 100)
+        )
 
     # --- C1 / C5 / C3: simple exists() predicates ---------------------
-    is_erc20 = F.exists(LOGS, is_erc20_transfer_log)
-    is_trust = F.exists(LOGS, lambda l: is_crc_trust_log(l, hub))
-    is_org = F.exists(LOGS, lambda l: is_org_signup_log(l, hub))
+    is_erc20 = F.exists(LOGS, _erc20_p)
+    is_trust = F.exists(LOGS, _trust_p)
+    is_org = F.exists(
+        LOGS, lambda l: l["has_org"] & (l["address"] == hub) & (l["n_topics"] == 2)
+    )
 
     # --- C2: compound signup predicate, staged like the reference -----
-    signup_logs = F.filter(LOGS, lambda l: _has_topic(l, CRC_SIGNUP_TOPIC))
+    signup_logs = F.filter(LOGS, lambda l: l["has_signup"])
     signup_poison = (n_logs >= 3) & (F.size(signup_logs) >= 2)  # SingleOrDefault throw
     s_log = F.get(signup_logs, 0)
     signup_stage1 = (
         (n_logs >= 3)
         & (F.size(signup_logs) == 1)
         & (s_log["address"] == hub)
-        & (F.size(s_log["topics"]) == 2)
+        & (s_log["n_topics"] == 2)
     )
-    signup_user = strip_topic_address(s_log["topics"][1])
-    signup_token = strip_topic_address(s_log["data"])
+    signup_user = s_log["t1"]
+    signup_token = s_log["data_addr"]
 
-    trust_logs = F.filter(LOGS, lambda l: is_crc_trust_log(l, hub))
+    trust_logs = F.filter(LOGS, _trust_p)
     trust_poison = signup_stage1 & (F.size(trust_logs) >= 2)
     t_log = F.get(trust_logs, 0)
-    t_can_send_to = strip_topic_address(t_log["topics"][1])
-    t_user = strip_topic_address(t_log["topics"][2])
     signup_trust_ok = (
         signup_stage1
         & (F.size(trust_logs) == 1)
-        & (t_can_send_to == t_user)
-        & (t_can_send_to == signup_user)
+        & (t_log["t1"] == t_log["t2"])
+        & (t_log["t1"] == signup_user)
     )
 
-    transfer_logs = F.filter(LOGS, is_erc20_transfer_log)
+    transfer_logs = F.filter(LOGS, _erc20_p)
     transfer_poison = signup_trust_ok & (F.size(transfer_logs) >= 2)
     tr_log = F.get(transfer_logs, 0)
-    mint_value = hex_to_decimal(tr_log["data"])
     is_signup = (
         signup_trust_ok
         & (F.size(transfer_logs) == 1)
         & (tr_log["address"] == signup_token)
-        & (strip_topic_address(tr_log["topics"][1]) == EMPTY_ADDRESS)
-        & (strip_topic_address(tr_log["topics"][2]) == signup_user)
-        & (mint_value == F.lit(CRC_SIGNUP_MINT_WEI).cast("decimal(38,0)"))
+        & (tr_log["t1"] == EMPTY_ADDRESS)
+        & (tr_log["t2"] == signup_user)
+        & (tr_log["data_dec"] == F.lit(CRC_SIGNUP_MINT_WEI).cast("decimal(38,0)"))
     )
 
     # --- C4: hub transfer ---------------------------------------------
-    ht_logs = F.filter(LOGS, lambda l: _has_topic(l, CRC_HUB_TRANSFER_TOPIC))
+    ht_logs = F.filter(LOGS, lambda l: l["has_hub"])
     ht_poison = F.size(ht_logs) >= 2  # SingleOrDefault throw (:166)
     h_log = F.get(ht_logs, 0)
     is_hub_transfer = (
         (F.size(ht_logs) == 1)
         & (h_log["address"] == hub)
-        & (F.size(h_log["topics"]) == 3)
+        & (h_log["n_topics"] == 3)
         & is_erc20  # ":197 hub transfers always come with ≥1 ERC-20 transfer"
     )
 
@@ -178,7 +217,7 @@ def classify(df: DataFrame, hub: str = HUB_ADDRESS) -> DataFrame:
     safe_decode_poison = has_method & ~decode_ok  # DecodeFunctionInput throw
     data_empty = hex_to_decimal(F.concat(F.lit("0x"), data_len_word)) == 0
     operation_zero = hex_to_decimal(F.concat(F.lit("0x"), hex_slot(F.col("input"), 3))) == 0
-    exec_logs = F.filter(LOGS, lambda l: _has_topic(l, EXECUTION_SUCCESS_TOPIC))
+    exec_logs = F.filter(LOGS, lambda l: l["has_exec"])
     safe_exec_poison = has_method & decode_ok & data_empty & operation_zero & (
         F.size(exec_logs) >= 2
     )
@@ -223,11 +262,11 @@ def classify(df: DataFrame, hub: str = HUB_ADDRESS) -> DataFrame:
         .withColumn("_signup_token", F.when(F.col(f"is_{CLASS_CRC_SIGNUP}"), signup_token))
         .withColumn(
             "_hub_from",
-            F.when(F.col(f"is_{CLASS_CRC_HUB_TRANSFER}"), strip_topic_address(h_log["topics"][1])),
+            F.when(F.col(f"is_{CLASS_CRC_HUB_TRANSFER}"), h_log["t1"]),
         )
         .withColumn(
             "_hub_to",
-            F.when(F.col(f"is_{CLASS_CRC_HUB_TRANSFER}"), strip_topic_address(h_log["topics"][2])),
+            F.when(F.col(f"is_{CLASS_CRC_HUB_TRANSFER}"), h_log["t2"]),
         )
         .withColumn(
             "_hub_value_hex",

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from blockchain_indexer_spark.functions.text import fingerprint_md5, word_shingles
+from blockchain_indexer_spark.sources.parquet import spread
 
 
 def exact_dup_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -44,7 +45,8 @@ def shingle_index(
     """Inverted index (shingle, id), distinct per doc, stop-shingles
     removed by the document-frequency cap."""
     idx = (
-        df.select(F.col(id_col).alias("_id"), F.explode(word_shingles(text_col, k)).alias("shingle"))
+        spread(df, id_col)
+        .select(F.col(id_col).alias("_id"), F.explode(word_shingles(text_col, k)).alias("shingle"))
         .distinct()
     )
     if max_doc_freq is not None:
@@ -74,7 +76,8 @@ def ngram_jaccard_pairs(
     """
     idx = shingle_index(df, id_col, text_col, k, max_doc_freq)
     sizes = (
-        df.select(F.col(id_col).alias("_id"), F.explode(word_shingles(text_col, k)).alias("shingle"))
+        spread(df, id_col)
+        .select(F.col(id_col).alias("_id"), F.explode(word_shingles(text_col, k)).alias("shingle"))
         .distinct()
         .groupBy("_id")
         .agg(F.count("*").alias("n_shingles"))
@@ -107,7 +110,7 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, signature array<bigint>) — min of xxhash64(shingle, seed)
     per seed. Seeds are 0..num_hashes-1; fully deterministic."""
-    sh = df.select(
+    sh = spread(df, id_col).select(
         F.col(id_col).alias("_id"), F.explode(word_shingles(text_col, k)).alias("shingle")
     ).distinct()
     mins = [
@@ -166,7 +169,7 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     from blockchain_indexer_spark.functions.text import tokens
 
-    tok = df.select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("tok"))
+    tok = spread(df, id_col).select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("tok"))
     h = tok.select("_id", F.xxhash64("tok").alias("h"))
     # Signed shiftright + &1 extracts every bit correctly, including the
     # sign bit (for bit 63, -1 & 1 == 1); pyspark's shift helpers only

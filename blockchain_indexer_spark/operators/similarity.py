@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from blockchain_indexer_spark.functions.vectors import cosine, dot, quantize, to_double
+from blockchain_indexer_spark.sources.parquet import spread
 
 
 def brute_force_topk(
@@ -46,7 +47,7 @@ def brute_force_topk(
         raise ValueError(f"unknown metric {metric!r}")
 
     q = prep(queries).select(F.col(id_col).alias("query_id"), F.col("_v").alias("_qv"))
-    c = prep(corpus).select(F.col(id_col).alias("neighbor_id"), F.col("_v").alias("_cv"))
+    c = prep(spread(corpus, id_col)).select(F.col(id_col).alias("neighbor_id"), F.col("_v").alias("_cv"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("score", score(F.col("_qv"), F.col("_cv")))
@@ -126,7 +127,7 @@ def lsh_topk(
         ).select(f"{role}_id", f"_{role}v", "bb.band", "bb.bucket")
 
     qb = banded(queries, "query")
-    cb = banded(corpus, "neighbor")
+    cb = banded(spread(corpus, id_col), "neighbor")
     cand = (
         cb.join(qb, ["band", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))

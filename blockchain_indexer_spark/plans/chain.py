@@ -74,7 +74,7 @@ from blockchain_indexer_spark.schemas import (
     LOG_STRUCT,
     TRANSFER_TOPIC,
 )
-from blockchain_indexer_spark.sources.parquet import load_table
+from blockchain_indexer_spark.sources.parquet import load_table, spread
 
 MINT_HEX = "0x" + format(int(CRC_SIGNUP_MINT_WEI), "064x")
 ADDR_SPACE, TOKEN_SPACE, NCTOKEN_SPACE = 1, 1 + 2**24, 1 + 2**25
@@ -112,7 +112,9 @@ def _log(idx, address, topics, data):
 
 def derive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → TX_WITH_LOGS rows (signup txs + one tx per event)."""
-    ev = load_table(spark, sf_dir, "events")
+    # single-split scan + the classifier's large expression tree =
+    # one-core execution without the spread
+    ev = spread(load_table(spark, sf_dir, "events"), "event_id")
     cents = F.round(F.col("value") * 100).cast("bigint")
     u = F.col("user_id")
 
@@ -280,8 +282,16 @@ def _pipeline_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PIPELINE_CACHE:
-        tables = extract_all(classify(derive_chain(spark, sf_dir)))
-        _PIPELINE_CACHE[key] = {k: v.persist() for k, v in tables.items()}
+        # persist the CLASSIFIED frame too: the 8 extractors are thin
+        # filters/projections over it, so without this each table's
+        # first materialization re-runs derive+classify from scratch
+        classified = classify(derive_chain(spark, sf_dir)).persist()
+        tables = extract_all(classified)
+        # coalesce: the event tables are small relative to the 3-way
+        # union's partition count; 16 partitions keeps downstream
+        # multi-branch views (timeline = 7 branches) from paying
+        # hundreds of near-empty tasks per stage
+        _PIPELINE_CACHE[key] = {k: v.coalesce(16).persist() for k, v in tables.items()}
     return _PIPELINE_CACHE[key]
 
 

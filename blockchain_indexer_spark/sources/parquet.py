@@ -43,6 +43,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Distribute a narrow scan across the cluster before CPU-heavy
+    per-row work (shingling, hashing, vector math).
+
+    A small table arriving as one parquet split would otherwise run
+    the whole expression pipeline on a single core; the repartition
+    costs one tiny shuffle and buys full parallelism. At production
+    scale the scan already has >= defaultParallelism splits and this
+    is a no-op.
+
+    Pass `key` (a unique id column) when the spread subplan appears
+    several times in one query: hash partitioning is deterministic, so
+    Catalyst canonicalizes the copies and ReusedExchange computes the
+    expensive stage once (round-robin blocks that).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(key)) if key else df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
     return tuple(load_table(spark, sf_dir, n) for n in names)
 
