@@ -93,10 +93,14 @@ def crc_balances_by_safe(ledger: DataFrame) -> DataFrame:
 
 
 def crc_balances_by_safe_and_token(ledger: DataFrame) -> DataFrame:
-    """0.0.64.sql:797-805."""
+    """0.0.64.sql:797-805, plus `last_change_at_block` which the
+    reference maintains on the cache twin of this view
+    (cache_crc_balances_by_safe_and_token, 0.0.64.sql:280-289) to
+    drive the change feed (T9)."""
     return ledger.groupBy("safe_address", "token", "token_owner").agg(
         F.sum("value").cast("decimal(38,0)").alias("balance"),
         F.max("timestamp").alias("last_change_at"),
+        F.max("block_number").alias("last_change_at_block"),
     )
 
 
@@ -125,6 +129,9 @@ def crc_current_trust(crc_trust: DataFrame, all_signups: DataFrame) -> DataFrame
             "limit",
             F.lit(0).cast("bigint").alias("history_count"),
             F.col("timestamp").alias("last_change"),
+            # cache_crc_current_trust (0.0.64.sql:316-327) tracks the
+            # block of the winning event for the change feed (T9)
+            F.col("block_number").alias("last_change_at_block"),
         )
     )
 
@@ -460,7 +467,10 @@ def crc_safe_timeline(
 
 
 def crc_capacity_graph(
-    current_trust: DataFrame, balances: DataFrame, all_signups: DataFrame
+    current_trust: DataFrame,
+    balances: DataFrame,
+    all_signups: DataFrame,
+    since_block: int | None = None,
 ) -> DataFrame:
     """0.0.64.sql:815-939 — the transfer-capacity edge list consumed by
     the pathfinder: for each (token_holder, can_send_to) pair where the
@@ -469,6 +479,12 @@ def crc_capacity_graph(
     Implemented as the same 8-stage join chain; signups and trust are
     the small sides and broadcast. `capacity` keeps the reference's
     exact clamp ladder including the `zero` special case.
+
+    `since_block` switches this into the pull-based change feed
+    `get_capacity_changes_since_block_2` (0.0.64.sql:1902-2034, T9):
+    only edges whose holder balance OR trust edge changed at or after
+    the cursor block are returned — same columns, so consumers diff
+    incrementally.
     """
     accepted = (
         current_trust.filter(F.col("limit") > 0)
@@ -487,6 +503,7 @@ def crc_capacity_graph(
             F.col("own_token").alias("receivers_own_token"),
             F.col("own_token").isNull().alias("receiver_is_orga"),
             F.col("limit"),
+            F.col("last_change_at_block").alias("trust_last_change_at_block"),
         )
     )
     holdings = (
@@ -510,8 +527,15 @@ def crc_capacity_graph(
                 "is_receivers_own_token"
             ),
             F.col("limit"),
+            balances["last_change_at_block"].alias("balance_last_change_at_block"),
+            F.col("trust_last_change_at_block"),
         )
     )
+    if since_block is not None:
+        holdings = holdings.filter(
+            (F.col("balance_last_change_at_block") >= since_block)
+            | (F.col("trust_last_change_at_block") >= since_block)
+        )
     owner_bal = balances.select(
         F.col("safe_address").alias("token_owner"),
         F.col("token"),
@@ -578,6 +602,91 @@ def crc_capacity_graph(
         )
         .alias("capacity"),
     )
+
+
+def get_capacity(
+    balances: DataFrame,
+    current_trust: DataFrame,
+    from_: str,
+    to: str,
+    token_owner: str,
+) -> DataFrame:
+    """0.0.64.sql:1674-1739 — the pathfinder's debug/explain UDTF:
+    the capacity calculation between one (from, to, token_owner)
+    triple unrolled into labeled steps (id, label, value).
+
+    The reference's scalar subqueries become single-row aggregates
+    cross-joined together — all filters push down to the balance scan.
+    """
+    b = balances
+    t = current_trust
+
+    def scalar(df: DataFrame, col: str, alias: str) -> DataFrame:
+        return df.agg(F.first(F.col(col)).alias(alias))
+
+    args = (
+        scalar(
+            b.filter((F.col("safe_address") == token_owner) & (F.col("token_owner") == token_owner)),
+            "balance", "v1",
+        )
+        .crossJoin(
+            scalar(
+                b.filter((F.col("safe_address") == to) & (F.col("token_owner") == token_owner)),
+                "balance", "v2",
+            )
+        )
+        .crossJoin(
+            scalar(
+                b.filter((F.col("safe_address") == from_) & (F.col("token_owner") == token_owner)),
+                "balance", "v3",
+            )
+        )
+        .crossJoin(
+            scalar(
+                t.filter((F.col("can_send_to") == to) & (F.col("user") == token_owner)),
+                "limit", "v4",
+            )
+        )
+        .crossJoin(
+            scalar(
+                b.filter((F.col("safe_address") == to) & (F.col("token_owner") == to)),
+                "balance", "v5",
+            )
+        )
+    )
+    stepped = args.select(
+        "*",
+        (F.col("v5") * F.col("v4") / 100).alias("v6"),
+        (F.col("v2") * (F.lit(100) - F.col("v4")) / 100).alias("v7"),
+    ).select(
+        "*",
+        F.when(F.col("v6") < F.col("v2"), F.lit(1)).otherwise(F.lit(0)).alias("v8"),
+        F.when(F.col("v6") < F.col("v2"), F.lit(0).cast("decimal(38,6)"))
+        .otherwise((F.col("v6") - F.col("v7")).cast("decimal(38,6)"))
+        .alias("v9"),
+    )
+    labels = [
+        (1, "token_owner's balance of token_owner's own tokens"),
+        (2, "receiver's balance of token_owner's tokens"),
+        (3, "senders's balance of token_owner's tokens"),
+        (4, "receiver's trust in token_owner's token (%)"),
+        (5, "receiver's balance of receiver's own tokens"),
+        (6, "max"),
+        (7, "destBalanceScaled"),
+        (8, "max < receiver's balance of token_owner's tokens"),
+        (9, "sendLimit"),
+    ]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("id"),
+                F.lit(lbl).alias("label"),
+                F.col(f"v{i}").cast("decimal(38,6)").alias("value"),
+            )
+            for i, lbl in labels
+        ]
+    )
+    return stepped.select(F.explode(rows).alias("s")).select("s.id", "s.label", "s.value")
 
 
 # --- registration ------------------------------------------------------

@@ -759,3 +759,130 @@ def chain_capacity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         "can_send_to_is_orga",
         F.floor("capacity").cast("decimal(38,0)").cast("string").alias("capacity_wei"),
     )
+
+
+@register(
+    "chain_capacity_changes",
+    oracle=_D
+    + """
+    , purch AS (
+        SELECT user_id, SUM(CAST(cents AS HUGEINT)) AS s,
+               MAX(12600000 + event_id // 10) AS last_block
+        FROM ev WHERE event_type = 'purchase' GROUP BY user_id
+    ), bal AS (
+        SELECT u.user_id AS tok, '0x' || printf('%040x', u.user_id + 1) AS safe,
+               CAST('50000000000000000000' AS HUGEINT) - COALESCE(p.s, 0) AS b,
+               COALESCE(p.last_block, 12529458 + u.user_id) AS chg
+        FROM users u LEFT JOIN purch p ON p.user_id = u.user_id
+        UNION ALL
+        SELECT p.user_id, '0x' || printf('%040x', p.user_id + 8), p.s, p.last_block
+        FROM purch p
+    ), sev_latest AS (
+        SELECT user_id, lim, blk FROM (
+            SELECT user_id, cents % 101 AS lim, 12600000 + event_id // 10 AS blk,
+                   row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+            FROM ev WHERE event_type = 'signup')
+        WHERE rn = 1
+    ), trust AS (
+        SELECT user_id AS owner, user_id AS receiver, CAST(100 AS BIGINT) AS lim,
+               CAST(12529458 + user_id AS BIGINT) AS chg
+        FROM users
+        UNION ALL
+        SELECT s.user_id, s.user_id + 13, s.lim, CAST(s.blk AS BIGINT)
+        FROM sev_latest s JOIN users r ON r.user_id = s.user_id + 13
+    ), holdings AS (
+        SELECT t.owner, t.receiver, t.lim, h.safe AS holder, h.b AS balance
+        FROM trust t JOIN bal h ON h.tok = t.owner
+        WHERE t.lim > 0 AND h.b > 0
+          AND h.safe != '0x0000000000000000000000000000000000000001'
+          AND h.safe != '0x' || printf('%040x', t.receiver + 1)
+          AND (h.chg >= 12600000 OR t.chg >= 12600000)
+    ), enriched AS (
+        SELECT h.*, COALESCE(ob.b, 0) AS ob, COALESCE(rb.b, 0) AS rb
+        FROM holdings h
+        LEFT JOIN bal ob ON ob.tok = h.owner
+                        AND ob.safe = '0x' || printf('%040x', h.owner + 1)
+        LEFT JOIN bal rb ON rb.tok = h.owner
+                        AND rb.safe = '0x' || printf('%040x', h.receiver + 1)
+    )
+    SELECT holder AS token_holder,
+           '0x' || printf('%040x', owner + 1 + 16777216) AS token,
+           '0x' || printf('%040x', owner + 1) AS token_owner,
+           CAST(balance AS VARCHAR) AS balance,
+           '0x' || printf('%040x', receiver + 1) AS can_send_to,
+           CAST(CASE WHEN owner = receiver THEN balance
+                     WHEN rb > 0 AND ob * lim < rb * 100 THEN 0
+                     ELSE LEAST((ob * lim - rb * (100 - lim)) // 100, balance)
+                END AS VARCHAR) AS capacity_wei
+    FROM enriched
+    """,
+    doc="Pull-based change feed get_capacity_changes_since_block_2 "
+    "(0.0.64.sql:1902-2034, T9): the capacity graph restricted to "
+    "edges whose holder balance or trust edge changed at or after the "
+    "cursor (here the first event block, so mint-only/self-trust-only "
+    "edges are genuinely excluded). The zero-address ledger row is "
+    "dropped by its own filter, not the cursor.",
+    survey_refs=("T9", "J5"),
+)
+def chain_capacity_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _pipeline_tables(spark, sf_dir)
+    signups = crc_all_signups(t["crc_signup"], t["crc_organisation_signup"])
+    trust = crc_current_trust(t["crc_trust"], signups)
+    ledger = crc_ledger(t["erc20_transfer"], t["crc_signup"])
+    balances = crc_balances_by_safe_and_token(ledger)
+    g = crc_capacity_graph(trust, balances, signups, since_block=EVENT_BLOCK_BASE)
+    return g.select(
+        "token_holder",
+        "token",
+        "token_owner",
+        F.col("balance").cast("string").alias("balance"),
+        "can_send_to",
+        F.floor("capacity").cast("decimal(38,0)").cast("string").alias("capacity_wei"),
+    )
+
+
+@register(
+    "chain_get_capacity",
+    oracle=_D
+    + """
+    , u0 AS (SELECT MIN(user_id) AS uid FROM users),
+    purch AS (
+        SELECT SUM(CAST(cents AS HUGEINT)) AS s
+        FROM ev, u0 WHERE event_type = 'purchase' AND user_id = u0.uid
+    ),
+    v AS (SELECT CAST('50000000000000000000' AS HUGEINT) - COALESCE((SELECT s FROM purch), 0)
+                 AS own_bal)
+    SELECT id, label, CAST(val AS VARCHAR) AS value
+    FROM (
+        SELECT 1 AS id, 'token_owner''s balance of token_owner''s own tokens' AS label,
+               own_bal AS val FROM v
+        UNION ALL SELECT 2, 'receiver''s balance of token_owner''s tokens', own_bal FROM v
+        UNION ALL SELECT 3, 'senders''s balance of token_owner''s tokens', own_bal FROM v
+        UNION ALL SELECT 4, 'receiver''s trust in token_owner''s token (%)', 100 FROM v
+        UNION ALL SELECT 5, 'receiver''s balance of receiver''s own tokens', own_bal FROM v
+        UNION ALL SELECT 6, 'max', own_bal * 100 // 100 FROM v
+        UNION ALL SELECT 7, 'destBalanceScaled', 0 FROM v
+        UNION ALL SELECT 8, 'max < receiver''s balance of token_owner''s tokens',
+                  CASE WHEN own_bal * 100 // 100 < own_bal THEN 1 ELSE 0 END FROM v
+        UNION ALL SELECT 9, 'sendLimit', own_bal * 100 // 100 - 0 FROM v
+    )
+    """,
+    doc="The get_capacity explain UDTF (0.0.64.sql:1674-1739): the "
+    "calc unrolled into 9 labeled steps for the self-trust edge of "
+    "the smallest user (present at every sf). Values floor-"
+    "canonicalized like the capacity graph.",
+    survey_refs=("UDTF", "J5"),
+)
+def chain_get_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.views import get_capacity
+
+    t = _pipeline_tables(spark, sf_dir)
+    uid = t["crc_signup"].agg(F.min("user")).collect()[0][0]
+    signups = crc_all_signups(t["crc_signup"], t["crc_organisation_signup"])
+    trust = crc_current_trust(t["crc_trust"], signups)
+    ledger = crc_ledger(t["erc20_transfer"], t["crc_signup"])
+    balances = crc_balances_by_safe_and_token(ledger)
+    steps = get_capacity(balances, trust, from_=uid, to=uid, token_owner=uid)
+    return steps.select(
+        "id", "label", F.floor("value").cast("decimal(38,0)").cast("string").alias("value")
+    )

@@ -61,15 +61,16 @@ ORACLE_SQL = {
     "crc_balances_by_safe_and_token": """
         WITH ledger AS (
             SELECT t."to" AS safe_address, t.token, cs."user" AS token_owner,
-                   t.value, t.timestamp
+                   t.value, t.timestamp, t.block_number
             FROM erc20_transfer t JOIN crc_signup cs ON t.token = cs.token
             UNION ALL
-            SELECT t."from", t.token, cs."user", -t.value, t.timestamp
+            SELECT t."from", t.token, cs."user", -t.value, t.timestamp, t.block_number
             FROM erc20_transfer t JOIN crc_signup cs ON t.token = cs.token
         )
         SELECT safe_address, token, token_owner,
                CAST(sum(value) AS DECIMAL(38,0)) AS balance,
-               max(timestamp) AS last_change_at
+               max(timestamp) AS last_change_at,
+               max(block_number) AS last_change_at_block
         FROM ledger GROUP BY safe_address, token, token_owner
     """,
     "crc_current_trust": """
@@ -80,6 +81,7 @@ ORACLE_SQL = {
             SELECT t.address AS "user", a.token AS user_token, t.can_send_to,
                    b.token AS can_send_to_token, t."limit",
                    CAST(0 AS BIGINT) AS history_count, t.timestamp AS last_change,
+                   t.block_number AS last_change_at_block,
                    row_number() OVER (PARTITION BY t.address, t.can_send_to
                                       ORDER BY t.block_number DESC, t.index DESC) AS row_no
             FROM crc_trust t
@@ -87,7 +89,7 @@ ORACLE_SQL = {
             JOIN all_signups b ON t.can_send_to = b."user"
         )
         SELECT "user", user_token, can_send_to, can_send_to_token, "limit",
-               history_count, last_change
+               history_count, last_change, last_change_at_block
         FROM cte WHERE row_no = 1
     """,
     "crc_minting": """
