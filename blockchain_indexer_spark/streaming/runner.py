@@ -68,9 +68,21 @@ EVENT_TABLES = (
 
 BLOCK_GROUP_SIZE = 100_000
 
+# K5: the reference broadcasts this magic hash to websocket consumers
+# when a reorg invalidated previously announced transactions
+# (Indexer.cs:37-38, Api/TransactionHashBroadcastService.cs:41-57)
+REORG_MAGIC_HASH = "0xdeadbeef" + "0" * 56
+
 
 class IngestPipeline:
-    """Batch-or-streaming ingest into partitioned parquet final tables."""
+    """Batch-or-streaming ingest into partitioned parquet final tables.
+
+    `on_imported` (K5) is called after each committed batch with the
+    list of newly imported tx hashes — the reference's websocket
+    broadcast seam (RoundContext.OnBatchSuccessNotify); on reorg it
+    receives [REORG_MAGIC_HASH]. The list is batch-sized (the
+    reference collects exactly the same set to push it), not a scan.
+    """
 
     def __init__(
         self,
@@ -78,11 +90,18 @@ class IngestPipeline:
         out_dir: str,
         hub: str = HUB_ADDRESS,
         safe_owners: DataFrame | None = None,
+        on_imported=None,
     ) -> None:
         self.spark = spark
         self.out_dir = out_dir
         self.hub = hub
         self.safe_owners = safe_owners
+        self.on_imported = on_imported
+
+    def signal_reorg(self) -> None:
+        """Announce a reorg to push consumers (K5's deadbeef path)."""
+        if self.on_imported is not None:
+            self.on_imported([REORG_MAGIC_HASH])
 
     def _table_path(self, name: str) -> str:
         return os.path.join(self.out_dir, name)
@@ -158,6 +177,10 @@ class IngestPipeline:
             )
             for name in EVENT_TABLES:
                 self._append(name, tables[name], "block_number")
+            if self.on_imported is not None:
+                hashes = [r["hash"] for r in new_txs.select("hash").collect()]
+                if hashes:
+                    self.on_imported(hashes)
         finally:
             feed.unpersist()
 
