@@ -15,6 +15,8 @@ from blockchain_indexer_spark.schemas import ADDRESS_EMPTY_BYTES_PREFIX
 
 # 2^64 as an exact decimal literal, for two-limb hex composition.
 _TWO_POW_64 = "18446744073709551616"
+# hex(10^38), width 32: the first value decimal(38,0) cannot hold.
+_DEC38_OVERFLOW_HEX = format(10**38, "x").zfill(32)
 
 
 def strip_topic_address(col: Column) -> Column:
@@ -34,15 +36,17 @@ def hex_to_decimal(col: Column) -> Column:
 
     Two-limb decode: low/high 64-bit halves via conv(,16,10) (conv is
     correct through the full unsigned-64 range), composed with exact
-    decimal arithmetic. Values needing > 128 bits are nulled
-    explicitly; 2^126..2^128 values beyond decimal(38,0) null out via
-    Spark's non-ANSI overflow-to-null. "0x" (empty payload) decodes to
+    decimal arithmetic. The overflow gate compares the width-32 padded
+    hex LEXICOGRAPHICALLY against hex(10^38) — fixed-width lowercase
+    hex orders like the numbers — so no out-of-range decimal is ever
+    computed: under Spark's default ANSI mode an overflowing multiply
+    would fail the job, not null out. "0x" (empty payload) decodes to
     0, like HexBigInteger.
     """
-    h = F.lower(F.regexp_replace(col, "^0x", ""))
+    h = F.regexp_replace(F.lower(col), "^0x", "")  # lower first: "0X" too
     h = F.regexp_replace(h, "^0+", "")  # canonical: no leading zeros
-    too_big = F.length(h) > 32
     padded = F.lpad(h, 32, "0")
+    too_big = (F.length(h) > 32) | (padded >= _DEC38_OVERFLOW_HEX)
     hi = F.conv(F.substring(padded, 1, 16), 16, 10).cast("decimal(38,0)")
     lo = F.conv(F.substring(padded, 17, 16), 16, 10).cast("decimal(38,0)")
     composed = (hi * F.lit(_TWO_POW_64).cast("decimal(38,0)") + lo).cast("decimal(38,0)")

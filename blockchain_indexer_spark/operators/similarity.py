@@ -17,7 +17,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from blockchain_indexer_spark.functions.vectors import cosine, dot, quantize, to_double
+from blockchain_indexer_spark.functions.vectors import (
+    cosine,
+    dot,
+    norm_sq,
+    quantize,
+    to_double,
+)
 from blockchain_indexer_spark.sources.parquet import spread
 
 
@@ -40,6 +46,12 @@ def brute_force_topk(
     if metric == "quantized_dot":
         prep = lambda df: df.withColumn("_v", quantize(vec_col, scale))  # noqa: E731
         score = dot
+    elif metric == "quantized_cosine":
+        # integer dot and norms are exact (< 2^53), so the final
+        # sqrt+divide is the same IEEE double on every engine —
+        # rankings are engine-reproducible, unlike raw-float cosine
+        prep = lambda df: df.withColumn("_v", quantize(vec_col, scale))  # noqa: E731
+        score = lambda a, b: dot(a, b) / F.sqrt(norm_sq(a) * norm_sq(b))  # noqa: E731
     elif metric == "cosine":
         prep = lambda df: df.withColumn("_v", to_double(vec_col))  # noqa: E731
         score = cosine

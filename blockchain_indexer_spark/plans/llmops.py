@@ -271,3 +271,44 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return lsh_topk(emb, queries, "vec_id", "embedding", dim=64, k=5)
+
+
+@register(
+    "embedding_topk_qcosine",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS cv
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] * cv[i] AS DOUBLE)))
+                  / sqrt(CAST(list_sum(list_transform(qv, x -> CAST(x * x AS DOUBLE))) AS DOUBLE)
+                         * CAST(list_sum(list_transform(cv, x -> CAST(x * x AS DOUBLE))) AS DOUBLE))
+                  AS DOUBLE) AS score
+      FROM q JOIN c ON q.query_id != c.neighbor_id
+    )
+    SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id, score
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+    doc="Exact top-5 cosine similarity over quantized vectors: integer "
+    "dot/norms are exact doubles, so the sqrt+divide — and therefore "
+    "the ranking — is bit-identical across engines, making cosine ANN "
+    "oracle-checkable (unlike the raw-float variant).",
+    survey_refs=("LLM-sim",),
+)
+def embedding_topk_qcosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return brute_force_topk(
+        emb, queries, "vec_id", "embedding", k=5, metric="quantized_cosine"
+    )
