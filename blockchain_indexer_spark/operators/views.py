@@ -312,7 +312,9 @@ _TL_COLS = [
 
 
 def crc_safe_timeline(
-    tables: dict[str, DataFrame], as_of: _dt.datetime | None = None
+    tables: dict[str, DataFrame],
+    as_of: _dt.datetime | None = None,
+    signups: DataFrame | None = None,
 ) -> DataFrame:
     """0.0.64.sql:1397-1557 — unified per-account activity feed:
     7 event branches normalized to one schema, JSON payload per row.
@@ -320,8 +322,14 @@ def crc_safe_timeline(
     The hub-transfer branch's nested transitive-path JSON (:1431-1444)
     is built with a grouped collect_list over crc_token_transfer
     instead of correlated subqueries.
+
+    `signups` lets callers pass a persisted crc_all_signups frame
+    (the reference's cache-table pattern) — it feeds 3 of the 7
+    branches, so sharing one materialization trims both plan size
+    and recompute.
     """
-    signups = crc_all_signups(tables["crc_signup"], tables["crc_organisation_signup"])
+    if signups is None:
+        signups = crc_all_signups(tables["crc_signup"], tables["crc_organisation_signup"])
     users = signups.select("user").distinct()
 
     def base(df: DataFrame, typ: str, value: Column, obj: Column) -> DataFrame:

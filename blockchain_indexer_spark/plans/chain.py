@@ -295,6 +295,42 @@ def _pipeline_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return _PIPELINE_CACHE[key]
 
 
+_VIEW_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
+def _derived_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Persisted twins of the reference's cache tables
+    (cache_crc_current_trust 0.0.64.sql:316-327,
+    cache_crc_balances_by_safe_and_token :280-289): signups, current
+    trust, and balances are re-derived by 8+ of the chain queries, and
+    each un-shared rebuild costs ~6 s of plan construction + analysis
+    alone (measured sf0.1). Persisting them collapses every downstream
+    view onto three shallow scans — exactly the reference's
+    materialize-and-refresh design, minus the triggers.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _VIEW_CACHE:
+        t = _pipeline_tables(spark, sf_dir)
+        signups = crc_all_signups(t["crc_signup"], t["crc_organisation_signup"]).persist()
+        trust = crc_current_trust(t["crc_trust"], signups).persist()
+        ledger = crc_ledger(t["erc20_transfer"], t["crc_signup"]).persist()
+        balances = crc_balances_by_safe_and_token(ledger).coalesce(8).persist()
+        views = {
+            "signups": signups,
+            "trust": trust,
+            "ledger": ledger,
+            "balances": balances,
+        }
+        # Materialize eagerly: a lazily-cached frame referenced by N
+        # branches of one job (timeline = 7) is computed concurrently
+        # by racing stages before the cache fills — measured 2.5× on
+        # the timeline. One count() per view pays it exactly once.
+        for df in views.values():
+            df.count()
+        _VIEW_CACHE[key] = views
+    return _VIEW_CACHE[key]
+
+
 # Shared oracle derivation CTEs (DuckDB SQL)
 _D = """
     WITH users AS (SELECT DISTINCT user_id FROM events),
@@ -373,9 +409,7 @@ def chain_classification_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_refs=("E1", "A1", "A3", "J1", "J3"),
 )
 def chain_crc_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _pipeline_tables(spark, sf_dir)
-    ledger = crc_ledger(t["erc20_transfer"], t["crc_signup"])
-    return crc_balances_by_safe_and_token(ledger).select(
+    return _derived_views(spark, sf_dir)["balances"].select(
         "safe_address", "token", F.col("balance").cast("string").alias("balance")
     )
 
@@ -413,9 +447,7 @@ def chain_crc_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_refs=("E4", "J4", "J9", "W1"),
 )
 def chain_current_trust(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _pipeline_tables(spark, sf_dir)
-    signups = crc_all_signups(t["crc_signup"], t["crc_organisation_signup"])
-    return crc_current_trust(t["crc_trust"], signups).select("user", "can_send_to", "limit")
+    return _derived_views(spark, sf_dir)["trust"].select("user", "can_send_to", "limit")
 
 
 @register(
@@ -593,7 +625,7 @@ def chain_erc20_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def chain_timeline_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _pipeline_tables(spark, sf_dir)
-    tl = crc_safe_timeline(t)
+    tl = crc_safe_timeline(t, signups=_derived_views(spark, sf_dir)["signups"])
     return tl.groupBy("type", "direction").agg(F.count("*").alias("n"))
 
 
@@ -744,12 +776,8 @@ def chain_dead_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_refs=("J5", "J4", "P11"),
 )
 def chain_capacity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _pipeline_tables(spark, sf_dir)
-    signups = crc_all_signups(t["crc_signup"], t["crc_organisation_signup"])
-    trust = crc_current_trust(t["crc_trust"], signups)
-    ledger = crc_ledger(t["erc20_transfer"], t["crc_signup"])
-    balances = crc_balances_by_safe_and_token(ledger)
-    g = crc_capacity_graph(trust, balances, signups)
+    v = _derived_views(spark, sf_dir)
+    g = crc_capacity_graph(v["trust"], v["balances"], v["signups"])
     return g.select(
         "token_holder",
         "token",
@@ -825,12 +853,8 @@ def chain_capacity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_refs=("T9", "J5"),
 )
 def chain_capacity_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _pipeline_tables(spark, sf_dir)
-    signups = crc_all_signups(t["crc_signup"], t["crc_organisation_signup"])
-    trust = crc_current_trust(t["crc_trust"], signups)
-    ledger = crc_ledger(t["erc20_transfer"], t["crc_signup"])
-    balances = crc_balances_by_safe_and_token(ledger)
-    g = crc_capacity_graph(trust, balances, signups, since_block=EVENT_BLOCK_BASE)
+    v = _derived_views(spark, sf_dir)
+    g = crc_capacity_graph(v["trust"], v["balances"], v["signups"], since_block=EVENT_BLOCK_BASE)
     return g.select(
         "token_holder",
         "token",
@@ -878,11 +902,8 @@ def chain_get_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _pipeline_tables(spark, sf_dir)
     uid = t["crc_signup"].agg(F.min("user")).collect()[0][0]
-    signups = crc_all_signups(t["crc_signup"], t["crc_organisation_signup"])
-    trust = crc_current_trust(t["crc_trust"], signups)
-    ledger = crc_ledger(t["erc20_transfer"], t["crc_signup"])
-    balances = crc_balances_by_safe_and_token(ledger)
-    steps = get_capacity(balances, trust, from_=uid, to=uid, token_owner=uid)
+    v = _derived_views(spark, sf_dir)
+    steps = get_capacity(v["balances"], v["trust"], from_=uid, to=uid, token_owner=uid)
     return steps.select(
         "id", "label", F.floor("value").cast("decimal(38,0)").cast("string").alias("value")
     )
