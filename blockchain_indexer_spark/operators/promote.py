@@ -72,6 +72,7 @@ def promote(
     log_staging: DataFrame,
     existing_blocks: DataFrame | None = None,
     existing_txs: DataFrame | None = None,
+    checkpoint=None,
 ) -> dict[str, DataFrame]:
     """One promotion round over raw staging tables.
 
@@ -80,10 +81,18 @@ def promote(
     leftovers that must be retried next round (incomplete blocks —
     the reference leaves them in staging, :2265-2270 marks only
     imported ones).
+
+    `checkpoint` (optional, df -> df): applied to each promoted frame
+    in dependency order. The streaming path passes an eager
+    localCheckpoint so transaction_raw builds on the already-
+    materialized block result instead of re-running the
+    disambiguate/complete/merge lineage per output — checkpointing the
+    three returned frames after the fact recomputes the pyramid.
     """
+    ckpt = checkpoint if checkpoint is not None else (lambda df: df)
     best = disambiguate_blocks(block_staging)
     ready = complete_blocks(best, tx_staging)
-    new_blocks = merge_new(ready, existing_blocks, ["number"])
+    new_blocks = ckpt(merge_new(ready, existing_blocks, ["number"]))
 
     ready_keys = new_blocks.select("number", F.col("hash").alias("block_hash"))
     ready_txs = tx_staging.join(
@@ -92,10 +101,12 @@ def promote(
         & (tx_staging["block_hash"] == ready_keys["block_hash"]),
         "left_semi",
     )
-    new_txs = merge_new(ready_txs, existing_txs, ["hash"])
-    new_logs = log_staging.join(
-        new_txs.select(F.col("hash").alias("tx_hash")), "tx_hash", "left_semi"
-    ).dropDuplicates(["tx_hash", "log_index"])
+    new_txs = ckpt(merge_new(ready_txs, existing_txs, ["hash"]))
+    new_logs = ckpt(
+        log_staging.join(
+            new_txs.select(F.col("hash").alias("tx_hash")), "tx_hash", "left_semi"
+        ).dropDuplicates(["tx_hash", "log_index"])
+    )
 
     leftover_blocks = block_staging.join(new_blocks.select("number"), "number", "left_anti")
     return {

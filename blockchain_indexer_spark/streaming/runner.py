@@ -22,6 +22,7 @@ retraction (T5) and block-range queries prune partitions.
 from __future__ import annotations
 
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -141,42 +142,52 @@ class IngestPipeline:
                 F.col("log_index").isNotNull()
             )
 
+            # Eager localCheckpoints inside promote snapshot the merge
+            # results BEFORE any append: their plans anti-join against
+            # the very tables we are about to append to, and a lazy
+            # plan would re-list the parquet dir after the write and
+            # see its own output (read-modify-append hazard). Doing it
+            # inside promote (dependency order) also keeps each
+            # checkpoint job shallow instead of recomputing the
+            # disambiguate/complete/merge lineage per output.
             promoted = promote(
                 block_staging,
                 tx_staging,
                 log_staging,
                 existing_blocks=self.read_final("block"),
                 existing_txs=self.read_final("transaction"),
+                checkpoint=lambda df: df.localCheckpoint(eager=True),
             )
-            # Eagerly snapshot the merge results BEFORE any append:
-            # their plans anti-join against the very tables we are
-            # about to append to, and a lazy plan would re-list the
-            # parquet dir after the write and see its own output
-            # (read-modify-append hazard). localCheckpoint truncates
-            # the lineage at materialized partitions.
-            new_blocks = promoted["block"].localCheckpoint(eager=True)
-            new_txs = promoted["transaction_raw"].localCheckpoint(eager=True)
-            new_logs = promoted["log_raw"].localCheckpoint(eager=True)
-
-            self._append(
-                "block",
-                new_blocks.select(
-                    "number",
-                    "hash",
-                    F.timestamp_seconds("timestamp").alias("timestamp"),
-                    "total_transaction_count",
-                ),
-                "number",
-            )
+            new_blocks = promoted["block"]
+            new_txs = promoted["transaction_raw"]
+            new_logs = promoted["log_raw"]
 
             from blockchain_indexer_spark.operators.extract import assemble_transactions
 
             assembled = assemble_transactions(new_blocks, new_txs, new_logs)
-            tables = extract_all(
-                classify(assembled, self.hub), self.safe_owners, self.hub
+            # Checkpoint the classified frame: the 8 table appends below
+            # would otherwise each re-run assemble+classify — 8 deep
+            # plans whose codegen compile time dominates a small live
+            # batch (the reference's 500 ms cadence, Settings.cs:180).
+            classified = classify(assembled, self.hub).localCheckpoint(eager=True)
+            tables = extract_all(classified, self.safe_owners, self.hub)
+            # The appends target disjoint directories — run them as
+            # concurrent Spark jobs so scheduling/commit latency
+            # overlaps instead of summing.
+            block_final = new_blocks.select(
+                "number",
+                "hash",
+                F.timestamp_seconds("timestamp").alias("timestamp"),
+                "total_transaction_count",
             )
-            for name in EVENT_TABLES:
-                self._append(name, tables[name], "block_number")
+            with ThreadPoolExecutor(max_workers=1 + len(EVENT_TABLES)) as pool:
+                futures = [pool.submit(self._append, "block", block_final, "number")]
+                futures += [
+                    pool.submit(self._append, name, tables[name], "block_number")
+                    for name in EVENT_TABLES
+                ]
+                for fut in futures:
+                    fut.result()
             if self.on_imported is not None:
                 hashes = [r["hash"] for r in new_txs.select("hash").collect()]
                 if hashes:
