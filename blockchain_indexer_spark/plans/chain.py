@@ -282,16 +282,27 @@ def _pipeline_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PIPELINE_CACHE:
-        # persist the CLASSIFIED frame too: the 8 extractors are thin
+        # persist the CLASSIFIED frame: the 8 extractors are thin
         # filters/projections over it, so without this each table's
         # first materialization re-runs derive+classify from scratch
         classified = classify(derive_chain(spark, sf_dir)).persist()
         tables = extract_all(classified)
+        # localCheckpoint (not persist): the classify plan is a huge
+        # expression tree, and a persisted frame still CARRIES it —
+        # every downstream query re-analyzes and re-canonicalizes a
+        # copy per reference (the timeline holds 14). Checkpointing
+        # truncates lineage to a LogicalRDD, collapsing driver-side
+        # plan construction from ~10-15 s per chain view to ms.
         # coalesce: the event tables are small relative to the 3-way
         # union's partition count; 16 partitions keeps downstream
         # multi-branch views (timeline = 7 branches) from paying
         # hundreds of near-empty tasks per stage
-        _PIPELINE_CACHE[key] = {k: v.coalesce(16).persist() for k, v in tables.items()}
+        _PIPELINE_CACHE[key] = {
+            k: v.coalesce(16).localCheckpoint(eager=True) for k, v in tables.items()
+        }
+        # the 8 checkpoint jobs above shared one classify run; the
+        # checkpointed tables no longer reference it
+        classified.unpersist()
     return _PIPELINE_CACHE[key]
 
 
@@ -311,23 +322,26 @@ def _derived_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _VIEW_CACHE:
         t = _pipeline_tables(spark, sf_dir)
-        signups = crc_all_signups(t["crc_signup"], t["crc_organisation_signup"]).persist()
-        trust = crc_current_trust(t["crc_trust"], signups).persist()
-        ledger = crc_ledger(t["erc20_transfer"], t["crc_signup"]).persist()
-        balances = crc_balances_by_safe_and_token(ledger).coalesce(8).persist()
-        views = {
+        # localCheckpoint (eager) rather than persist+count: truncates
+        # lineage so the N branches referencing each view analyze a
+        # one-node LogicalRDD instead of the full derivation tree, and
+        # eager materialization stops racing stages from computing a
+        # lazily-cached frame concurrently (measured 2.5× on the
+        # timeline before).
+        signups = crc_all_signups(
+            t["crc_signup"], t["crc_organisation_signup"]
+        ).localCheckpoint(eager=True)
+        trust = crc_current_trust(t["crc_trust"], signups).localCheckpoint(eager=True)
+        ledger = crc_ledger(t["erc20_transfer"], t["crc_signup"]).localCheckpoint(eager=True)
+        balances = (
+            crc_balances_by_safe_and_token(ledger).coalesce(8).localCheckpoint(eager=True)
+        )
+        _VIEW_CACHE[key] = {
             "signups": signups,
             "trust": trust,
             "ledger": ledger,
             "balances": balances,
         }
-        # Materialize eagerly: a lazily-cached frame referenced by N
-        # branches of one job (timeline = 7) is computed concurrently
-        # by racing stages before the cache fills — measured 2.5× on
-        # the timeline. One count() per view pays it exactly once.
-        for df in views.values():
-            df.count()
-        _VIEW_CACHE[key] = views
     return _VIEW_CACHE[key]
 
 
