@@ -74,14 +74,22 @@ def ngram_jaccard_pairs(
     generation, which can only lose pairs whose common shingles are all
     stop-shingles — the standard trade, stated here explicitly.
     """
-    idx = shingle_index(df, id_col, text_col, k, max_doc_freq)
-    sizes = (
+    # The distinct (id, shingle) frame feeds four branches (index a,
+    # index b, the df-cap frequency table, and per-doc sizes); without
+    # materialization Spark re-scans and re-shingles the corpus per
+    # branch (6 parquet scans, no exchange reuse — measured). At scale
+    # the inverted index is exactly the thing you build once.
+    sh = (
         spread(df, id_col)
         .select(F.col(id_col).alias("_id"), F.explode(word_shingles(text_col, k)).alias("shingle"))
         .distinct()
-        .groupBy("_id")
-        .agg(F.count("*").alias("n_shingles"))
+        .localCheckpoint(eager=True)
     )
+    idx = sh
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        idx = sh.join(freq.filter(F.col("df") <= max_doc_freq).select("shingle"), "shingle")
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("n_shingles"))
     a = idx.select(F.col("_id").alias("doc_a"), "shingle")
     b = idx.select(F.col("_id").alias("doc_b"), "shingle")
     common = (
