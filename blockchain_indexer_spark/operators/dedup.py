@@ -151,12 +151,20 @@ def minhash_lsh_candidates(
         for b in range(bands)
     ]
     banded = sig.select("_id", *band_cols)
-    stacked = banded.select(
-        "_id",
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket")) for b in range(bands)])
-        ).alias("bb"),
-    ).select("_id", "bb.band", "bb.bucket")
+    stacked = (
+        banded.select(
+            "_id",
+            F.explode(
+                F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket")) for b in range(bands)])
+            ).alias("bb"),
+        )
+        .select("_id", "bb.band", "bb.bucket")
+        # both sides of the bucket self-join read this frame; without
+        # materialization the whole shingle→signature pipeline runs
+        # twice (16 small rows per doc — cheap to hold, expensive to
+        # recompute)
+        .localCheckpoint(eager=True)
+    )
     a = stacked.select(F.col("_id").alias("doc_a"), "band", "bucket")
     b = stacked.select(F.col("_id").alias("doc_b"), "band", "bucket")
     return (
