@@ -37,6 +37,7 @@ Derivation contract (identical on both sides):
 from __future__ import annotations
 
 import datetime as _dt
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -282,27 +283,28 @@ def _pipeline_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PIPELINE_CACHE:
-        # persist the CLASSIFIED frame: the 8 extractors are thin
-        # filters/projections over it, so without this each table's
-        # first materialization re-runs derive+classify from scratch
-        classified = classify(derive_chain(spark, sf_dir)).persist()
+        # localCheckpoint (not persist) everywhere here: the classify
+        # plan is a huge expression tree, and a persisted frame still
+        # CARRIES it — every downstream plan re-analyzes and
+        # re-canonicalizes a copy per reference (the timeline holds
+        # 14). Checkpointing truncates lineage to a LogicalRDD,
+        # collapsing driver-side plan construction from ~10-15 s per
+        # chain view to ms. Checkpointing classified FIRST also makes
+        # the 8 extractor plans below shallow (they are thin
+        # filters/projections over it).
+        classified = classify(derive_chain(spark, sf_dir)).localCheckpoint(eager=True)
         tables = extract_all(classified)
-        # localCheckpoint (not persist): the classify plan is a huge
-        # expression tree, and a persisted frame still CARRIES it —
-        # every downstream query re-analyzes and re-canonicalizes a
-        # copy per reference (the timeline holds 14). Checkpointing
-        # truncates lineage to a LogicalRDD, collapsing driver-side
-        # plan construction from ~10-15 s per chain view to ms.
         # coalesce: the event tables are small relative to the 3-way
         # union's partition count; 16 partitions keeps downstream
         # multi-branch views (timeline = 7 branches) from paying
-        # hundreds of near-empty tasks per stage
-        _PIPELINE_CACHE[key] = {
-            k: v.coalesce(16).localCheckpoint(eager=True) for k, v in tables.items()
-        }
-        # the 8 checkpoint jobs above shared one classify run; the
-        # checkpointed tables no longer reference it
-        classified.unpersist()
+        # hundreds of near-empty tasks per stage. The 8 checkpoint
+        # jobs are independent shallow scans — run them concurrently.
+        with ThreadPoolExecutor(max_workers=len(tables)) as pool:
+            futures = {
+                k: pool.submit(lambda v=v: v.coalesce(16).localCheckpoint(eager=True))
+                for k, v in tables.items()
+            }
+            _PIPELINE_CACHE[key] = {k: f.result() for k, f in futures.items()}
     return _PIPELINE_CACHE[key]
 
 
@@ -328,14 +330,29 @@ def _derived_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         # eager materialization stops racing stages from computing a
         # lazily-cached frame concurrently (measured 2.5× on the
         # timeline before).
-        signups = crc_all_signups(
-            t["crc_signup"], t["crc_organisation_signup"]
-        ).localCheckpoint(eager=True)
-        trust = crc_current_trust(t["crc_trust"], signups).localCheckpoint(eager=True)
-        ledger = crc_ledger(t["erc20_transfer"], t["crc_signup"]).localCheckpoint(eager=True)
-        balances = (
-            crc_balances_by_safe_and_token(ledger).coalesce(8).localCheckpoint(eager=True)
-        )
+        # two independent dependency chains — materialize them in
+        # parallel threads
+        def _trust_chain():
+            signups = crc_all_signups(
+                t["crc_signup"], t["crc_organisation_signup"]
+            ).localCheckpoint(eager=True)
+            trust = crc_current_trust(t["crc_trust"], signups).localCheckpoint(eager=True)
+            return signups, trust
+
+        def _balance_chain():
+            ledger = crc_ledger(t["erc20_transfer"], t["crc_signup"]).localCheckpoint(
+                eager=True
+            )
+            balances = (
+                crc_balances_by_safe_and_token(ledger).coalesce(8).localCheckpoint(eager=True)
+            )
+            return ledger, balances
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_trust = pool.submit(_trust_chain)
+            f_bal = pool.submit(_balance_chain)
+            signups, trust = f_trust.result()
+            ledger, balances = f_bal.result()
         _VIEW_CACHE[key] = {
             "signups": signups,
             "trust": trust,
