@@ -94,6 +94,34 @@ def is_org_signup_log(log: Column, hub: str) -> Column:
     )
 
 
+# Predicates over the PARSED log struct (`_lp` produced by classify) —
+# same semantics as the raw-log predicates above, but reading the
+# already-decoded fields so extractors never re-derive hex decodes.
+
+
+def parsed_erc20_transfer_p(l: Column) -> Column:
+    """is_erc20_transfer_log over a parsed log."""
+    return l["has_transfer"] & (l["n_topics"] == 3)
+
+
+def parsed_crc_trust_p(l: Column, hub: str) -> Column:
+    """is_crc_trust_log over a parsed log."""
+    d = l["data_dec"]
+    return (
+        l["has_trust"]
+        & (l["address"] == hub)
+        & (l["n_topics"] == 3)
+        & d.isNotNull()
+        & (d >= 0)
+        & (d <= 100)
+    )
+
+
+def parsed_org_signup_p(l: Column, hub: str) -> Column:
+    """is_org_signup_log over a parsed log."""
+    return l["has_org"] & (l["address"] == hub) & (l["n_topics"] == 2)
+
+
 def classify(df: DataFrame, hub: str = HUB_ADDRESS) -> DataFrame:
     """Append per-class boolean flags, extraction payloads and the
     `classification` label array to a TX_WITH_LOGS_SCHEMA DataFrame.
@@ -130,26 +158,15 @@ def classify(df: DataFrame, hub: str = HUB_ADDRESS) -> DataFrame:
     df = df.withColumn("_lp", F.transform(F.col("logs"), parse))
     LOGS = F.col("_lp")
 
-    def _erc20_p(l: Column) -> Column:
-        return l["has_transfer"] & (l["n_topics"] == 3)
+    _erc20_p = parsed_erc20_transfer_p
 
     def _trust_p(l: Column) -> Column:
-        d = l["data_dec"]
-        return (
-            l["has_trust"]
-            & (l["address"] == hub)
-            & (l["n_topics"] == 3)
-            & d.isNotNull()
-            & (d >= 0)
-            & (d <= 100)
-        )
+        return parsed_crc_trust_p(l, hub)
 
     # --- C1 / C5 / C3: simple exists() predicates ---------------------
     is_erc20 = F.exists(LOGS, _erc20_p)
     is_trust = F.exists(LOGS, _trust_p)
-    is_org = F.exists(
-        LOGS, lambda l: l["has_org"] & (l["address"] == hub) & (l["n_topics"] == 2)
-    )
+    is_org = F.exists(LOGS, lambda l: parsed_org_signup_p(l, hub))
 
     # --- C2: compound signup predicate, staged like the reference -----
     signup_logs = F.filter(LOGS, lambda l: l["has_signup"])

@@ -18,11 +18,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from blockchain_indexer_spark.functions.hex import hex_to_decimal, strip_topic_address
+from blockchain_indexer_spark.functions.hex import hex_to_decimal
 from blockchain_indexer_spark.operators.classify import (
-    is_crc_trust_log,
-    is_erc20_transfer_log,
-    is_org_signup_log,
+    parsed_crc_trust_p,
+    parsed_erc20_transfer_p,
+    parsed_org_signup_p,
 )
 from blockchain_indexer_spark.schemas import (
     CLASS_CRC_HUB_TRANSFER,
@@ -32,9 +32,7 @@ from blockchain_indexer_spark.schemas import (
     CLASS_EOA_ETH_TRANSFER,
     CLASS_ERC20_TRANSFER,
     CLASS_SAFE_ETH_TRANSFER,
-    CRC_TRUST_TOPIC,
     HUB_ADDRESS,
-    TRANSFER_TOPIC,
 )
 
 _COMMON = ["block_number", "timestamp", "hash", "index"]
@@ -79,41 +77,40 @@ def _value_cols(value_hex: Column) -> list[Column]:
 
 def extract_erc20_transfers(classified: DataFrame) -> DataFrame:
     """One row per valid Transfer log (Erc20TransferDetailExtractor.cs:
-    11-46 — iterates Transfer-topic logs, skips malformed ones)."""
-    exploded = (
-        classified.filter(F.col(f"is_{CLASS_ERC20_TRANSFER}"))
-        .select(
-            *_COMMON,
-            F.explode(
-                F.filter(F.col("logs"), lambda l: F.array_contains(l["topics"], TRANSFER_TOPIC))
-            ).alias("log"),
-        )
-        .filter(is_erc20_transfer_log(F.col("log")))
+    11-46 — iterates Transfer-topic logs, skips malformed ones).
+
+    Reads the parsed-log structs (`_lp`) classify already built, so the
+    topic strip and hex decode are not re-derived here.
+    """
+    exploded = classified.filter(F.col(f"is_{CLASS_ERC20_TRANSFER}")).select(
+        *_COMMON,
+        F.explode(F.filter(F.col("_lp"), parsed_erc20_transfer_p)).alias("log"),
     )
     return exploded.select(
         *_COMMON,
-        strip_topic_address(F.col("log")["topics"][1]).alias("from"),
-        strip_topic_address(F.col("log")["topics"][2]).alias("to"),
+        F.col("log")["t1"].alias("from"),
+        F.col("log")["t2"].alias("to"),
         F.col("log")["address"].alias("token"),
-        *_value_cols(F.col("log")["data"]),
+        F.col("log")["data_dec"].alias("value"),
+        F.coalesce(F.col("log")["data_dec"].cast("string"), F.col("log")["data"]).alias(
+            "value_string"
+        ),
     )
 
 
 def extract_crc_trusts(classified: DataFrame, hub: str = HUB_ADDRESS) -> DataFrame:
     """FIRST Trust-topic log only (CrcTrustDetailExtractor.cs:12-42
     uses FirstOrDefault on the topic), emitted when fully valid."""
-    first = F.get(
-        F.filter(F.col("logs"), lambda l: F.array_contains(l["topics"], CRC_TRUST_TOPIC)), 0
-    )
+    first = F.get(F.filter(F.col("_lp"), lambda l: l["has_trust"]), 0)
     return (
         classified.filter(F.col(f"is_{CLASS_CRC_TRUST}"))
         .withColumn("_t", first)
-        .filter(is_crc_trust_log(F.col("_t"), hub))
+        .filter(parsed_crc_trust_p(F.col("_t"), hub))
         .select(
             *_COMMON,
-            strip_topic_address(F.col("_t")["topics"][2]).alias("address"),
-            strip_topic_address(F.col("_t")["topics"][1]).alias("can_send_to"),
-            hex_to_decimal(F.col("_t")["data"]).cast("long").alias("limit"),
+            F.col("_t")["t2"].alias("address"),
+            F.col("_t")["t1"].alias("can_send_to"),
+            F.col("_t")["data_dec"].cast("long").alias("limit"),
         )
     )
 
@@ -149,13 +146,13 @@ def extract_crc_organisation_signups(
 ) -> DataFrame:
     """First valid OrgSignup log → (organisation)
     (CrcOrganisationSignupDetailExtractor.cs:11-36)."""
-    first = F.get(F.filter(F.col("logs"), lambda l: is_org_signup_log(l, hub)), 0)
+    first = F.get(F.filter(F.col("_lp"), lambda l: parsed_org_signup_p(l, hub)), 0)
     return (
         classified.filter(F.col(f"is_{CLASS_CRC_ORGANISATION_SIGNUP}"))
         .withColumn("_o", first)
         .select(
             *_COMMON,
-            strip_topic_address(F.col("_o")["topics"][1]).alias("organisation"),
+            F.col("_o")["t1"].alias("organisation"),
         )
     )
 

@@ -292,7 +292,12 @@ def _pipeline_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         # chain view to ms. Checkpointing classified FIRST also makes
         # the 8 extractor plans below shallow (they are thin
         # filters/projections over it).
-        classified = classify(derive_chain(spark, sf_dir)).localCheckpoint(eager=True)
+        # raw `logs` dropped before the snapshot: the extractors read
+        # the parsed `_lp` structs, so the raw topic/data strings would
+        # only inflate the checkpointed frame
+        classified = (
+            classify(derive_chain(spark, sf_dir)).drop("logs").localCheckpoint(eager=True)
+        )
         tables = extract_all(classified)
         # coalesce: the event tables are small relative to the 3-way
         # union's partition count; 16 partitions keeps downstream

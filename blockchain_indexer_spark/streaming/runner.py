@@ -169,7 +169,11 @@ class IngestPipeline:
             # would otherwise each re-run assemble+classify — 8 deep
             # plans whose codegen compile time dominates a small live
             # batch (the reference's 500 ms cadence, Settings.cs:180).
-            classified = classify(assembled, self.hub).localCheckpoint(eager=True)
+            # raw `logs` dropped: the extractors read the parsed `_lp`
+            # structs, so only the slimmer frame is materialized
+            classified = (
+                classify(assembled, self.hub).drop("logs").localCheckpoint(eager=True)
+            )
             tables = extract_all(classified, self.safe_owners, self.hub)
             # The appends target disjoint directories — run them as
             # concurrent Spark jobs so scheduling/commit latency
