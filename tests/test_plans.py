@@ -1,0 +1,61 @@
+"""Plan-regression tests: pin the physical-plan properties the engine
+relies on at scale (SCALE.md). These catch silent regressions that
+correctness tests cannot — a filter that stops pushing down or a join
+that degrades to a cartesian product still returns the right rows on
+test data while becoming unrunnable at 100 TB.
+"""
+
+from __future__ import annotations
+
+from blockchain_indexer_spark.plans import REGISTRY
+
+# Queries whose first input is a parquet scan with a row filter — the
+# filter must reach the scan (PushedFilters non-empty).
+PUSHDOWN_QUERIES = ("filtered_projection", "broadcast_join_agg", "embedding_topk_mips")
+
+# Every headline bench query: none may plan a cartesian product.
+HEADLINE = (
+    "pricing_summary",
+    "broadcast_join_agg",
+    "multi_join_revenue",
+    "union_activity_timeline",
+    "latest_event_per_user",
+    "topk_per_group",
+    "gap_detection",
+    "doc_fingerprint_dedup",
+    "ngram_jaccard_near_dups",
+    "minhash_lsh_candidates",
+    "embedding_topk_mips",
+    "embedding_lsh_topk",
+)
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    return REGISTRY[name].build(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filters_reach_parquet_scans(spark, sf_dir):
+    for name in PUSHDOWN_QUERIES:
+        p = _plan(spark, sf_dir, name)
+        assert "PushedFilters: [" in p and "PushedFilters: []" not in p, (
+            f"{name}: no pushed filters in scan"
+        )
+
+
+def test_small_dimension_joins_broadcast(spark, sf_dir):
+    p = _plan(spark, sf_dir, "broadcast_join_agg")
+    assert "BroadcastHashJoin" in p, "dimension join lost its broadcast"
+
+
+def test_brute_force_topk_broadcasts_queries(spark, sf_dir):
+    # the inequality join is a BroadcastNestedLoopJoin (queries side
+    # broadcast, corpus scanned once) — NOT a cartesian product
+    p = _plan(spark, sf_dir, "embedding_topk_mips")
+    assert "BroadcastNestedLoop" in p
+    assert "CartesianProduct" not in p
+
+
+def test_no_cartesian_products_in_headline_plans(spark, sf_dir):
+    for name in HEADLINE:
+        p = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in p, f"{name}: cartesian product in plan"
