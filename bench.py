@@ -14,6 +14,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from blockchain_indexer_spark.plans import REGISTRY
@@ -52,6 +54,20 @@ def main() -> None:
     # Warm the JVM + parquet footers once so per-query numbers measure
     # the plans, not first-touch JIT/IO.
     REGISTRY["pricing_summary"].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Warm the Python worker pool the same way: the ~3 s of 32 workers
+    # importing pandas/numpy is once-per-session infra cost, not part
+    # of any one Arrow-batched query.
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        import numpy as np  # noqa: PLC0415
+
+        return s + np.int64(0)
+
+    spark.range(64, numPartitions=32).select(_warm("id")).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
