@@ -157,6 +157,12 @@ def lsh_topk(
         .select("query_id", "neighbor_id", "_queryv", "_neighborv")
         .distinct()
     )
+    return _rerank_topk(cand, k)
+
+
+def _rerank_topk(cand: DataFrame, k: int) -> DataFrame:
+    """Exact quantized-dot re-rank of a candidate frame
+    (query_id, neighbor_id, _queryv, _neighborv) → top-k per query."""
     scored = cand.withColumn(
         "score", dot(quantize("_queryv"), quantize("_neighborv"))
     ).select("query_id", "neighbor_id", "score")
@@ -166,3 +172,105 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "score")
     )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    sample: int = 256,
+    iters: int = 5,
+):
+    """Deterministic IVF coarse quantizer: Lloyd iterations on a fixed
+    corpus sample, driver-side in numpy.
+
+    The sample is the `sample` lowest-id vectors — deterministic, no
+    RNG — and `iters` fixed Lloyd steps from an every-(sample/n_cells)
+    stride init. At production scale the sample stays O(centroids ×
+     100) rows regardless of corpus size (collecting it is a pruned
+    top-k scan, not a full pass); training cost is independent of
+    corpus size, which is the standard IVF property.
+
+    Returns an (n_cells, dim) float64 ndarray.
+    """
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample)
+        .select(vec_col)
+        .collect()
+    )
+    x = np.array([r[0] for r in rows], dtype=np.float64)  # (sample, dim)
+    stride = max(1, len(x) // n_cells)
+    cents = x[::stride][:n_cells].copy()
+    for _ in range(iters):
+        # assign to nearest centroid by L2, then recompute means
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    sample: int = 256,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: corpus rows
+    bucket to their nearest coarse centroid, each query probes its
+    `n_probe` nearest cells, and only same-cell pairs are re-ranked by
+    exact quantized dot.
+
+    The scale path complement to `lsh_topk`: the candidate join is an
+    equi-join on `cell` (corpus shuffled once by cell id, queries
+    exploded ×n_probe), so probe cost is |Q| × n_probe × avg-cell-size
+    instead of |Q| × |C|. Centroids are broadcast inside the
+    Arrow-batched assignment UDF as numpy literals — one matmul per
+    batch, same pattern as `signbit_signature`.
+    """
+    cents = train_ivf_centroids(corpus, id_col, vec_col, n_cells, sample)
+    cents_sq = (cents**2).sum(axis=1)  # (n_cells,)
+
+    @F.pandas_udf("int")
+    def _cell(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype="int32")
+        mat = np.array(vec.tolist(), dtype=np.float64)
+        # argmin ||v - c||^2 = argmin (||c||^2 - 2 v·c); ||v||^2 constant per row
+        d = cents_sq[None, :] - 2.0 * (mat @ cents.T)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    @F.pandas_udf("array<int>")
+    def _probe_cells(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype="object")
+        mat = np.array(vec.tolist(), dtype=np.float64)
+        d = cents_sq[None, :] - 2.0 * (mat @ cents.T)
+        order = np.argsort(d, axis=1, kind="stable")[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    cb = spread(corpus, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_neighborv"),
+        _cell(F.col(vec_col)).alias("cell"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_queryv"),
+        F.explode(_probe_cells(F.col(vec_col))).alias("cell"),
+    )
+    cand = cb.join(F.broadcast(qb), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    # a (query, neighbor) pair can only meet in ONE cell (the
+    # neighbor's cell), so no distinct is needed before the re-rank
+    return _rerank_topk(cand.select("query_id", "neighbor_id", "_queryv", "_neighborv"), k)

@@ -32,7 +32,11 @@ from blockchain_indexer_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash64,
 )
-from blockchain_indexer_spark.operators.similarity import brute_force_topk, lsh_topk
+from blockchain_indexer_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_topk,
+)
 from blockchain_indexer_spark.plans.registry import register
 from blockchain_indexer_spark.sources.parquet import load_table
 
@@ -271,6 +275,21 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return lsh_topk(emb, queries, "vec_id", "embedding", dim=64, k=5)
+
+
+@register(
+    "embedding_ivf_topk",
+    oracle=None,
+    doc="IVF (inverted-file) top-5: deterministic Lloyd coarse "
+    "quantizer, 4-of-16 cell probes, exact quantized-dot re-rank — "
+    "the bucketed-ANN scale path alongside LSH; rows-only check, "
+    "recall measured in tests against the exact baseline.",
+    survey_refs=("LLM-sim",),
+)
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivf_topk(emb, queries, "vec_id", "embedding", k=5, n_cells=16, n_probe=4)
 
 
 @register(

@@ -4,7 +4,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from blockchain_indexer_spark.operators.similarity import brute_force_topk, lsh_topk
+from blockchain_indexer_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_topk,
+)
 from blockchain_indexer_spark.sources.parquet import load_table
 
 
@@ -27,3 +31,22 @@ def test_lsh_recall_vs_exact(spark, sf_dir):
     approx_pairs = set(zip(approx["query_id"], approx["neighbor_id"]))
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
     assert recall >= 0.3, f"LSH recall {recall} too low"
+
+
+def test_ivf_recall_vs_exact_and_determinism(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = brute_force_topk(emb, queries, k=5).toPandas()
+    approx = ivf_topk(emb, queries, k=5, n_cells=8, n_probe=3).toPandas()
+    assert (approx["query_id"] != approx["neighbor_id"]).all()
+    assert approx.groupby("query_id")["rank"].max().le(5).all()
+    exact_pairs = set(zip(exact["query_id"], exact["neighbor_id"]))
+    approx_pairs = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.3, f"IVF recall {recall} too low"
+    # centroid training is sample-based and RNG-free — rebuild must
+    # produce identical results
+    again = ivf_topk(emb, queries, k=5, n_cells=8, n_probe=3).toPandas()
+    a = approx.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = again.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
