@@ -59,6 +59,29 @@ def fingerprint_md5(col: Column | str) -> Column:
     return F.md5(normalized_text(col))
 
 
+def rolling_fingerprint(
+    col: Column | str, base: int = 131, mod: int = 2_147_483_647
+) -> Column:
+    """Rabin-Karp rolling polynomial fingerprint of the normalized text:
+    fold (h * base + codepoint) mod 2^31-1 over the characters.
+
+    Unlike md5, the polynomial structure supports incremental /
+    windowed update (append a char: one multiply-add; the classic
+    rolling property), and the modulus keeps every intermediate below
+    2^38 so the arithmetic is exact in BIGINT on any engine — the
+    DuckDB oracle reproduces it with list_reduce bit-for-bit. Empty
+    text fingerprints to 0.
+    """
+    norm = normalized_text(col)
+    codes = F.transform(F.split(norm, ""), lambda c: F.ascii(c).cast("bigint"))
+    fp = F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * base + c) % mod,
+    )
+    return F.when(F.length(norm) == 0, F.lit(0).cast("bigint")).otherwise(fp)
+
+
 def word_shingles(col: Column | str, k: int = 3) -> Column:
     """Array of k-word shingles (space-joined); empty when < k tokens.
 

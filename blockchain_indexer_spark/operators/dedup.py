@@ -175,6 +175,42 @@ def minhash_lsh_candidates(
     )
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    scale: int = 1000,
+) -> DataFrame:
+    """All pairs whose quantized cosine similarity is ≥ ``threshold`` —
+    embedding-space near-duplicate detection.
+
+    Exact all-pairs baseline: integer dot and norms over round(x*scale)
+    vectors are exact in IEEE double (< 2^53), so the score — and
+    therefore the pair set — is engine-reproducible and oracle-checked.
+    The |C|^2 join is the correctness reference; at corpus scale the
+    same re-rank runs over LSH- or IVF-blocked candidates
+    (operators.similarity) instead of all pairs.
+    Returns (vec_a, vec_b, cosine) with vec_a < vec_b.
+    """
+    from blockchain_indexer_spark.functions.vectors import dot, norm_sq, quantize
+
+    q = spread(df, id_col).select(
+        F.col(id_col).alias("_id"), quantize(vec_col, scale).alias("_v")
+    )
+    a = q.select(F.col("_id").alias("vec_a"), F.col("_v").alias("_va"))
+    b = q.select(F.col("_id").alias("vec_b"), F.col("_v").alias("_vb"))
+    cos = dot(F.col("_va"), F.col("_vb")) / F.sqrt(
+        norm_sq(F.col("_va")) * norm_sq(F.col("_vb"))
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash over whitespace tokens (with multiplicity).
 

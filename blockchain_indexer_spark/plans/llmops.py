@@ -23,10 +23,12 @@ from blockchain_indexer_spark.functions.text import (
     digit_count,
     fingerprint_md5,
     punct_count,
+    rolling_fingerprint,
     stopword_count,
     token_count,
 )
 from blockchain_indexer_spark.operators.dedup import (
+    cosine_near_dup_pairs,
     exact_dup_clusters,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
@@ -38,7 +40,7 @@ from blockchain_indexer_spark.operators.similarity import (
     lsh_topk,
 )
 from blockchain_indexer_spark.plans.registry import register
-from blockchain_indexer_spark.sources.parquet import load_table
+from blockchain_indexer_spark.sources.parquet import load_table, spread
 
 _SW = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
 
@@ -144,6 +146,65 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return exact_dup_clusters(d, "doc_id", "text")
+
+
+@register(
+    "doc_rolling_fingerprint",
+    oracle=r"""
+    WITH cs AS (
+      SELECT doc_id,
+             list_transform(
+               string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ''),
+               c -> CAST(ord(c) AS BIGINT)
+             ) AS codes
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN len(codes) = 0 THEN 0
+                ELSE list_reduce(codes, (a, b) -> (a * 131 + b) % 2147483647)
+           END AS fp
+    FROM cs
+    """,
+    doc="Rabin-Karp rolling polynomial fingerprint (base 131, mod "
+    "2^31-1) over normalized text — supports incremental/windowed "
+    "update unlike md5; exact BIGINT arithmetic, oracle-reproduced "
+    "character-for-character.",
+    survey_refs=("LLM-text", "LLM-dedup"),
+)
+def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return spread(d, "doc_id").select(
+        "doc_id", rolling_fingerprint("text").alias("fp")
+    )
+
+
+@register(
+    "embedding_cosine_near_dups",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> CAST(a.qv[i] * b.qv[i] AS DOUBLE)))
+                / sqrt(CAST(list_sum(list_transform(a.qv, x -> CAST(x * x AS DOUBLE))) AS DOUBLE)
+                       * CAST(list_sum(list_transform(b.qv, x -> CAST(x * x AS DOUBLE))) AS DOUBLE))
+                AS DOUBLE) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> CAST(a.qv[i] * b.qv[i] AS DOUBLE)))
+               / sqrt(CAST(list_sum(list_transform(a.qv, x -> CAST(x * x AS DOUBLE))) AS DOUBLE)
+                      * CAST(list_sum(list_transform(b.qv, x -> CAST(x * x AS DOUBLE))) AS DOUBLE))
+               AS DOUBLE) >= 0.3
+    """,
+    doc="Embedding-space near-dup pairs: quantized cosine >= 0.3, exact "
+    "all-pairs baseline (engine-reproducible integer arithmetic); the "
+    "scale path re-ranks LSH/IVF-blocked candidates instead.",
+    survey_refs=("LLM-dedup", "LLM-sim"),
+)
+def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.3)
 
 
 @register(

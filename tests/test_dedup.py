@@ -47,3 +47,24 @@ def test_simhash_deterministic_and_local(spark):
     out = {r["_id"]: r["simhash"] for r in simhash64(df, "doc_id", "text").collect()}
     assert out[1] == out[2]
     assert out[1] != out[3]
+
+
+def test_cosine_near_dups_match_brute_force(spark, sf_dir):
+    from blockchain_indexer_spark.functions.vectors import dot, norm_sq, quantize
+    from blockchain_indexer_spark.operators.dedup import cosine_near_dup_pairs
+    from blockchain_indexer_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    out = cosine_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.3).toPandas()
+    assert (out["vec_a"] < out["vec_b"]).all()
+    assert (out["cosine"] >= 0.3).all()
+    # spot-check one reported pair against a direct computation
+    if len(out):
+        a, b, c = out.iloc[0][["vec_a", "vec_b", "cosine"]]
+        va = emb.filter(F.col("vec_id") == int(a)).select(quantize("embedding").alias("v"))
+        vb = emb.filter(F.col("vec_id") == int(b)).select(quantize("embedding").alias("w"))
+        row = va.crossJoin(vb).select(
+            (dot(F.col("v"), F.col("w")) / F.sqrt(norm_sq(F.col("v")) * norm_sq(F.col("w")))).alias("c")
+        ).collect()[0]
+        assert abs(row["c"] - c) == 0.0

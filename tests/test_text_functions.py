@@ -40,3 +40,20 @@ def test_entry_contract(spark):
     qs, oracles = e.queries(), e.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 20
+
+
+def test_rolling_fingerprint_properties(spark):
+    from blockchain_indexer_spark.functions.text import rolling_fingerprint
+
+    df = spark.createDataFrame(
+        [("", None), ("ab", None), ("ab c", None), ("AB  c", None)],
+        "text string, pad string",
+    )
+    fps = [r[0] for r in df.select(rolling_fingerprint("text")).collect()]
+    # empty → 0; manual Rabin-Karp for "ab": (97*131 + 98) % (2^31-1)
+    assert fps[0] == 0
+    assert fps[1] == (ord("a") * 131 + ord("b")) % 2147483647
+    # rolling property: appending a char is one multiply-add
+    assert fps[2] == ((fps[1] * 131 + ord(" ")) * 131 + ord("c")) % 2147483647
+    # whitespace/case normalization invariance
+    assert fps[3] == fps[2]
