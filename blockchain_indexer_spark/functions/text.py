@@ -31,6 +31,20 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col)).cast("bigint")
 
 
+# GPT-2-style pre-tokenizer classes: letter runs, digit runs, single
+# other-symbol chars. The subset chosen is expressible identically in
+# Java regex (Spark) and RE2 (DuckDB oracle) — verified on unicode.
+BPE_TOKEN_PATTERN = r"\p{L}+|\p{N}+|[^\s\p{L}\p{N}]"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """BPE-ish token count: matches of the pre-tokenizer classes. A
+    closer proxy for LLM token cost than whitespace words (punctuation
+    and digit runs count separately)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), F.lit(0))).cast("bigint")
+
+
 def stopword_count(col: Column | str) -> Column:
     """Number of tokens (with duplicates) that are EN stopwords."""
     return F.size(

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from blockchain_indexer_spark.functions.text import (
     EN_STOPWORDS,
+    bpe_token_count,
     digit_count,
     fingerprint_md5,
     punct_count,
@@ -50,13 +51,16 @@ _SW = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
     oracle=r"""
     SELECT doc_id,
            CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]')) AS BIGINT)
+             AS n_bpe_tokens,
            CAST(length(text) AS BIGINT) AS n_chars_actual,
            CAST(length(text) AS DOUBLE)
              / len(string_split_regex(trim(lower(text)), '\s+')) AS chars_per_token
     FROM documents
     """,
-    doc="Token counting (whitespace tokenizer) + basic length stats — "
-    "the word-count primitive of a data-quality pipeline.",
+    doc="Token counting (whitespace words + BPE-ish pre-tokenizer "
+    "regex) + basic length stats — the token-cost primitives of a "
+    "data-quality pipeline.",
     survey_refs=("LLM-text",),
 )
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -64,6 +68,7 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         token_count("text").alias("n_tokens"),
+        bpe_token_count("text").alias("n_bpe_tokens"),
         F.length("text").cast("bigint").alias("n_chars_actual"),
         (F.length("text").cast("double") / token_count("text")).alias("chars_per_token"),
     )

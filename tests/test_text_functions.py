@@ -57,3 +57,15 @@ def test_rolling_fingerprint_properties(spark):
     assert fps[2] == ((fps[1] * 131 + ord(" ")) * 131 + ord("c")) % 2147483647
     # whitespace/case normalization invariance
     assert fps[3] == fps[2]
+
+
+def test_bpe_token_count(spark):
+    from blockchain_indexer_spark.functions.text import bpe_token_count
+
+    df = spark.createDataFrame(
+        [("Hello, world! It's 2026.",), ("",), ("foo_bar #42",)], "text string"
+    )
+    out = [r[0] for r in df.select(bpe_token_count("text")).collect()]
+    # Hello , world ! It ' s 2026 .  → 9
+    # foo _ bar # 42                 → 5
+    assert out == [9, 0, 5]
