@@ -175,6 +175,61 @@ def minhash_lsh_candidates(
     )
 
 
+def simhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share ≥1 of ``bands``
+    16-bit signature sub-bands (Charikar-style blocking), verified by
+    exact hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole guarantee: two signatures within hamming distance d
+    differ in at most d bands, so with bands ≥ d+1 every true pair
+    shares an untouched band — blocking is COMPLETE for
+    max_hamming < bands (the defaults), not approximate. The self-join
+    key is (band, 16-bit bucket); signatures ride along as one bigint
+    so verification needs no second join.
+    Returns (doc_a, doc_b, hamming), doc_a < doc_b.
+    """
+    rows = 64 // bands
+    mask = (1 << rows) - 1
+    sig = simhash64(df, id_col, text_col)
+    stacked = (
+        sig.select(
+            "_id",
+            "simhash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftrightunsigned(F.col("simhash"), b * rows)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("_id", "simhash", "bb.band", "bb.bucket")
+        # both join sides read this frame — one token-hash pipeline run
+        .localCheckpoint(eager=True)
+    )
+    a = stacked.select(F.col("_id").alias("doc_a"), F.col("simhash").alias("_sa"), "band", "bucket")
+    b = stacked.select(F.col("_id").alias("doc_b"), F.col("simhash").alias("_sb"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -34,6 +34,7 @@ from blockchain_indexer_spark.operators.dedup import (
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash64,
+    simhash_candidates,
 )
 from blockchain_indexer_spark.operators.similarity import (
     brute_force_topk,
@@ -312,6 +313,20 @@ def minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return simhash64(d, "doc_id", "text").select(F.col("_id").alias("doc_id"), "simhash")
+
+
+@register(
+    "simhash_near_dups",
+    oracle=None,
+    doc="SimHash near-dup pairs: 16-bit band blocking + exact hamming "
+    "<= 3 verify. Pigeonhole-complete for the default band/threshold "
+    "(no missed pairs); rows-only check (xxhash64 has no DuckDB "
+    "equivalent).",
+    survey_refs=("LLM-dedup",),
+)
+def simhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_candidates(d, "doc_id", "text", max_hamming=3, bands=4)
 
 
 @register(

@@ -68,3 +68,33 @@ def test_cosine_near_dups_match_brute_force(spark, sf_dir):
             (dot(F.col("v"), F.col("w")) / F.sqrt(norm_sq(F.col("v")) * norm_sq(F.col("w")))).alias("c")
         ).collect()[0]
         assert abs(row["c"] - c) == 0.0
+
+
+def test_simhash_candidates_complete_for_small_hamming(spark):
+    from blockchain_indexer_spark.operators.dedup import simhash64, simhash_candidates
+    from pyspark.sql import functions as F
+    import itertools
+
+    base = "the quick brown fox jumps over the lazy dog sits on a mat " * 4
+    rows = [
+        (1, base),
+        (2, base + "extra"),          # small perturbation
+        (3, base.replace("fox", "cat")),
+        (4, "entirely unrelated content with different words " * 6),
+        (5, base),                    # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_candidates(df, "doc_id", "text", max_hamming=3, bands=4).collect()
+    }
+    # brute-force ground truth over all pairs
+    sigs = {r["_id"]: r["simhash"] for r in simhash64(df, "doc_id", "text").collect()}
+    truth = {
+        (a, b): bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1")
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= 3
+    }
+    # pigeonhole: banding must find EVERY pair at hamming <= bands-1
+    assert got == truth
+    assert (1, 5) in got and got[(1, 5)] == 0
