@@ -68,7 +68,7 @@ STATIC: dict[str, tuple[str, str]] = {
     "W1": ("ranking windows (views/current_trust, accepted_crc)", "tests/test_views.py"),
     "W2": ("sources/blocks.py find_gaps lead window", "tests/test_streaming.py"),
     "T1": ("runner trigger config (ProcessingTime / AvailableNow)", "tests/test_streaming.py"),
-    "T2": ("micro-batch model (built-in backpressure)", "—"),
+    "T2": ("micro-batch model (built-in backpressure); stateful ops via applyInPandasWithState (streaming/windows.py)", "tests/test_streaming_windows.py"),
     "T3": ("operators/promote.py complete_blocks", "tests/test_promote.py"),
     "T4": ("operators/promote.py merge_new anti-join", "tests/test_promote.py"),
     "T5": ("operators/promote.py retract_from + runner.signal_reorg", "tests/test_promote.py"),
@@ -76,7 +76,7 @@ STATIC: dict[str, tuple[str, str]] = {
     "T7": ("operators/promote.py disambiguate_blocks", "tests/test_promote.py"),
     "T8": ("operators/caches.py (stale-key incremental refresh)", "tests/test_caches_rpc_health.py"),
     "T9": ("views crc_capacity_graph(since_block=...)", "tests/test_views.py"),
-    "T10": ("per-day tumbling via to_date (A4); no watermarks in reference", "—"),
+    "T10": ("per-day tumbling via to_date (A4) + streaming/windows.py watermarked event-time windows", "tests/test_streaming_windows.py"),
     "T11": ("runner available_now (bulk) vs processing-time (live)", "tests/test_streaming.py"),
     "UDTF": ("operators/views.py get_capacity", "gate query"),
     "LLM-dedup": ("operators/dedup.py (exact/jaccard/minhash/simhash)", "tests/test_dedup.py"),
