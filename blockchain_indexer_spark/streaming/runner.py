@@ -92,12 +92,26 @@ class IngestPipeline:
         hub: str = HUB_ADDRESS,
         safe_owners: DataFrame | None = None,
         on_imported=None,
+        jdbc_url: str | None = None,
+        jdbc_properties: dict[str, str] | None = None,
     ) -> None:
+        """`jdbc_url` switches the final-table sink/source from
+        partitioned parquet to JDBC appends — the reference's Postgres
+        import (Settings.cs CONNECTION_STRING, README.md:80-84). The
+        promote semantics are sink-agnostic: exactly-once still comes
+        from the anti-join against the read-back table, so the target
+        needs no unique indexes (the reference dropped them too,
+        README.md:85-87). Parquet remains the tested default; the JDBC
+        branch is exercised against a recording stub in tests (no
+        database ships in this environment).
+        """
         self.spark = spark
         self.out_dir = out_dir
         self.hub = hub
         self.safe_owners = safe_owners
         self.on_imported = on_imported
+        self.jdbc_url = jdbc_url
+        self.jdbc_properties = jdbc_properties or {}
 
     def signal_reorg(self) -> None:
         """Announce a reorg to push consumers (K5's deadbeef path)."""
@@ -108,13 +122,21 @@ class IngestPipeline:
         return os.path.join(self.out_dir, name)
 
     def read_final(self, name: str) -> DataFrame | None:
-        path = self._table_path(name)
         try:
-            return self.spark.read.parquet(path)
+            if self.jdbc_url is not None:
+                return self.spark.read.jdbc(
+                    self.jdbc_url, name, properties=self.jdbc_properties
+                )
+            return self.spark.read.parquet(self._table_path(name))
         except Exception:  # noqa: BLE001 — first batch: table doesn't exist yet
             return None
 
     def _append(self, name: str, df: DataFrame, block_col: str) -> None:
+        if self.jdbc_url is not None:
+            df.write.mode("append").jdbc(
+                self.jdbc_url, name, properties=self.jdbc_properties
+            )
+            return
         (
             df.withColumn("block_group", (F.col(block_col) / BLOCK_GROUP_SIZE).cast("long"))
             .write.mode("append")

@@ -9,7 +9,11 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from blockchain_indexer_spark.streaming.runner import FEED_SCHEMA, IngestPipeline
+from blockchain_indexer_spark.streaming.runner import (
+    EVENT_TABLES,
+    FEED_SCHEMA,
+    IngestPipeline,
+)
 from tests.chain_fixtures import EXPECTED, build_raw_tables
 
 
@@ -135,3 +139,38 @@ def test_micro_batch_promote_latency(spark, tmp_path_factory, feed_df):
     print(f"micro-batch promote of {n} txs (warm, duplicate): {warm:.2f}s")
     assert pipe.read_final("transaction").count() == n  # idempotent
     assert warm < 15, f"warm duplicate micro-batch took {warm:.1f}s"
+
+
+def test_jdbc_sink_dispatch(spark, tmp_path_factory, feed_df, monkeypatch):
+    """The JDBC branch routes every append through DataFrameWriter.jdbc
+    and reads finals back via DataFrameReader.jdbc — verified with a
+    recording stub that spools to parquet (no DB in this container)."""
+    import pyspark.sql.readwriter as rw
+
+    root = str(tmp_path_factory.mktemp("jdbc"))
+    spool = os.path.join(root, "spool")
+    written, read = [], []
+
+    def fake_write_jdbc(self, url, table, mode=None, properties=None):
+        written.append((url, table))
+        self.parquet(os.path.join(spool, table), mode="append")
+
+    def fake_read_jdbc(self, url, table, **kw):
+        read.append((url, table))
+        return spark.read.parquet(os.path.join(spool, table))
+
+    monkeypatch.setattr(rw.DataFrameWriter, "jdbc", fake_write_jdbc)
+    monkeypatch.setattr(rw.DataFrameReader, "jdbc", fake_read_jdbc)
+
+    url = "jdbc:postgresql://db/indexer"
+    pipe = IngestPipeline(spark, root, jdbc_url=url, jdbc_properties={"user": "u"})
+    pipe.process_batch(feed_df)
+    tables = {t for _, t in written}
+    assert tables == {"block", "transaction", *(set(EVENT_TABLES) - {"transaction"})}
+    assert all(u == url for u, _ in written)
+    assert {t for _, t in read} <= {"block", "transaction"}
+    # second batch: anti-join reads the spooled tables back via jdbc
+    n = spark.read.parquet(os.path.join(spool, "transaction")).count()
+    pipe.process_batch(feed_df)  # duplicate delivery
+    assert spark.read.parquet(os.path.join(spool, "transaction")).count() == n
+    assert ("jdbc:postgresql://db/indexer", "transaction") in read
