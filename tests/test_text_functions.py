@@ -69,3 +69,32 @@ def test_bpe_token_count(spark):
     # Hello , world ! It ' s 2026 .  → 9
     # foo _ bar # 42                 → 5
     assert out == [9, 0, 5]
+
+
+def test_rolling_fingerprint_matches_python_reference(spark):
+    """Property: the Catalyst fold equals a pure-Python Rabin-Karp over
+    the normalized text, for arbitrary printable strings."""
+    import re
+
+    from hypothesis import given, settings, strategies as st
+
+    from blockchain_indexer_spark.functions.text import rolling_fingerprint
+
+    def py_fp(text: str) -> int:
+        # Java/RE2 \s is [ \t\n\x0b\f\r]; Python's re adds \x1c-\x1f,
+        # so spell the class out (the engines agree with each other,
+        # Python is the odd one)
+        norm = re.sub("[ \t\n\x0b\f\r]+", " ", text.lower()).strip(" ")
+        h = 0
+        for ch in norm:
+            h = (h * 131 + ord(ch)) % 2147483647
+        return h
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.text(st.characters(codec="ascii"), max_size=40), min_size=1, max_size=8))
+    def check(texts):
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = [r[0] for r in df.select(rolling_fingerprint("text")).collect()]
+        assert got == [py_fp(t) for t in texts]
+
+    check()
