@@ -241,3 +241,15 @@ def test_balances_match_ledger_sum(ctx):
     # double-entry: ledger sums to zero per transaction
     per_tx = led.groupby("transaction_id")["value"].sum()
     assert (per_tx == 0).all()
+
+
+def test_register_all_sql_surface(spark, ctx):
+    """Every view is reachable as a plain spark.sql name — the surface a
+    reference user queries after switching."""
+    from blockchain_indexer_spark.operators.views import register_all
+
+    tables, views, _ = ctx
+    register_all(tables, as_of=AS_OF)
+    for name in views:
+        df = spark.sql(f"SELECT * FROM {name} LIMIT 1")
+        assert df.schema.fields, f"view {name} has no schema"
