@@ -20,11 +20,17 @@ EN_STOPWORDS = (
 
 PUNCT_CLASS = r"[.,!?;:]"
 
+# Explicit whitespace class instead of \s: Java's \s includes \x0b
+# (vertical tab) but RE2's — the DuckDB oracle engine — does not.
+# Spelling the class out keeps both engines normalizing identically;
+# every oracle SQL uses the same literal class.
+WS_CLASS = "[ \\t\\n\\x0b\\f\\r]"
+
 
 def tokens(col: Column | str) -> Column:
     """Whitespace tokenization of lowercased, trimmed text."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.trim(F.lower(c)), r"\s+")
+    return F.split(F.trim(F.lower(c)), WS_CLASS + "+")
 
 
 def token_count(col: Column | str) -> Column:
@@ -32,9 +38,10 @@ def token_count(col: Column | str) -> Column:
 
 
 # GPT-2-style pre-tokenizer classes: letter runs, digit runs, single
-# other-symbol chars. The subset chosen is expressible identically in
-# Java regex (Spark) and RE2 (DuckDB oracle) — verified on unicode.
-BPE_TOKEN_PATTERN = r"\p{L}+|\p{N}+|[^\s\p{L}\p{N}]"
+# other-symbol chars. The whitespace chars are spelled out (not \s)
+# so Java regex (Spark) and RE2 (DuckDB oracle) agree — they differ
+# on \x0b; verified on unicode.
+BPE_TOKEN_PATTERN = r"\p{L}+|\p{N}+|[^ \t\n\x0b\f\r\p{L}\p{N}]"
 
 
 def bpe_token_count(col: Column | str) -> Column:
@@ -65,7 +72,7 @@ def digit_count(col: Column | str) -> Column:
 def normalized_text(col: Column | str) -> Column:
     """Canonical form for fingerprinting: lowercase, collapsed whitespace."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(c), WS_CLASS + "+", " "))
 
 
 def fingerprint_md5(col: Column | str) -> Column:

@@ -63,49 +63,20 @@ from blockchain_indexer_spark.schemas import (
     TRANSFER_TOPIC,
 )
 
-def _has_topic(log: Column, topic: str) -> Column:
-    return F.array_contains(log["topics"], topic)
-
-
-def is_erc20_transfer_log(log: Column) -> Column:
-    """TransactionClassifier.cs:241-275 (no address restriction)."""
-    return _has_topic(log, TRANSFER_TOPIC) & (F.size(log["topics"]) == 3)
-
-
-def is_crc_trust_log(log: Column, hub: str) -> Column:
-    """TransactionClassifier.cs:200-239 incl. the 0..100 limit bound."""
-    limit = hex_to_decimal(log["data"])
-    return (
-        _has_topic(log, CRC_TRUST_TOPIC)
-        & (log["address"] == hub)
-        & (F.size(log["topics"]) == 3)
-        & limit.isNotNull()
-        & (limit >= 0)
-        & (limit <= 100)
-    )
-
-
-def is_org_signup_log(log: Column, hub: str) -> Column:
-    """TransactionClassifier.cs:128-155."""
-    return (
-        _has_topic(log, CRC_ORGANISATION_SIGNUP_TOPIC)
-        & (log["address"] == hub)
-        & (F.size(log["topics"]) == 2)
-    )
-
-
-# Predicates over the PARSED log struct (`_lp` produced by classify) —
-# same semantics as the raw-log predicates above, but reading the
-# already-decoded fields so extractors never re-derive hex decodes.
+# Log predicates read the PARSED log struct (`_lp`, built once per log
+# in classify's parse() below) — never the raw topic/data strings, so
+# the hex decode is derived exactly once per log.
 
 
 def parsed_erc20_transfer_p(l: Column) -> Column:
-    """is_erc20_transfer_log over a parsed log."""
+    """Valid Transfer log (TransactionClassifier.cs:241-275 — no
+    address restriction, exactly 3 topics)."""
     return l["has_transfer"] & (l["n_topics"] == 3)
 
 
 def parsed_crc_trust_p(l: Column, hub: str) -> Column:
-    """is_crc_trust_log over a parsed log."""
+    """Valid Trust log (TransactionClassifier.cs:200-239 — from the
+    hub, 3 topics, 0 <= limit <= 100)."""
     d = l["data_dec"]
     return (
         l["has_trust"]
@@ -118,7 +89,8 @@ def parsed_crc_trust_p(l: Column, hub: str) -> Column:
 
 
 def parsed_org_signup_p(l: Column, hub: str) -> Column:
-    """is_org_signup_log over a parsed log."""
+    """Valid OrganizationSignup log (TransactionClassifier.cs:128-155
+    — from the hub, 2 topics)."""
     return l["has_org"] & (l["address"] == hub) & (l["n_topics"] == 2)
 
 

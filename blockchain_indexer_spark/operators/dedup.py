@@ -39,22 +39,31 @@ def exact_dup_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _distinct_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """Distinct (id, shingle) pairs, eagerly checkpointed: the frame
+    feeds several plan branches (index sides, df-cap frequency table,
+    per-doc sizes) and without materialization Spark re-scans and
+    re-shingles the corpus per branch — measured 6 parquet scans with
+    zero exchange reuse. At scale the inverted index is built once."""
+    return (
+        spread(df, id_col)
+        .select(F.col(id_col).alias("_id"), F.explode(word_shingles(text_col, k)).alias("shingle"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
 def shingle_index(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, max_doc_freq: int | None = 100
 ) -> DataFrame:
     """Inverted index (shingle, id), distinct per doc, stop-shingles
-    removed by the document-frequency cap."""
-    idx = (
-        spread(df, id_col)
-        .select(F.col(id_col).alias("_id"), F.explode(word_shingles(text_col, k)).alias("shingle"))
-        .distinct()
-    )
+    removed by the document-frequency cap. Eager (materializes the
+    shingle frame once, see _distinct_shingles)."""
+    sh = _distinct_shingles(df, id_col, text_col, k)
     if max_doc_freq is not None:
-        freq = idx.groupBy("shingle").agg(F.count("*").alias("df"))
-        idx = (
-            idx.join(freq.filter(F.col("df") <= max_doc_freq).select("shingle"), "shingle")
-        )
-    return idx
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        return sh.join(freq.filter(F.col("df") <= max_doc_freq).select("shingle"), "shingle")
+    return sh
 
 
 def ngram_jaccard_pairs(
@@ -74,17 +83,7 @@ def ngram_jaccard_pairs(
     generation, which can only lose pairs whose common shingles are all
     stop-shingles — the standard trade, stated here explicitly.
     """
-    # The distinct (id, shingle) frame feeds four branches (index a,
-    # index b, the df-cap frequency table, and per-doc sizes); without
-    # materialization Spark re-scans and re-shingles the corpus per
-    # branch (6 parquet scans, no exchange reuse — measured). At scale
-    # the inverted index is exactly the thing you build once.
-    sh = (
-        spread(df, id_col)
-        .select(F.col(id_col).alias("_id"), F.explode(word_shingles(text_col, k)).alias("shingle"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    sh = _distinct_shingles(df, id_col, text_col, k)
     idx = sh
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
@@ -250,8 +249,15 @@ def cosine_near_dup_pairs(
     """
     from blockchain_indexer_spark.functions.vectors import dot, norm_sq, quantize
 
-    q = spread(df, id_col).select(
-        F.col(id_col).alias("_id"), quantize(vec_col, scale).alias("_v")
+    # zero-norm vectors (all |x| < 0.5/scale) have no cosine: Spark
+    # evaluates 0.0/0.0 = NaN and orders NaN ABOVE every number, so
+    # without this filter each zero vector would pass `>= threshold`
+    # against the whole corpus (the DuckDB oracle returns NULL and
+    # drops them — this keeps both engines agreeing)
+    q = (
+        spread(df, id_col)
+        .select(F.col(id_col).alias("_id"), quantize(vec_col, scale).alias("_v"))
+        .filter(norm_sq(F.col("_v")) > 0)
     )
     a = q.select(F.col("_id").alias("vec_a"), F.col("_v").alias("_va"))
     b = q.select(F.col("_id").alias("vec_b"), F.col("_v").alias("_vb"))

@@ -107,7 +107,11 @@ def signbit_signature(df: DataFrame, vec_col: str, dim: int, num_planes: int = 1
     def _sig(vec: pd.Series) -> pd.Series:
         if len(vec) == 0:
             return pd.Series([], dtype="int64")
-        mat = np.array(vec.tolist(), dtype=np.float64)  # (n, dim)
+        # NULL embeddings → zero vector → all projections 0 → sig 0,
+        # matching the lambda implementation's null-propagation result
+        mat = np.array(
+            [v if v is not None else np.zeros(dim) for v in vec], dtype=np.float64
+        )
         bits = (mat @ planes.T) > 0  # (n, num_planes)
         return pd.Series(bits.astype(np.int64) @ weights)
 
@@ -240,11 +244,21 @@ def ivf_topk(
     cents = train_ivf_centroids(corpus, id_col, vec_col, n_cells, sample)
     cents_sq = (cents**2).sum(axis=1)  # (n_cells,)
 
+    dim = cents.shape[1]
+
+    def _as_matrix(vec: pd.Series):
+        # NULL embeddings → zero vector (assigned deterministically to
+        # whichever cell is nearest the origin; they can never win a
+        # re-rank, so this is harmless and crash-free)
+        return np.array(
+            [v if v is not None else np.zeros(dim) for v in vec], dtype=np.float64
+        )
+
     @F.pandas_udf("int")
     def _cell(vec: pd.Series) -> pd.Series:
         if len(vec) == 0:
             return pd.Series([], dtype="int32")
-        mat = np.array(vec.tolist(), dtype=np.float64)
+        mat = _as_matrix(vec)
         # argmin ||v - c||^2 = argmin (||c||^2 - 2 v·c); ||v||^2 constant per row
         d = cents_sq[None, :] - 2.0 * (mat @ cents.T)
         return pd.Series(d.argmin(axis=1).astype(np.int32))
@@ -253,7 +267,7 @@ def ivf_topk(
     def _probe_cells(vec: pd.Series) -> pd.Series:
         if len(vec) == 0:
             return pd.Series([], dtype="object")
-        mat = np.array(vec.tolist(), dtype=np.float64)
+        mat = _as_matrix(vec)
         d = cents_sq[None, :] - 2.0 * (mat @ cents.T)
         order = np.argsort(d, axis=1, kind="stable")[:, :n_probe].astype(np.int32)
         return pd.Series(list(order))

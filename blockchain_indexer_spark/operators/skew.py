@@ -28,8 +28,18 @@ def salted_join(
     The salt is a deterministic hash of the big row's full content
     (uniform-ish, stable across retries — no rand(), which would break
     task re-execution). Output columns match ``big.join(small, key,
-    how)``.
+    how)`` for the SUPPORTED join types: inner, left (outer), left_semi
+    and left_anti. Right/full joins are rejected — the ×salt
+    replication of the small side would surface each unmatched small
+    row `salt` times.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in allowed}:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} — not {how!r}: the small side "
+            "is replicated per salt, so right/full flavors would duplicate "
+            "unmatched small-side rows"
+        )
     salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)).cast(
         "int"
     )

@@ -51,12 +51,12 @@ _SW = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
     "doc_token_stats",
     oracle=r"""
     SELECT doc_id,
-           CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
-           CAST(len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]')) AS BIGINT)
+           CAST(len(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^ \t\n\x0b\f\r\p{L}\p{N}]')) AS BIGINT)
              AS n_bpe_tokens,
            CAST(length(text) AS BIGINT) AS n_chars_actual,
            CAST(length(text) AS DOUBLE)
-             / len(string_split_regex(trim(lower(text)), '\s+')) AS chars_per_token
+             / len(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS chars_per_token
     FROM documents
     """,
     doc="Token counting (whitespace words + BPE-ish pre-tokenizer "
@@ -80,8 +80,8 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=rf"""
     WITH t AS (
       SELECT doc_id, lang,
-             CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
-             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             CAST(len(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
                                   x -> x IN ({_SW}))) AS BIGINT) AS n_stop
       FROM documents
     )
@@ -115,7 +115,7 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT)   AS n_digits,
            CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
              / length(text) AS punct_ratio,
-           (CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) >= 20
+           (CAST(len(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS BIGINT) >= 20
             AND CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
                 / length(text) < 0.1) AS passes_quality
     FROM documents
@@ -139,7 +139,7 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_fingerprint_dedup",
     oracle=r"""
-    SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+    SELECT md5(trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS fingerprint,
            MIN(doc_id) AS keep_id,
            COUNT(*) AS n_copies
     FROM documents
@@ -159,15 +159,18 @@ def doc_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH cs AS (
       SELECT doc_id,
-             list_transform(
-               string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ''),
-               c -> CAST(ord(c) AS BIGINT)
-             ) AS codes
+             trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS norm
       FROM documents
     )
     SELECT doc_id,
-           CASE WHEN len(codes) = 0 THEN 0
-                ELSE list_reduce(codes, (a, b) -> (a * 131 + b) % 2147483647)
+           -- guard on the TEXT length: string_split_regex('', '')
+           -- yields [''] (len 1, ord('') = -1), so a len(codes) check
+           -- would mis-fingerprint empty docs as -1
+           CASE WHEN length(norm) = 0 THEN 0
+                ELSE list_reduce(
+                       list_transform(string_split_regex(norm, ''),
+                                      c -> CAST(ord(c) AS BIGINT)),
+                       (a, b) -> (a * 131 + b) % 2147483647)
            END AS fp
     FROM cs
     """,
@@ -191,13 +194,17 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id,
              list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
       FROM embeddings
+    ),
+    nz AS (
+      -- zero-norm vectors have no cosine (0/0); both engines drop them
+      SELECT * FROM v WHERE list_sum(list_transform(qv, x -> CAST(x * x AS DOUBLE))) > 0
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> CAST(a.qv[i] * b.qv[i] AS DOUBLE)))
                 / sqrt(CAST(list_sum(list_transform(a.qv, x -> CAST(x * x AS DOUBLE))) AS DOUBLE)
                        * CAST(list_sum(list_transform(b.qv, x -> CAST(x * x AS DOUBLE))) AS DOUBLE))
                 AS DOUBLE) AS cosine
-    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    FROM nz a JOIN nz b ON a.vec_id < b.vec_id
     WHERE CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> CAST(a.qv[i] * b.qv[i] AS DOUBLE)))
                / sqrt(CAST(list_sum(list_transform(a.qv, x -> CAST(x * x AS DOUBLE))) AS DOUBLE)
                       * CAST(list_sum(list_transform(b.qv, x -> CAST(x * x AS DOUBLE))) AS DOUBLE))
@@ -217,7 +224,7 @@ def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ngram_jaccard_near_dups",
     oracle=r"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+      SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS t FROM documents
     ),
     sh AS (
       SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle

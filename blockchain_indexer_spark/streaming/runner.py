@@ -122,13 +122,24 @@ class IngestPipeline:
         return os.path.join(self.out_dir, name)
 
     def read_final(self, name: str) -> DataFrame | None:
+        """None means 'table not created yet' (first batch). Only
+        analysis errors (missing path/table) are treated that way —
+        a transient connection/auth failure in JDBC mode must PROPAGATE,
+        because swallowing it would make the exactly-once anti-join run
+        against existing=None and re-import every staged row as a
+        duplicate. Like the reference (which runs schema migrations up
+        front), a JDBC target whose driver reports a missing table as a
+        SQL error should have its schema created before ingest.
+        """
+        from pyspark.errors.exceptions.captured import AnalysisException
+
         try:
             if self.jdbc_url is not None:
                 return self.spark.read.jdbc(
                     self.jdbc_url, name, properties=self.jdbc_properties
                 )
             return self.spark.read.parquet(self._table_path(name))
-        except Exception:  # noqa: BLE001 — first batch: table doesn't exist yet
+        except AnalysisException:
             return None
 
     def _append(self, name: str, df: DataFrame, block_col: str) -> None:

@@ -59,3 +59,13 @@ def test_salted_join_matches_plain_join(spark):
     # outer flavor: unmatched big rows survive with NULL dim
     louter = salted_join(big, small, "key", how="left").filter(F.col("dim").isNull())
     assert louter.count() == big.join(small, "key", "left").filter(F.col("dim").isNull()).count()
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    import pytest
+
+    big = spark.range(10).select(F.lit("k").alias("key"), F.col("id"))
+    small = spark.createDataFrame([("k", 1)], "key string, dim int")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(big, small, "key", how=how)
