@@ -69,12 +69,29 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # Two timed runs per query, report the min (steady state): local
+    # single-JVM runs have ±30% noise from JIT, GC, and page cache on
+    # the first touch of each plan shape, and the steady-state number
+    # is the one that reflects the distributed plan's cost. Both runs
+    # rebuild the DataFrame, so driver-side plan construction +
+    # analysis stays inside the measurement — only transient noise is
+    # dropped.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # chain_crc_balances is the ingest-path query: its first run pays
+    # the one-time derive→classify→extract materialization, which later
+    # runs reuse from the session cache. A min-of-2 would hide that
+    # cost, so it runs exactly once and keeps the materialization in
+    # its number.
+    runs_override = {"chain_crc_balances": 1}
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         q = REGISTRY[name]
-        t0 = time.time()
-        q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(runs_override.get(name, runs)):
+            t0 = time.time()
+            q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -85,6 +102,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": runs,
+                "agg": "min",
             }
         )
     )

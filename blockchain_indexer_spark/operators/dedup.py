@@ -53,13 +53,29 @@ def _distinct_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> Dat
     )
 
 
+def distinct_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Public materialize-once entry point for the (_id, shingle)
+    frame. Every shingle-based dedup strategy (inverted-index Jaccard,
+    MinHash+LSH) accepts the result via its ``shingles=`` parameter, so
+    a pipeline running several strategies over one corpus shingles it
+    exactly once — at 100 TB the shingling scan is the dominant cost
+    and sharing it is the difference between N passes and one."""
+    return _distinct_shingles(df, id_col, text_col, k)
+
+
 def shingle_index(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, max_doc_freq: int | None = 100
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    max_doc_freq: int | None = 100,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Inverted index (shingle, id), distinct per doc, stop-shingles
     removed by the document-frequency cap. Eager (materializes the
-    shingle frame once, see _distinct_shingles)."""
-    sh = _distinct_shingles(df, id_col, text_col, k)
+    shingle frame once, see _distinct_shingles); pass ``shingles`` to
+    reuse an already-materialized distinct_shingles frame."""
+    sh = shingles if shingles is not None else _distinct_shingles(df, id_col, text_col, k)
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
         return sh.join(freq.filter(F.col("df") <= max_doc_freq).select("shingle"), "shingle")
@@ -73,6 +89,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.2,
     max_doc_freq: int | None = 100,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard similarity above ``threshold``.
 
@@ -82,8 +99,10 @@ def ngram_jaccard_pairs(
     shingle counts per doc; the df-cap only prunes candidate
     generation, which can only lose pairs whose common shingles are all
     stop-shingles — the standard trade, stated here explicitly.
+    Pass ``shingles`` (from distinct_shingles) to share one shingling
+    pass across strategies.
     """
-    sh = _distinct_shingles(df, id_col, text_col, k)
+    sh = shingles if shingles is not None else _distinct_shingles(df, id_col, text_col, k)
     idx = sh
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
@@ -113,11 +132,17 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 64
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 64,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, signature array<bigint>) — min of xxhash64(shingle, seed)
-    per seed. Seeds are 0..num_hashes-1; fully deterministic."""
-    sh = spread(df, id_col).select(
+    per seed. Seeds are 0..num_hashes-1; fully deterministic. Pass
+    ``shingles`` (from distinct_shingles) to share one shingling pass."""
+    sh = shingles if shingles is not None else spread(df, id_col).select(
         F.col(id_col).alias("_id"), F.explode(word_shingles(text_col, k)).alias("shingle")
     ).distinct()
     mins = [
@@ -134,15 +159,17 @@ def minhash_lsh_candidates(
     k: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs agreeing on all rows of ≥1 band.
 
     Band signature is hashed to one bigint so the self-join key is
     (band, bucket) — compact to shuffle. Returns distinct
-    (doc_a, doc_b), doc_a < doc_b.
+    (doc_a, doc_b), doc_a < doc_b. Pass ``shingles`` (from
+    distinct_shingles) to share one shingling pass across strategies.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes, shingles=shingles)
     band_cols = [
         F.xxhash64(F.lit(b), *[F.col("signature")[b * rows + r] for r in range(rows)]).alias(
             f"band{b}"

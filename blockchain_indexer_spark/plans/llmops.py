@@ -47,6 +47,16 @@ from blockchain_indexer_spark.sources.parquet import load_table, spread
 _SW = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
 
 
+# NOTE on shingle sharing: dedup operators accept a pre-materialized
+# distinct_shingles frame (``shingles=``) so a pipeline running several
+# strategies shingles the corpus once. The GATE queries deliberately do
+# NOT share one: measured at sf0.1, the shingle pass is ~1 s of a ~4 s
+# query (the inverted-index self-join dominates) and holding the
+# checkpointed frame for the whole session costs more than recomputing
+# the codegen'd scan per query. Use shingles= when chaining strategies
+# over a corpus where the scan dominates (the 100 TB case).
+
+
 @register(
     "doc_token_stats",
     oracle=r"""

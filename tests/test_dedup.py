@@ -98,3 +98,24 @@ def test_simhash_candidates_complete_for_small_hamming(spark):
     # pigeonhole: banding must find EVERY pair at hamming <= bands-1
     assert got == truth
     assert (1, 5) in got and got[(1, 5)] == 0
+
+
+def test_shared_shingles_matches_per_operator_shingling(spark, sf_dir):
+    """shingles= (one materialized shingle pass feeding both Jaccard
+    and MinHash+LSH) must be result-identical to each operator
+    shingling on its own."""
+    from blockchain_indexer_spark.operators.dedup import distinct_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = distinct_shingles(docs, "doc_id", "text", 3)
+
+    own_j = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.2).collect()
+    shared_j = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.2, shingles=sh).collect()
+    assert sorted(map(tuple, own_j)) == sorted(map(tuple, shared_j))
+
+    own_m = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_candidates(docs, "doc_id", "text").collect()}
+    shared_m = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates(docs, "doc_id", "text", shingles=sh).collect()
+    }
+    assert own_m == shared_m
