@@ -29,6 +29,8 @@ BENCH_QUERIES = (
     "latest_event_per_user",
     "topk_per_group",
     "gap_detection",
+    "tumbling_window_stats",
+    "event_sessionization",
     "doc_fingerprint_dedup",
     "ngram_jaccard_near_dups",
     "minhash_lsh_candidates",

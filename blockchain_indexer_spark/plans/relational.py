@@ -386,6 +386,100 @@ def version_disambiguation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tumbling_window_stats",
+    oracle="""
+    SELECT epoch_us(time_bucket(INTERVAL 6 HOURS, ts)) AS window_start_us,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling event-time window aggregate via F.window (the batch "
+    "twin of streaming/windows.py's watermarked per-window counts; "
+    "per-day cadence at 0.0.64.sql:1563-1569 generalized to sub-day "
+    "buckets). Window starts as epoch microseconds: both engines "
+    "align sub-day buckets to the epoch, and integer microseconds "
+    "hash-compare exactly where raw timestamps may not.",
+    survey_refs=("T10", "A4"),
+)
+def tumbling_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), _dsum("value").alias("total_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "event_sessionization",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, us,
+             CAST(SUM(CASE WHEN prev_us IS NULL
+                                OR us - prev_us > 1800000000 THEN 1
+                           ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM o
+    )
+    SELECT user_id, session_seq,
+           MIN(us) AS session_start_us,
+           MAX(us) AS session_end_us,
+           COUNT(*) AS n_events,
+           MAX(us) - MIN(us) AS duration_us
+    FROM s
+    GROUP BY 1, 2
+    """,
+    doc="Sessionization (gaps-and-islands): per-user sessions split on "
+    ">30 min inactivity — lag to flag session starts, running sum to "
+    "number them, one groupBy for per-session stats. The batch twin "
+    "of F.session_window; partition-by-user keeps the two window "
+    "passes and the final agg on ONE user-keyed shuffle, so at scale "
+    "it's a single exchange regardless of corpus size. Timestamps "
+    "compared as integer epoch microseconds (exact on both engines).",
+    survey_refs=("T10", "W2"),
+)
+def event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    return (
+        ev.select("user_id", "event_id", F.unix_micros(F.col("ts")).alias("us"))
+        .withColumn("prev_us", F.lag("us").over(w))
+        .withColumn(
+            "is_new",
+            (
+                F.col("prev_us").isNull()
+                | ((F.col("us") - F.col("prev_us")) > F.lit(1_800_000_000))
+            ).cast("int"),
+        )
+        .withColumn(
+            "session_seq",
+            F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("us").alias("session_start_us"),
+            F.max("us").alias("session_end_us"),
+            F.count("*").alias("n_events"),
+            (F.max("us") - F.min("us")).alias("duration_us"),
+        )
+    )
+
+
+@register(
     "gap_detection",
     oracle="""
     WITH present AS (

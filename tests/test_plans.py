@@ -22,6 +22,8 @@ HEADLINE = (
     "latest_event_per_user",
     "topk_per_group",
     "gap_detection",
+    "tumbling_window_stats",
+    "event_sessionization",
     "doc_fingerprint_dedup",
     "ngram_jaccard_near_dups",
     "minhash_lsh_candidates",
@@ -59,3 +61,13 @@ def test_no_cartesian_products_in_headline_plans(spark, sf_dir):
     for name in HEADLINE:
         p = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in p, f"{name}: cartesian product in plan"
+
+
+def test_sessionization_rides_one_shuffle(spark, sf_dir):
+    # lag, the running session counter, and the per-session agg must
+    # all reuse the single user_id exchange — a second exchange here
+    # would re-shuffle the full corpus at scale for no reason
+    p = _plan(spark, sf_dir, "event_sessionization")
+    assert p.count("Exchange") - p.count("ReusedExchange") == 1, (
+        f"expected exactly one shuffle:\n{p}"
+    )
