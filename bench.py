@@ -31,6 +31,8 @@ BENCH_QUERIES = (
     "gap_detection",
     "tumbling_window_stats",
     "event_sessionization",
+    "asof_latest_purchase",
+    "range_join_active_sessions",
     "doc_fingerprint_dedup",
     "ngram_jaccard_near_dups",
     "minhash_lsh_candidates",

@@ -1,0 +1,106 @@
+"""As-of join: match each left row to the temporally closest right row.
+
+Spark has no native ASOF JOIN (DuckDB does; pandas has merge_asof).
+The scalable formulation here is the union+window plan:
+
+    union(left, right) → one shuffle on the join key → sort by
+    (ts, side) → last(right payload, ignorenulls) over a running
+    window → keep left rows.
+
+That is ONE exchange of left+right regardless of time-range overlap —
+unlike the naive inequality-join formulation, whose candidate set is
+O(|left| × |right per key|) and which Spark can only plan as a
+broadcast nested loop or cartesian variant. A backward as-of over
+100 TB of events against a snapshot table shuffles each byte once.
+
+Semantics match ``pandas.merge_asof(left, right, by=on, on=ts)``:
+backward = latest right row with right_ts <= left_ts (allow_exact)
+or < left_ts (not allow_exact); forward mirrors it; ``tolerance``
+(in the ts column's own units) voids matches farther than the bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str | None = None,
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+    direction: str = "backward",
+    allow_exact: bool = True,
+    tolerance: int | float | None = None,
+) -> DataFrame:
+    """Left as-of join. Every left row survives; matched right columns
+    arrive as ``<col><suffix>`` (NULL where no right row qualifies).
+
+    on: equality key(s); left_ts/right_ts: ordering columns (orderable
+    type — numeric or timestamp). ``tolerance`` requires NUMERIC ts
+    columns (subtraction must yield a number — convert timestamps
+    with unix_micros first). right_cols: right payload columns to
+    carry (default: all but key+ts).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, not {direction!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    right_ts = right_ts or left_ts
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (*keys, right_ts)]
+
+    payload = F.struct(
+        F.col(right_ts).alias("_ts"), *[F.col(c) for c in right_cols]
+    ).alias("_asof_payload")
+    # side flag orders equal timestamps: with allow_exact a right row
+    # at ts == left ts must sort BEFORE the left row (visible to it),
+    # without it must sort after (invisible)
+    r_side = 0 if allow_exact else 2
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("_t"),
+        F.lit(r_side).alias("_side"),
+        payload,
+    )
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_asof_payload"].dataType).alias("_asof_payload"),
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+
+    order = [F.col("_t").asc(), F.col("_side").asc()]
+    if direction == "forward":
+        # forward = backward over reversed time: latest-preceding
+        # becomes earliest-following under descending order
+        order = [F.col("_t").desc(), F.col("_side").asc()]
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    matched = unioned.withColumn(
+        "_m", F.last("_asof_payload", ignorenulls=True).over(w)
+    ).filter(F.col("_side") == 1)
+
+    m: Column = F.col("_m")
+    if tolerance is not None:
+        gap = (
+            (F.col("_t") - m["_ts"])
+            if direction == "backward"
+            else (m["_ts"] - F.col("_t"))
+        )
+        m = F.when(gap <= F.lit(tolerance), m)
+
+    out = matched.select(
+        *left.columns,
+        m["_ts"].alias(f"{right_ts}{suffix}"),
+        *[m[c].alias(f"{c}{suffix}") for c in right_cols],
+    )
+    return out

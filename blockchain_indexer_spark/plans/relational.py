@@ -480,6 +480,117 @@ def event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_latest_purchase",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us, value
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, us AS purchase_us, value AS purchase_value
+      FROM (SELECT user_id, epoch_us(ts) AS us, value,
+                   row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+                                      ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'purchase')
+      WHERE rn = 1
+    )
+    SELECT c.event_id, c.user_id, c.us, c.value,
+           p.purchase_us, p.purchase_value
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND p.purchase_us <= c.us
+    """,
+    doc="As-of join (operators/asof.py): each click matched to the "
+    "user's latest purchase at-or-before it, NULL if none. Spark has "
+    "no native ASOF JOIN; the union+window plan shuffles left+right "
+    "ONCE on the key — no inequality-join candidate blowup. Oracle is "
+    "DuckDB's native ASOF LEFT JOIN. Right side deduped to one row "
+    "per (user, ts) so tie semantics are engine-independent.",
+    survey_refs=("LLM-asof",),
+)
+def asof_latest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", us.alias("us"), "value"
+    )
+    w = W.partitionBy("user_id", "purchase_us").orderBy(F.desc("event_id"))
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("purchase_us"), F.col("value").alias("purchase_value"), "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "purchase_us", "purchase_value")
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="us",
+        right_ts="purchase_us",
+        right_cols=["purchase_value"],
+        suffix="",
+    )
+
+
+@register(
+    "range_join_active_sessions",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, us,
+             SUM(CASE WHEN prev_us IS NULL
+                           OR us - prev_us > 1800000000 THEN 1
+                      ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM o
+    ),
+    sess AS (
+      SELECT user_id, session_seq,
+             MIN(us) AS start_us, MAX(us) AS end_us
+      FROM s GROUP BY 1, 2
+    ),
+    pts AS (SELECT event_id, epoch_us(ts) AS us FROM events)
+    SELECT p.event_id, COUNT(*) AS n_active
+    FROM pts p JOIN sess i ON p.us BETWEEN i.start_us AND i.end_us
+    GROUP BY 1
+    """,
+    doc="Range join (operators/range_join.py): per event, how many "
+    "user sessions (from event_sessionization's intervals) were "
+    "active at that instant. Spark plans a raw BETWEEN join as a "
+    "nested loop; the operator buckets intervals (1 h buckets) into "
+    "an equi-join + exact filter — sub-quadratic and shuffle-keyed. "
+    "Oracle computes the same count via DuckDB's inequality join.",
+    survey_refs=("LLM-range",),
+)
+def range_join_active_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.range_join import interval_point_join
+
+    sessions = event_sessionization(spark, sf_dir).select(
+        F.col("session_start_us").alias("start_us"),
+        F.col("session_end_us").alias("end_us"),
+    )
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select("event_id", F.unix_micros(F.col("ts")).alias("us"))
+    hour_us = 3_600_000_000
+    return (
+        interval_point_join(
+            pts, sessions, "us", "start_us", "end_us", bucket_width=hour_us
+        )
+        .groupBy("event_id")
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+@register(
     "gap_detection",
     oracle="""
     WITH present AS (

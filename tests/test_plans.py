@@ -24,6 +24,8 @@ HEADLINE = (
     "gap_detection",
     "tumbling_window_stats",
     "event_sessionization",
+    "asof_latest_purchase",
+    "range_join_active_sessions",
     "doc_fingerprint_dedup",
     "ngram_jaccard_near_dups",
     "minhash_lsh_candidates",
