@@ -69,6 +69,57 @@ def windowed_event_counts(
     )
 
 
+def session_event_stats(
+    feed: DataFrame, gap: str = "30 minutes", watermark: str = "2 days"
+) -> DataFrame:
+    """Per-account session windows over the feed: txs separated by
+    less than ``gap`` merge into one session; the window closes (and
+    its state evicts) once the watermark passes its end.
+
+    This is the streaming twin of the batch gaps-and-islands
+    sessionization (plans/relational.py event_sessionization) with
+    Spark's native boundary convention: ``F.session_window`` ends a
+    session at last-event + gap and treats an event exactly at the
+    boundary as a NEW session (windows are [start, end)), where the
+    batch lag-formulation merges on `diff <= gap`. Runs identically
+    over a batch frame (tested stream-vs-batch).
+    """
+    with_ts = feed.withColumn("_event_time", F.timestamp_seconds("block_timestamp"))
+    return (
+        with_ts.withWatermark("_event_time", watermark)
+        .filter(F.col("hash").isNotNull())
+        .groupBy(
+            F.col("from").alias("account"),
+            F.session_window("_event_time", gap).alias("w"),
+        )
+        .agg(F.count("*").alias("n_txs"))
+        .select(
+            "account",
+            F.col("w").start.alias("session_start"),
+            F.col("w").end.alias("session_end"),
+            "n_txs",
+        )
+    )
+
+
+def dedup_feed_stream(feed: DataFrame, watermark: str = "2 days") -> DataFrame:
+    """Streaming-native duplicate-tx suppression on the live feed.
+
+    The promote path dedups exactly-once via the staged-vs-final
+    anti-join (operators/promote.py merge_new, the reference's
+    already-imported check); this is its in-flight twin for consumers
+    reading the feed directly: one state row per tx hash, evicted once
+    the watermark passes — bounded state, unlike a plain
+    dropDuplicates which would keep every hash forever on a stream.
+    """
+    return (
+        feed.withColumn("_event_time", F.timestamp_seconds("block_timestamp"))
+        .withWatermark("_event_time", watermark)
+        .dropDuplicatesWithinWatermark(["hash"])
+        .drop("_event_time")
+    )
+
+
 def _totals_fn(
     key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:

@@ -124,3 +124,57 @@ def test_running_account_totals_stateful(spark, tmp_path_factory, feed_df):  # n
         if len(seen) > 1 and max(n for _, n in seen) > min(n for _, n in seen)
     ]
     assert grew, "no account accumulated across the two runs"
+
+
+def test_session_windows_stream_matches_batch(spark, tmp_path_factory, feed_df):  # noqa: F811
+    from blockchain_indexer_spark.streaming.windows import session_event_stats
+
+    root = str(tmp_path_factory.mktemp("sw"))
+    feed_dir, ckpt = os.path.join(root, "feed"), os.path.join(root, "ckpt")
+    feed_df.write.parquet(feed_dir)
+
+    batch = {
+        (r["account"], r["session_start"], r["session_end"], r["n_txs"])
+        for r in session_event_stats(feed_df).collect()
+    }
+    stream = spark.readStream.schema(FEED_SCHEMA).parquet(feed_dir)
+    q = (
+        session_event_stats(stream)
+        .writeStream.format("memory")
+        .queryName("sw_out")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["account"], r["session_start"], r["session_end"], r["n_txs"])
+        for r in spark.table("sw_out").collect()
+    }
+    assert got == batch and len(got) > 0
+
+
+def test_dedup_feed_stream_suppresses_replayed_hashes(spark, tmp_path_factory, feed_df):  # noqa: F811
+    from blockchain_indexer_spark.streaming.windows import dedup_feed_stream
+
+    root = str(tmp_path_factory.mktemp("dd"))
+    feed_dir, ckpt = os.path.join(root, "feed"), os.path.join(root, "ckpt")
+    # write the same feed twice — a replayed/duplicated source
+    feed_df.write.parquet(feed_dir)
+    feed_df.write.mode("append").parquet(feed_dir)
+
+    stream = spark.readStream.schema(FEED_SCHEMA).parquet(feed_dir)
+    q = (
+        dedup_feed_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dd_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [r["hash"] for r in spark.table("dd_out").collect()]
+    expected = {r["hash"] for r in feed_df.select("hash").collect()}
+    assert len(got) == len(set(got)) == len(expected)

@@ -70,13 +70,13 @@ STATIC: dict[str, tuple[str, str]] = {
     "T1": ("runner trigger config (ProcessingTime / AvailableNow)", "tests/test_streaming.py"),
     "T2": ("micro-batch model (built-in backpressure); stateful ops via applyInPandasWithState (streaming/windows.py)", "tests/test_streaming_windows.py"),
     "T3": ("operators/promote.py complete_blocks", "tests/test_promote.py"),
-    "T4": ("operators/promote.py merge_new anti-join", "tests/test_promote.py"),
+    "T4": ("operators/promote.py merge_new anti-join; streaming twin windows.py dedup_feed_stream", "tests/test_promote.py"),
     "T5": ("operators/promote.py retract_from + runner.signal_reorg", "tests/test_promote.py"),
     "T6": ("sources/blocks.py find_gaps + last_valid_block", "tests/test_streaming.py"),
     "T7": ("operators/promote.py disambiguate_blocks", "tests/test_promote.py"),
     "T8": ("operators/caches.py (stale-key incremental refresh)", "tests/test_caches_rpc_health.py"),
     "T9": ("views crc_capacity_graph(since_block=...)", "tests/test_views.py"),
-    "T10": ("per-day tumbling via to_date (A4) + streaming/windows.py watermarked event-time windows", "tests/test_streaming_windows.py"),
+    "T10": ("per-day tumbling (A4) + streaming/windows.py watermarked windows, session_window sessions", "tests/test_streaming_windows.py"),
     "T11": ("runner available_now (bulk) vs processing-time (live)", "tests/test_streaming.py"),
     "UDTF": ("operators/views.py get_capacity", "gate query"),
     "LLM-dedup": ("operators/dedup.py (exact/jaccard/minhash/simhash)", "tests/test_dedup.py"),
