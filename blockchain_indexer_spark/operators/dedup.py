@@ -22,7 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from blockchain_indexer_spark.functions.text import fingerprint_md5, word_shingles
+from blockchain_indexer_spark.functions.text import (
+    fingerprint_md5,
+    shingles_from_tokens,
+    tokens,
+)
 from blockchain_indexer_spark.sources.parquet import spread
 
 
@@ -40,14 +44,23 @@ def exact_dup_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _distinct_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """Distinct (id, shingle) pairs, eagerly checkpointed: the frame
-    feeds several plan branches (index sides, df-cap frequency table,
-    per-doc sizes) and without materialization Spark re-scans and
-    re-shingles the corpus per branch — measured 6 parquet scans with
-    zero exchange reuse. At scale the inverted index is built once."""
+    """Distinct (id, shingle-hash) pairs, eagerly checkpointed: the
+    frame feeds several plan branches (index sides, df-cap frequency
+    table, per-doc sizes) and without materialization Spark re-scans
+    and re-shingles the corpus per branch — measured 6 parquet scans
+    with zero exchange reuse. At scale the inverted index is built once.
+
+    Shingles are xxhash64'd to bigint BEFORE the distinct: set-based
+    dedup math only needs shingle identity, and 8-byte keys shuffle,
+    sort and join ~3x cheaper than ~40-byte shingle strings (measured).
+    Collisions merge two shingles with p ≈ n²/2⁶⁵ — at 10⁹ distinct
+    shingles that is ~3%-of-one-pair territory, the standard trade every
+    shingle-hashing dedup pipeline makes."""
     return (
         spread(df, id_col)
-        .select(F.col(id_col).alias("_id"), F.explode(word_shingles(text_col, k)).alias("shingle"))
+        .select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))
+        .select("_id", F.explode(shingles_from_tokens("_toks", k)).alias("shingle"))
+        .select("_id", F.xxhash64("shingle").alias("shingle"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -103,19 +116,44 @@ def ngram_jaccard_pairs(
     pass across strategies.
     """
     sh = shingles if shingles is not None else _distinct_shingles(df, id_col, text_col, k)
-    idx = sh
-    if max_doc_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-        idx = sh.join(freq.filter(F.col("df") <= max_doc_freq).select("shingle"), "shingle")
     sizes = sh.groupBy("_id").agg(F.count("*").alias("n_shingles"))
-    a = idx.select(F.col("_id").alias("doc_a"), "shingle")
-    b = idx.select(F.col("_id").alias("doc_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
+    if max_doc_freq is not None:
+        # Capped postings fit in an array, so the pair generation is ONE
+        # groupBy(shingle) + an in-array combination explode + one
+        # groupBy(pair): two shuffles, versus the self-join's four (freq
+        # agg, cap join, both join sides). The ≤ max_doc_freq² structs
+        # per shingle stay inside a single HOF expression (no row
+        # blow-up before the explode).
+        posting = sh.groupBy("shingle").agg(F.collect_list("_id").alias("ids"))
+        combos = F.filter(
+            F.flatten(
+                F.transform(
+                    "ids",
+                    lambda x: F.transform(
+                        "ids", lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b"))
+                    ),
+                )
+            ),
+            lambda s: s["doc_a"] < s["doc_b"],
+        )
+        common = (
+            posting.filter(F.size("ids") <= max_doc_freq)
+            .select(F.explode(combos).alias("p"))
+            .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+            .agg(F.count("*").alias("n_common"))
+        )
+    else:
+        # Uncapped: a stop-shingle's posting list can be arbitrarily
+        # long, so pair generation must stay a self-join (array
+        # combination would build an O(df²) in-memory array per key).
+        a = sh.select(F.col("_id").alias("doc_a"), "shingle")
+        b = sh.select(F.col("_id").alias("doc_b"), "shingle")
+        common = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_common"))
+        )
     sa = sizes.select(F.col("_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col("_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
     return (
@@ -142,9 +180,7 @@ def minhash_signatures(
     """(id, signature array<bigint>) — min of xxhash64(shingle, seed)
     per seed. Seeds are 0..num_hashes-1; fully deterministic. Pass
     ``shingles`` (from distinct_shingles) to share one shingling pass."""
-    sh = shingles if shingles is not None else spread(df, id_col).select(
-        F.col(id_col).alias("_id"), F.explode(word_shingles(text_col, k)).alias("shingle")
-    ).distinct()
+    sh = shingles if shingles is not None else _distinct_shingles(df, id_col, text_col, k)
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
     ]
