@@ -429,3 +429,143 @@ def embedding_topk_qcosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(
         emb, queries, "vec_id", "embedding", k=5, metric="quantized_cosine"
     )
+
+
+@register(
+    "doc_dedup_clusters",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+      WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    kept AS (
+      SELECT sh.* FROM sh
+      JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100) f
+        USING (shingle)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges0 AS (
+      SELECT p.doc_a, p.doc_b
+      FROM pairs p
+      JOIN sizes sa ON sa.doc_id = p.doc_a
+      JOIN sizes sb ON sb.doc_id = p.doc_b
+      WHERE CAST(p.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.n_common) >= 0.2
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM edges0
+      UNION SELECT doc_b, doc_a FROM edges0
+    ),
+    reach(id, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, reach.r FROM edges e JOIN reach ON e.a = reach.id
+    ),
+    comp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+    SELECT d.doc_id,
+           COALESCE(c.cluster, d.doc_id) AS cluster,
+           COALESCE(c.cluster, d.doc_id) = d.doc_id AS keep
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    """,
+    doc="Transitive-closure dedup verdict: 3-gram Jaccard >= 0.2 pairs "
+    "(ngram_jaccard_pairs) resolved to duplicate clusters by "
+    "connected components (operators.cluster, min-label propagation); "
+    "every document gets (cluster, keep). The oracle recomputes the "
+    "closure with a recursive CTE — validating the ITERATIVE Spark "
+    "algorithm against an independent fixpoint computation.",
+    survey_refs=("LLM-dedup",),
+)
+def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.cluster import dedup_survivors
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", k=3, threshold=0.2, max_doc_freq=100
+    ).select("doc_a", "doc_b")
+    return dedup_survivors(d, pairs, "doc_id").select(
+        F.col("id").alias("doc_id"), "cluster", "keep"
+    )
+
+
+@register(
+    "doc_train_split",
+    oracle="""
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+             AS bucket,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
+                THEN 'train'
+                WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 95
+                THEN 'val'
+                ELSE 'test'
+           END AS split
+    FROM documents
+    """,
+    doc="Deterministic 90/5/5 train/val/test assignment by md5 hash "
+    "bucket of the doc id (operators.sampling.hash_split): stable "
+    "across runs and engines, pure projection (no shuffle), unlike "
+    "randomSplit. Oracle reproduces the md5 bucket arithmetic.",
+    survey_refs=("LLM-sample",),
+)
+def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.sampling import hash_bucket, hash_split
+
+    d = load_table(spark, sf_dir, "documents")
+    return hash_split(d, "doc_id").select(
+        "doc_id", hash_bucket("doc_id", 100).alias("bucket"), "split"
+    )
+
+
+@register(
+    "doc_top_terms",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS tok
+      FROM documents
+    ),
+    t AS (SELECT * FROM toks WHERE tok <> ''),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+    dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1)
+    SELECT doc_id, CAST(rn AS BIGINT) AS rank, tok, tf, df
+    FROM (SELECT tf.doc_id, tf.tok, tf.tf, dfq.df,
+                 row_number() OVER (PARTITION BY tf.doc_id
+                                    ORDER BY tf.tf DESC, dfq.df ASC, tf.tok ASC) AS rn
+          FROM tf JOIN dfq USING (tok))
+    WHERE rn <= 3
+    """,
+    doc="Integer-exact keyword extraction: top-3 terms per document "
+    "ranked by term frequency desc, corpus document-frequency asc "
+    "(rarer wins ties), token asc — a tf-idf-shaped ranking with no "
+    "floats, so it is engine-reproducible. Two shuffles (tf groupBy, "
+    "df groupBy) + a broadcast-able df join.",
+    survey_refs=("LLM-text",),
+)
+def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from blockchain_indexer_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        spread(d, "doc_id")
+        .select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    w = W.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("df"), F.asc("tok"))
+    return (
+        tf.join(dfq, "tok")
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "tok", "tf", "df")
+    )

@@ -1,0 +1,77 @@
+"""Connected-components dedup clustering and deterministic sampling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from blockchain_indexer_spark.operators.cluster import connected_components, dedup_survivors
+from blockchain_indexer_spark.operators.sampling import hash_bucket, hash_split
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src bigint, dst bigint")
+
+
+def test_components_merge_transitively(spark):
+    # 1-2, 2-3 chain plus isolated pair 7-9: {1,2,3} and {7,9}
+    out = connected_components(_edges(spark, [(1, 2), (2, 3), (7, 9)]))
+    got = {r["id"]: r["cluster"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_components_long_path_converges(spark):
+    # path 0-1-...-9 has diameter 9: needs several propagation rounds
+    out = connected_components(_edges(spark, [(i, i + 1) for i in range(9)]))
+    assert {r["cluster"] for r in out.collect()} == {0}
+
+
+def test_components_diameter_cap_raises(spark):
+    with pytest.raises(RuntimeError, match="not converged"):
+        connected_components(_edges(spark, [(i, i + 1) for i in range(9)]), max_iter=2)
+
+
+def test_dedup_survivors_labels_singletons(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id bigint")
+    pairs = spark.createDataFrame([(1, 4), (4, 5)], "doc_a bigint, doc_b bigint")
+    out = {r["id"]: (r["cluster"], r["keep"]) for r in
+           dedup_survivors(docs, pairs, "doc_id").collect()}
+    assert out == {
+        0: (0, True), 1: (1, True), 2: (2, True), 3: (3, True),
+        4: (1, False), 5: (1, False),
+    }
+
+
+def test_hash_split_deterministic_and_complete(spark):
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = hash_split(df, "doc_id").groupBy("split").count().collect()
+    b = hash_split(df, "doc_id").groupBy("split").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    counts = {r["split"]: r["count"] for r in a}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 2000
+    # 90/5/5 within loose tolerance (hash uniformity, not RNG)
+    assert 0.85 <= counts["train"] / 2000 <= 0.95
+
+
+def test_hash_split_validates_percentages(spark):
+    df = spark.range(10).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="sum to 100"):
+        hash_split(df, "doc_id", {"train": 50, "test": 40})
+
+
+def test_hash_bucket_matches_duckdb(spark):
+    import duckdb
+
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    got = {
+        r["doc_id"]: r["b"]
+        for r in df.select("doc_id", hash_bucket("doc_id", 100).alias("b")).collect()
+    }
+    want = dict(
+        duckdb.sql(
+            "SELECT i, CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 100 "
+            "FROM range(100) t(i)"
+        ).fetchall()
+    )
+    assert got == want
