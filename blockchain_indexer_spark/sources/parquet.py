@@ -59,6 +59,11 @@ def _raw_load(spark: SparkSession, path: str) -> DataFrame:
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.name == "ts" and field.dataType.simpleString() == "timestamp_ntz":
+            # The resplit cache rewrites ns-timestamps with pyarrow, which
+            # stores isAdjustedToUTC=false → Spark reads TIMESTAMP_NTZ.
+            # Session tz is pinned UTC, so the cast is a pure type change.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
