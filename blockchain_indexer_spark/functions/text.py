@@ -103,6 +103,63 @@ def rolling_fingerprint(
     return F.when(F.length(norm) == 0, F.lit(0).cast("bigint")).otherwise(fp)
 
 
+def doc_lines(col: Column | str) -> Column:
+    """Non-empty trimmed lines of the document (split on newline).
+
+    The unit of the repetition heuristics below — kept raw-case, unlike
+    tokens(), because duplicate-line detection should not merge lines
+    differing only in case.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.transform(F.split(c, "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+
+
+def _sum_lengths(arr: Column) -> Column:
+    return F.aggregate(
+        F.transform(arr, lambda x: F.length(x).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda a, b: a + b,
+    )
+
+
+def dup_line_fraction(col: Column | str) -> Column:
+    """Fraction of lines that are repeats of an earlier line
+    (n_lines - n_distinct_lines) / n_lines; 0.0 for line-less docs.
+
+    The Gopher-style repetition signal: boilerplate and templated spam
+    score high. Pure array expression — no explode, no shuffle; the
+    whole metric rides in the scan projection.
+    """
+    ls = doc_lines(col)
+    n = F.size(ls)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        (n - F.size(F.array_distinct(ls))).cast("double") / n.cast("double")
+    )
+
+
+def dup_line_char_fraction(col: Column | str) -> Column:
+    """Character-weighted duplicate-line fraction: chars inside repeated
+    lines / chars inside all lines (0.0 when there are no line chars).
+    Weighting by length separates one long boilerplate block from many
+    short repeats."""
+    ls = doc_lines(col)
+    total = _sum_lengths(ls)
+    distinct_chars = _sum_lengths(F.array_distinct(ls))
+    return F.when(total == 0, F.lit(0.0)).otherwise(
+        (total - distinct_chars).cast("double") / total.cast("double")
+    )
+
+
+def mean_word_length(col: Column | str) -> Column:
+    """Mean token length (characters / token over whitespace tokens).
+    Extreme values either way are a quality red flag."""
+    toks = tokens(col)
+    return _sum_lengths(toks).cast("double") / F.size(toks).cast("double")
+
+
 def shingles_from_tokens(toks: Column | str, k: int = 3) -> Column:
     """Array of k-word shingles from an ALREADY-MATERIALIZED token
     array column; empty when < k tokens.

@@ -335,6 +335,66 @@ def cosine_near_dup_pairs(
     )
 
 
+def decontaminate(
+    train: DataFrame | None = None,
+    eval_df: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_common: int = 10,
+    train_shingles: DataFrame | None = None,
+    eval_shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: per training document, how many of
+    its distinct k-shingles appear anywhere in the held-out/eval set.
+
+    The standard pretraining hygiene pass (flag-and-drop training
+    documents that overlap an eval benchmark). Shape: the eval side
+    collapses to a distinct-shingle set and is **broadcast** — eval
+    suites are tiny (10^3..10^6 shingles) next to a 100 TB corpus, so
+    the contamination scan is one map-side hash-join over the training
+    shingle frame, no shuffle of the corpus. If the eval side ever
+    outgrows broadcast, drop the hint and the same plan becomes a
+    shuffle join keyed on the 8-byte shingle hash.
+
+    Returns (``id_col``, n_shingles, n_common_eval, contamination,
+    is_contaminated): contamination = n_common_eval / n_shingles,
+    flagged when n_common_eval >= ``min_common``. Documents with fewer
+    than k tokens have no shingles and drop out (no 0/0 row).
+    Pass ``train_shingles``/``eval_shingles`` (from distinct_shingles)
+    to reuse a corpus-wide shingling pass — e.g. shingle once, then
+    split train/eval by membership.
+    """
+    tsh = (
+        train_shingles
+        if train_shingles is not None
+        else _distinct_shingles(train, id_col, text_col, k)
+    )
+    esh = (
+        eval_shingles
+        if eval_shingles is not None
+        else _distinct_shingles(eval_df, id_col, text_col, k)
+    )
+    eval_set = esh.select("shingle").distinct()
+    sizes = tsh.groupBy("_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        tsh.join(F.broadcast(eval_set), "shingle")
+        .groupBy("_id")
+        .agg(F.count("*").alias("n_common_eval"))
+    )
+    n_common = F.coalesce(F.col("n_common_eval"), F.lit(0).cast("bigint"))
+    return (
+        sizes.join(hits, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_shingles",
+            n_common.alias("n_common_eval"),
+            (n_common.cast("double") / F.col("n_shingles")).alias("contamination"),
+            (n_common >= min_common).alias("is_contaminated"),
+        )
+    )
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash over whitespace tokens (with multiplicity).
 

@@ -11,7 +11,7 @@ layout dependent), which is why this module exists.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -57,3 +57,36 @@ def hash_split(
         expr = F.when(b < hi, name) if expr is None else expr.when(b < hi, name)
     split_col = F.lit(last_name) if expr is None else expr.otherwise(last_name)
     return df.withColumn("split", split_col)
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    cap: int,
+) -> DataFrame:
+    """Deterministic per-group quota sample: keep the ``cap`` rows of
+    each group that sort first by md5(id) — e.g. "at most N documents
+    per domain/language" corpus balancing.
+
+    Hash order makes the selection a uniform-without-replacement sample
+    that is stable across runs, partition layouts, and engines (ties
+    broken by the id itself, though md5 collisions are not a practical
+    concern). Appends ``sample_rank`` (1-based within the group).
+
+    Scale shape: one hash-partitioned window sort keyed on the group —
+    the same shuffle any per-group top-k pays. For a pathologically
+    large group (≫ executor memory), pre-thin first with
+    ``hash_bucket(id, B) < ceil(B * cap * slack / group_count)`` — a
+    pure map-side filter — then apply the exact window to the
+    survivors; the hash order makes the two-phase result identical to
+    the one-phase result with probability 1 - P[undershoot], tunable
+    via slack.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("sample_rank") <= cap)
+    )

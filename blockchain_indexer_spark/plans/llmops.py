@@ -569,3 +569,167 @@ def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "rank", "tok", "tf", "df")
     )
+
+
+@register(
+    "doc_decontamination",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+      WHERE len(t) >= 3
+    ),
+    split AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+      FROM documents
+    ),
+    tr AS (SELECT sh.* FROM sh JOIN split USING (doc_id) WHERE b < 90),
+    ev AS (SELECT DISTINCT shingle FROM sh JOIN split USING (doc_id) WHERE b >= 90),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY doc_id),
+    hits AS (
+      SELECT tr.doc_id, COUNT(*) AS n_common_eval
+      FROM tr JOIN ev USING (shingle) GROUP BY tr.doc_id
+    )
+    SELECT s.doc_id, s.n_shingles,
+           COALESCE(h.n_common_eval, 0) AS n_common_eval,
+           CAST(COALESCE(h.n_common_eval, 0) AS DOUBLE) / s.n_shingles AS contamination,
+           COALESCE(h.n_common_eval, 0) >= 10 AS is_contaminated
+    FROM sizes s LEFT JOIN hits h USING (doc_id)
+    """,
+    doc="Benchmark decontamination: per training document (hash_split "
+    "train side), distinct 3-shingles shared with the held-out val+test "
+    "side (operators.dedup.decontaminate). One corpus-wide shingling "
+    "pass feeds both sides; the eval shingle set is broadcast so the "
+    "contamination scan never shuffles the training corpus.",
+    survey_refs=("LLM-decontam", "LLM-dedup", "LLM-sample"),
+)
+def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.dedup import decontaminate, distinct_shingles
+    from blockchain_indexer_spark.operators.sampling import hash_split
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = distinct_shingles(d, "doc_id", "text", 3)
+    split = hash_split(d.select("doc_id"), "doc_id").select(
+        F.col("doc_id").alias("_id"), "split"
+    )
+    tsh = sh.join(split.filter(F.col("split") == "train").drop("split"), "_id")
+    esh = sh.join(split.filter(F.col("split") != "train").drop("split"), "_id")
+    return decontaminate(train_shingles=tsh, eval_shingles=esh, min_common=10)
+
+
+@register(
+    "doc_repetition_stats",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                         l -> length(l) > 0) AS lines,
+             string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS t
+      FROM documents
+    ),
+    lm AS (
+      SELECT doc_id,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CASE WHEN len(lines) = 0 THEN 0.0
+                  ELSE CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines)
+             END AS dup_line_frac,
+             CASE WHEN COALESCE(list_sum(list_transform(lines, l -> length(l))), 0) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(lines, l -> length(l)))
+                            - list_sum(list_transform(list_distinct(lines), l -> length(l)))
+                            AS DOUBLE)
+                       / list_sum(list_transform(lines, l -> length(l)))
+             END AS dup_char_frac,
+             CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+               AS mean_word_len
+      FROM base
+    ),
+    bg AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
+      FROM base, UNNEST(range(1, len(t))) AS r(i)
+      WHERE len(t) >= 2
+    ),
+    cnt AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    top AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bigrams FROM cnt GROUP BY doc_id)
+    SELECT lm.doc_id, lm.n_lines, lm.dup_line_frac, lm.dup_char_frac, lm.mean_word_len,
+           CAST(top.top_c AS DOUBLE) / top.n_bigrams AS top_bigram_frac,
+           (lm.dup_line_frac > 0.1
+            OR COALESCE(CAST(top.top_c AS DOUBLE) / top.n_bigrams, 0.0) > 0.2) AS is_repetitive
+    FROM lm LEFT JOIN top USING (doc_id)
+    """,
+    doc="Gopher-style repetition metrics: duplicate-line fraction (row "
+    "and character weighted) as pure array expressions in the scan "
+    "projection, most-common-bigram fraction via explode + two "
+    "groupBys, mean word length. All ratios are divisions of exact "
+    "integers, so both engines agree bit-for-bit.",
+    survey_refs=("LLM-text", "LLM-dedup"),
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.functions.text import (
+        doc_lines,
+        dup_line_char_fraction,
+        dup_line_fraction,
+        mean_word_length,
+        shingles_from_tokens,
+        tokens,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    base = spread(d, "doc_id").select(
+        "doc_id",
+        F.size(doc_lines("text")).cast("bigint").alias("n_lines"),
+        dup_line_fraction("text").alias("dup_line_frac"),
+        dup_line_char_fraction("text").alias("dup_char_frac"),
+        mean_word_length("text").alias("mean_word_len"),
+    )
+    bg = (
+        spread(d, "doc_id")
+        .select("doc_id", tokens("text").alias("_t"))
+        .select("doc_id", F.explode(shingles_from_tokens("_t", 2)).alias("bigram"))
+    )
+    top = (
+        bg.groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_bigrams"))
+    )
+    top_frac = F.col("top_c").cast("double") / F.col("n_bigrams")
+    return base.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        "dup_line_frac",
+        "dup_char_frac",
+        "mean_word_len",
+        top_frac.alias("top_bigram_frac"),
+        (
+            (F.col("dup_line_frac") > 0.1) | (F.coalesce(top_frac, F.lit(0.0)) > 0.2)
+        ).alias("is_repetitive"),
+    )
+
+
+@register(
+    "doc_quota_sample",
+    oracle="""
+    SELECT doc_id, lang, CAST(rn AS BIGINT) AS sample_rank
+    FROM (SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents)
+    WHERE rn <= 40
+    """,
+    doc="Corpus balancing by per-group quota: at most 40 documents per "
+    "language, selected by md5-hash order (operators.sampling."
+    "quota_sample) — a uniform, run- and engine-stable without-"
+    "replacement sample; one window sort keyed on the group.",
+    survey_refs=("LLM-sample", "W1"),
+)
+def doc_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.sampling import quota_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return quota_sample(d.select("doc_id", "lang"), "lang", "doc_id", 40).select(
+        "doc_id", "lang", "sample_rank"
+    )

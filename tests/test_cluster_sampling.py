@@ -75,3 +75,28 @@ def test_hash_bucket_matches_duckdb(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_quota_sample_caps_each_group(spark):
+    from blockchain_indexer_spark.operators.sampling import quota_sample
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 50 else "small") for i in range(60)], "doc_id bigint, g string"
+    )
+    out = quota_sample(df, "g", "doc_id", 20)
+    counts = {r["g"]: r["count"] for r in out.groupBy("g").count().collect()}
+    assert counts == {"big": 20, "small": 10}  # small group kept whole
+    ranks = [r["sample_rank"] for r in out.filter(F.col("g") == "big").collect()]
+    assert sorted(ranks) == list(range(1, 21))
+
+
+def test_quota_sample_deterministic_selection(spark):
+    from blockchain_indexer_spark.operators.sampling import quota_sample
+
+    df = spark.createDataFrame([(i, i % 3) for i in range(90)], "doc_id bigint, g int")
+    a = {(r["doc_id"], r["sample_rank"]) for r in quota_sample(df, "g", "doc_id", 7).collect()}
+    b = {
+        (r["doc_id"], r["sample_rank"])
+        for r in quota_sample(df.repartition(13), "g", "doc_id", 7).collect()
+    }
+    assert a == b and len(a) == 21

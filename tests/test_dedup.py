@@ -119,3 +119,38 @@ def test_shared_shingles_matches_per_operator_shingling(spark, sf_dir):
         for r in minhash_lsh_candidates(docs, "doc_id", "text", shingles=sh).collect()
     }
     assert own_m == shared_m
+
+
+def test_decontaminate_flags_eval_overlap(spark):
+    from blockchain_indexer_spark.operators.dedup import decontaminate
+
+    # train doc 1 == eval doc 10 verbatim; train doc 2 shares nothing
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "entirely different words without any overlap here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    ev = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog")], "doc_id bigint, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_shingles"], r["n_common_eval"], r["is_contaminated"])
+        for r in decontaminate(train, ev, "doc_id", "text", k=3, min_common=3).collect()
+    }
+    assert out[1] == (7, 7, True)  # 9 tokens -> 7 trigrams, all shared
+    assert out[2] == (5, 0, False)
+
+
+def test_decontaminate_contamination_ratio(spark):
+    from blockchain_indexer_spark.operators.dedup import decontaminate
+
+    # half of train doc's shingles overlap the eval side
+    train = spark.createDataFrame([(1, "a b c d e f")], "doc_id bigint, text string")
+    ev = spark.createDataFrame([(2, "a b c d")], "doc_id bigint, text string")
+    row = decontaminate(train, ev, "doc_id", "text", k=3, min_common=1).collect()[0]
+    assert row["n_shingles"] == 4  # "a b c" .. "d e f"
+    assert row["n_common_eval"] == 2  # "a b c", "b c d"
+    assert row["contamination"] == 0.5
+    assert row["is_contaminated"]

@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from blockchain_indexer_spark.functions.text import (
@@ -98,3 +99,32 @@ def test_rolling_fingerprint_matches_python_reference(spark):
         assert got == [py_fp(t) for t in texts]
 
     check()
+
+
+def test_repetition_metrics(spark):
+    from blockchain_indexer_spark.functions.text import (
+        dup_line_char_fraction,
+        dup_line_fraction,
+        mean_word_length,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b\na b\nc d"),  # 3 lines, one repeat
+            (2, "unique line\nother line"),
+            (3, "   \n  "),  # only blank lines
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: (r["dl"], r["dc"], r["mw"])
+        for r in df.select(
+            "doc_id",
+            dup_line_fraction("text").alias("dl"),
+            dup_line_char_fraction("text").alias("dc"),
+            mean_word_length("text").alias("mw"),
+        ).collect()
+    }
+    assert out[1] == (pytest.approx(1 / 3), pytest.approx(1 / 3), pytest.approx(1.0))
+    assert out[2] == (0.0, 0.0, pytest.approx(4.75))
+    assert out[3][:2] == (0.0, 0.0)
