@@ -19,7 +19,7 @@ shuffle-conscious DataFrame plans:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from blockchain_indexer_spark.functions.text import (
@@ -43,7 +43,9 @@ def exact_dup_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _distinct_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+def _distinct_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int, hash_shingles: bool = True
+) -> DataFrame:
     """Distinct (id, shingle-hash) pairs, eagerly checkpointed: the
     frame feeds several plan branches (index sides, df-cap frequency
     table, per-doc sizes) and without materialization Spark re-scans
@@ -55,15 +57,29 @@ def _distinct_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> Dat
     sort and join ~3x cheaper than ~40-byte shingle strings (measured).
     Collisions merge two shingles with p ≈ n²/2⁶⁵ — at 10⁹ distinct
     shingles that is ~3%-of-one-pair territory, the standard trade every
-    shingle-hashing dedup pipeline makes."""
-    return (
+    shingle-hashing dedup pipeline makes. ``hash_shingles=False`` keeps
+    the shingle strings — needed by the md5 cross-engine variants whose
+    DuckDB oracle must hash the same representation."""
+    sh = (
         spread(df, id_col)
         .select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))
         .select("_id", F.explode(shingles_from_tokens("_toks", k)).alias("shingle"))
-        .select("_id", F.xxhash64("shingle").alias("shingle"))
-        .distinct()
-        .localCheckpoint(eager=True)
     )
+    if hash_shingles:
+        sh = sh.select("_id", F.xxhash64("shingle").alias("shingle"))
+    return sh.distinct().localCheckpoint(eager=True)
+
+
+def md5_bigint60(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative bigint.
+
+    The engine-portable hash: every engine has md5, so operators built
+    on it are oracle-reproducible cross-engine (unlike xxhash64). 15
+    hex chars = 60 bits keeps the value inside a signed 64-bit range on
+    both sides. ~3x slower than xxhash64 — use for correctness gates
+    and cross-engine contracts, xxhash64 for the production hot path.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
 def distinct_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
@@ -176,14 +192,28 @@ def minhash_signatures(
     k: int = 3,
     num_hashes: int = 64,
     shingles: DataFrame | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """(id, signature array<bigint>) — min of xxhash64(shingle, seed)
-    per seed. Seeds are 0..num_hashes-1; fully deterministic. Pass
-    ``shingles`` (from distinct_shingles) to share one shingling pass."""
-    sh = shingles if shingles is not None else _distinct_shingles(df, id_col, text_col, k)
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
-    ]
+    """(id, signature array<bigint>) — min of hash(shingle, seed) per
+    seed. Seeds are 0..num_hashes-1; fully deterministic. Pass
+    ``shingles`` (from distinct_shingles) to share one shingling pass.
+
+    ``hash_fn``: "xxhash64" (default, JVM-fast, production path) or
+    "md5_60" (engine-portable: seeded as md5(shingle || ':' || seed),
+    reproducible in the DuckDB oracle, so the MinHash ALGORITHM gets a
+    cross-engine correctness gate; expects string shingles)."""
+    if shingles is None:
+        shingles = _distinct_shingles(
+            df, id_col, text_col, k, hash_shingles=hash_fn != "md5_60"
+        )
+    sh = shingles
+    if hash_fn == "md5_60":
+        seeded = lambda i: md5_bigint60(  # noqa: E731
+            F.concat(F.col("shingle"), F.lit(f":{i}"))
+        )
+    else:
+        seeded = lambda i: F.xxhash64(F.col("shingle"), F.lit(i))  # noqa: E731
+    mins = [F.min(seeded(i)).alias(f"h{i}") for i in range(num_hashes)]
     sig = sh.groupBy("_id").agg(*mins)
     return sig.select("_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
 
@@ -196,22 +226,42 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingles: DataFrame | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs: docs agreeing on all rows of ≥1 band.
 
-    Band signature is hashed to one bigint so the self-join key is
+    Band signature is hashed to one key so the self-join key is
     (band, bucket) — compact to shuffle. Returns distinct
     (doc_a, doc_b), doc_a < doc_b. Pass ``shingles`` (from
     distinct_shingles) to share one shingling pass across strategies.
+    ``hash_fn="md5_60"`` switches the whole stack (shingle hash, seeded
+    minhash, band bucket) to engine-portable md5 so the DuckDB oracle
+    reproduces the exact candidate set; bucket keys become md5 strings.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, k, num_hashes, shingles=shingles)
-    band_cols = [
-        F.xxhash64(F.lit(b), *[F.col("signature")[b * rows + r] for r in range(rows)]).alias(
-            f"band{b}"
-        )
-        for b in range(bands)
-    ]
+    sig = minhash_signatures(
+        df, id_col, text_col, k, num_hashes, shingles=shingles, hash_fn=hash_fn
+    )
+    if hash_fn == "md5_60":
+        band_cols = [
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col("signature")[b * rows + r].cast("string")
+                        for r in range(rows)
+                    ],
+                )
+            ).alias(f"band{b}")
+            for b in range(bands)
+        ]
+    else:
+        band_cols = [
+            F.xxhash64(
+                F.lit(b), *[F.col("signature")[b * rows + r] for r in range(rows)]
+            ).alias(f"band{b}")
+            for b in range(bands)
+        ]
     banded = sig.select("_id", *band_cols)
     stacked = (
         banded.select(
@@ -243,6 +293,7 @@ def simhash_candidates(
     text_col: str,
     max_hamming: int = 3,
     bands: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: candidates share ≥1 of ``bands``
     16-bit signature sub-bands (Charikar-style blocking), verified by
@@ -255,10 +306,14 @@ def simhash_candidates(
     key is (band, 16-bit bucket); signatures ride along as one bigint
     so verification needs no second join.
     Returns (doc_a, doc_b, hamming), doc_a < doc_b.
+    ``hash_fn="md5_60"`` uses the engine-portable 60-bit token hash
+    (15-bit bands at the default bands=4) so the DuckDB oracle can
+    reproduce signatures and pairs exactly.
     """
-    rows = 64 // bands
+    n_bits = 60 if hash_fn == "md5_60" else 64
+    rows = n_bits // bands
     mask = (1 << rows) - 1
-    sig = simhash64(df, id_col, text_col)
+    sig = simhash64(df, id_col, text_col, hash_fn=hash_fn)
     stacked = (
         sig.select(
             "_id",
@@ -395,24 +450,33 @@ def decontaminate(
     )
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash64(
+    df: DataFrame, id_col: str, text_col: str, hash_fn: str = "xxhash64"
+) -> DataFrame:
     """64-bit SimHash over whitespace tokens (with multiplicity).
 
     Per-bit majority vote of xxhash64(token): explode tokens × 64 bit
     positions, sum ±1 votes, reassemble the signature. All JVM-side;
     the bit-position explode multiplies rows 64× before the groupBy —
     acceptable because the payload is 3 small ints.
+    ``hash_fn="md5_60"`` votes over the 60 bits of the engine-portable
+    md5-derived token hash instead — the signature the DuckDB oracle
+    can recompute bit-for-bit.
     """
     from blockchain_indexer_spark.functions.text import tokens
 
+    n_bits = 60 if hash_fn == "md5_60" else 64
     tok = spread(df, id_col).select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("tok"))
-    h = tok.select("_id", F.xxhash64("tok").alias("h"))
+    if hash_fn == "md5_60":
+        h = tok.select("_id", md5_bigint60(F.col("tok")).alias("h"))
+    else:
+        h = tok.select("_id", F.xxhash64("tok").alias("h"))
     # Signed shiftright + &1 extracts every bit correctly, including the
     # sign bit (for bit 63, -1 & 1 == 1); pyspark's shift helpers only
     # accept literal shift amounts, hence F.expr.
     bits = h.select(
         "_id",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("bit"),
         F.col("h"),
     ).select(
         "_id",

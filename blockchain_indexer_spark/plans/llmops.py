@@ -9,8 +9,11 @@ Cross-engine exactness notes:
   (functions.vectors): exact in IEEE double, so scores and ranks are
   bit-identical across engines. Cosine variants exist as rows-only
   checks (operators.similarity).
-- MinHash/SimHash use Spark's xxhash64 — no DuckDB equivalent, so those
-  register without oracles (the driver records a rows-only check).
+- MinHash/SimHash production paths use Spark's xxhash64 — no DuckDB
+  equivalent, so those register without oracles (rows-only check). The
+  `*_md5` twins run the SAME algorithms on an engine-portable 60-bit
+  md5 hash and ARE oracle-checked — signatures cell-for-cell, LSH
+  candidate sets exactly, simhash pairs against a brute-force oracle.
 """
 
 from __future__ import annotations
@@ -32,6 +35,7 @@ from blockchain_indexer_spark.operators.dedup import (
     cosine_near_dup_pairs,
     exact_dup_clusters,
     minhash_lsh_candidates,
+    minhash_signatures,
     ngram_jaccard_pairs,
     simhash64,
     simhash_candidates,
@@ -708,6 +712,135 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dup_line_frac") > 0.1) | (F.coalesce(top_frac, F.lit(0.0)) > 0.2)
         ).alias("is_repetitive"),
     )
+
+
+_MD5_SH = r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+      WHERE len(t) >= 3
+    ),
+    sig AS (
+      SELECT doc_id, seed,
+             MIN(CAST(('0x' || substr(md5(shingle || ':' || seed), 1, 15)) AS BIGINT))
+               AS minhash
+      FROM sh, UNNEST(range(0, 64)) AS s(seed)
+      GROUP BY 1, 2
+    )
+"""
+
+_MD5_SIMHASH = r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS tok
+      FROM documents
+    ),
+    h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tok),
+    bits AS (
+      SELECT doc_id, i AS bit, CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END AS vote
+      FROM h, UNNEST(range(0, 60)) AS r(i)
+    ),
+    v AS (SELECT doc_id, bit, SUM(vote) AS v FROM bits GROUP BY 1, 2),
+    sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+                           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+      FROM v GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "minhash_signatures_md5",
+    oracle=_MD5_SH
+    + """
+    SELECT doc_id, CAST(seed AS BIGINT) AS seed, minhash FROM sig
+    """,
+    doc="MinHash signatures on the engine-portable 60-bit md5 hash "
+    "(seeded as md5(shingle || ':' || seed)): the DuckDB oracle "
+    "recomputes every signature cell, giving the MinHash ALGORITHM an "
+    "exact cross-engine gate that the xxhash64 production path cannot "
+    "have. Same plan shape as the production variant.",
+    survey_refs=("LLM-dedup",),
+)
+def minhash_signatures_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, "doc_id", "text", k=3, num_hashes=64, hash_fn="md5_60")
+    return sig.select(
+        F.col("_id").alias("doc_id"),
+        F.posexplode("signature").alias("seed", "minhash"),
+    ).select("doc_id", F.col("seed").cast("bigint").alias("seed"), "minhash")
+
+
+@register(
+    "minhash_lsh_candidates_md5",
+    oracle=_MD5_SH
+    + """
+    , bands AS (
+      SELECT doc_id, seed // 4 AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS bucket
+      FROM sig GROUP BY doc_id, seed // 4
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """,
+    doc="LSH banding on the md5 MinHash stack (16 bands x 4 rows, "
+    "bucket = md5 of the band's signature cells): the oracle rebuilds "
+    "the exact candidate-pair set, validating the banding/bucketing "
+    "logic cross-engine — the production xxhash64 variant keeps the "
+    "same plan with cheaper keys.",
+    survey_refs=("LLM-dedup",),
+)
+def minhash_lsh_candidates_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(
+        d, "doc_id", "text", k=3, num_hashes=64, bands=16, hash_fn="md5_60"
+    )
+
+
+@register(
+    "simhash_signatures_md5",
+    oracle=_MD5_SIMHASH
+    + """
+    SELECT doc_id, simhash FROM sig
+    """,
+    doc="60-bit SimHash (per-bit majority vote of the md5-derived "
+    "token hash, with multiplicity): the oracle recomputes each "
+    "signature bit-for-bit — the cross-engine gate for the SimHash "
+    "algorithm itself.",
+    survey_refs=("LLM-dedup",),
+)
+def simhash_signatures_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return simhash64(d, "doc_id", "text", hash_fn="md5_60").select(
+        F.col("_id").alias("doc_id"), "simhash"
+    )
+
+
+@register(
+    "simhash_near_dups_md5",
+    oracle=_MD5_SIMHASH
+    + """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    doc="SimHash near-dup pairs (hamming <= 3) over the md5 signature. "
+    "The oracle brute-forces ALL pairs — an independent computation "
+    "that also proves the banded blocking is complete (pigeonhole: "
+    "4 x 15-bit bands cover hamming < 4), not just self-consistent.",
+    survey_refs=("LLM-dedup",),
+)
+def simhash_near_dups_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_candidates(
+        d, "doc_id", "text", max_hamming=3, bands=4, hash_fn="md5_60"
+    ).select("doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming"))
 
 
 @register(
