@@ -6,9 +6,11 @@ operators.multimodal.attach_blob); the decode/resize/frame-sample
 stubs compute only byte-derived fields, which the DuckDB oracle can
 recompute from octet_length(text) without ever seeing a blob. That
 verifies the mapInPandas plumbing (Arrow batch shape, schema, fan-out
-multiplicity) end to end. The byte-histogram feature extractor is not
-SQL-expressible, so it registers rows-only with exact-value coverage
-in tests/test_multimodal.py.
+multiplicity) end to end. The byte-histogram feature extractor gets an
+exact oracle too (mm_feature_hist): the corpus is pure ASCII, so byte
+values equal code points and DuckDB rebuilds the numpy histogram from
+characters; mm_feature_vectors keeps the array-shaped output with
+exact-value coverage in tests/test_multimodal.py.
 """
 
 from __future__ import annotations
@@ -116,3 +118,38 @@ def mm_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.array_max("feature").alias("feature_max"),
     )
+
+
+@register(
+    "mm_feature_hist",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split_regex(text, '')) AS c FROM documents
+    ),
+    b AS (SELECT doc_id, ord(c) // 16 AS bin FROM chars WHERE c <> ''),
+    cnt AS (SELECT doc_id, bin, COUNT(*) AS n FROM b GROUP BY 1, 2),
+    tot AS (
+      SELECT d.doc_id, COALESCE(SUM(cnt.n), 0) AS t
+      FROM documents d LEFT JOIN cnt ON cnt.doc_id = d.doc_id
+      GROUP BY d.doc_id
+    ),
+    bins AS (SELECT doc_id, i AS bin FROM documents, UNNEST(range(0, 16)) AS r(i))
+    SELECT bins.doc_id, CAST(bins.bin AS BIGINT) AS bin,
+           CASE WHEN tot.t = 0 THEN 0.0
+                ELSE CAST(COALESCE(cnt.n, 0) AS DOUBLE) / tot.t END AS weight
+    FROM bins
+    JOIN tot USING (doc_id)
+    LEFT JOIN cnt ON cnt.doc_id = bins.doc_id AND cnt.bin = bins.bin
+    """,
+    doc="The byte-histogram feature extractor verified value-for-value: "
+    "the corpus is pure ASCII (bytes == code points), so the DuckDB "
+    "oracle rebuilds each L1-normalized 16-bin high-nibble histogram "
+    "from characters and compares every (doc, bin) weight against the "
+    "numpy-vectorized mapInPandas output.",
+    survey_refs=("LLM-multimodal",),
+)
+def mm_feature_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = extract_features(_blobs(spark, sf_dir))
+    return feats.select(
+        "doc_id", F.posexplode("feature").alias("bin", "weight")
+    ).select("doc_id", F.col("bin").cast("bigint").alias("bin"), "weight")
