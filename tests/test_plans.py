@@ -73,3 +73,31 @@ def test_sessionization_rides_one_shuffle(spark, sf_dir):
     assert p.count("Exchange") - p.count("ReusedExchange") == 1, (
         f"expected exactly one shuffle:\n{p}"
     )
+
+
+def test_decontamination_broadcasts_eval_side(spark, sf_dir):
+    # the eval shingle set must broadcast: at corpus scale the training
+    # shingle frame may be 100 TB-derived and must not shuffle for the
+    # contamination probe
+    p = _plan(spark, sf_dir, "doc_decontamination")
+    assert "BroadcastHashJoin" in p, "eval shingle set lost its broadcast"
+
+
+def test_quota_sample_is_one_window_shuffle(spark, sf_dir):
+    # per-group quota = one hash exchange on the group + one window
+    # sort; anything more would re-shuffle the corpus
+    p = _plan(spark, sf_dir, "doc_quota_sample")
+    assert p.count("Window") >= 1
+    assert p.count("Exchange") - p.count("ReusedExchange") == 1, (
+        f"expected exactly one shuffle:\n{p}"
+    )
+
+
+def test_repetition_line_metrics_stay_in_scan_projection(spark, sf_dir):
+    # duplicate-line fractions and mean word length are pure array
+    # expressions: the only shuffles are the bigram groupBys + the
+    # doc_id join back. A shuffle regression here means the projection
+    # metrics started exploding rows.
+    p = _plan(spark, sf_dir, "doc_repetition_stats")
+    assert "CartesianProduct" not in p
+    assert p.count("Generate") == 1, "only the bigram explode may Generate"
