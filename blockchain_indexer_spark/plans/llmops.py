@@ -844,6 +844,59 @@ def simhash_near_dups_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_length_quantiles",
+    oracle="""
+    WITH r AS (
+      SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT lang,
+           MAX(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN n_chars END) AS p25,
+           MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN n_chars END) AS p50,
+           MAX(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN n_chars END) AS p75,
+           MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN n_chars END) AS p95,
+           COUNT(*) AS n_docs
+    FROM r GROUP BY lang
+    """,
+    doc="Per-language document-length distribution: EXACT discrete "
+    "quantiles by explicit rank selection (value at rank ceil(p*n) of "
+    "the sorted column) — integer-exact and engine-portable, unlike "
+    "each engine's interpolating quantile builtin whose float "
+    "arithmetic differs. One window shuffle keyed on the group; at "
+    "corpus scale swap in approx_percentile on the same grouping "
+    "(sketch-mergeable, no sort) once exactness stops mattering.",
+    survey_refs=("LLM-text", "W1"),
+)
+def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy("n_chars")
+    r = d.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("lang")).alias("n"),
+    )
+    def at(p: float):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("bigint"),
+                F.col("n_chars"),
+            )
+        )
+    return r.groupBy("lang").agg(
+        at(0.25).alias("p25"),
+        at(0.50).alias("p50"),
+        at(0.75).alias("p75"),
+        at(0.95).alias("p95"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@register(
     "doc_quota_sample",
     oracle="""
     SELECT doc_id, lang, CAST(rn AS BIGINT) AS sample_rank
