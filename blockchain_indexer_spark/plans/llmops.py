@@ -844,6 +844,49 @@ def simhash_near_dups_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_mixture_report",
+    oracle=r"""
+    WITH s AS (
+      SELECT lang, source, n_chars,
+             CAST(len(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS BIGINT)
+               AS toks,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 100 < 90 THEN 'train'
+                  WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 100 < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, lang, COUNT(*) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM s GROUP BY split, lang
+    """,
+    doc="The pretraining mixture report: documents and token/char "
+    "budgets per (split, language), plus source diversity — the "
+    "numbers a data pipeline publishes per corpus release. Split "
+    "assignment is the deterministic md5 hash_split, so the report is "
+    "reproducible across engines and runs; one groupBy shuffle.",
+    survey_refs=("LLM-sample", "LLM-text", "A4"),
+)
+def corpus_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.sampling import hash_split
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(d, "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count("text")).alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+@register(
     "doc_length_quantiles",
     oracle="""
     WITH r AS (
