@@ -148,6 +148,13 @@ CASES: list[tuple[str, str | None, str, str, list, list[str]]] = [
     ("trust_back", HUB_ADDRESS, "0", "0x01", [
         (HUB_ADDRESS, [CRC_TRUST_TOPIC, topic_addr(USER1), topic_addr(USER2)], hex256(100)),
     ], ["CrcTrust"]),
+    # org as trust receiver (USER1's tokens accepted by ORG1, limit 60):
+    # exercises the capacity graph's can_send_to_is_orga branch, where
+    # the edge capacity is the holder's FULL balance (0.0.64.sql:919-938
+    # orga short-circuit), not the limit-clamped ladder
+    ("trust_org", HUB_ADDRESS, "0", "0x01", [
+        (HUB_ADDRESS, [CRC_TRUST_TOPIC, topic_addr(ORG1), topic_addr(USER1)], hex256(60)),
+    ], ["CrcTrust"]),
     # a CRC token transfer USER1 → USER2 of 5e18 on TOKEN1
     ("transfer_crc", TOKEN1, "0", "0xabcdef", [
         (TOKEN1, [TRANSFER_TOPIC, topic_addr(USER1), topic_addr(USER2)], hex256(5 * 10**18)),
