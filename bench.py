@@ -36,6 +36,11 @@ BENCH_QUERIES = (
     "doc_fingerprint_dedup",
     "ngram_jaccard_near_dups",
     "minhash_lsh_candidates",
+    "doc_decontamination",
+    "doc_repetition_stats",
+    "corpus_mixture_report",
+    "doc_quota_sample",
+    "doc_length_quantiles",
     "embedding_topk_mips",
     "embedding_lsh_topk",
     # chain domain: the first query pays the one-time derive+classify+
