@@ -85,6 +85,27 @@ def test_retract_from(spark, staged):
     assert {r["hash"] for r in after["transaction_raw"].collect()} == {"0xt1", "0xt2"}
 
 
+def test_reorg_replay_reaches_identical_state(spark, staged):
+    # the full T5 cycle: promote → retract from the reorg block →
+    # re-ingest the same staged data → final state must equal the
+    # original promote bit-for-bit (replay idempotence, SURVEY §5c)
+    b, t, l = staged
+    first = promote(b, t, l)
+    after = retract_from(
+        {"block": first["block"], "transaction_raw": first["transaction_raw"]}, 103
+    )
+    replay = promote(
+        b, t, l, existing_blocks=after["block"], existing_txs=after["transaction_raw"]
+    )
+    blocks = {tuple(r) for r in after["block"].unionByName(replay["block"]).collect()}
+    assert blocks == {tuple(r) for r in first["block"].collect()}
+    txs = {
+        tuple(r)
+        for r in after["transaction_raw"].unionByName(replay["transaction_raw"]).collect()
+    }
+    assert txs == {tuple(r) for r in first["transaction_raw"].collect()}
+
+
 def test_gap_detection_and_restart_point(spark, staged):
     b, t, l = staged
     blocks = promote(b, t, l)["block"]  # 100, 102, 103
