@@ -386,7 +386,10 @@ _D = """
         SELECT CASE event_type
                    WHEN 'purchase' THEN 'Erc20Transfer,CrcHubTransfer'
                    WHEN 'view' THEN 'Erc20Transfer'
-                   WHEN 'click' THEN 'EoaEthTransfer'
+                   -- C7 requires tx.value > 0 (TransactionClassifier.cs:
+                   -- 339-375): a zero-cents click stays Unknown
+                   WHEN 'click' THEN CASE WHEN cents > 0 THEN 'EoaEthTransfer'
+                                          ELSE 'Unknown' END
                    WHEN 'signup' THEN 'CrcTrust'
                    ELSE CASE WHEN event_id % 2 = 1 THEN 'SafeEthTransfer'
                              ELSE 'Unknown' END
@@ -492,7 +495,8 @@ def chain_current_trust(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
     SELECT COUNT(*) AS n_transfers,
            CAST(SUM(cents) AS BIGINT) AS total_wei
-    FROM ev WHERE event_type = 'click'
+    -- cents > 0: C7 excludes zero-value txs (value>0 predicate)
+    FROM ev WHERE event_type = 'click' AND cents > 0
     """,
     doc="EOA eth-transfer extraction (C7/E6) aggregated; click events "
     "become value-bearing 0x-input zero-log txs.",
@@ -639,9 +643,11 @@ def chain_erc20_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL SELECT 'CrcTrust', 'out' FROM ev e
                   JOIN u ON e.user_id + 13 = u.user_id WHERE e.event_type = 'signup'
         UNION ALL SELECT 'CrcMinting', 'in' FROM users
-        UNION ALL SELECT 'EthTransfer', 'out' FROM ev WHERE event_type = 'click'
+        UNION ALL SELECT 'EthTransfer', 'out' FROM ev
+                  WHERE event_type = 'click' AND cents > 0
         UNION ALL SELECT 'EthTransfer', 'in' FROM ev e
-                  JOIN u ON e.user_id + 1 = u.user_id WHERE e.event_type = 'click'
+                  JOIN u ON e.user_id + 1 = u.user_id
+                  WHERE e.event_type = 'click' AND e.cents > 0
         UNION ALL SELECT 'Erc20Transfer', 'out' FROM ev WHERE event_type = 'view'
         UNION ALL SELECT 'Erc20Transfer', 'in' FROM ev e
                   JOIN u ON e.user_id + 3 = u.user_id WHERE e.event_type = 'view'
