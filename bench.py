@@ -115,6 +115,21 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # Ingest throughput over the full spine (derive → classify →
+    # extract → ledger → balances, the chain_crc_balances run): the
+    # reference's live-mode budget is a 2000-tx micro-batch promoted
+    # in 10 s ≈ 200 tx/s (BASELINE.md).
+    extra: dict[str, float] = {}
+    try:
+        from blockchain_indexer_spark.plans.chain import derive_chain  # noqa: PLC0415
+
+        n_tx = derive_chain(spark, sf_dir).count()
+        extra = {
+            "ingest_tx": n_tx,
+            "ingest_tx_per_sec": round(n_tx / timings["chain_crc_balances"], 1),
+        }
+    except Exception:  # throughput is informational; never fail the bench
+        pass
     print(
         json.dumps(
             {
@@ -125,6 +140,7 @@ def main() -> None:
                 "sf": sf,
                 "runs_per_query": runs,
                 "agg": "min",
+                **extra,
             }
         )
     )
