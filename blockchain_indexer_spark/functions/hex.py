@@ -58,6 +58,21 @@ def hex_to_decimal(col: Column) -> Column:
     return F.when(col.isNull() | too_big, F.lit(None).cast("decimal(38,0)")).otherwise(composed)
 
 
+def md5_prefix_bigint(col: Column, hex_chars: int) -> Column:
+    """First ``hex_chars`` hex digits of md5(col) as a non-negative
+    bigint — THE engine-portable hash idiom: every engine has md5, and
+    the DuckDB oracles reproduce it as
+    ``CAST(('0x' || substr(md5(x), 1, n)) AS BIGINT)``.
+    Single source of truth for both the 32-bit sampling buckets
+    (operators.sampling.hash_bucket) and the 60-bit dedup hashes
+    (operators.dedup.md5_bigint60); ≤ 15 hex chars keeps the value
+    inside a signed 64-bit range on both engines.
+    """
+    if not 1 <= hex_chars <= 15:
+        raise ValueError(f"hex_chars must be 1..15 to fit signed bigint: {hex_chars}")
+    return F.conv(F.substring(F.md5(col), 1, hex_chars), 16, 10).cast("bigint")
+
+
 def hex_slot(input_col: Column, slot: int) -> Column:
     """64-hex-char ABI head slot `slot` of calldata (after the 4-byte
     method id): substring of the 0x-prefixed input string."""

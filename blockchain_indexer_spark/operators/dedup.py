@@ -79,17 +79,23 @@ def md5_bigint60(col: Column) -> Column:
     both sides. ~3x slower than xxhash64 — use for correctness gates
     and cross-engine contracts, xxhash64 for the production hot path.
     """
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+    from blockchain_indexer_spark.functions.hex import md5_prefix_bigint
+
+    return md5_prefix_bigint(col, 15)
 
 
-def distinct_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+def distinct_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, hash_shingles: bool = True
+) -> DataFrame:
     """Public materialize-once entry point for the (_id, shingle)
     frame. Every shingle-based dedup strategy (inverted-index Jaccard,
     MinHash+LSH) accepts the result via its ``shingles=`` parameter, so
     a pipeline running several strategies over one corpus shingles it
     exactly once — at 100 TB the shingling scan is the dominant cost
-    and sharing it is the difference between N passes and one."""
-    return _distinct_shingles(df, id_col, text_col, k)
+    and sharing it is the difference between N passes and one.
+    ``hash_shingles=False`` keeps shingle STRINGS — required when the
+    frame feeds an ``hash_fn="md5_60"`` cross-engine variant."""
+    return _distinct_shingles(df, id_col, text_col, k, hash_shingles=hash_shingles)
 
 
 def shingle_index(
@@ -205,6 +211,14 @@ def minhash_signatures(
     if shingles is None:
         shingles = _distinct_shingles(
             df, id_col, text_col, k, hash_shingles=hash_fn != "md5_60"
+        )
+    elif hash_fn == "md5_60" and dict(shingles.dtypes).get("shingle") != "string":
+        # a pre-hashed (xxhash64 bigint) shingle frame would be
+        # silently re-hashed as md5(decimal-string), breaking the
+        # engine-portable contract — fail loudly instead
+        raise ValueError(
+            "hash_fn='md5_60' needs STRING shingles; build the shared frame "
+            "with distinct_shingles(..., hash_shingles=False)"
         )
     sh = shingles
     if hash_fn == "md5_60":

@@ -25,11 +25,10 @@ def hash_bucket(col: Column | str, buckets: int = 100) -> Column:
     32 uniform bits mod ``buckets`` has bias < 2⁻²⁵ for buckets ≤ 10⁴ —
     negligible against sampling noise.
     """
+    from blockchain_indexer_spark.functions.hex import md5_prefix_bigint
+
     c = F.col(col) if isinstance(col, str) else col
-    return (
-        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("bigint")
-        % F.lit(buckets)
-    )
+    return md5_prefix_bigint(c.cast("string"), 8) % F.lit(buckets)
 
 
 def hash_split(

@@ -3,6 +3,8 @@ Jaccard truth, simhash determinism and locality."""
 
 from __future__ import annotations
 
+import pytest
+
 from blockchain_indexer_spark.operators.dedup import (
     exact_dup_clusters,
     minhash_lsh_candidates,
@@ -154,3 +156,17 @@ def test_decontaminate_contamination_ratio(spark):
     assert row["n_common_eval"] == 2  # "a b c", "b c d"
     assert row["contamination"] == 0.5
     assert row["is_contaminated"]
+
+
+def test_md5_variant_rejects_prehashed_shingles(spark):
+    from blockchain_indexer_spark.operators.dedup import distinct_shingles, minhash_signatures
+
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id bigint, text string")
+    hashed = distinct_shingles(docs, "doc_id", "text")  # bigint shingles
+    with pytest.raises(ValueError, match="STRING shingles"):
+        minhash_signatures(docs, "doc_id", "text", shingles=hashed, hash_fn="md5_60")
+    # the documented fix works
+    strings = distinct_shingles(docs, "doc_id", "text", hash_shingles=False)
+    assert minhash_signatures(
+        docs, "doc_id", "text", shingles=strings, hash_fn="md5_60"
+    ).count() == 1

@@ -33,3 +33,25 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     df = q.build(spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+# sf0.1 is the only scale factor containing zero-value events (one
+# click with value 0.00), which exercise the C7 value>0 branches of
+# the chain oracles — dead code at sf0.001/0.01. Pin them here so a
+# drift in those oracle branches cannot pass the suite silently.
+ZERO_VALUE_SENSITIVE = (
+    "chain_classification_counts",
+    "chain_eth_transfer_stats",
+    "chain_timeline_counts",
+)
+
+
+@pytest.mark.parametrize("name", ZERO_VALUE_SENSITIVE)
+def test_c7_zero_value_branches_at_sf01(spark, name):
+    sf01 = "/root/testdata/sf0.1"
+    q = REGISTRY[name]
+    spark_pdf = q.build(spark, sf01).toPandas()
+    con01 = duck_con(sf01)  # keep the connection alive past .sql()
+    duck_pdf = con01.sql(q.oracle).df()
+    problems = compare(name, spark_pdf, duck_pdf)
+    assert not problems, f"{name}@sf0.1: {problems}"
