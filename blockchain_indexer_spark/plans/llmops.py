@@ -714,6 +714,58 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_token_cardinality",
+    oracle=r"""
+    WITH t AS (
+      SELECT source,
+             unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS tok
+      FROM documents
+    )
+    SELECT source,
+           COUNT(DISTINCT tok) AS distinct_tokens,
+           COUNT(*) AS total_tokens
+    FROM t GROUP BY source
+    """,
+    doc="Vocabulary size per source: exact distinct-token count — the "
+    "heavy two-level distinct-aggregate shape (partial distinct "
+    "map-side, exchange on (source, tok)). The exact twin of the "
+    "approx query below; at 100 TB use that one.",
+    survey_refs=("LLM-text", "A7"),
+)
+def corpus_token_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = spread(d, "doc_id").select("source", F.explode(tokens("text")).alias("tok"))
+    return tok.groupBy("source").agg(
+        F.countDistinct("tok").alias("distinct_tokens"),
+        F.count("*").alias("total_tokens"),
+    )
+
+
+@register(
+    "corpus_token_cardinality_approx",
+    oracle=None,  # HLL estimates are engine-specific; the error bound
+    # vs the exact twin is asserted in tests/test_text_functions.py
+    doc="Vocabulary size per source via HyperLogLog++ "
+    "(approx_count_distinct, rsd 2%): the sketch is fixed-size and "
+    "mergeable, so at 100 TB the distinct count costs one map pass + "
+    "a tiny sketch merge instead of shuffling every (source, token) "
+    "pair — the standard scale path for cardinality.",
+    survey_refs=("LLM-text", "A7"),
+)
+def corpus_token_cardinality_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = spread(d, "doc_id").select("source", F.explode(tokens("text")).alias("tok"))
+    return tok.groupBy("source").agg(
+        F.approx_count_distinct("tok", rsd=0.02).alias("approx_distinct_tokens"),
+        F.count("*").alias("total_tokens"),
+    )
+
+
 _MD5_SH = r"""
     WITH toks AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS t FROM documents

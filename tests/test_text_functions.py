@@ -128,3 +128,20 @@ def test_repetition_metrics(spark):
     assert out[1] == (pytest.approx(1 / 3), pytest.approx(1 / 3), pytest.approx(1.0))
     assert out[2] == (0.0, 0.0, pytest.approx(4.75))
     assert out[3][:2] == (0.0, 0.0)
+
+
+def test_hll_cardinality_within_error_bound(spark, sf_dir):
+    from blockchain_indexer_spark.plans import REGISTRY
+
+    exact = {
+        r["source"]: r["distinct_tokens"]
+        for r in REGISTRY["corpus_token_cardinality"].build(spark, sf_dir).collect()
+    }
+    approx = {
+        r["source"]: r["approx_distinct_tokens"]
+        for r in REGISTRY["corpus_token_cardinality_approx"].build(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for src, n in exact.items():
+        rel_err = abs(approx[src] - n) / n
+        assert rel_err < 0.05, f"{src}: HLL estimate off by {rel_err:.1%} (n={n})"
