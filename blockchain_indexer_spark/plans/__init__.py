@@ -1,5 +1,20 @@
 """Query library: every SURVEY.md §2 operator shape as a registered
-(Spark builder, DuckDB oracle SQL) pair over the driver testdata."""
+(Spark builder, DuckDB oracle SQL) pair over the driver testdata.
+
+Registration order is rebuilt into an explicit PRIORITY order below.
+Why: the driver's correctness harness iterates ``queries()`` in dict
+order under a budget — round 1 recorded exactly the first 50 registered
+entries and silently dropped the rest (all 16 ``chain_*`` reference-
+semantics gates, the 5 ``mm_*`` gates and ``doc_quota_sample`` — see
+VERDICT.md "Next round" #1). Whatever the budget is (row cap or wall
+clock), the front of the dict is what gets driver-verified, so the
+order here is a deliberate ranking:
+
+1. previously-unverified reference-semantics gates (chain_*, mm_*),
+2. one gate per distinct §2 operator shape / LLM-pipeline component,
+3. gates whose §2 ids are already covered by an earlier chain twin,
+4. rows-only production variants (no DuckDB oracle — weakest signal).
+"""
 
 from blockchain_indexer_spark.plans.registry import REGISTRY, Query, register
 
@@ -9,4 +24,99 @@ from blockchain_indexer_spark.plans import llmops as _llmops  # noqa: E402,F401
 from blockchain_indexer_spark.plans import chain as _chain  # noqa: E402,F401
 from blockchain_indexer_spark.plans import multimodal as _multimodal  # noqa: E402,F401
 
-__all__ = ["REGISTRY", "Query", "register"]
+#: Driver-facing iteration order (highest verification value first).
+PRIORITY = (
+    # -- tier A: reference chain pipeline (classify→extract→views) ----
+    "chain_classification_counts",
+    "chain_crc_balances",
+    "chain_current_trust",
+    "chain_eth_transfer_stats",
+    "chain_hub_transfers_per_day",
+    "chain_safe_eth_transfers",
+    "chain_org_signups",
+    "chain_total_minted",
+    "chain_erc20_balances",
+    "chain_timeline_counts",
+    "chain_accepted_crc",
+    "chain_alive_accounts",
+    "chain_dead_accounts",
+    "chain_capacity_graph",
+    "chain_capacity_changes",
+    "chain_get_capacity",
+    # -- tier A: multimodal mapInPandas plumbing ----------------------
+    "mm_decode_stats",
+    "mm_thumbnail_geometry",
+    "mm_frame_sample",
+    "mm_feature_vectors",
+    "mm_feature_hist",
+    "doc_quota_sample",
+    # -- tier B: distinct relational §2 shapes ------------------------
+    "pricing_summary",
+    "broadcast_join_agg",
+    "dedup_first_seen",
+    "completeness_gate",
+    "anti_join_inactive",
+    "semi_join_parts",
+    "latest_event_per_user",
+    "version_disambiguation",
+    "tumbling_window_stats",
+    "event_sessionization",
+    "asof_latest_purchase",
+    "range_join_active_sessions",
+    "gap_detection",
+    "filtered_projection",
+    "json_payload",
+    "membership_collect",
+    # -- tier C: one gate per LLM-pipeline component ------------------
+    "doc_fingerprint_dedup",
+    "ngram_jaccard_near_dups",
+    "minhash_lsh_candidates_md5",
+    "simhash_near_dups_md5",
+    "doc_decontamination",
+    "doc_dedup_clusters",
+    "embedding_topk_qcosine",
+    "embedding_topk_mips",
+    "doc_token_stats",
+    "doc_lang_id",
+    "doc_quality_score",
+    "doc_repetition_stats",
+    # -- tier D: extra gates for already-covered components -----------
+    "doc_train_split",
+    "doc_top_terms",
+    "doc_rolling_fingerprint",
+    "corpus_token_cardinality",
+    "corpus_mixture_report",
+    "doc_length_quantiles",
+    "embedding_cosine_near_dups",
+    "minhash_signatures_md5",
+    "simhash_signatures_md5",
+    # -- tier D: relational shapes whose §2 id has a chain twin above -
+    "per_day_counts",
+    "scalar_total",
+    "double_entry_ledger",
+    "multi_join_revenue",
+    "topk_per_group",
+    "union_activity_timeline",
+    # -- tier E: rows-only production variants (no DuckDB oracle) -----
+    "minhash_lsh_candidates",
+    "simhash_signatures",
+    "simhash_near_dups",
+    "embedding_topk_cosine",
+    "embedding_lsh_topk",
+    "embedding_ivf_topk",
+    "corpus_token_cardinality_approx",
+)
+
+
+def _reorder() -> None:
+    ordered = {n: REGISTRY[n] for n in PRIORITY if n in REGISTRY}
+    # Anything registered but not ranked keeps its original relative
+    # order at the end — new queries must be slotted into PRIORITY.
+    ordered.update({n: q for n, q in REGISTRY.items() if n not in ordered})
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_reorder()
+
+__all__ = ["PRIORITY", "REGISTRY", "Query", "register"]
