@@ -220,6 +220,14 @@ def minhash_signatures(
             "hash_fn='md5_60' needs STRING shingles; build the shared frame "
             "with distinct_shingles(..., hash_shingles=False)"
         )
+    elif hash_fn == "xxhash64" and dict(shingles.dtypes).get("shingle") == "string":
+        # mirror guard (ADVICE.md round 1): a string-shingle frame fed
+        # to the xxhash64 path would hash min(xxhash64(string, seed))
+        # instead of the default pipeline's
+        # min(xxhash64(xxhash64(shingle), seed)) — hash it to bigint
+        # first so one shared frame yields identical signatures to the
+        # hashed-shingle run of the same corpus
+        shingles = shingles.select("_id", F.xxhash64("shingle").alias("shingle"))
     sh = shingles
     if hash_fn == "md5_60":
         seeded = lambda i: md5_bigint60(  # noqa: E731
@@ -434,6 +442,10 @@ def decontaminate(
     to reuse a corpus-wide shingling pass — e.g. shingle once, then
     split train/eval by membership.
     """
+    if train is None and train_shingles is None:
+        raise ValueError("decontaminate: pass train or train_shingles")
+    if eval_df is None and eval_shingles is None:
+        raise ValueError("decontaminate: pass eval_df or eval_shingles")
     tsh = (
         train_shingles
         if train_shingles is not None

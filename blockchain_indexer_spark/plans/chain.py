@@ -274,42 +274,207 @@ def derive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PIPELINE_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
 
+# ---------------------------------------------------------------------------
+# Promoted-table disk layer
+#
+# The reference never re-runs the indexer per query: ingest promotes
+# event tables into Postgres once and every analytics view reads those
+# tables (ImportProcedure.cs:17-27, 0.0.64.sql cache tables 280-327).
+# This layer reproduces that shape locally — the spine's outputs are
+# written under SPARK_GRAFT_CACHE_DIR keyed by a fingerprint of (source
+# parquet identity, spine code hash), so any later session (driver
+# correctness run, bench, tests) reads promoted tables instead of
+# paying the ~13 s derive→classify→extract cold start per process.
+# Set SPARK_GRAFT_SPINE_CACHE=0 to force full recomputation (used by
+# the ingest-throughput bench and the spine equivalence tests).
+# ---------------------------------------------------------------------------
+
+_SPINE_CODE_FILES = (
+    "plans/chain.py",
+    "operators/classify.py",
+    "operators/extract.py",
+    "operators/views.py",
+    "functions/hex.py",
+    "schemas.py",
+)
+
+
+def _spine_cache_enabled() -> bool:
+    import os  # noqa: PLC0415
+
+    return os.environ.get("SPARK_GRAFT_SPINE_CACHE", "1") != "0"
+
+
+def _code_fingerprint() -> str:
+    import hashlib  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    h = hashlib.md5()
+    for rel in _SPINE_CODE_FILES:
+        with open(os.path.join(pkg, rel), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()
+
+
+_CODE_FP: str | None = None
+
+
+def _spine_dir(sf_dir: str, label: str) -> str:
+    """Cache directory for one spine layer at one sf_dir."""
+    import hashlib  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    from blockchain_indexer_spark.sources.parquet import _CACHE_DIR  # noqa: PLC0415
+
+    global _CODE_FP
+    if _CODE_FP is None:
+        _CODE_FP = _code_fingerprint()
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"{_CODE_FP}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    return os.path.join(
+        _CACHE_DIR, os.path.basename(sf_dir.rstrip("/")), f"{label}-{fp}"
+    )
+
+
+def _read_spine(spark: SparkSession, dest: str, names: tuple[str, ...]) -> dict[str, DataFrame] | None:
+    import json  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    from pyspark.sql.types import StructType  # noqa: PLC0415
+
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        return None
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        schema_path = os.path.join(dest, f"{name}.schema.json")
+        if not os.path.exists(schema_path):
+            return None
+        with open(schema_path) as f:
+            schema = StructType.fromJson(json.load(f))
+        # explicit schema: an empty table writes no part files, and the
+        # sidecar keeps the read from failing on schema inference
+        out[name] = spark.read.schema(schema).parquet(os.path.join(dest, name))
+    # one shallow job per table, then every downstream view analyzes a
+    # one-node LogicalRDD instead of a scan relation — same lineage
+    # shape as the compute path's checkpoints (measured: the 7-branch
+    # timeline plan drops ~2.5 s of per-query analysis)
+    with ThreadPoolExecutor(max_workers=len(out)) as pool:
+        futures = {
+            n: pool.submit(lambda v=v: v.localCheckpoint(eager=True))
+            for n, v in out.items()
+        }
+        return {n: f.result() for n, f in futures.items()}
+
+
+def _write_spine(dest: str, tables: dict[str, DataFrame]) -> None:
+    """Atomic-ish publish: write into a tmp dir, rename into place.
+    A concurrent writer losing the rename race just discards its copy.
+    """
+    import json  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    tmp = f"{dest}.tmp-{os.getpid()}"
+    try:
+        os.makedirs(tmp, exist_ok=True)
+
+        def _write_one(name: str, df: DataFrame) -> None:
+            # right-size files: ~100k rows per file, the same policy the
+            # resplit layer uses — the frames are checkpointed so the
+            # count is free, and fewer files keeps downstream stages
+            # from paying dozens of near-empty tasks per branch
+            parts = max(1, min(16, -(-df.count() // 100_000)))
+            df.coalesce(parts).write.mode("overwrite").parquet(os.path.join(tmp, name))
+            with open(os.path.join(tmp, f"{name}.schema.json"), "w") as f:
+                json.dump(df.schema.jsonValue(), f)
+
+        # independent write jobs over materialized frames — run concurrently
+        with ThreadPoolExecutor(max_workers=len(tables)) as pool:
+            for fut in [pool.submit(_write_one, n, df) for n, df in tables.items()]:
+                fut.result()
+        with open(os.path.join(tmp, "_SUCCESS"), "w"):
+            pass
+        # drop stale fingerprints of the same layer before publishing
+        parent, base = os.path.split(dest)
+        label = base.split("-", 1)[0]
+        if os.path.isdir(parent):
+            for d in os.listdir(parent):
+                if d.startswith(f"{label}-") and d != base and ".tmp-" not in d:
+                    shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+        os.rename(tmp, dest)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def compute_pipeline_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The uncached ingest spine: derive → classify → extract.
+
+    localCheckpoint (not persist) everywhere here: the classify
+    plan is a huge expression tree, and a persisted frame still
+    CARRIES it — every downstream plan re-analyzes and
+    re-canonicalizes a copy per reference (the timeline holds
+    14). Checkpointing truncates lineage to a LogicalRDD,
+    collapsing driver-side plan construction from ~10-15 s per
+    chain view to ms. Checkpointing classified FIRST also makes
+    the 8 extractor plans below shallow (they are thin
+    filters/projections over it).
+    Raw `logs` dropped before the snapshot: the extractors read
+    the parsed `_lp` structs, so the raw topic/data strings would
+    only inflate the checkpointed frame.
+    """
+    classified = (
+        classify(derive_chain(spark, sf_dir)).drop("logs").localCheckpoint(eager=True)
+    )
+    tables = extract_all(classified)
+    # coalesce: the event tables are small relative to the 3-way
+    # union's partition count; 16 partitions keeps downstream
+    # multi-branch views (timeline = 7 branches) from paying
+    # hundreds of near-empty tasks per stage. The 8 checkpoint
+    # jobs are independent shallow scans — run them concurrently.
+    with ThreadPoolExecutor(max_workers=len(tables)) as pool:
+        futures = {
+            k: pool.submit(lambda v=v: v.coalesce(16).localCheckpoint(eager=True))
+            for k, v in tables.items()
+        }
+        out = {k: f.result() for k, f in futures.items()}
+    # the classified frame itself backs chain_classification_counts
+    # (C8's label array) — promote it alongside the event tables,
+    # without the parsed-log payload no downstream reader needs
+    out["classified"] = classified.drop("_lp").coalesce(16).localCheckpoint(eager=True)
+    return out
+
+
+_PIPELINE_NAMES = (
+    "transaction",
+    "crc_signup",
+    "erc20_transfer",
+    "crc_organisation_signup",
+    "crc_trust",
+    "crc_hub_transfer",
+    "eth_transfer",
+    "gnosis_safe_eth_transfer",
+    "classified",
+)
+
 
 def _pipeline_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Derive → classify → extract once per (session, sf_dir); the
-    event tables are persisted so the ~15 gate queries share one
-    materialization instead of re-running the classifier each (the
-    same shape as production, where promote writes these tables out).
+    """Promoted event tables, once per (session, sf_dir): memory cache
+    → disk layer → full spine compute (published to disk for the next
+    process).
     """
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PIPELINE_CACHE:
-        # localCheckpoint (not persist) everywhere here: the classify
-        # plan is a huge expression tree, and a persisted frame still
-        # CARRIES it — every downstream plan re-analyzes and
-        # re-canonicalizes a copy per reference (the timeline holds
-        # 14). Checkpointing truncates lineage to a LogicalRDD,
-        # collapsing driver-side plan construction from ~10-15 s per
-        # chain view to ms. Checkpointing classified FIRST also makes
-        # the 8 extractor plans below shallow (they are thin
-        # filters/projections over it).
-        # raw `logs` dropped before the snapshot: the extractors read
-        # the parsed `_lp` structs, so the raw topic/data strings would
-        # only inflate the checkpointed frame
-        classified = (
-            classify(derive_chain(spark, sf_dir)).drop("logs").localCheckpoint(eager=True)
-        )
-        tables = extract_all(classified)
-        # coalesce: the event tables are small relative to the 3-way
-        # union's partition count; 16 partitions keeps downstream
-        # multi-branch views (timeline = 7 branches) from paying
-        # hundreds of near-empty tasks per stage. The 8 checkpoint
-        # jobs are independent shallow scans — run them concurrently.
-        with ThreadPoolExecutor(max_workers=len(tables)) as pool:
-            futures = {
-                k: pool.submit(lambda v=v: v.coalesce(16).localCheckpoint(eager=True))
-                for k, v in tables.items()
-            }
-            _PIPELINE_CACHE[key] = {k: f.result() for k, f in futures.items()}
+        dest = _spine_dir(sf_dir, "spine") if _spine_cache_enabled() else None
+        tables = _read_spine(spark, dest, _PIPELINE_NAMES) if dest else None
+        if tables is None:
+            tables = compute_pipeline_tables(spark, sf_dir)
+            if dest:
+                _write_spine(dest, tables)
+        _PIPELINE_CACHE[key] = tables
     return _PIPELINE_CACHE[key]
 
 
@@ -328,6 +493,15 @@ def _derived_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _VIEW_CACHE:
+        dest = _spine_dir(sf_dir, "views") if _spine_cache_enabled() else None
+        cached = (
+            _read_spine(spark, dest, ("signups", "trust", "ledger", "balances"))
+            if dest
+            else None
+        )
+        if cached is not None:
+            _VIEW_CACHE[key] = cached
+            return cached
         t = _pipeline_tables(spark, sf_dir)
         # localCheckpoint (eager) rather than persist+count: truncates
         # lineage so the N branches referencing each view analyze a
@@ -364,7 +538,26 @@ def _derived_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             "ledger": ledger,
             "balances": balances,
         }
+        if dest:
+            _write_spine(dest, _VIEW_CACHE[key])
     return _VIEW_CACHE[key]
+
+
+def ingest_spine(spark: SparkSession, sf_dir: str) -> int:
+    """Run the FULL uncached ingest spine (derive → classify → extract
+    → ledger → balances) end-to-end and return the tx count processed.
+
+    Bypasses both the session and the disk cache — this is the honest
+    ingest-throughput measurement bench.py reports (the reference's
+    budget: 2000-tx batch / 10 s serial flush ≈ 200 tx/s,
+    Settings.cs:170,179-180).
+    """
+    tables = compute_pipeline_tables(spark, sf_dir)
+    ledger = crc_ledger(tables["erc20_transfer"], tables["crc_signup"]).localCheckpoint(
+        eager=True
+    )
+    crc_balances_by_safe_and_token(ledger).coalesce(8).localCheckpoint(eager=True)
+    return tables["classified"].count()
 
 
 # Shared oracle derivation CTEs (DuckDB SQL)
@@ -404,7 +597,7 @@ _D = """
     survey_refs=("C1", "C2", "C3", "C4", "C5", "C6", "C7", "C8"),
 )
 def chain_classification_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    classified = classify(derive_chain(spark, sf_dir))
+    classified = _pipeline_tables(spark, sf_dir)["classified"]
     return classified.groupBy(
         F.array_join("classification", ",").alias("label")
     ).agg(F.count("*").alias("n"))

@@ -170,3 +170,30 @@ def test_md5_variant_rejects_prehashed_shingles(spark):
     assert minhash_signatures(
         docs, "doc_id", "text", shingles=strings, hash_fn="md5_60"
     ).count() == 1
+
+def test_xxhash_variant_hashes_string_shingles_to_match_default(spark):
+    """ADVICE r1: a shared STRING-shingle frame fed to the xxhash64
+    path must yield the same signatures as the default hashed-shingle
+    pipeline (min over xxhash64(xxhash64(shingle), seed))."""
+    from blockchain_indexer_spark.operators.dedup import distinct_shingles, minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "c d e f g")], "doc_id bigint, text string"
+    )
+    default = minhash_signatures(docs, "doc_id", "text", num_hashes=8).collect()
+    strings = distinct_shingles(docs, "doc_id", "text", hash_shingles=False)
+    shared = minhash_signatures(
+        docs, "doc_id", "text", num_hashes=8, shingles=strings
+    ).collect()
+    assert sorted(map(tuple, default)) == sorted(map(tuple, shared))
+
+
+def test_decontaminate_validates_missing_inputs(spark):
+    from blockchain_indexer_spark.operators.dedup import decontaminate, distinct_shingles
+
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id bigint, text string")
+    sh = distinct_shingles(docs, "doc_id", "text")
+    with pytest.raises(ValueError, match="train or train_shingles"):
+        decontaminate(eval_shingles=sh)
+    with pytest.raises(ValueError, match="eval_df or eval_shingles"):
+        decontaminate(train_shingles=sh)
