@@ -90,7 +90,9 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
     return out
 
 
-def signbit_signature(df: DataFrame, vec_col: str, dim: int, num_planes: int = 16) -> DataFrame:
+def signbit_signature(
+    df: DataFrame, vec_col: str, dim: int, num_planes: int = 16, scale: int = 1000
+) -> DataFrame:
     """Append ``sig`` (bigint bitmask of hyperplane sign bits).
 
     Implemented as an Arrow-batched Pandas UDF doing one numpy matmul
@@ -99,8 +101,20 @@ def signbit_signature(df: DataFrame, vec_col: str, dim: int, num_planes: int = 1
     (~1.2 ms/row for 16×64 terms), and unrolling the 1024-term sum into
     expression nodes chokes the optimizer's recursive tree transforms
     (measured 10× worse). Requires fixed-length ``dim`` vectors.
+
+    Both the hyperplanes and the vectors are quantized to integers
+    (round(x*scale)) before the matmul: every product and partial sum
+    is an integer far below 2^53, so the float64 matmul is EXACT and
+    summation-order-independent — the sign bits (and therefore the
+    whole candidate set) are bit-reproducible on any engine, which is
+    what lets the DuckDB oracle check the LSH path end-to-end. The
+    quantization moves each plane by <0.1% — immaterial for random
+    hyperplanes.
     """
-    planes = np.array([_hyperplane(dim, p) for p in range(num_planes)], dtype=np.float64)
+    planes = np.array(
+        [[round(x * scale) for x in _hyperplane(dim, p)] for p in range(num_planes)],
+        dtype=np.float64,
+    )
     weights = (np.int64(1) << np.arange(num_planes, dtype=np.int64))
 
     @F.pandas_udf("long")
@@ -112,7 +126,7 @@ def signbit_signature(df: DataFrame, vec_col: str, dim: int, num_planes: int = 1
         mat = np.array(
             [v if v is not None else np.zeros(dim) for v in vec], dtype=np.float64
         )
-        bits = (mat @ planes.T) > 0  # (n, num_planes)
+        bits = (np.round(mat * scale) @ planes.T) > 0  # (n, num_planes), exact
         return pd.Series(bits.astype(np.int64) @ weights)
 
     return df.withColumn("sig", _sig(F.col(vec_col)))
@@ -221,6 +235,12 @@ def train_ivf_centroids(
     top-k scan, not a full pass); training cost is independent of
     corpus size, which is the standard IVF property.
 
+    ``iters=0`` keeps the stride-sampled data points themselves as
+    centroids ("data-seeded" coarse quantizer): together with the
+    integer assignment in ``ivf_topk`` this makes the whole index
+    SQL-reproducible (the oracle re-derives the same centroids from
+    the table), at a small recall cost vs Lloyd-refined cells.
+
     Returns an (n_cells, dim) float64 ndarray.
     """
     rows = (
@@ -253,6 +273,8 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     sample: int = 256,
+    iters: int = 5,
+    scale: int = 1000,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index: corpus rows
     bucket to their nearest coarse centroid, each query probes its
@@ -265,9 +287,16 @@ def ivf_topk(
     instead of |Q| × |C|. Centroids are broadcast inside the
     Arrow-batched assignment UDF as numpy literals — one matmul per
     batch, same pattern as `signbit_signature`.
+
+    Assignment runs on INTEGER-quantized centroids and vectors:
+    d = ||c_q||² − 2·v_q·c_q is integer-valued (exact in float64, all
+    terms ≪ 2^53), argmin ties break to the lowest cell id — so cell
+    assignment and probe order are deterministic and, with ``iters=0``
+    (data-seeded centroids), bit-reproducible by the DuckDB oracle.
     """
-    cents = train_ivf_centroids(corpus, id_col, vec_col, n_cells, sample)
-    cents_sq = (cents**2).sum(axis=1)  # (n_cells,)
+    cents = train_ivf_centroids(corpus, id_col, vec_col, n_cells, sample, iters)
+    cents_q = np.round(cents * scale)  # integer-valued float64
+    cents_sq = (cents_q**2).sum(axis=1)  # (n_cells,)
 
     dim = cents.shape[1]
 
@@ -283,17 +312,20 @@ def ivf_topk(
     def _cell(vec: pd.Series) -> pd.Series:
         if len(vec) == 0:
             return pd.Series([], dtype="int32")
-        mat = _as_matrix(vec)
-        # argmin ||v - c||^2 = argmin (||c||^2 - 2 v·c); ||v||^2 constant per row
-        d = cents_sq[None, :] - 2.0 * (mat @ cents.T)
+        mat = np.round(_as_matrix(vec) * scale)
+        # argmin ||v - c||^2 = argmin (||c||^2 - 2 v·c); ||v||^2 constant
+        # per row. Integer math → exact; argmin takes the FIRST minimal
+        # index, i.e. ties break to the lowest cell id.
+        d = cents_sq[None, :] - 2.0 * (mat @ cents_q.T)
         return pd.Series(d.argmin(axis=1).astype(np.int32))
 
     @F.pandas_udf("array<int>")
     def _probe_cells(vec: pd.Series) -> pd.Series:
         if len(vec) == 0:
             return pd.Series([], dtype="object")
-        mat = _as_matrix(vec)
-        d = cents_sq[None, :] - 2.0 * (mat @ cents.T)
+        mat = np.round(_as_matrix(vec) * scale)
+        d = cents_sq[None, :] - 2.0 * (mat @ cents_q.T)
+        # stable sort on exact integers: probe order is (distance, cell)
         order = np.argsort(d, axis=1, kind="stable")[:, :n_probe].astype(np.int32)
         return pd.Series(list(order))
 

@@ -76,6 +76,8 @@ PRIORITY = (
     "doc_dedup_clusters",
     "embedding_topk_qcosine",
     "embedding_topk_mips",
+    "embedding_lsh_topk",
+    "embedding_ivf_topk",
     "doc_token_stats",
     "doc_lang_id",
     "doc_quality_score",
@@ -101,9 +103,6 @@ PRIORITY = (
     "minhash_lsh_candidates",
     "simhash_signatures",
     "simhash_near_dups",
-    "embedding_topk_cosine",
-    "embedding_lsh_topk",
-    "embedding_ivf_topk",
     "corpus_token_cardinality_approx",
 )
 

@@ -350,27 +350,83 @@ def simhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_candidates(d, "doc_id", "text", max_hamming=3, bands=4)
 
 
-@register(
-    "embedding_topk_cosine",
-    oracle=None,
-    doc="Exact cosine top-5 (double precision) — the floating-point "
-    "twin of embedding_topk_mips; rows-only check (fp summation order "
-    "is engine-specific).",
-    survey_refs=("LLM-sim",),
-)
-def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
-    out = brute_force_topk(emb, queries, "vec_id", "embedding", k=5, metric="cosine")
-    return out.withColumn("score", F.round("score", 6))
+# NOTE: the raw-float cosine ranking (brute_force_topk metric='cosine')
+# stays in the library + unit tests but is NOT registered: fp summation
+# order is engine-specific, so its oracle-checked form IS
+# embedding_topk_qcosine (identical ranking semantics over quantized
+# vectors). Registering both would spend a driver-budget slot on a
+# permanently rows-only twin (VERDICT.md r1 #2/#8).
+
+
+def _lsh_planes_values(num_planes: int = 16, dim: int = 64, scale: int = 1000) -> str:
+    """(plane, idx, coef) VALUES rows of the quantized hyperplanes —
+    the same integers signbit_signature uses, so the oracle reproduces
+    signatures bit-for-bit."""
+    from blockchain_indexer_spark.operators.similarity import _hyperplane  # noqa: PLC0415
+
+    rows = []
+    for p in range(num_planes):
+        for i, x in enumerate(_hyperplane(dim, p)):
+            rows.append(f"({p},{i + 1},{round(x * scale)})")
+    return ",".join(rows)
+
+
+_QV = """
+    vq AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    )
+"""
+
+_RERANK = """
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+                                          i -> CAST(a.v[i] * b.v[i] AS DOUBLE))) AS DOUBLE) AS score
+      FROM cand
+      JOIN vq a ON a.vec_id = cand.query_id
+      JOIN vq b ON b.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id, score
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+"""
 
 
 @register(
     "embedding_lsh_topk",
-    oracle=None,
+    oracle=f"""
+    WITH planes(plane, idx, coef) AS (VALUES {_lsh_planes_values()}),
+    {_QV},
+    proj AS (
+      SELECT vq.vec_id, p.plane, SUM(vq.v[p.idx] * p.coef) AS d
+      FROM vq CROSS JOIN planes p
+      GROUP BY vq.vec_id, p.plane
+    ),
+    sig AS (
+      SELECT vec_id,
+             SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << plane) ELSE 0 END) AS sig
+      FROM proj GROUP BY vec_id
+    ),
+    bands AS (
+      SELECT s.vec_id, b.band, (s.sig >> (b.band * 4)) & 15 AS bucket
+      FROM sig s CROSS JOIN (VALUES (0),(1),(2),(3)) b(band)
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM bands q JOIN bands c ON q.band = c.band AND q.bucket = c.bucket
+      WHERE q.vec_id % 50 = 0 AND q.vec_id != c.vec_id
+    ),
+    {_RERANK}
+    """,
     doc="Random-hyperplane LSH top-5 (16 planes, 4 bands) re-ranked by "
-    "quantized dot — the sub-linear scale path; rows-only check, "
-    "recall measured in tests against the exact baseline.",
+    "quantized dot — the sub-linear scale path. Hyperplanes AND "
+    "vectors are integer-quantized, so sign bits, buckets, candidates "
+    "and ranking are bit-reproducible in the DuckDB oracle "
+    "(VERDICT.md r1 #2).",
     survey_refs=("LLM-sim",),
 )
 def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -381,17 +437,57 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_ivf_topk",
-    oracle=None,
-    doc="IVF (inverted-file) top-5: deterministic Lloyd coarse "
-    "quantizer, 4-of-16 cell probes, exact quantized-dot re-rank — "
-    "the bucketed-ANN scale path alongside LSH; rows-only check, "
-    "recall measured in tests against the exact baseline.",
+    oracle=f"""
+    WITH {_QV},
+    samp AS (
+      SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS rn
+      FROM vq ORDER BY vec_id LIMIT 256
+    ),
+    cents AS (
+      SELECT CAST(rn // 16 AS INT) AS cell, v,
+             list_sum(list_transform(v, x -> CAST(x * x AS DOUBLE))) AS csq
+      FROM samp WHERE rn % 16 = 0
+    ),
+    assign AS (
+      SELECT vq.vec_id, c.cell,
+             c.csq - 2 * list_sum(list_transform(range(1, len(vq.v) + 1),
+                                                 i -> CAST(vq.v[i] * c.v[i] AS DOUBLE))) AS d
+      FROM vq CROSS JOIN cents c
+    ),
+    corpus_cell AS (
+      SELECT vec_id, cell
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM assign)
+      WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cell
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM assign WHERE vec_id % 50 = 0)
+      WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT p.query_id, cc.vec_id AS neighbor_id
+      FROM probes p JOIN corpus_cell cc ON p.cell = cc.cell
+      WHERE p.query_id != cc.vec_id
+    ),
+    {_RERANK}
+    """,
+    doc="IVF (inverted-file) top-5: data-seeded coarse quantizer "
+    "(stride sample of the 256 lowest-id vectors, iters=0), 4-of-16 "
+    "cell probes by exact integer distance, quantized-dot re-rank — "
+    "the bucketed-ANN scale path alongside LSH. Integer assignment "
+    "makes cells, probe order and ranking oracle-reproducible; the "
+    "Lloyd-refined variant (iters>0) stays the production option "
+    "with recall pinned in tests.",
     survey_refs=("LLM-sim",),
 )
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return ivf_topk(emb, queries, "vec_id", "embedding", k=5, n_cells=16, n_probe=4)
+    return ivf_topk(
+        emb, queries, "vec_id", "embedding", k=5, n_cells=16, n_probe=4, iters=0
+    )
 
 
 @register(

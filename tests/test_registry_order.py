@@ -33,8 +33,7 @@ def test_rows_only_variants_trail():
     """
     names = list(REGISTRY)
     with_oracle = set(oracles())
+    rows_only = [n for n in names if n not in with_oracle and n != "mm_feature_vectors"]
+    # every rows-only variant sits after every oracle-checked query
     last_oracle_pos = max(i for i, n in enumerate(names) if n in with_oracle)
-    for i, n in enumerate(names):
-        if n not in with_oracle and n != "mm_feature_vectors":
-            assert i > last_oracle_pos - 7, (n, i)  # all 7 in the tail
-            assert i > names.index("doc_repetition_stats"), n
+    assert all(names.index(n) > last_oracle_pos for n in rows_only), rows_only
