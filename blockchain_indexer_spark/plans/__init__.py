@@ -43,6 +43,10 @@ PRIORITY = (
     "chain_capacity_graph",
     "chain_capacity_changes",
     "chain_get_capacity",
+    "chain_signups_per_day",
+    "chain_balances_by_safe",
+    "chain_crc_minting",
+    "chain_formatted_transfers",
     # -- tier A: multimodal mapInPandas plumbing ----------------------
     "mm_decode_stats",
     "mm_thumbnail_geometry",

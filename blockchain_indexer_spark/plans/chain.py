@@ -1142,3 +1142,128 @@ def chain_get_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return steps.select(
         "id", "label", F.floor("value").cast("decimal(38,0)").cast("string").alias("value")
     )
+
+
+@register(
+    "chain_signups_per_day",
+    oracle=_D
+    + """
+    SELECT CAST(DATE '1970-01-01'
+               + CAST((1600000000 + 12529458 + user_id) // 86400 AS INT)
+               AS VARCHAR) AS day,
+           COUNT(*) AS signups
+    FROM users GROUP BY 1
+    """,
+    doc="crc_signups_per_day view (0.0.64.sql:1563-1569): per-day "
+    "tumbling count over the extracted person signups (one per "
+    "distinct user, at block 12529458+u).",
+    survey_refs=("E2", "A4", "P7"),
+)
+def chain_signups_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.views import crc_signups_per_day
+
+    t = _pipeline_tables(spark, sf_dir)
+    per_day = crc_signups_per_day(t["crc_signup"])
+    return per_day.select(F.col("day").cast("string").alias("day"), "signups")
+
+
+@register(
+    "chain_balances_by_safe",
+    oracle=_D
+    + """
+    , ledger AS (
+        SELECT '0x' || printf('%040x', user_id + 1) AS safe_address,
+               CAST('50000000000000000000' AS HUGEINT) AS v
+        FROM users
+        UNION ALL
+        SELECT '0x0000000000000000000000000000000000000000',
+               -CAST('50000000000000000000' AS HUGEINT)
+        FROM users
+        UNION ALL
+        SELECT '0x' || printf('%040x', user_id + 1), -CAST(cents AS HUGEINT)
+        FROM ev WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT '0x' || printf('%040x', user_id + 8), CAST(cents AS HUGEINT)
+        FROM ev WHERE event_type = 'purchase'
+    )
+    SELECT safe_address, CAST(SUM(v) AS VARCHAR) AS balance
+    FROM ledger GROUP BY safe_address
+    """,
+    doc="crc_balances_by_safe view (0.0.64.sql:786-791): the per-safe "
+    "rollup of the double-entry ledger (token axis summed away); "
+    "uint256 sums compared as exact decimal strings.",
+    survey_refs=("A2", "A1"),
+)
+def chain_balances_by_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.views import crc_balances_by_safe
+
+    ledger = _derived_views(spark, sf_dir)["ledger"]
+    return crc_balances_by_safe(ledger).select(
+        "safe_address", F.col("balance").cast("string").alias("balance")
+    )
+
+
+@register(
+    "chain_crc_minting",
+    oracle=_D
+    + """
+    SELECT '0x' || md5('signup-' || CAST(user_id AS VARCHAR)) AS hash,
+           '0x0000000000000000000000000000000000000000' AS "from",
+           '0x' || printf('%040x', user_id + 1) AS "to",
+           '0x' || printf('%040x', user_id + 1 + 16777216) AS token,
+           '50000000000000000000' AS value
+    FROM users
+    """,
+    doc="crc_minting view (0.0.64.sql:1281-1292): zero-address "
+    "transfers (erc20_minting, :1265-1275) semi-joined to signup "
+    "tokens via the broadcast token dimension; one 50e18 mint per "
+    "signup in the derived chain.",
+    survey_refs=("P2", "J1"),
+)
+def chain_crc_minting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.views import crc_minting
+
+    t = _pipeline_tables(spark, sf_dir)
+    rows = crc_minting(t["erc20_transfer"], t["crc_signup"])
+    return rows.select(
+        "hash", "from", "to", "token", F.col("value").cast("string").alias("value")
+    )
+
+
+@register(
+    "chain_formatted_transfers",
+    oracle=_D
+    + """
+    SELECT '0x' || md5('signup-' || CAST(user_id AS VARCHAR)) AS hash,
+           '0x0000000000000000000000000000000000000000' AS "from",
+           '0x' || printf('%040x', user_id + 1) AS "to",
+           '0x' || printf('%040x', user_id + 1 + 16777216) AS token,
+           '50000000000000000000' AS value
+    FROM users
+    UNION ALL
+    -- purchase: the CRC token hop addr(u) -> addr(u+8) on token(u)
+    SELECT '0x' || md5('tx-' || CAST(event_id AS VARCHAR)),
+           '0x' || printf('%040x', user_id + 1),
+           '0x' || printf('%040x', user_id + 8),
+           '0x' || printf('%040x', user_id + 1 + 16777216),
+           CAST(cents AS VARCHAR)
+    FROM ev WHERE event_type = 'purchase'
+    UNION ALL
+    -- view: the non-CRC transfer addr(u) -> addr(u+4) on nctoken(u)
+    SELECT '0x' || md5('tx-' || CAST(event_id AS VARCHAR)),
+           '0x' || printf('%040x', user_id + 1),
+           '0x' || printf('%040x', user_id + 4),
+           '0x' || printf('%040x', user_id + 1 + 33554432),
+           CAST(cents AS VARCHAR)
+    FROM ev WHERE event_type = 'view'
+    """,
+    doc="formatted_* views (P1, 0.0.64.sql:1324-1382): numeric value "
+    "-> text cast over the full erc20_transfer table (mints + CRC "
+    "hops + non-CRC transfers), the API-facing projection.",
+    survey_refs=("P1",),
+)
+def chain_formatted_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.views import formatted
+
+    t = _pipeline_tables(spark, sf_dir)
+    return formatted(t["erc20_transfer"]).select("hash", "from", "to", "token", "value")
