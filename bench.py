@@ -133,6 +133,46 @@ def main() -> None:
         }
     except Exception:  # throughput is informational; never fail the bench
         pass
+    # Live-mode micro-batch round (reference budget: 2000-tx batch
+    # promoted + caches refreshed within the 10 s serial flush window,
+    # Settings.cs:170,179-180): two batches into a scratch sink — the
+    # first builds the tables, the SECOND is the steady-state round
+    # (promote + classify + extract + append + T8 cache refresh).
+    try:
+        import shutil  # noqa: PLC0415
+        import tempfile  # noqa: PLC0415
+
+        from pyspark.sql import Window  # noqa: PLC0415
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        from blockchain_indexer_spark.plans.chain import derive_chain  # noqa: PLC0415
+        from blockchain_indexer_spark.streaming.runner import IngestPipeline  # noqa: PLC0415
+
+        chain = derive_chain(spark, "/root/testdata/sf0.001")
+        feed = chain.select(
+            "block_number",
+            "block_hash",
+            F.unix_timestamp("timestamp").alias("block_timestamp"),
+            F.count("*")
+            .over(Window.partitionBy("block_number"))
+            .cast("int")
+            .alias("total_transaction_count"),
+            "hash", "index", "from", "to", "value", "input", "nonce", "type", "logs",
+        ).localCheckpoint(eager=True)
+        scratch = tempfile.mkdtemp(prefix="bench_microbatch_")
+        try:
+            pipe = IngestPipeline(spark, scratch)
+            pipe.process_batch(feed.filter(F.col("block_number") % 2 == 0), 0)
+            batch2 = feed.filter(F.col("block_number") % 2 == 1)
+            n2 = batch2.filter(F.col("hash").isNotNull()).count()
+            t0 = time.time()
+            pipe.process_batch(batch2, 1)
+            extra["microbatch_tx"] = n2
+            extra["microbatch_round_sec"] = round(time.time() - t0, 3)
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+    except Exception:
+        pass
     print(
         json.dumps(
             {

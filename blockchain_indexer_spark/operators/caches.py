@@ -25,14 +25,29 @@ def stale_balance_addresses(
 ) -> DataFrame:
     """Addresses whose balance may have changed (0.0.64.sql:2275-2290):
     each endpoint of the batch's erc20/hub transfers that is a
-    signed-up account. Returns one column `safe_address`, distinct."""
+    signed-up account. Returns one column `safe_address`, distinct.
+
+    One deliberate addition over the reference's staleness rule: the
+    ledger books every mint's debit against the zero address
+    (0.0.64.sql:756-767 has no zero-address exclusion), yet the zero
+    address is never signed up — under the reference rule its cache
+    rows would go permanently stale on every new mint. Endpoints that
+    ARE the zero address therefore bypass the signup filter, keeping
+    cache == view an exact invariant (pinned by
+    tests/test_cache_maintenance.py)."""
+    from blockchain_indexer_spark.schemas import EMPTY_ADDRESS  # noqa: PLC0415
+
     users = all_signups.select(F.col("user").alias("safe_address")).distinct()
     endpoints = None
     for batch in (erc20_batch, hub_batch):
         for side in ("from", "to"):
             part = batch.select(F.col(side).alias("safe_address"))
             endpoints = part if endpoints is None else endpoints.unionByName(part)
-    return endpoints.distinct().join(users, "safe_address", "left_semi")
+    endpoints = endpoints.distinct()
+    signed_up = endpoints.join(users, "safe_address", "left_semi")
+    return signed_up.unionByName(
+        endpoints.filter(F.col("safe_address") == EMPTY_ADDRESS)
+    ).distinct()
 
 
 def stale_trust_addresses(trust_batch: DataFrame) -> DataFrame:

@@ -67,6 +67,11 @@ EVENT_TABLES = (
     "gnosis_safe_eth_transfer",
 )
 
+# The reference's two hand-maintained materializations, refreshed
+# per import batch on stale keys only (0.0.64.sql:2272-2376, T8)
+CACHE_BALANCES = "cache_crc_balances_by_safe_and_token"
+CACHE_TRUST = "cache_crc_current_trust"
+
 BLOCK_GROUP_SIZE = 100_000
 
 # K5: the reference broadcasts this magic hash to websocket consumers
@@ -94,6 +99,7 @@ class IngestPipeline:
         on_imported=None,
         jdbc_url: str | None = None,
         jdbc_properties: dict[str, str] | None = None,
+        maintain_caches: bool = True,
     ) -> None:
         """`jdbc_url` switches the final-table sink/source from
         partitioned parquet to JDBC appends — the reference's Postgres
@@ -112,6 +118,10 @@ class IngestPipeline:
         self.on_imported = on_imported
         self.jdbc_url = jdbc_url
         self.jdbc_properties = jdbc_properties or {}
+        # T8: refresh the balance/trust materializations per batch —
+        # parquet sink only (the JDBC twin would run the same set
+        # algebra server-side, as the reference's SQL procedure does)
+        self.maintain_caches = maintain_caches and jdbc_url is None
 
     def signal_reorg(self) -> None:
         """Announce a reorg to push consumers (K5's deadbeef path)."""
@@ -225,12 +235,86 @@ class IngestPipeline:
                 ]
                 for fut in futures:
                     fut.result()
+            # new_txs is checkpointed inside promote, so the emptiness
+            # probe is a cheap scan, not a recompute
+            if self.maintain_caches and new_txs.limit(1).count() > 0:
+                self.refresh_caches(tables)
             if self.on_imported is not None:
                 hashes = [r["hash"] for r in new_txs.select("hash").collect()]
                 if hashes:
                     self.on_imported(hashes)
         finally:
             feed.unpersist()
+
+    def read_cache(self, name: str) -> DataFrame | None:
+        """Current materialization of CACHE_BALANCES / CACHE_TRUST."""
+        from pyspark.errors.exceptions.captured import AnalysisException
+
+        try:
+            return self.spark.read.parquet(self._table_path(name))
+        except AnalysisException:
+            return None
+
+    def refresh_caches(self, batch_tables: dict[str, DataFrame]) -> None:
+        """Stale-key incremental refresh of the two reference cache
+        tables after a committed batch (import_from_staging_2,
+        0.0.64.sql:2272-2376; T8).
+
+        The stale sets come from THIS batch's extracted rows (small,
+        broadcast); the fresh views run over the full post-append
+        tables but Catalyst pushes the stale semi-join into their
+        scans, so refresh cost is O(batch), not O(history).
+        """
+        from blockchain_indexer_spark.operators.caches import (
+            refresh_balance_cache,
+            refresh_trust_cache,
+            stale_balance_addresses,
+            stale_trust_addresses,
+        )
+        from blockchain_indexer_spark.operators.views import (
+            crc_all_signups,
+            crc_balances_by_safe_and_token,
+            crc_current_trust,
+            crc_ledger,
+        )
+
+        signup_full = self.read_final("crc_signup")
+        erc20_full = self.read_final("erc20_transfer")
+        if signup_full is None or erc20_full is None:
+            return  # nothing promoted yet — no views to materialize
+        org_full = self.read_final("crc_organisation_signup")
+        if org_full is None:
+            org_full = signup_full.select(
+                "hash", "block_number", "index", "timestamp",
+                F.col("user").alias("organisation"),
+            ).limit(0)
+        signups = crc_all_signups(signup_full, org_full)
+
+        def _publish(name: str, df: DataFrame) -> None:
+            # snapshot before overwrite: the refreshed plan READS the
+            # cache dir it is about to replace (read-modify-write)
+            df.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+                self._table_path(name)
+            )
+
+        stale_b = stale_balance_addresses(
+            batch_tables["erc20_transfer"], batch_tables["crc_hub_transfer"], signups
+        )
+        fresh_b = crc_balances_by_safe_and_token(crc_ledger(erc20_full, signup_full))
+        _publish(
+            CACHE_BALANCES,
+            refresh_balance_cache(self.read_cache(CACHE_BALANCES), fresh_b, stale_b),
+        )
+
+        trust_full = self.read_final("crc_trust")
+        if trust_full is None:
+            return
+        stale_t = stale_trust_addresses(batch_tables["crc_trust"])
+        fresh_t = crc_current_trust(trust_full, signups)
+        _publish(
+            CACHE_TRUST,
+            refresh_trust_cache(self.read_cache(CACHE_TRUST), fresh_t, stale_t),
+        )
 
     def start_stream(self, feed_dir: str, checkpoint_dir: str, available_now: bool = True):
         """File-fed Structured Streaming ingest: new parquet files in

@@ -1,0 +1,83 @@
+"""T8 wiring: IngestPipeline.process_batch maintains the two reference
+cache tables incrementally, and after EVERY micro-batch the cache
+equals a from-scratch recompute of the authoritative view
+(import_from_staging_2, 0.0.64.sql:2272-2376).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from blockchain_indexer_spark.operators.views import (
+    crc_all_signups,
+    crc_balances_by_safe_and_token,
+    crc_current_trust,
+    crc_ledger,
+)
+from blockchain_indexer_spark.streaming.runner import (
+    CACHE_BALANCES,
+    CACHE_TRUST,
+    IngestPipeline,
+)
+from tests.test_streaming import _feed_rows
+
+_BAL_COLS = ["safe_address", "token", "token_owner", "balance", "last_change_at", "last_change_at_block"]
+_TRUST_COLS = ["user", "can_send_to", "limit", "last_change_at_block"]
+
+
+def _sorted(df, cols):
+    return sorted(map(tuple, df.select(*cols).collect()))
+
+
+def _scratch_views(pipe):
+    signup = pipe.read_final("crc_signup")
+    org = pipe.read_final("crc_organisation_signup")
+    erc20 = pipe.read_final("erc20_transfer")
+    trust = pipe.read_final("crc_trust")
+    if org is None:
+        org = signup.select(
+            "hash", "block_number", "index", "timestamp",
+            F.col("user").alias("organisation"),
+        ).limit(0)
+    signups = crc_all_signups(signup, org)
+    return (
+        crc_balances_by_safe_and_token(crc_ledger(erc20, signup)),
+        crc_current_trust(trust, signups) if trust is not None else None,
+    )
+
+
+def test_cache_equals_scratch_recompute_after_each_batch(spark, tmp_path):
+    feed = _feed_rows(spark).cache()
+    pipe = IngestPipeline(spark, str(tmp_path / "final"))
+
+    # three micro-batches split by block parity/thirds — each touches a
+    # different subset of accounts, so the stale sets are real subsets
+    chunks = [feed.filter(F.col("block_number") % 3 == i) for i in range(3)]
+    for i, chunk in enumerate(chunks):
+        pipe.process_batch(chunk, epoch_id=i)
+        bal_cache = pipe.read_cache(CACHE_BALANCES)
+        trust_cache = pipe.read_cache(CACHE_TRUST)
+        assert bal_cache is not None, f"batch {i}: balance cache missing"
+        bal_fresh, trust_fresh = _scratch_views(pipe)
+        assert _sorted(bal_cache, _BAL_COLS) == _sorted(bal_fresh, _BAL_COLS), i
+        if trust_fresh is not None:
+            assert trust_cache is not None
+            assert _sorted(trust_cache, _TRUST_COLS) == _sorted(trust_fresh, _TRUST_COLS), i
+
+    # a duplicate redelivery imports zero rows and must leave the
+    # caches untouched-but-correct (exactly-once composes with T8)
+    before = _sorted(pipe.read_cache(CACHE_BALANCES), _BAL_COLS)
+    pipe.process_batch(chunks[0], epoch_id=99)
+    assert _sorted(pipe.read_cache(CACHE_BALANCES), _BAL_COLS) == before
+    bal_fresh, _ = _scratch_views(pipe)
+    assert before == _sorted(bal_fresh, _BAL_COLS)
+
+
+def test_caches_optional_and_off_for_jdbc(spark, tmp_path):
+    pipe = IngestPipeline(spark, str(tmp_path / "f"), maintain_caches=False)
+    assert pipe.maintain_caches is False
+    pipe_jdbc = IngestPipeline(spark, str(tmp_path / "g"), jdbc_url="jdbc:stub://x")
+    assert pipe_jdbc.maintain_caches is False
