@@ -128,6 +128,47 @@ class IngestPipeline:
         if self.on_imported is not None:
             self.on_imported([REORG_MAGIC_HASH])
 
+    def retract(self, reorg_block: int) -> None:
+        """T5: drop every final row at or above the diverging block and
+        announce the reorg (Indexer.cs:273-325); the caller re-ingests
+        from `reorg_block`. On the partitioned parquet sink this is a
+        filter-and-rewrite (a partition-range delete in production —
+        block_group pruning keeps the rewrite to the affected ranges);
+        derived cache tables are dropped and rebuild in full on the
+        next batch. JDBC targets run the reference's SQL delete
+        server-side instead.
+        """
+        if self.jdbc_url is not None:
+            raise NotImplementedError(
+                "JDBC retraction is a server-side DELETE (Indexer.cs:273-325); "
+                "run it on the target database"
+            )
+        import shutil  # noqa: PLC0415
+
+        from blockchain_indexer_spark.operators.promote import retract_from  # noqa: PLC0415
+
+        tables = {}
+        for name in ("block", *EVENT_TABLES):
+            df = self.read_final(name)
+            if df is not None:
+                tables[name] = df
+        kept = retract_from(tables, reorg_block)
+        for name, df in kept.items():
+            block_col = "number" if name == "block" else "block_number"
+            # snapshot before overwrite: the plan reads the dir being replaced
+            snap = df.drop("block_group").localCheckpoint(eager=True)
+            (
+                snap.withColumn(
+                    "block_group", (F.col(block_col) / BLOCK_GROUP_SIZE).cast("long")
+                )
+                .write.mode("overwrite")
+                .partitionBy("block_group")
+                .parquet(self._table_path(name))
+            )
+        for cache in (CACHE_BALANCES, CACHE_TRUST):
+            shutil.rmtree(self._table_path(cache), ignore_errors=True)
+        self.signal_reorg()
+
     def _table_path(self, name: str) -> str:
         return os.path.join(self.out_dir, name)
 
@@ -297,31 +338,49 @@ class IngestPipeline:
                 self._table_path(name)
             )
 
-        stale_b = stale_balance_addresses(
-            batch_tables["erc20_transfer"], batch_tables["crc_hub_transfer"], signups
-        )
-        fresh_b = crc_balances_by_safe_and_token(crc_ledger(erc20_full, signup_full))
-        _publish(
-            CACHE_BALANCES,
-            refresh_balance_cache(self.read_cache(CACHE_BALANCES), fresh_b, stale_b),
-        )
+        def _refresh_balances() -> None:
+            stale_b = stale_balance_addresses(
+                batch_tables["erc20_transfer"], batch_tables["crc_hub_transfer"], signups
+            )
+            fresh_b = crc_balances_by_safe_and_token(crc_ledger(erc20_full, signup_full))
+            _publish(
+                CACHE_BALANCES,
+                refresh_balance_cache(self.read_cache(CACHE_BALANCES), fresh_b, stale_b),
+            )
 
-        trust_full = self.read_final("crc_trust")
-        if trust_full is None:
-            return
-        stale_t = stale_trust_addresses(batch_tables["crc_trust"])
-        fresh_t = crc_current_trust(trust_full, signups)
-        _publish(
-            CACHE_TRUST,
-            refresh_trust_cache(self.read_cache(CACHE_TRUST), fresh_t, stale_t),
-        )
+        def _refresh_trust() -> None:
+            trust_full = self.read_final("crc_trust")
+            if trust_full is None:
+                return
+            stale_t = stale_trust_addresses(batch_tables["crc_trust"])
+            fresh_t = crc_current_trust(trust_full, signups)
+            _publish(
+                CACHE_TRUST,
+                refresh_trust_cache(self.read_cache(CACHE_TRUST), fresh_t, stale_t),
+            )
 
-    def start_stream(self, feed_dir: str, checkpoint_dir: str, available_now: bool = True):
+        # independent materializations — overlap their Spark jobs
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for fut in [pool.submit(_refresh_balances), pool.submit(_refresh_trust)]:
+                fut.result()
+
+    def start_stream(
+        self,
+        feed_dir: str,
+        checkpoint_dir: str,
+        available_now: bool = True,
+        max_files_per_trigger: int | None = None,
+    ):
         """File-fed Structured Streaming ingest: new parquet files in
         feed_dir are one-shot processed (Trigger.AvailableNow) or
         continuously tailed — the reference's bulk vs live modes
-        (T11) with the same batch body."""
-        stream = self.spark.readStream.schema(FEED_SCHEMA).parquet(feed_dir)
+        (T11) with the same batch body. `max_files_per_trigger` bounds
+        a micro-batch (T2 backpressure: a backlog drains in bounded
+        chunks instead of one giant catch-up batch)."""
+        reader = self.spark.readStream.schema(FEED_SCHEMA)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.parquet(feed_dir)
         writer = (
             stream.writeStream.foreachBatch(self.process_batch)
             .option("checkpointLocation", checkpoint_dir)
