@@ -206,86 +206,135 @@ class IngestPipeline:
             .parquet(self._table_path(name))
         )
 
+    def _import_lock(self):
+        """Coarse cross-process import mutex over the sink directory —
+        the reference's Serializable promote transaction
+        (Persistence/ImportProcedure.cs:17-27) re-expressed for a
+        shared filesystem: the exactly-once anti-join reads the final
+        tables, so two UNSERIALIZED writers racing the same rows would
+        both see them as new and double-import. mkdir is atomic on
+        POSIX and object stores with atomic namespaces; a crashed
+        holder's lock is stolen after SPARK_GRAFT_IMPORT_LOCK_TIMEOUT
+        seconds (default 600). JDBC multi-instance deployments must
+        instead run the promote under a SERIALIZABLE transaction
+        server-side, exactly like the reference (SCALE.md)."""
+        import contextlib  # noqa: PLC0415
+        import time  # noqa: PLC0415
+
+        @contextlib.contextmanager
+        def lock():
+            path = os.path.join(self.out_dir, ".import.lock")
+            timeout = float(os.environ.get("SPARK_GRAFT_IMPORT_LOCK_TIMEOUT", "600"))
+            os.makedirs(self.out_dir, exist_ok=True)
+            while True:
+                try:
+                    os.mkdir(path)
+                    break
+                except FileExistsError:
+                    try:
+                        if time.time() - os.path.getmtime(path) > timeout:
+                            os.rmdir(path)  # steal a crashed holder's lock
+                            continue
+                    except OSError:
+                        pass
+                    time.sleep(0.05)
+            try:
+                yield
+            finally:
+                try:
+                    os.rmdir(path)
+                except OSError:
+                    pass
+
+        return lock()
+
     def process_batch(self, feed: DataFrame, epoch_id: int = 0) -> None:
         """foreachBatch body: staging split → promote → classify →
-        extract → idempotent append. Also usable directly in batch mode.
+        extract → idempotent append. Also usable directly in batch
+        mode. The whole read-merge-append round runs under the import
+        lock so concurrent indexer instances serialize (T4 composes
+        with multi-writer safety).
         """
         feed.persist()
         try:
-            block_staging = feed.select(
-                F.col("block_number").alias("number"),
-                F.col("block_hash").alias("hash"),
-                F.col("block_timestamp").alias("timestamp"),
-                "total_transaction_count",
-            ).dropDuplicates(["number", "hash"])
-            tx_rows = feed.filter(F.col("hash").isNotNull())
-            tx_staging = tx_rows.select(*[f.name for f in RAW_TRANSACTION_SCHEMA.fields])
-            log_staging = tx_rows.select(
-                F.col("hash").alias("tx_hash"), F.explode_outer("logs").alias("l")
-            ).select("tx_hash", "l.log_index", "l.address", "l.topics", "l.data").filter(
-                F.col("log_index").isNotNull()
-            )
-
-            # Eager localCheckpoints inside promote snapshot the merge
-            # results BEFORE any append: their plans anti-join against
-            # the very tables we are about to append to, and a lazy
-            # plan would re-list the parquet dir after the write and
-            # see its own output (read-modify-append hazard). Doing it
-            # inside promote (dependency order) also keeps each
-            # checkpoint job shallow instead of recomputing the
-            # disambiguate/complete/merge lineage per output.
-            promoted = promote(
-                block_staging,
-                tx_staging,
-                log_staging,
-                existing_blocks=self.read_final("block"),
-                existing_txs=self.read_final("transaction"),
-                checkpoint=lambda df: df.localCheckpoint(eager=True),
-            )
-            new_blocks = promoted["block"]
-            new_txs = promoted["transaction_raw"]
-            new_logs = promoted["log_raw"]
-
-            from blockchain_indexer_spark.operators.extract import assemble_transactions
-
-            assembled = assemble_transactions(new_blocks, new_txs, new_logs)
-            # Checkpoint the classified frame: the 8 table appends below
-            # would otherwise each re-run assemble+classify — 8 deep
-            # plans whose codegen compile time dominates a small live
-            # batch (the reference's 500 ms cadence, Settings.cs:180).
-            # raw `logs` dropped: the extractors read the parsed `_lp`
-            # structs, so only the slimmer frame is materialized
-            classified = (
-                classify(assembled, self.hub).drop("logs").localCheckpoint(eager=True)
-            )
-            tables = extract_all(classified, self.safe_owners, self.hub)
-            # The appends target disjoint directories — run them as
-            # concurrent Spark jobs so scheduling/commit latency
-            # overlaps instead of summing.
-            block_final = new_blocks.select(
-                "number",
-                "hash",
-                F.timestamp_seconds("timestamp").alias("timestamp"),
-                "total_transaction_count",
-            )
-            with ThreadPoolExecutor(max_workers=1 + len(EVENT_TABLES)) as pool:
-                futures = [pool.submit(self._append, "block", block_final, "number")]
-                futures += [
-                    pool.submit(self._append, name, tables[name], "block_number")
-                    for name in EVENT_TABLES
-                ]
-                for fut in futures:
-                    fut.result()
-            # new_txs is checkpointed inside promote, so the emptiness
-            # probe is a cheap scan, not a recompute
-            if self.maintain_caches and new_txs.limit(1).count() > 0:
-                self.refresh_caches(tables)
-            if self.on_imported is not None:
-                hashes = [r["hash"] for r in new_txs.select("hash").collect()]
-                if hashes:
-                    self.on_imported(hashes)
+            with self._import_lock():
+                self._process_batch_locked(feed)
         finally:
             feed.unpersist()
+
+    def _process_batch_locked(self, feed: DataFrame) -> None:
+        block_staging = feed.select(
+            F.col("block_number").alias("number"),
+            F.col("block_hash").alias("hash"),
+            F.col("block_timestamp").alias("timestamp"),
+            "total_transaction_count",
+        ).dropDuplicates(["number", "hash"])
+        tx_rows = feed.filter(F.col("hash").isNotNull())
+        tx_staging = tx_rows.select(*[f.name for f in RAW_TRANSACTION_SCHEMA.fields])
+        log_staging = tx_rows.select(
+            F.col("hash").alias("tx_hash"), F.explode_outer("logs").alias("l")
+        ).select("tx_hash", "l.log_index", "l.address", "l.topics", "l.data").filter(
+            F.col("log_index").isNotNull()
+        )
+
+        # Eager localCheckpoints inside promote snapshot the merge
+        # results BEFORE any append: their plans anti-join against
+        # the very tables we are about to append to, and a lazy
+        # plan would re-list the parquet dir after the write and
+        # see its own output (read-modify-append hazard). Doing it
+        # inside promote (dependency order) also keeps each
+        # checkpoint job shallow instead of recomputing the
+        # disambiguate/complete/merge lineage per output.
+        promoted = promote(
+            block_staging,
+            tx_staging,
+            log_staging,
+            existing_blocks=self.read_final("block"),
+            existing_txs=self.read_final("transaction"),
+            checkpoint=lambda df: df.localCheckpoint(eager=True),
+        )
+        new_blocks = promoted["block"]
+        new_txs = promoted["transaction_raw"]
+        new_logs = promoted["log_raw"]
+
+        from blockchain_indexer_spark.operators.extract import assemble_transactions
+
+        assembled = assemble_transactions(new_blocks, new_txs, new_logs)
+        # Checkpoint the classified frame: the 8 table appends below
+        # would otherwise each re-run assemble+classify — 8 deep
+        # plans whose codegen compile time dominates a small live
+        # batch (the reference's 500 ms cadence, Settings.cs:180).
+        # raw `logs` dropped: the extractors read the parsed `_lp`
+        # structs, so only the slimmer frame is materialized
+        classified = (
+            classify(assembled, self.hub).drop("logs").localCheckpoint(eager=True)
+        )
+        tables = extract_all(classified, self.safe_owners, self.hub)
+        # The appends target disjoint directories — run them as
+        # concurrent Spark jobs so scheduling/commit latency
+        # overlaps instead of summing.
+        block_final = new_blocks.select(
+            "number",
+            "hash",
+            F.timestamp_seconds("timestamp").alias("timestamp"),
+            "total_transaction_count",
+        )
+        with ThreadPoolExecutor(max_workers=1 + len(EVENT_TABLES)) as pool:
+            futures = [pool.submit(self._append, "block", block_final, "number")]
+            futures += [
+                pool.submit(self._append, name, tables[name], "block_number")
+                for name in EVENT_TABLES
+            ]
+            for fut in futures:
+                fut.result()
+        # new_txs is checkpointed inside promote, so the emptiness
+        # probe is a cheap scan, not a recompute
+        if self.maintain_caches and new_txs.limit(1).count() > 0:
+            self.refresh_caches(tables)
+        if self.on_imported is not None:
+            hashes = [r["hash"] for r in new_txs.select("hash").collect()]
+            if hashes:
+                self.on_imported(hashes)
 
     def read_cache(self, name: str) -> DataFrame | None:
         """Current materialization of CACHE_BALANCES / CACHE_TRUST."""

@@ -174,3 +174,24 @@ def test_jdbc_sink_dispatch(spark, tmp_path_factory, feed_df, monkeypatch):
     pipe.process_batch(feed_df)  # duplicate delivery
     assert spark.read.parquet(os.path.join(spool, "transaction")).count() == n
     assert ("jdbc:postgresql://db/indexer", "transaction") in read
+
+
+def test_concurrent_importers_serialize(spark, tmp_path_factory, feed_df):
+    """Two indexer instances racing the SAME rows into one sink must
+    not double-import: the import lock serializes the read-merge-append
+    round (the reference's Serializable promote transaction,
+    ImportProcedure.cs:17-27)."""
+    from concurrent.futures import ThreadPoolExecutor as TPE
+
+    out = str(tmp_path_factory.mktemp("multiwriter"))
+    n_txs = feed_df.filter(F.col("hash").isNotNull()).count()
+    pipes = [IngestPipeline(spark, out, maintain_caches=False) for _ in range(2)]
+    with TPE(max_workers=2) as pool:
+        futs = [pool.submit(p.process_batch, feed_df) for p in pipes]
+        for f in futs:
+            f.result()
+    txs = pipes[0].read_final("transaction")
+    assert txs.count() == n_txs  # second writer saw the first's commit
+    assert txs.select("hash").distinct().count() == n_txs
+    blocks = pipes[0].read_final("block")
+    assert blocks.count() == blocks.select("number").distinct().count()
