@@ -91,6 +91,7 @@ PRIORITY = (
     "doc_top_terms",
     "doc_rolling_fingerprint",
     "corpus_token_cardinality",
+    "corpus_token_cardinality_bound",
     "corpus_mixture_report",
     "doc_length_quantiles",
     "embedding_cosine_near_dups",

@@ -862,6 +862,40 @@ def corpus_token_cardinality_approx(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@register(
+    "corpus_token_cardinality_bound",
+    oracle=r"""
+    WITH t AS (
+      SELECT source,
+             unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS tok
+      FROM documents
+    )
+    SELECT source,
+           COUNT(DISTINCT tok) AS distinct_tokens,
+           TRUE AS within_3rsd
+    FROM t GROUP BY source
+    """,
+    doc="Oracle-checkable invariant over the HLL sketch (VERDICT r1 "
+    "#8): per source, the HyperLogLog++ estimate (rsd 2%) must land "
+    "within 3 rsd = 6% of the exact distinct count, which the oracle "
+    "recomputes in SQL. A drifting sketch flips within_3rsd to false "
+    "and fails the value-hash — so the approx path gets a hard "
+    "driver-side gate even though its raw estimate is engine-specific.",
+    survey_refs=("LLM-text", "A7"),
+)
+def corpus_token_cardinality_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = spread(d, "doc_id").select("source", F.explode(tokens("text")).alias("tok"))
+    agg = tok.groupBy("source").agg(
+        F.countDistinct("tok").alias("distinct_tokens"),
+        F.approx_count_distinct("tok", rsd=0.02).alias("_approx"),
+    )
+    err = F.abs(F.col("_approx") - F.col("distinct_tokens")) / F.col("distinct_tokens")
+    return agg.select("source", "distinct_tokens", (err <= 0.06).alias("within_3rsd"))
+
+
 _MD5_SH = r"""
     WITH toks AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS t FROM documents

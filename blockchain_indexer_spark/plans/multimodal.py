@@ -102,20 +102,38 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_feature_vectors",
-    oracle=None,  # byte histograms aren't SQL-expressible; exact values
-    # asserted in tests/test_multimodal.py
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split_regex(text, '')) AS c FROM documents
+    ),
+    b AS (SELECT doc_id, ord(c) // 16 AS bin FROM chars WHERE c <> ''),
+    cnt AS (SELECT doc_id, bin, COUNT(*) AS n FROM b GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS nz, MAX(n) AS top, SUM(n) AS t
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(16 AS INT) AS dim,
+           CAST(COALESCE(agg.nz, 0) AS INT) AS nonzero_bins,
+           CAST(COALESCE(CAST(agg.top AS DOUBLE) / agg.t, 0.0) AS DOUBLE) AS feature_max
+    FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """,
     doc="Binary → fixed-dim feature vector (16-bin byte histogram, "
     "L1-normalized) ready for the ANN operators; numpy-vectorized per "
-    "Arrow batch.",
+    "Arrow batch. Gate columns are the engine-exact projections of the "
+    "vector — dim, nonzero bin count, and max bin weight (a single "
+    "count/total IEEE division, bit-identical in SQL; the corpus is "
+    "ASCII so byte==codepoint) — giving the mapInPandas plumbing a "
+    "full value-hash oracle (VERDICT r1 #8); per-element values are "
+    "pinned in tests/test_multimodal.py.",
     survey_refs=("LLM-multimodal",),
 )
 def mm_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_features(_blobs(spark, sf_dir))
     return feats.select(
         "doc_id",
-        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias(
-            "feature_l1"
-        ),
+        F.size("feature").cast("int").alias("dim"),
+        F.size(F.filter("feature", lambda x: x > 0)).cast("int").alias("nonzero_bins"),
         F.array_max("feature").alias("feature_max"),
     )
 

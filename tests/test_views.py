@@ -253,3 +253,85 @@ def test_register_all_sql_surface(spark, ctx):
     for name in views:
         df = spark.sql(f"SELECT * FROM {name} LIMIT 1")
         assert df.schema.fields, f"view {name} has no schema"
+
+
+def test_uint256_overflow_value_through_ledger(spark):
+    """Overflow policy end-to-end (VERDICT r1 #7): a transfer whose
+    uint256 value exceeds DecimalType(38,0) decodes to value=NULL with
+    the raw hex retained in value_string (hex.py:33, extract.py:95);
+    the ledger keeps the row (NULL value) and balance SUMs skip it —
+    over-range transfers are excluded from aggregates, never poison
+    them, and stay auditable via value_string."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from blockchain_indexer_spark.operators.views import (
+        crc_balances_by_safe_and_token,
+        crc_ledger,
+    )
+    from blockchain_indexer_spark.schemas import (
+        RAW_BLOCK_SCHEMA,
+        RAW_LOG_SCHEMA,
+        RAW_TRANSACTION_SCHEMA,
+        TRANSFER_TOPIC,
+    )
+    from tests.chain_fixtures import (
+        CRC_SIGNUP_TOPIC,
+        CRC_TRUST_TOPIC,
+        HUB_ADDRESS,
+        MINT,
+        TOKEN1,
+        USER1,
+        USER2,
+        addr,
+        hex256,
+        topic_addr,
+    )
+    from tests.chain_fixtures import EMPTY_ADDRESS as ZERO
+
+    over = 10**38  # smallest value that overflows decimal(38,0)
+    bhash = "0x" + "c" * 64
+    blocks = [(1, bhash, 1_650_000_000, 3)]
+    txs = [
+        (1, bhash, "0x" + "01".ljust(64, "0"), 0, USER1, HUB_ADDRESS, "0", "0x01", "1", "0"),
+        (1, bhash, "0x" + "02".ljust(64, "0"), 1, USER1, TOKEN1, "0", "0xab", "1", "0"),
+        (1, bhash, "0x" + "03".ljust(64, "0"), 2, USER1, TOKEN1, "0", "0xab", "1", "0"),
+    ]
+    logs = [
+        # signup: mints 50e18 of TOKEN1 to USER1
+        ("0x" + "01".ljust(64, "0"), 0, HUB_ADDRESS, [CRC_SIGNUP_TOPIC, topic_addr(USER1)], topic_addr(TOKEN1)),
+        ("0x" + "01".ljust(64, "0"), 1, HUB_ADDRESS, [CRC_TRUST_TOPIC, topic_addr(USER1), topic_addr(USER1)], hex256(100)),
+        ("0x" + "01".ljust(64, "0"), 2, TOKEN1, [TRANSFER_TOPIC, topic_addr(ZERO), topic_addr(USER1)], hex256(MINT)),
+        # over-range transfer USER1 -> USER2
+        ("0x" + "02".ljust(64, "0"), 0, TOKEN1, [TRANSFER_TOPIC, topic_addr(USER1), topic_addr(USER2)], hex256(over)),
+        # in-range transfer USER1 -> USER2 of 100
+        ("0x" + "03".ljust(64, "0"), 0, TOKEN1, [TRANSFER_TOPIC, topic_addr(USER1), topic_addr(USER2)], hex256(100)),
+    ]
+    classified = classify(
+        assemble_transactions(
+            spark.createDataFrame(blocks, RAW_BLOCK_SCHEMA),
+            spark.createDataFrame(txs, RAW_TRANSACTION_SCHEMA),
+            spark.createDataFrame(logs, RAW_LOG_SCHEMA),
+        )
+    )
+    tables = extract_all(classified)
+    erc20 = tables["erc20_transfer"].cache()
+
+    over_row = erc20.filter(F.col("hash") == "0x" + "02".ljust(64, "0")).collect()[0]
+    assert over_row["value"] is None  # overflow → NULL decimal
+    assert over_row["value_string"] == hex256(over)  # raw hex retained
+
+    ledger = crc_ledger(erc20, tables["crc_signup"])
+    over_ledger = ledger.filter(F.col("transaction_id") == "0x" + "02".ljust(64, "0")).collect()
+    assert len(over_ledger) == 2  # row kept on both sides...
+    assert all(r["value"] is None for r in over_ledger)  # ...with NULL value
+
+    bal = {
+        (r["safe_address"], r["token"]): r["balance"]
+        for r in crc_balances_by_safe_and_token(ledger).collect()
+    }
+    # aggregates skip the NULL: only mint and the in-range 100 count
+    assert bal[(USER1, TOKEN1)] == Decimal(MINT) - 100
+    assert bal[(USER2, TOKEN1)] == Decimal(100)
+    assert bal[(ZERO, TOKEN1)] == Decimal(-MINT)
