@@ -149,3 +149,78 @@ def fetch_safe_owners(
             yield pd.DataFrame(rows, columns=["safe_address", "owners"])
 
     return safes.mapInPandas(batches, OWNERS_SCHEMA)
+
+
+TX_FIELDS = ("hash", "index", "from", "to", "value", "input", "nonce", "type")
+
+BLOCK_TX_SCHEMA = T.StructType(
+    [
+        T.StructField("number", T.LongType()),
+        T.StructField("hash", T.StringType()),
+        T.StructField("timestamp", T.LongType()),
+        T.StructField("total_transaction_count", T.IntegerType()),
+        T.StructField(
+            "transactions",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("hash", T.StringType()),
+                        T.StructField("index", T.IntegerType()),
+                        T.StructField("from", T.StringType()),
+                        T.StructField("to", T.StringType()),
+                        T.StructField("value", T.StringType()),
+                        T.StructField("input", T.StringType()),
+                        T.StructField("nonce", T.StringType()),
+                        T.StructField("type", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def _hex_int(v) -> int:
+    return int(v, 16) if isinstance(v, str) else int(v)
+
+
+def download_blocks_with_txs(
+    numbers: DataFrame, transport: Transport, pool_size: int = 24
+) -> DataFrame:
+    """S8 with the full widening tuple: `eth_getBlockByNumber(n, true)`
+    returns complete transaction objects (Indexer.cs:210-217 requests
+    exactly that), so the feed assembly needs no second tx fetch —
+    only receipts (S9) remain."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def fetch(n: int) -> dict:
+            b = transport("eth_getBlockByNumber", [hex(int(n)), True])
+            txs = []
+            for i, t in enumerate(b.get("transactions", [])):
+                if not isinstance(t, dict):  # hash-only gateway reply
+                    t = {"hash": t}
+                txs.append(
+                    {
+                        "hash": t.get("hash"),
+                        "index": _hex_int(t.get("transactionIndex", i)),
+                        "from": t.get("from"),
+                        "to": t.get("to"),
+                        "value": str(_hex_int(t.get("value", "0x0"))),
+                        "input": t.get("input", "0x"),
+                        "nonce": str(_hex_int(t.get("nonce", "0x0"))),
+                        "type": str(_hex_int(t.get("type", "0x0"))),
+                    }
+                )
+            return {
+                "number": _hex_int(b["number"]),
+                "hash": b["hash"],
+                "timestamp": _hex_int(b["timestamp"]),
+                "total_transaction_count": len(txs),
+                "transactions": txs,
+            }
+
+        for pdf in it:
+            rows = _pool_map(fetch, pdf["number"].tolist(), pool_size)
+            yield pd.DataFrame(rows, columns=[f.name for f in BLOCK_TX_SCHEMA.fields])
+
+    return numbers.mapInPandas(batches, BLOCK_TX_SCHEMA)
