@@ -18,10 +18,10 @@ from blockchain_indexer_spark.plans import REGISTRY
 # automatically via their survey_refs.
 STATIC: dict[str, tuple[str, str]] = {
     "S1": ("sources/blocks.py bulk_range", "tests/test_streaming.py"),
-    "S2": ("streaming/runner.py start_stream (ProcessingTime trigger)", "tests/test_streaming.py"),
-    "S3": ("streaming/runner.py start_stream (file tail; socket source pluggable)", "tests/test_streaming.py"),
-    "S4": ("sources/blocks.py find_gaps/missing_block_numbers", "tests/test_streaming.py"),
-    "S5": ("sources/blocks.py detect_reorg", "tests/test_streaming.py"),
+    "S2": ("streaming/feeder.py IntervalFeeder (eth_blockNumber poll → S8/S9 → feed file) + runner ProcessingTime trigger", "tests/test_feeder.py"),
+    "S3": ("feeder seam: a newHeads push replaces poll_once's head probe (feeder.py docstring); download/assemble path shared with S2", "tests/test_feeder.py"),
+    "S4": ("sources/blocks.py find_gaps/missing_block_numbers; live re-emission exercised", "tests/test_live_loop.py"),
+    "S5": ("sources/blocks.py detect_reorg; live retract+replay exercised", "tests/test_live_loop.py"),
     "S6": ("streaming/runner.py available_now flag (bulk vs live)", "tests/test_streaming.py"),
     "S7": ("unionByName of sources (runner feed)", "tests/test_streaming.py"),
     "S8": ("sources/rpc.py download_blocks (24-way pool)", "tests/test_caches_rpc_health.py"),
@@ -31,8 +31,8 @@ STATIC: dict[str, tuple[str, str]] = {
     "K2": ("streaming/runner.py process_batch per-table appends", "tests/test_streaming.py"),
     "K3": ("sources/blocks.py last_valid_block ledger (requested_blocks)", "tests/test_streaming.py"),
     "K4": ("runner FEED_SCHEMA empty-block marker rows", "tests/test_streaming.py"),
-    "K5": ("runner on_imported hook + REORG_MAGIC_HASH", "tests/test_streaming.py"),
-    "K6": ("out of engine scope (pg_notify); K5 hook is the push seam", "—"),
+    "K5": ("runner on_imported → streaming/api.py BroadcastLog + ApiHost /events long-poll (websocket stand-in, reorg magic included)", "tests/test_api_host.py"),
+    "K6": ("streaming/api.py /events cursor long-poll — the stdlib pub/sub channel standing in for publish_event→pg_notify", "tests/test_api_host.py"),
     "C1": ("operators/classify.py", "tests/test_classify.py"),
     "C2": ("operators/classify.py", "tests/test_classify.py"),
     "C3": ("operators/classify.py", "tests/test_classify.py"),
@@ -61,7 +61,7 @@ STATIC: dict[str, tuple[str, str]] = {
     "J11": ("operators/promote.py complete_blocks", "tests/test_promote.py"),
     "J12": ("operators/promote.py merge_new (already-imported check)", "tests/test_promote.py"),
     "J13": ("operators/promote.py leftover_blocks (CleanImported survivors)", "tests/test_promote.py"),
-    "J14": ("streaming/health.py backlog_distances/is_healthy", "tests/test_caches_rpc_health.py"),
+    "J14": ("streaming/health.py backlog_distances/is_healthy, served at ApiHost /health", "tests/test_api_host.py"),
     "J15": ("operators/caches.py refresh_* (stale-key semi-joins)", "tests/test_caches_rpc_health.py"),
     "A10": ("operators/promote.py disambiguate_blocks", "tests/test_promote.py"),
     "A12": ("sources/blocks.py scalar aggs", "tests/test_streaming.py"),
@@ -71,10 +71,10 @@ STATIC: dict[str, tuple[str, str]] = {
     "T2": ("micro-batch model (built-in backpressure); stateful ops via applyInPandasWithState (streaming/windows.py)", "tests/test_streaming_windows.py"),
     "T3": ("operators/promote.py complete_blocks", "tests/test_promote.py"),
     "T4": ("operators/promote.py merge_new anti-join; streaming twin windows.py dedup_feed_stream", "tests/test_promote.py"),
-    "T5": ("operators/promote.py retract_from + runner.signal_reorg", "tests/test_promote.py"),
+    "T5": ("operators/promote.py retract_from + IngestPipeline.retract (partitioned-sink delete + cache drop + deadbeef)", "tests/test_live_loop.py"),
     "T6": ("sources/blocks.py find_gaps + last_valid_block", "tests/test_streaming.py"),
     "T7": ("operators/promote.py disambiguate_blocks", "tests/test_promote.py"),
-    "T8": ("operators/caches.py (stale-key incremental refresh)", "tests/test_caches_rpc_health.py"),
+    "T8": ("operators/caches.py wired into IngestPipeline.refresh_caches — per-batch stale-key refresh of both cache tables", "tests/test_cache_maintenance.py"),
     "T9": ("views crc_capacity_graph(since_block=...)", "tests/test_views.py"),
     "T10": ("per-day tumbling (A4) + streaming/windows.py watermarked windows, session_window sessions", "tests/test_streaming_windows.py"),
     "T11": ("runner available_now (bulk) vs processing-time (live)", "tests/test_streaming.py"),
