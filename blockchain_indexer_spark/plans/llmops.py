@@ -491,6 +491,63 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_lsh_near_dups",
+    oracle=f"""
+    WITH planes(plane, idx, coef) AS (VALUES {_lsh_planes_values()}),
+    {_QV},
+    nz AS (
+      SELECT * FROM vq
+      WHERE list_sum(list_transform(v, x -> CAST(x * x AS DOUBLE))) > 0
+    ),
+    proj AS (
+      SELECT nz.vec_id, p.plane, SUM(nz.v[p.idx] * p.coef) AS d
+      FROM nz CROSS JOIN planes p
+      GROUP BY nz.vec_id, p.plane
+    ),
+    sig AS (
+      SELECT vec_id,
+             SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << plane) ELSE 0 END) AS sig
+      FROM proj GROUP BY vec_id
+    ),
+    bands AS (
+      SELECT s.vec_id, b.band, (s.sig >> (b.band * 4)) & 15 AS bucket
+      FROM sig s CROSS JOIN (VALUES (0),(1),(2),(3)) b(band)
+    ),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+      FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
+      WHERE x.vec_id < y.vec_id
+    ),
+    scored AS (
+      SELECT cand.vec_a, cand.vec_b,
+             CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+                                          i -> CAST(a.v[i] * b.v[i] AS DOUBLE)))
+                  / sqrt(CAST(list_sum(list_transform(a.v, x -> CAST(x * x AS DOUBLE))) AS DOUBLE)
+                         * CAST(list_sum(list_transform(b.v, x -> CAST(x * x AS DOUBLE))) AS DOUBLE))
+                  AS DOUBLE) AS cosine
+      FROM cand
+      JOIN vq a ON a.vec_id = cand.vec_a
+      JOIN vq b ON b.vec_id = cand.vec_b
+    )
+    SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.3
+    """,
+    doc="Sub-quadratic embedding near-dup pairs: sign-bit LSH band "
+    "blocking over integer-quantized hyperplanes, exact quantized "
+    "cosine >= 0.3 verify on candidates only — the scale path twin of "
+    "embedding_cosine_near_dups (the labeled O(n^2) baseline). "
+    "Precision 1 by construction; recall vs the exact baseline pinned "
+    "in tests. Fully oracle-checked: signatures, buckets, candidates "
+    "and cosines are bit-reproducible in DuckDB.",
+    survey_refs=("LLM-dedup", "LLM-sim"),
+)
+def embedding_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.similarity import lsh_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_near_dup_pairs(emb, "vec_id", "embedding", dim=64, threshold=0.3)
+
+
+@register(
     "embedding_topk_qcosine",
     oracle="""
     WITH q AS (

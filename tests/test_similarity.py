@@ -50,3 +50,32 @@ def test_ivf_recall_vs_exact_and_determinism(spark, sf_dir):
     a = approx.sort_values(["query_id", "rank"]).reset_index(drop=True)
     b = again.sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_lsh_near_dup_pairs_precision_and_recall(spark):
+    """The banded pair path must be a strict subset of the exact
+    all-pairs baseline with identical scores (precision 1), and catch
+    nearly every STRONG near-dup — the hyperplane collision law gives
+    P[share a band] ≈ 95% at cosine 0.9 for the 16-plane/4-band
+    defaults, decaying toward the 0.3 threshold boundary."""
+    from blockchain_indexer_spark.operators.dedup import cosine_near_dup_pairs
+    from blockchain_indexer_spark.operators.similarity import lsh_near_dup_pairs
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in cosine_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.3).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in lsh_near_dup_pairs(emb, "vec_id", "embedding", dim=64, threshold=0.3).collect()
+    }
+    assert lsh, "no candidate pairs survived"
+    # precision 1: every LSH pair is an exact pair with the same score
+    assert set(lsh) <= set(exact)
+    assert all(lsh[k] == exact[k] for k in lsh)
+    # recall on strong pairs
+    strong = {k for k, c in exact.items() if c >= 0.8}
+    if strong:
+        caught = len(strong & set(lsh)) / len(strong)
+        assert caught >= 0.8, f"strong-pair recall {caught:.2f}"
