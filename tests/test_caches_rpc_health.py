@@ -209,3 +209,35 @@ def test_health_predicates(spark):
     assert d["staging_distance"] == 2
     assert is_healthy(blocks, staging, requested, max_healthy_backlog=3)
     assert not is_healthy(blocks, staging, requested, max_healthy_backlog=2)
+
+
+def test_download_blocks_with_txs_full_and_hash_only(spark):
+    """S8 full-tx variant: dict transactions map to the widening tuple;
+    a hash-only gateway reply (strings) degrades to NULL tx fields
+    rather than crashing (the reference refetches those separately)."""
+    from blockchain_indexer_spark.sources.rpc import download_blocks_with_txs
+
+    def transport(method, params):
+        assert method == "eth_getBlockByNumber" and params[1] is True
+        n = int(params[0], 16)
+        if n == 1:
+            return {
+                "number": "0x1", "hash": "0xb1", "timestamp": "0x64",
+                "transactions": [
+                    {"hash": "0xt1", "transactionIndex": "0x0", "from": "0xa",
+                     "to": "0xb", "value": "0x2a", "input": "0x", "nonce": "0x1",
+                     "type": "0x2"},
+                ],
+            }
+        return {"number": hex(n), "hash": f"0xb{n}", "timestamp": "0x65",
+                "transactions": ["0xt2"]}  # hash-only reply
+
+    nums = spark.createDataFrame([(1,), (2,)], "number long")
+    got = {r["number"]: r for r in download_blocks_with_txs(nums, transport, 2).collect()}
+    t1 = got[1]["transactions"][0]
+    assert (t1["hash"], t1["index"], t1["from"], t1["value"], t1["type"]) == (
+        "0xt1", 0, "0xa", "42", "2"
+    )
+    t2 = got[2]["transactions"][0]
+    assert t2["hash"] == "0xt2" and t2["from"] is None and t2["value"] == "0"
+    assert got[2]["total_transaction_count"] == 1
