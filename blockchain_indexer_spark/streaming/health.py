@@ -74,3 +74,59 @@ def batch_is_fresh(
     """HealthService.cs:52-60 — a batch older than 30 s flags the
     instance unhealthy."""
     return last_completed_batch >= now - dt.timedelta(seconds=max_age_seconds)
+
+
+class StreamStalled(RuntimeError):
+    """Raised by watch_liveness when a live stream stops receiving
+    input — the reference's LiveSource stall timeout
+    (`Sources/LiveSource.cs:96-118`: no newHeads for 20 s ⇒ throw so
+    the supervisor reconnects)."""
+
+
+def watch_liveness(
+    query,
+    stall_timeout_s: float = 20.0,
+    poll_s: float = 0.25,
+    max_wait_s: float | None = None,
+    clock=None,
+) -> float:
+    """Supervise a live StreamingQuery: block until it stops (returns
+    seconds supervised), ``max_wait_s`` elapses, or no micro-batch
+    ingests a row for ``stall_timeout_s`` — then stop the query and
+    raise StreamStalled.
+
+    Mirrors the reference's liveness contract: the push channel is
+    assumed hot (a mainnet head every ~5 s), so silence means a dead
+    socket, and the fix is teardown + resubscribe (+ gap repair for
+    anything missed), not waiting. ``clock`` is injectable for tests.
+    """
+    import time as _time  # noqa: PLC0415
+
+    clock = clock or _time.monotonic
+    start = clock()
+    last_input = start
+    seen_batches: set[str] = set()
+    while query.isActive:
+        for p in query.recentProgress:
+            key = f"{p['id']}:{p['batchId']}"
+            if key not in seen_batches:
+                seen_batches.add(key)
+                if p["numInputRows"] > 0:
+                    last_input = clock()
+        # Delivered-but-unprocessed data is not a stall: the channel
+        # is hot, the engine is just mid-batch. Only silent AND
+        # drained counts (matches the reference: the timeout guards
+        # the subscription, not batch latency).
+        if query.status.get("isDataAvailable"):
+            last_input = clock()
+        now = clock()
+        if now - last_input >= stall_timeout_s:
+            query.stop()
+            raise StreamStalled(
+                f"no input rows for {now - last_input:.1f}s "
+                f"(stall timeout {stall_timeout_s}s)"
+            )
+        if max_wait_s is not None and now - start >= max_wait_s:
+            break
+        _time.sleep(poll_s)
+    return clock() - start

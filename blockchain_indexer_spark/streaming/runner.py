@@ -439,3 +439,43 @@ class IngestPipeline:
         else:
             writer = writer.trigger(processingTime="500 milliseconds")
         return writer.start()
+
+    def start_socket_stream(self, host: str, port: int, checkpoint_dir: str):
+        """LiveSource (S3): push-fed ingest over a TCP line socket.
+
+        The reference's live mode subscribes to
+        ``eth_subscribe("newHeads")`` over a websocket and turns each
+        pushed head into downloaded, widened rows
+        (`Sources/LiveSource.cs:21-130`); here the push channel is
+        Spark's socket source — one JSON object per line, parsed
+        against FEED_SCHEMA, driven through the same foreachBatch
+        promote round as the file feed (identical exactly-once and
+        completeness semantics, T3/T4). Lines that fail to parse
+        yield a NULL block_number and are dropped — a skipped or
+        malformed head is repaired by the gap source on the next
+        round rather than crashing the stream (the reference instead
+        throws and reconnects; the repair outcome is the same).
+
+        The socket source is at-most-once on reconnect (no replay) —
+        matching the reference's websocket, whose missed heads are
+        likewise recovered by its gap scan, not the push channel.
+        Use ``streaming.health.watch_liveness`` for the reference's
+        20 s stall-timeout behavior.
+        """
+        raw = (
+            self.spark.readStream.format("socket")
+            .option("host", host)
+            .option("port", int(port))
+            .load()
+        )
+        feed = (
+            raw.select(F.from_json("value", FEED_SCHEMA).alias("r"))
+            .select("r.*")
+            .filter(F.col("block_number").isNotNull())
+        )
+        return (
+            feed.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
