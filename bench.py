@@ -41,6 +41,8 @@ BENCH_QUERIES = (
     "corpus_mixture_report",
     "doc_quota_sample",
     "doc_length_quantiles",
+    "doc_chunk_packing",
+    "corpus_mixture_rebalance",
     "embedding_topk_mips",
     "embedding_lsh_topk",
     # chain domain: the first query pays the one-time derive+classify+

@@ -98,3 +98,62 @@ def dedup_survivors(
             (F.coalesce("cluster", "id") == F.col("id")).alias("keep"),
         )
     )
+
+
+def khop_reachability(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 3,
+) -> DataFrame:
+    """Bounded-depth directed reachability: for every source vertex,
+    the count of distinct vertices reachable within 1..``k`` hops
+    (destination != source; cycles back to the source don't count).
+
+    The Circles primitive behind transitive transfers: "who can I
+    ultimately send to through the trust graph" — the bounded-depth
+    planning query a pathfinder runs before flow computation (the
+    reference materializes the 1-hop capacity graph, 0.0.64.sql
+    transitive path views; this is its multi-hop closure).
+
+    Returns (``src``, n_reach_1, .., n_reach_k) — cumulative distinct
+    counts per depth. Vertices with out-degree 0 don't appear (they
+    reach nothing).
+
+    Scale shape: semi-naive BFS — each round joins only the previous
+    FRONTIER (paths of exactly length i) against the edge list, then
+    subtracts already-reached pairs, so work per round is proportional
+    to newly discovered pairs, not the full closure. One equi-join +
+    one distinct per round, both on the vertex key; hub skew is AQE's
+    skew-join case. Each round's frontier is localCheckpointed — the
+    iterative plan otherwise deepens per round. Bounded k keeps the
+    pair set linear in practice (trust graphs fan out fast; unbounded
+    closure would need the large-star contraction instead).
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    reached = e  # paths of length <= 1
+    frontier = e  # paths of exactly the current length
+    counts = [
+        reached.groupBy("a").agg(F.count("*").alias("n_reach_1")),
+    ]
+    for depth in range(2, k + 1):
+        step = (
+            frontier.join(e.select(F.col("a").alias("b"), F.col("b").alias("c")), "b")
+            .select("a", F.col("c").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        frontier = step.join(reached, ["a", "b"], "left_anti").localCheckpoint(eager=True)
+        reached = reached.union(frontier).localCheckpoint(eager=True)
+        counts.append(
+            reached.groupBy("a").agg(F.count("*").alias(f"n_reach_{depth}"))
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.join(c, "a")
+    return out.withColumnRenamed("a", src)

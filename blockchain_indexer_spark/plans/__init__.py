@@ -47,6 +47,7 @@ PRIORITY = (
     "chain_balances_by_safe",
     "chain_crc_minting",
     "chain_formatted_transfers",
+    "chain_trust_reachability",
     # -- tier A: multimodal mapInPandas plumbing ----------------------
     "mm_decode_stats",
     "mm_thumbnail_geometry",

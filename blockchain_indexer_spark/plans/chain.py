@@ -1267,3 +1267,51 @@ def chain_formatted_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _pipeline_tables(spark, sf_dir)
     return formatted(t["erc20_transfer"]).select("hash", "from", "to", "token", "value")
+
+
+@register(
+    "chain_trust_reachability",
+    oracle=_D
+    + """
+    , sev AS (
+        SELECT user_id AS u, cents % 101 AS lim, event_id
+        FROM ev WHERE event_type = 'signup'
+    ), latest AS (
+        -- latest trust event per (truster, trustee) pair; the pair is
+        -- keyed by u alone because the derived chain always trusts
+        -- addr(u+14) (block/idx ordering == event_id ordering)
+        SELECT u, lim FROM (
+            SELECT s.*, row_number() OVER (PARTITION BY u ORDER BY event_id DESC) AS rn
+            FROM sev s) WHERE rn = 1
+    ), e AS (
+        SELECT '0x' || printf('%040x', l.u + 1) AS a,
+               '0x' || printf('%040x', l.u + 14) AS b
+        FROM latest l
+        JOIN users s1 ON s1.user_id = l.u
+        JOIN users s2 ON s2.user_id = l.u + 13
+        WHERE l.lim > 0
+    ), r1 AS (SELECT DISTINCT a, b FROM e),
+    s2 AS (SELECT DISTINCT r1.a, e.b FROM r1 JOIN e ON r1.b = e.a WHERE r1.a <> e.b),
+    r2 AS (SELECT a, b FROM r1 UNION SELECT a, b FROM s2),
+    s3 AS (SELECT DISTINCT r2.a, e.b FROM r2 JOIN e ON r2.b = e.a WHERE r2.a <> e.b),
+    r3 AS (SELECT a, b FROM r2 UNION SELECT a, b FROM s3)
+    SELECT c1.a AS "user", c1.n AS n_reach_1, c2.n AS n_reach_2, c3.n AS n_reach_3
+    FROM (SELECT a, COUNT(*) AS n FROM r1 GROUP BY a) c1
+    JOIN (SELECT a, COUNT(*) AS n FROM r2 GROUP BY a) c2 ON c1.a = c2.a
+    JOIN (SELECT a, COUNT(*) AS n FROM r3 GROUP BY a) c3 ON c1.a = c3.a
+    """,
+    doc="Bounded-depth trust reachability (operators.cluster."
+    "khop_reachability): per user, distinct addresses reachable in "
+    "<=1/2/3 hops along positive current-trust edges — the multi-hop "
+    "closure of the reference's 1-hop capacity graph "
+    "(transitive-transfer path planning). Semi-naive BFS: each round "
+    "expands only the new frontier. Oracle recomputes the closure "
+    "with explicit bounded self-joins from the events table.",
+    survey_refs=("J5", "J4"),
+)
+def chain_trust_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.cluster import khop_reachability
+
+    trust = _derived_views(spark, sf_dir)["trust"]
+    edges = trust.filter(F.col("limit") > 0).select("user", "can_send_to")
+    return khop_reachability(edges, "user", "can_send_to", k=3)

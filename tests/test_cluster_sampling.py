@@ -100,3 +100,25 @@ def test_quota_sample_deterministic_selection(spark):
         for r in quota_sample(df.repartition(13), "g", "doc_id", 7).collect()
     }
     assert a == b and len(a) == 21
+
+
+def test_khop_reachability_diamond_and_cycle(spark):
+    from blockchain_indexer_spark.operators.cluster import khop_reachability
+
+    # diamond 1→{2,3}→4→5 plus a 2-cycle 6↔7 and a self-loop 8→8
+    edges = [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (6, 7), (7, 6), (8, 8)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        r["src"]: (r["n_reach_1"], r["n_reach_2"], r["n_reach_3"])
+        for r in khop_reachability(df, "src", "dst", k=3).collect()
+    }
+    assert got == {
+        1: (2, 3, 4),  # {2,3} → +4 → +5
+        2: (1, 2, 2),  # 4 → 5
+        3: (1, 2, 2),
+        4: (1, 1, 1),  # only 5
+        6: (1, 1, 1),  # 7; cycle back to 6 doesn't count
+        7: (1, 1, 1),
+        # 8 absent: self-loop only, no outgoing non-self edge
+    }
+    assert 8 not in got

@@ -20,10 +20,10 @@ def test_registry_iterates_in_priority_order():
 
 
 def test_round1_missing_gates_lead():
-    head = list(REGISTRY)[:26]
-    assert [n for n in head if n.startswith("chain_")] == head[:20]
-    assert [n for n in head if n.startswith("mm_")] == head[20:25]
-    assert head[25] == "doc_quota_sample"
+    head = list(REGISTRY)[:27]
+    assert [n for n in head if n.startswith("chain_")] == head[:21]
+    assert [n for n in head if n.startswith("mm_")] == head[21:26]
+    assert head[26] == "doc_quota_sample"
 
 
 def test_rows_only_variants_trail():
