@@ -98,6 +98,7 @@ PRIORITY = (
     "corpus_token_cardinality_bound",
     "corpus_mixture_report",
     "doc_length_quantiles",
+    "doc_length_quantiles_approx_bound",
     "embedding_cosine_near_dups",
     "minhash_signatures_md5",
     "simhash_signatures_md5",

@@ -1272,3 +1272,75 @@ def corpus_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return rebalance_mixture(d, "doc_id", "source")
+
+
+@register(
+    "doc_length_quantiles_approx_bound",
+    oracle="""
+    WITH r AS (
+      SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.50 * n) AS BIGINT) - greatest(1, CAST(ceil(n / 1000.0) AS BIGINT))) THEN n_chars END) AS p50_lo,
+           MAX(CASE WHEN rn = least(n, CAST(ceil(0.50 * n) AS BIGINT) + greatest(1, CAST(ceil(n / 1000.0) AS BIGINT))) THEN n_chars END) AS p50_hi,
+           MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.95 * n) AS BIGINT) - greatest(1, CAST(ceil(n / 1000.0) AS BIGINT))) THEN n_chars END) AS p95_lo,
+           MAX(CASE WHEN rn = least(n, CAST(ceil(0.95 * n) AS BIGINT) + greatest(1, CAST(ceil(n / 1000.0) AS BIGINT))) THEN n_chars END) AS p95_hi,
+           TRUE AS p50_in_bound,
+           TRUE AS p95_in_bound
+    FROM r GROUP BY lang
+    """,
+    doc="Oracle-checkable invariant over the approx-quantile sketch "
+    "(same idiom as corpus_token_cardinality_bound): per language, "
+    "percentile_approx (accuracy 1000, rank error <= "
+    "max(1, ceil(n/1000))) must land between the EXACT order "
+    "statistics at rank ceil(p*n) -/+ that error, which the oracle "
+    "recomputes by rank selection. A drifting sketch flips the "
+    "*_in_bound flag and fails the value hash — the driver gate for "
+    "the sketch-mergeable quantile path doc_length_quantiles "
+    "documents as its 100 TB swap-in.",
+    survey_refs=("LLM-text", "W1"),
+)
+def doc_length_quantiles_approx_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    r = d.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("lang")).alias("n"),
+    )
+    err = F.greatest(F.lit(1).cast("bigint"), F.ceil(F.col("n") / 1000.0))
+
+    def exact_at(p: float, side: str):
+        target = F.ceil(F.lit(p) * F.col("n")).cast("bigint")
+        rank = (
+            F.greatest(F.lit(1).cast("bigint"), target - err)
+            if side == "lo"
+            else F.least(F.col("n"), target + err)
+        )
+        return F.max(F.when(F.col("rn") == rank, F.col("n_chars")))
+
+    agg = r.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        exact_at(0.50, "lo").alias("p50_lo"),
+        exact_at(0.50, "hi").alias("p50_hi"),
+        exact_at(0.95, "lo").alias("p95_lo"),
+        exact_at(0.95, "hi").alias("p95_hi"),
+        F.percentile_approx("n_chars", 0.50, 1000).alias("_a50"),
+        F.percentile_approx("n_chars", 0.95, 1000).alias("_a95"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "p50_lo",
+        "p50_hi",
+        "p95_lo",
+        "p95_hi",
+        F.col("_a50").between(F.col("p50_lo"), F.col("p50_hi")).alias("p50_in_bound"),
+        F.col("_a95").between(F.col("p95_lo"), F.col("p95_hi")).alias("p95_in_bound"),
+    )
