@@ -57,6 +57,16 @@ def brute_force_topk(
     elif metric == "cosine":
         prep = lambda df: df.withColumn("_v", to_double(vec_col))  # noqa: E731
         score = cosine
+    elif metric == "quantized_neg_l2":
+        # negated exact integer squared L2, so the shared desc-rank
+        # path orders nearest-first; the exact twin pq_topk's ADC
+        # approximates
+        prep = lambda df: df.withColumn("_v", quantize(vec_col, scale))  # noqa: E731
+        score = lambda a, b: -F.aggregate(  # noqa: E731
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
     else:
         raise ValueError(f"unknown metric {metric!r}")
 
@@ -425,4 +435,165 @@ def lsh_near_dup_pairs(
         cand.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    scale: int = 1000,
+    iters: int = 0,
+    rerank: int | None = None,
+) -> DataFrame:
+    """Product-quantization ANN top-k via asymmetric distance
+    computation (ADC) — the memory-compressed third leg of the ANN
+    stack next to LSH and IVF (Jégou et al., "Product Quantization
+    for Nearest Neighbor Search", TPAMI 2011).
+
+    Index: each vector is split into ``m`` subvectors; each subvector
+    is assigned the nearest of ``n_codes`` codebook centroids by exact
+    integer L2 (ties → lowest code), so a d-dim float vector is stored
+    as m single-byte codes — a 32× compression at d=64/m=8, which is
+    what lets a billion-vector index live in cluster memory.
+
+    Codebook: the subvectors of the ``n_codes`` lowest-id corpus
+    vectors ("data-seeded", the same deterministic-training trick as
+    ``train_ivf_centroids(iters=0)``) — collected driver-side (tiny,
+    O(n_codes) rows regardless of corpus size) and re-derivable in
+    SQL, so codes, LUTs and rankings are oracle-reproducible end to
+    end. A Lloyd-refined codebook drops in without changing any plan.
+
+    Query: per query, a (m × n_codes) lookup table of exact integer
+    subvector distances is built and broadcast; ADC distance to a
+    corpus vector is the sum of m LUT entries selected by its codes.
+    The scan is one broadcast equi-join on (subspace, code) over the
+    code table + a sum — the corpus never shuffles its vectors, only
+    its m-byte codes, and every distance is an exact BIGINT.
+
+    Returns (query_id, rank, neighbor_id, adc_dist): top ``k`` by
+    (ADC distance, neighbor id), self excluded. ADC ranking is
+    approximate relative to exact L2 (that's PQ's trade); recall vs
+    the exact ranking is pinned in tests.
+
+    ``rerank=R`` switches to the production IVF-PQ serving shape: the
+    ADC ranking only selects a shortlist of R candidates per query,
+    which is then re-scored with EXACT integer L2 against the true
+    vectors and cut to ``k`` — output (query_id, rank, neighbor_id,
+    l2_dist). Shortlist recall rises with R at R extra exact
+    distances per query; with ``iters=0`` every stage stays
+    SQL-reproducible so the oracle checks codes, shortlist and final
+    ranking end to end.
+    """
+    if m <= 0 or n_codes <= 0:
+        raise ValueError("m and n_codes must be positive")
+    vq = spread(corpus, id_col).select(
+        F.col(id_col).alias("_id"), quantize(vec_col, scale).alias("_v")
+    )
+    sample = n_codes if iters == 0 else max(n_codes * 32, 256)
+    seed_rows = vq.orderBy("_id").limit(sample).select("_v").collect()
+    if len(seed_rows) < n_codes:
+        raise ValueError(f"corpus smaller than n_codes={n_codes}")
+    seeds = [list(r[0]) for r in seed_rows]
+    dim = len(seeds[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    if iters == 0:
+        # data-seeded: codebook = subvectors of the n_codes lowest-id
+        # vectors, re-derivable in SQL (the oracle-exact variant)
+        books = [
+            [seeds[c][j * sub : (j + 1) * sub] for c in range(n_codes)]
+            for j in range(m)
+        ]
+    else:
+        # per-subspace Lloyd on the deterministic sample (RNG-free,
+        # same recipe as train_ivf_centroids), centroids re-quantized
+        # to BIGINT so ADC stays integer-exact
+        x = np.array(seeds, dtype=np.float64)
+        stride = max(1, len(x) // n_codes)
+        books = []
+        for j in range(m):
+            xj = x[:, j * sub : (j + 1) * sub]
+            cents = xj[::stride][:n_codes].copy()
+            for _ in range(iters):
+                d2 = ((xj[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                assign = d2.argmin(axis=1)
+                for c in range(len(cents)):
+                    members = xj[assign == c]
+                    if len(members):
+                        cents[c] = members.mean(axis=0)
+            books.append([[int(v) for v in np.rint(row)] for row in cents])
+    spark = corpus.sparkSession
+    cb = spark.createDataFrame(
+        [(j, c, books[j][c]) for j in range(m) for c in range(n_codes)],
+        "j int, code int, cv array<bigint>",
+    )
+
+    def _sub_dists(frame: DataFrame, out_id: str) -> DataFrame:
+        subs = frame.select(
+            F.col("_id").alias(out_id),
+            F.posexplode(
+                F.array(*[F.slice("_v", j * sub + 1, sub) for j in range(m)])
+            ).alias("j", "sv"),
+        )
+        d2 = F.aggregate(
+            F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        return subs.join(F.broadcast(cb), "j").withColumn("_d", d2)
+
+    codes = (
+        _sub_dists(vq, "_cid")
+        .groupBy("_cid", "j")
+        .agg(F.min_by("code", F.struct(F.col("_d"), F.col("code"))).alias("code"))
+    )
+    qq = spread(queries, id_col).select(
+        F.col(id_col).alias("_id"), quantize(vec_col, scale).alias("_v")
+    )
+    lut = _sub_dists(qq, "_qid").select("_qid", "j", "code", F.col("_d").alias("_ld"))
+    adc = (
+        codes.join(F.broadcast(lut), ["j", "code"])
+        .groupBy("_qid", "_cid")
+        .agg(F.sum("_ld").alias("adc_dist"))
+        .filter(F.col("_cid") != F.col("_qid"))
+    )
+    w = Window.partitionBy("_qid").orderBy("adc_dist", "_cid")
+    ranked = adc.withColumn("rank", F.row_number().over(w))
+    if rerank is None:
+        return ranked.filter(F.col("rank") <= k).select(
+            F.col("_qid").alias("query_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("_cid").alias("neighbor_id"),
+            F.col("adc_dist").cast("bigint").alias("adc_dist"),
+        )
+    # ADC shortlist → exact integer-L2 re-rank (the IVF-PQ deployment
+    # shape: compressed codes prune, true vectors score only the
+    # shortlist — |Q| × rerank exact distances instead of |Q| × n)
+    short = ranked.filter(F.col("rank") <= rerank).select("_qid", "_cid")
+    l2 = F.aggregate(
+        F.zip_with(F.col("_qv"), F.col("_cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    exact = (
+        short.join(F.broadcast(qq.select(F.col("_id").alias("_qid"), F.col("_v").alias("_qv"))), "_qid")
+        .join(vq.select(F.col("_id").alias("_cid"), F.col("_v").alias("_cv")), "_cid")
+        .withColumn("l2_dist", l2)
+    )
+    w2 = Window.partitionBy("_qid").orderBy("l2_dist", "_cid")
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("_cid").alias("neighbor_id"),
+            F.col("l2_dist").cast("bigint").alias("l2_dist"),
+        )
     )

@@ -83,6 +83,7 @@ PRIORITY = (
     "embedding_topk_mips",
     "embedding_lsh_topk",
     "embedding_ivf_topk",
+    "embedding_pq_topk",
     "embedding_lsh_near_dups",
     "doc_token_stats",
     "doc_lang_id",

@@ -1344,3 +1344,85 @@ def doc_length_quantiles_approx_bound(spark: SparkSession, sf_dir: str) -> DataF
         F.col("_a50").between(F.col("p50_lo"), F.col("p50_hi")).alias("p50_in_bound"),
         F.col("_a95").between(F.col("p95_lo"), F.col("p95_hi")).alias("p95_in_bound"),
     )
+
+
+@register(
+    "embedding_pq_topk",
+    oracle=f"""
+    WITH {_QV},
+    seeds AS (
+      SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS code
+      FROM vq ORDER BY vec_id LIMIT 32
+    ),
+    cb AS (
+      SELECT jt.j, s.code, s.v[jt.j * 4 + 1 : jt.j * 4 + 4] AS cv
+      FROM seeds s, UNNEST(range(0, 16)) AS jt(j)
+    ),
+    corp_sub AS (
+      SELECT vq.vec_id, jt.j, vq.v[jt.j * 4 + 1 : jt.j * 4 + 4] AS sv
+      FROM vq, UNNEST(range(0, 16)) AS jt(j)
+    ),
+    corp_d AS (
+      SELECT cs.vec_id, cs.j, cb.code,
+             list_sum(list_transform(range(1, 5),
+               i -> CAST((cs.sv[i] - cb.cv[i]) * (cs.sv[i] - cb.cv[i]) AS BIGINT))) AS d
+      FROM corp_sub cs JOIN cb ON cs.j = cb.j
+    ),
+    codes AS (
+      SELECT vec_id, j, code
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+            FROM corp_d)
+      WHERE rn = 1
+    ),
+    lut AS (
+      SELECT vec_id AS query_id, j, code, d AS ld
+      FROM corp_d WHERE vec_id % 50 = 0
+    ),
+    adc AS (
+      SELECT l.query_id, c.vec_id AS neighbor_id, SUM(l.ld) AS adc_dist
+      FROM codes c JOIN lut l ON c.j = l.j AND c.code = l.code
+      WHERE c.vec_id != l.query_id
+      GROUP BY l.query_id, c.vec_id
+    ),
+    short AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY adc_dist, neighbor_id) AS rn
+            FROM adc)
+      WHERE rn <= 50
+    ),
+    exact AS (
+      SELECT s.query_id, s.neighbor_id,
+             list_sum(list_transform(range(1, len(a.v) + 1),
+               i -> CAST((a.v[i] - b.v[i]) * (a.v[i] - b.v[i]) AS BIGINT))) AS l2_dist
+      FROM short s
+      JOIN vq a ON a.vec_id = s.query_id
+      JOIN vq b ON b.vec_id = s.neighbor_id
+    )
+    SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id,
+           CAST(l2_dist AS BIGINT) AS l2_dist
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY l2_dist, neighbor_id) AS rn
+          FROM exact)
+    WHERE rn <= 5
+    """,
+    doc="Product-quantization top-5 (operators.similarity.pq_topk): "
+    "16 subspaces x 32 data-seeded codes, exact-integer code "
+    "assignment, per-query broadcast LUT, ADC shortlist of 50, then "
+    "exact integer-L2 re-rank of the shortlist — the full IVF-PQ "
+    "serving shape (compressed codes prune, true vectors score only "
+    "the shortlist; 16x memory compression at d=64). Every stage is "
+    "integer-exact, so codes, shortlist and final ranking all "
+    "round-trip through the DuckDB oracle; Lloyd-trained codebooks "
+    "(iters>0) stay the production option with recall pinned in "
+    "tests.",
+    survey_refs=("LLM-sim",),
+)
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return pq_topk(
+        emb, queries, "vec_id", "embedding", k=5, m=16, n_codes=32, rerank=50
+    )

@@ -79,3 +79,23 @@ def test_lsh_near_dup_pairs_precision_and_recall(spark):
     if strong:
         caught = len(strong & set(lsh)) / len(strong)
         assert caught >= 0.8, f"strong-pair recall {caught:.2f}"
+
+
+def test_pq_recall_vs_exact_l2_and_determinism(spark, sf_dir):
+    from blockchain_indexer_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = brute_force_topk(emb, queries, k=5, metric="quantized_neg_l2").toPandas()
+    approx = pq_topk(emb, queries, k=5, m=16, n_codes=32, rerank=50).toPandas()
+    assert (approx["query_id"] != approx["neighbor_id"]).all()
+    assert approx.groupby("query_id")["rank"].max().le(5).all()
+    exact_pairs = set(zip(exact["query_id"], exact["neighbor_id"]))
+    approx_pairs = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.6, f"PQ recall {recall} too low"
+    # data-seeded codebook is RNG-free: rebuild must be identical
+    again = pq_topk(emb, queries, k=5, m=16, n_codes=32, rerank=50).toPandas()
+    a = approx.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = again.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
