@@ -206,6 +206,69 @@ class IngestPipeline:
             .parquet(self._table_path(name))
         )
 
+    def compact(
+        self, name: str, target_file_bytes: int = 128 << 20, min_files: int = 8
+    ) -> dict[str, tuple[int, int]]:
+        """Bin-pack the small files a live trigger accumulates.
+
+        The 500 ms cadence appends one file set per micro-batch per
+        partition; after hours of live tail a block_group holds
+        thousands of KB-sized files and every scan pays their open
+        cost (the classic streaming-sink small-file problem — the
+        reference's Postgres heap never has it, so this is the
+        parquet-sink twin of its autovacuum). Each block_group
+        partition with more than ``min_files`` files is rewritten to
+        ``ceil(bytes / target_file_bytes)`` files and atomically
+        swapped in. Runs under the import lock, so it cannot race a
+        concurrent promote; run it between batches or from a cron,
+        like any maintenance window. Parquet sink only (JDBC targets
+        compact server-side). Returns {partition: (files_before,
+        files_after)}.
+
+        Scale note: each partition rewrite is an independent
+        coalesce-and-write job over one block_group — embarrassingly
+        parallel across partitions and bounded by partition size, so
+        the operation stays O(touched partitions) regardless of total
+        table size; old block_groups stop being touched by ingest and
+        never need recompacting.
+        """
+        import shutil  # noqa: PLC0415
+
+        if self.jdbc_url is not None:
+            raise ValueError("compact() applies to the parquet sink only")
+        table_dir = self._table_path(name)
+        results: dict[str, tuple[int, int]] = {}
+        if not os.path.isdir(table_dir):
+            return results
+        with self._import_lock():
+            for part in sorted(os.listdir(table_dir)):
+                part_dir = os.path.join(table_dir, part)
+                if not (part.startswith("block_group=") and os.path.isdir(part_dir)):
+                    continue
+                files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+                if len(files) <= min_files:
+                    continue
+                total = sum(os.path.getsize(os.path.join(part_dir, f)) for f in files)
+                n_out = max(1, -(-total // target_file_bytes))
+                tmp_dir = os.path.join(table_dir, f".compact-tmp-{part}")
+                old_dir = os.path.join(table_dir, f".compact-old-{part}")
+                shutil.rmtree(tmp_dir, ignore_errors=True)
+                shutil.rmtree(old_dir, ignore_errors=True)
+                (
+                    self.spark.read.parquet(part_dir)
+                    .coalesce(int(n_out))
+                    .write.mode("overwrite")
+                    .parquet(tmp_dir)
+                )
+                os.rename(part_dir, old_dir)
+                os.rename(tmp_dir, part_dir)
+                shutil.rmtree(old_dir)
+                n_after = len(
+                    [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+                )
+                results[part] = (len(files), n_after)
+        return results
+
     def _import_lock(self):
         """Coarse cross-process import mutex over the sink directory —
         the reference's Serializable promote transaction

@@ -195,3 +195,30 @@ def test_concurrent_importers_serialize(spark, tmp_path_factory, feed_df):
     assert txs.select("hash").distinct().count() == n_txs
     blocks = pipes[0].read_final("block")
     assert blocks.count() == blocks.select("number").distinct().count()
+
+
+def test_compaction_preserves_data_and_shrinks_files(spark, tmp_path_factory, feed_df):
+    root = str(tmp_path_factory.mktemp("compact"))
+    pipe = IngestPipeline(spark, os.path.join(root, "final"))
+    # many tiny appends: one promote round per block parity slice
+    for mod in range(4):
+        pipe.process_batch(feed_df.filter(F.col("block_number") % 4 == mod))
+
+    table_dir = os.path.join(root, "final", "transaction")
+    parts = [p for p in os.listdir(table_dir) if p.startswith("block_group=")]
+    files_before = {
+        p: len([f for f in os.listdir(os.path.join(table_dir, p)) if f.endswith(".parquet")])
+        for p in parts
+    }
+    before = pipe.read_final("transaction").toPandas().sort_values("hash").reset_index(drop=True)
+
+    stats = pipe.compact("transaction", min_files=1)
+    assert stats, f"nothing compacted; files per part: {files_before}"
+    for part, (n_b, n_a) in stats.items():
+        assert n_a < n_b
+        assert n_a == 1  # tiny partitions bin-pack to one file
+
+    after = pipe.read_final("transaction").toPandas().sort_values("hash").reset_index(drop=True)
+    assert before.equals(after)
+    # idempotent: nothing left above the threshold
+    assert pipe.compact("transaction", min_files=1) == {}
