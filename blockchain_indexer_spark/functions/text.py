@@ -193,3 +193,35 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     ``shingles_from_tokens`` (see its docstring for why).
     """
     return shingles_from_tokens(tokens(col), k)
+
+
+# PII patterns, written to the common subset of Java regex (Spark) and
+# RE2 (DuckDB) so counts and redactions are engine-identical: no
+# backrefs, no lookaround, only \d, \b, bounded classes.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_ID16_RE = r"\b\d{16}\b"
+
+
+def pii_counts(col: Column | str) -> tuple[Column, Column, Column]:
+    """(n_emails, n_ips, n_ids) match counts — the audit half of a
+    redaction pass (what a pipeline logs per shard before dropping or
+    scrubbing documents)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.regexp_count(c, F.lit(PII_EMAIL_RE)).cast("bigint"),
+        F.regexp_count(c, F.lit(PII_IPV4_RE)).cast("bigint"),
+        F.regexp_count(c, F.lit(PII_ID16_RE)).cast("bigint"),
+    )
+
+
+def pii_redact(col: Column | str) -> Column:
+    """Replace emails/IPv4s/16-digit ids with typed placeholders —
+    the standard pretraining scrub (C4/Dolma-style), as three chained
+    JVM regexp_replace projections: linear, no shuffle, no Python.
+    Email first: its digit runs must not be half-eaten by the id rule.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, PII_IPV4_RE, "<IP>")
+    return F.regexp_replace(c, PII_ID16_RE, "<ID>")

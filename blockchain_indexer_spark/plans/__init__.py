@@ -91,6 +91,7 @@ PRIORITY = (
     "doc_repetition_stats",
     "doc_chunk_packing",
     "corpus_mixture_rebalance",
+    "doc_pii_scrub",
     # -- tier D: extra gates for already-covered components -----------
     "doc_train_split",
     "doc_top_terms",

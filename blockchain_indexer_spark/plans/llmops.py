@@ -1426,3 +1426,68 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(
         emb, queries, "vec_id", "embedding", k=5, m=16, n_codes=32, rerank=50
     )
+
+
+@register(
+    "doc_pii_scrub",
+    oracle=r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             'contact user' || CAST(doc_id AS VARCHAR) || '@mail-' ||
+             CAST(doc_id % 7 AS VARCHAR) || '.example.org from 10.' ||
+             CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+             CAST((doc_id * 7) % 256 AS VARCHAR) || ' acct ' ||
+             printf('%016d', 4000000000000000 + doc_id) || ' ' || text AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(t, '\b\d{16}\b')) AS BIGINT) AS n_ids,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\b\d{16}\b', '<ID>', 'g') AS scrubbed
+    FROM seeded
+    """,
+    doc="PII audit + redaction (functions.text.pii_counts/pii_redact): "
+    "emails, IPv4s and 16-digit account ids counted and replaced with "
+    "typed placeholders — the standard pretraining scrub, three "
+    "chained JVM regexp projections (no shuffle, no Python). The "
+    "corpus text carries no PII, so the gate deterministically seeds "
+    "one of each per document from doc_id INSIDE the query (both "
+    "engines build the identical text) and the oracle hash-checks "
+    "counts AND the scrubbed strings byte-for-byte; patterns are "
+    "written to the Java-regex/RE2 common subset.",
+    survey_refs=("LLM-text",),
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.functions.text import pii_counts, pii_redact
+
+    d = load_table(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail-"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.org from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit(" acct "),
+            F.format_string("%016d", F.col("doc_id") + F.lit(4000000000000000)),
+            F.lit(" "),
+            F.col("text"),
+        ).alias("t"),
+    )
+    n_emails, n_ips, n_ids = pii_counts("t")
+    return seeded.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_ids.alias("n_ids"),
+        pii_redact("t").alias("scrubbed"),
+    )
