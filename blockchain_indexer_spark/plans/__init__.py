@@ -72,6 +72,8 @@ PRIORITY = (
     "filtered_projection",
     "json_payload",
     "membership_collect",
+    "rollup_revenue_hierarchy",
+    "profile_orders",
     # -- tier C: one gate per LLM-pipeline component ------------------
     "doc_fingerprint_dedup",
     "ngram_jaccard_near_dups",

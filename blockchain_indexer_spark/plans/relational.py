@@ -755,3 +755,101 @@ def membership_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types_seen"),
         F.array_contains(F.collect_set("event_type"), "purchase").alias("has_purchase"),
     )
+
+
+@register(
+    "rollup_revenue_hierarchy",
+    oracle="""
+    SELECT COALESCE(r.r_name, 'ALL')  AS region,
+           CASE WHEN GROUPING(n.n_name) = 1 THEN 'ALL' ELSE n.n_name END AS nation,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(GROUPING(r.r_name) * 2 + GROUPING(n.n_name) AS BIGINT) AS agg_level
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    doc="Hierarchical subtotals via ROLLUP(region, nation) + "
+    "grouping_id: per-nation, per-region and grand-total revenue in "
+    "ONE pass — Spark expands the grouping sets and still computes "
+    "map-side partial aggregates, so the cost is one shuffle (the "
+    "hand-rolled alternative is three aggs + union, three shuffles). "
+    "Subtotal rows are labeled 'ALL' via the grouping bit, not NULL, "
+    "so they can't collide with real data.",
+    survey_refs=("A4", "A5", "J2"),
+)
+def rollup_revenue_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    agg = joined.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_orders"),
+        _dsum("o_totalprice").alias("revenue"),
+        F.grouping_id().cast("bigint").alias("agg_level"),
+    )
+    # agg_level bits: 2 = r_name rolled up, 1 = n_name rolled up
+    return agg.select(
+        F.when(F.col("agg_level") >= 2, "ALL").otherwise(F.col("r_name")).alias("region"),
+        F.when(F.col("agg_level") % 2 == 1, "ALL").otherwise(F.col("n_name")).alias("nation"),
+        "n_orders",
+        "revenue",
+        "agg_level",
+    )
+
+
+@register(
+    "profile_orders",
+    oracle="""
+    SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+           CAST(MAX(o_orderkey) AS DOUBLE) AS max_num
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+           COUNT(DISTINCT o_orderdate),
+           CAST(epoch_us(MIN(o_orderdate)) AS DOUBLE),
+           CAST(epoch_us(MAX(o_orderdate)) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority), NULL, NULL
+    FROM orders
+    """,
+    doc="One-pass table profile (operators.profile.profile): per-"
+    "column null count, exact distinct cardinality and numeric/"
+    "timestamp range computed as parallel aggregates over ONE scan, "
+    "exploded to a row per column — the shard-level data-quality "
+    "summary an ingest pipeline logs before promote. The oracle "
+    "computes each column's row independently; approx_count_distinct "
+    "is the documented 100 TB swap-in (one map pass, mergeable "
+    "sketches).",
+    survey_refs=("A5", "A7", "A12"),
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.profile import profile
+
+    return profile(load_table(spark, sf_dir, "orders"))
