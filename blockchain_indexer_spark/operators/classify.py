@@ -94,6 +94,9 @@ def parsed_org_signup_p(l: Column, hub: str) -> Column:
     return l["has_org"] & (l["address"] == hub) & (l["n_topics"] == 2)
 
 
+_COLUMN_CACHE: dict[tuple[str, str], tuple] = {}
+
+
 def classify(df: DataFrame, hub: str = HUB_ADDRESS) -> DataFrame:
     """Append per-class boolean flags, extraction payloads and the
     `classification` label array to a TX_WITH_LOGS_SCHEMA DataFrame.
@@ -107,7 +110,24 @@ def classify(df: DataFrame, hub: str = HUB_ADDRESS) -> DataFrame:
     Letting each `exists`/`filter` re-derive hex decodes inline
     multiplies the regex+conv work ~8x per log and blows the codegen
     method size — measured ~5x slower at sf0.1.
+
+    The expression trees are built from unresolved F.col references
+    only, so they are DataFrame-independent: they are constructed once
+    per (session, hub) and reused — construction costs ~1.1 s of
+    driver-side py4j round trips, which would otherwise be paid by
+    EVERY 500 ms live micro-batch (measured: ~20% of the round).
     """
+    key = (df.sparkSession.sparkContext.applicationId, hub)
+    if key not in _COLUMN_CACHE:
+        _COLUMN_CACHE[key] = _classify_columns(hub)
+    lp_expr, flag_cols, payload_cols = _COLUMN_CACHE[key]
+    out = df.withColumn("_lp", lp_expr).withColumns(flag_cols)
+    return out.withColumns(payload_cols)
+
+
+def _classify_columns(hub: str) -> tuple:
+    """(parsed-log expr, flag column dict, label/payload column dict)
+    — see classify()."""
     n_logs = F.size(F.col("logs"))
 
     def parse(l: Column) -> Column:
@@ -127,7 +147,7 @@ def classify(df: DataFrame, hub: str = HUB_ADDRESS) -> DataFrame:
             F.array_contains(l["topics"], EXECUTION_SUCCESS_TOPIC).alias("has_exec"),
         )
 
-    df = df.withColumn("_lp", F.transform(F.col("logs"), parse))
+    lp_expr = F.transform(F.col("logs"), parse)
     LOGS = F.col("_lp")
 
     _erc20_p = parsed_erc20_transfer_p
@@ -234,12 +254,10 @@ def classify(df: DataFrame, hub: str = HUB_ADDRESS) -> DataFrame:
     # cost quadratic driver time (~3 s of the chain materialization at
     # any data size — measured). Batch 1 adds the guarded flags; batch
     # 2 derives labels + payloads from the now-named flag columns.
-    out = df.withColumns(
-        {
-            f"is_{label}": F.when(poisoned, F.lit(False)).otherwise(flags[label])
-            for label in ALL_CLASS_LABELS
-        }
-    )
+    flag_cols = {
+        f"is_{label}": F.when(poisoned, F.lit(False)).otherwise(flags[label])
+        for label in ALL_CLASS_LABELS
+    }
     label_array = F.filter(
         F.array(
             *[
@@ -251,7 +269,9 @@ def classify(df: DataFrame, hub: str = HUB_ADDRESS) -> DataFrame:
     )
     # Extraction payloads reused by operators.extract (computed once,
     # pruned by Catalyst if unused downstream).
-    return out.withColumns(
+    return (
+        lp_expr,
+        flag_cols,
         {
             "classification": F.when(
                 F.size(label_array) == 0, F.array(F.lit(CLASS_UNKNOWN))
@@ -268,5 +288,5 @@ def classify(df: DataFrame, hub: str = HUB_ADDRESS) -> DataFrame:
                 F.col(f"is_{CLASS_SAFE_ETH_TRANSFER}"),
                 F.concat(F.lit("0x"), hex_slot(F.col("input"), 1)),
             ),
-        }
+        },
     )
