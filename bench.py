@@ -43,8 +43,12 @@ BENCH_QUERIES = (
     "doc_length_quantiles",
     "doc_chunk_packing",
     "corpus_mixture_rebalance",
+    "doc_pii_scrub",
+    "rollup_revenue_hierarchy",
+    "profile_orders",
     "embedding_topk_mips",
     "embedding_lsh_topk",
+    "embedding_pq_topk",
     # chain domain: the first query pays the one-time derive+classify+
     # extract materialization (the production ingest path), the rest
     # run the analytics views over the promoted tables
@@ -52,6 +56,7 @@ BENCH_QUERIES = (
     "chain_current_trust",
     "chain_timeline_counts",
     "chain_capacity_graph",
+    "chain_trust_reachability",
     # multimodal mapInPandas stages
     "mm_decode_stats",
     "mm_frame_sample",

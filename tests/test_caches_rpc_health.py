@@ -241,3 +241,53 @@ def test_download_blocks_with_txs_full_and_hash_only(spark):
     t2 = got[2]["transactions"][0]
     assert t2["hash"] == "0xt2" and t2["from"] is None and t2["value"] == "0"
     assert got[2]["total_transaction_count"] == 1
+
+
+def test_watch_liveness_stall_and_drain():
+    """Clock-injected unit test of the LiveSource stall contract."""
+    from blockchain_indexer_spark.streaming.health import StreamStalled, watch_liveness
+
+    class FakeQuery:
+        def __init__(self):
+            self.isActive = True
+            self.recentProgress = []
+            self.status = {"isDataAvailable": False}
+            self.stopped = False
+            self.t = 0.0
+
+        def stop(self):
+            self.stopped = True
+            self.isActive = False
+
+    q = FakeQuery()
+
+    def clock():
+        q.t += 0.5
+        # rows keep arriving until t=5, then silence
+        if q.t < 5:
+            q.recentProgress = [
+                {"id": "x", "batchId": int(q.t * 2), "numInputRows": 3}
+            ]
+        return q.t
+
+    try:
+        watch_liveness(q, stall_timeout_s=2.0, poll_s=0.0, clock=clock)
+        raise AssertionError("expected StreamStalled")
+    except StreamStalled:
+        pass
+    assert q.stopped
+    # stall fired only after the 2 s quiet window beyond the last rows
+    assert q.t >= 7.0
+
+    # mid-batch (data available, no progress rows) is NOT a stall
+    q2 = FakeQuery()
+    q2.status = {"isDataAvailable": True}
+
+    def clock2():
+        q2.t += 0.5
+        if q2.t >= 10:
+            q2.isActive = False  # query finishes normally
+        return q2.t
+
+    elapsed = watch_liveness(q2, stall_timeout_s=2.0, poll_s=0.0, clock=clock2)
+    assert not q2.stopped and elapsed >= 10
