@@ -121,6 +121,18 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # Free the query runs' leftovers before the ingest measurement:
+    # iterative queries (reachability, clustering) eagerly
+    # localCheckpoint frames that stay pinned until BOTH the Python
+    # refs die and the JVM ContextCleaner runs; 34 queries x 2 runs of
+    # retained blocks otherwise turn the ingest measurement into a GC
+    # benchmark (observed 7x on identical code).
+    spark.catalog.clearCache()
+    import gc  # noqa: PLC0415
+
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(2)
     # Ingest throughput over the FULL uncached spine (derive →
     # classify → extract → ledger → balances): bypasses the session
     # and disk caches, so this is the end-to-end promote path. The
