@@ -101,3 +101,44 @@ def test_repetition_line_metrics_stay_in_scan_projection(spark, sf_dir):
     p = _plan(spark, sf_dir, "doc_repetition_stats")
     assert "CartesianProduct" not in p
     assert p.count("Generate") == 1, "only the bigram explode may Generate"
+
+
+def test_pii_scrub_is_pure_projection(spark, sf_dir):
+    # three chained regexp projections over the scan — any Exchange
+    # means the redaction pass started shuffling the corpus
+    p = _plan(spark, sf_dir, "doc_pii_scrub")
+    assert p.count("Exchange") == 0, f"PII scrub must not shuffle:\n{p}"
+
+
+def test_chunk_packing_is_one_window_shuffle(spark, sf_dir):
+    # the prefix sum rides a single (group) exchange locally; its
+    # cluster twin is the two-phase distributed prefix sum (SCALE.md)
+    p = _plan(spark, sf_dir, "doc_chunk_packing")
+    assert p.count("Exchange") - p.count("ReusedExchange") == 1, (
+        f"expected exactly one shuffle:\n{p}"
+    )
+
+
+def test_mixture_rebalance_broadcasts_rates_back(spark, sf_dir):
+    # the per-group counts (tiny) broadcast back over the corpus; the
+    # corpus side itself must not shuffle for the acceptance filter
+    p = _plan(spark, sf_dir, "corpus_mixture_rebalance")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_pq_lut_join_broadcasts_and_no_cartesian(spark, sf_dir):
+    # codes x LUT is a broadcast equi-join on (subspace, code); the
+    # code table must never shuffle its vectors for ADC
+    p = _plan(spark, sf_dir, "embedding_pq_topk")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_rollup_is_single_shuffle_expand(spark, sf_dir):
+    # grouping sets expand BEFORE partial aggregation: one Expand node
+    # and exactly one agg exchange (plus AQE reads), not one per level
+    p = _plan(spark, sf_dir, "rollup_revenue_hierarchy")
+    assert "Expand" in p
+    shuffles = p.count("Exchange") - p.count("BroadcastExchange") - p.count("ReusedExchange")
+    assert shuffles == 1, f"rollup re-shuffles per level:\n{p}"
