@@ -129,6 +129,13 @@ def khop_reachability(
     iterative plan otherwise deepens per round. Bounded k keeps the
     pair set linear in practice (trust graphs fan out fast; unbounded
     closure would need the large-star contraction instead).
+
+    Memory note: the per-round localCheckpoints stay pinned until the
+    returned frame's references are garbage collected (the result
+    reads them). In a long-lived session interleaving many builds with
+    other work, drop the result promptly or materialize it to a table
+    — retained checkpoint blocks otherwise accumulate (bench.py
+    measured the effect and drains them between sections).
     """
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))

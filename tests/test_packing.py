@@ -68,3 +68,31 @@ def test_rebalance_explicit_target(spark):
     n = rebalance_mixture(df, "doc_id", "source", target=50).count()
     # expected 50 survivors, hash-uniform
     assert 25 <= n <= 90
+
+
+def test_pack_chunks_property_vs_python_reference(spark):
+    """Randomized (seeded) cross-check against a pure-Python packer."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, f"s{rng.randrange(3)}", rng.randrange(1, 40)) for i in range(300)
+    ]
+    budget = 16
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n"])
+    got = {
+        r["doc_id"]: (r["first_chunk"], r["last_chunk"], r["n_chunks"], r["chunk_offset"])
+        for r in pack_chunks(df, "doc_id", "source", "n", budget=budget).collect()
+    }
+    # python reference: concat per source in doc_id order, cut every budget
+    by_src: dict[str, list[tuple[int, int]]] = {}
+    for i, s, n in sorted(rows):
+        by_src.setdefault(s, []).append((i, n))
+    expect = {}
+    for s, docs in by_src.items():
+        cum = 0
+        for i, n in docs:
+            expect[i] = (cum // budget, (cum + n - 1) // budget,
+                         (cum + n - 1) // budget - cum // budget + 1, cum % budget)
+            cum += n
+    assert got == expect
