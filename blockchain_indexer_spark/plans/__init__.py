@@ -65,6 +65,7 @@ PRIORITY = (
     "latest_event_per_user",
     "version_disambiguation",
     "tumbling_window_stats",
+    "sliding_window_stats",
     "event_sessionization",
     "asof_latest_purchase",
     "range_join_active_sessions",

@@ -853,3 +853,44 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blockchain_indexer_spark.operators.profile import profile
 
     return profile(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "sliding_window_stats",
+    oracle="""
+    WITH w AS (
+      -- starts are slide-aligned (multiples of 3 h): an event at ts
+      -- is inside the windows starting at floor3h(ts) and
+      -- floor3h(ts) - 3 h — always exactly two for a 6 h length
+      SELECT epoch_us(time_bucket(INTERVAL 3 HOURS, ts) - o * INTERVAL 3 HOURS)
+               AS window_start_us,
+             value
+      FROM events, UNNEST([0, 1]) AS t(o)
+    )
+    SELECT window_start_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM w GROUP BY window_start_us
+    """,
+    doc="Sliding (hopping) event-time window: 6 h length, 3 h slide — "
+    "each event lands in exactly two overlapping windows, F.window's "
+    "multi-assign fan-out (the streaming hop-aggregation shape; T10 "
+    "beyond the reference's daily cadence). The oracle re-derives the "
+    "two epoch-aligned window starts per event explicitly. Spark "
+    "plans the fan-out as one Expand + one agg exchange — the hop "
+    "count multiplies rows BEFORE the map-side partial agg, so at "
+    "scale the shuffle still carries one partial row per (window, "
+    "partition), not per event.",
+    survey_refs=("T10", "A4"),
+)
+def sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "3 hours").alias("w"))
+        .agg(F.count("*").alias("n_events"), _dsum("value").alias("total_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n_events",
+            "total_value",
+        )
+    )
