@@ -75,6 +75,7 @@ PRIORITY = (
     "membership_collect",
     "rollup_revenue_hierarchy",
     "profile_orders",
+    "salted_join_segment_totals",
     # -- tier C: one gate per LLM-pipeline component ------------------
     "doc_fingerprint_dedup",
     "ngram_jaccard_near_dups",

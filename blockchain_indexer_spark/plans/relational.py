@@ -894,3 +894,35 @@ def sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "salted_join_segment_totals",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Skew-guard identity gate (operators.skew.salted_join): the "
+    "big fact side is salted into 8 sub-keys and the dimension "
+    "replicated x8 before the equi-join, spreading any hot key over 8 "
+    "reducers — and the result must be EXACTLY the plain join's "
+    "(which is what the oracle computes). This is the manual fallback "
+    "for stable known-hot keys; AQE's runtime skew-join splitting "
+    "(on in session.py) covers the dynamic case.",
+    survey_refs=("J1", "J2"),
+)
+def salted_join_segment_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    j = salted_join(ev, cust, "user_id", salt=8)
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"), _dsum("value").alias("total_value")
+    )
