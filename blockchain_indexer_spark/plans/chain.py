@@ -425,10 +425,19 @@ def compute_pipeline_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataF
     Raw `logs` dropped before the snapshot: the extractors read
     the parsed `_lp` structs, so the raw topic/data strings would
     only inflate the checkpointed frame.
+
+    The derived frame is checkpointed BEFORE classify: fused,
+    Catalyst's CollapseProject inlines derive's synthetic log-array
+    construction (md5/format_string per log) into every classifier
+    predicate that touches a log field, re-evaluating it dozens of
+    times per row (measured 16-34 s vs ~7 s split at sf0.01, and the
+    blowup is per-row, so it scales WITH data). The checkpoint is the
+    staging-table seam the reference has anyway
+    (ImportProcedure.cs:17-27): raw tx+logs land once, the classifier
+    reads the materialized staging rows.
     """
-    classified = (
-        classify(derive_chain(spark, sf_dir)).drop("logs").localCheckpoint(eager=True)
-    )
+    derived = derive_chain(spark, sf_dir).localCheckpoint(eager=True)
+    classified = classify(derived).drop("logs").localCheckpoint(eager=True)
     tables = extract_all(classified)
     # coalesce: the event tables are small relative to the 3-way
     # union's partition count; 16 partitions keeps downstream
