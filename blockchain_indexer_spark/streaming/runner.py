@@ -189,6 +189,12 @@ class IngestPipeline:
                 return self.spark.read.jdbc(
                     self.jdbc_url, name, properties=self.jdbc_properties
                 )
+            # probe locally first: letting spark.read throw on a
+            # missing dir works, but the JVM logs a full stack trace
+            # per probe (one per table on the first batch) — noise
+            # that reads like a failure in bench/driver output
+            if not os.path.isdir(self._table_path(name)):
+                return None
             return self.spark.read.parquet(self._table_path(name))
         except AnalysisException:
             return None
@@ -403,6 +409,8 @@ class IngestPipeline:
         """Current materialization of CACHE_BALANCES / CACHE_TRUST."""
         from pyspark.errors.exceptions.captured import AnalysisException
 
+        if not os.path.isdir(self._table_path(name)):
+            return None  # avoid the JVM's logged stack trace per probe
         try:
             return self.spark.read.parquet(self._table_path(name))
         except AnalysisException:
