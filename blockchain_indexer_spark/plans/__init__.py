@@ -89,6 +89,8 @@ PRIORITY = (
     "embedding_ivf_topk",
     "embedding_pq_topk",
     "embedding_lsh_near_dups",
+    "embedding_kmeans_clusters",
+    "embedding_semantic_dedup",
     "doc_token_stats",
     "doc_lang_id",
     "doc_quality_score",

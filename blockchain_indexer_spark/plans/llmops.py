@@ -547,6 +547,141 @@ def embedding_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_near_dup_pairs(emb, "vec_id", "embedding", dim=64, threshold=0.3)
 
 
+def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64) -> tuple[str, str]:
+    """CTE chain reproducing operators/kmeans._lloyd in DuckDB SQL:
+    data-seeded init (k lowest-id quantized vectors), then per
+    iteration exact-integer nearest-centroid assignment (ties → lowest
+    cell) and a floor(mean+0.5) integer-lattice centroid update with
+    empty cells keeping their previous centroid. Returns (ctes,
+    final_centroid_cte_name); prepend after _QV."""
+    parts = [
+        f"""c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+      FROM (SELECT vec_id, v FROM vq ORDER BY vec_id LIMIT {k}) s
+    )"""
+    ]
+    for it in range(iters):
+        c, nxt = f"c{it}", f"c{it + 1}"
+        parts.append(f"""a{it} AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        FROM (
+          SELECT vq.vec_id, c.cell,
+                 list_sum(list_transform(c.v, x -> CAST(x * x AS DOUBLE)))
+               - 2 * list_sum(list_transform(range(1, {dim} + 1),
+                                             i -> CAST(vq.v[i] * c.v[i] AS DOUBLE))) AS d
+          FROM vq CROSS JOIN {c} c) t1) t2
+      WHERE rn = 1
+    )""")
+        parts.append(f"""m{it} AS (
+      SELECT a.cell, p.i,
+             CAST(floor(avg(CAST(vq.v[p.i] AS DOUBLE)) + 0.5) AS BIGINT) AS x
+      FROM a{it} a JOIN vq USING (vec_id)
+      CROSS JOIN (SELECT unnest(range(1, {dim} + 1)) AS i) p
+      GROUP BY a.cell, p.i
+    )""")
+        parts.append(
+            f"l{it} AS (SELECT cell, list(x ORDER BY i) AS v FROM m{it} GROUP BY cell)"
+        )
+        parts.append(
+            f"{nxt} AS (SELECT c.cell, COALESCE(l.v, c.v) AS v "
+            f"FROM {c} c LEFT JOIN l{it} l USING (cell))"
+        )
+    return ",\n    ".join(parts), f"c{iters}"
+
+
+_KM_CTES, _KM_FINAL = _kmeans_ctes(k=8, iters=2, dim=64)
+
+
+@register(
+    "embedding_kmeans_clusters",
+    oracle=f"""
+    WITH {_QV},
+    {_KM_CTES},
+    final AS (
+      SELECT vec_id, cell, d + vsq AS dist FROM (
+        SELECT vec_id, cell, d, vsq,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        FROM (
+          SELECT vq.vec_id, c.cell,
+                 list_sum(list_transform(c.v, x -> CAST(x * x AS DOUBLE)))
+               - 2 * list_sum(list_transform(range(1, 65),
+                                             i -> CAST(vq.v[i] * c.v[i] AS DOUBLE))) AS d,
+                 list_sum(list_transform(vq.v, x -> CAST(x * x AS DOUBLE))) AS vsq
+          FROM vq CROSS JOIN {_KM_FINAL} c) t1) t2
+      WHERE rn = 1
+    )
+    SELECT vec_id, CAST(cell AS INT) AS cell, CAST(dist AS BIGINT) AS dist_sq
+    FROM final
+    """,
+    doc="Distributed k-means (Lloyd, k=8, 2 iterations) over the "
+    "embedding corpus: data-seeded init, Arrow-matmul assignment, "
+    "posexplode+groupBy centroid update (map-side combine → the "
+    "shuffle is O(k x dim x partitions) regardless of corpus size). "
+    "Integer-lattice centroids (floor(mean+0.5)) keep every stage "
+    "engine-exact, so cells AND squared distances are oracle-checked "
+    "bit-for-bit. The clustering substrate for SemDeDup / curation.",
+    survey_refs=("LLM-sim", "LLM-dedup"),
+)
+def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.kmeans import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, "vec_id", "embedding", k=8, iters=2)
+
+
+@register(
+    "embedding_semantic_dedup",
+    oracle=f"""
+    WITH {_QV},
+    {_KM_CTES},
+    af AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        FROM (
+          SELECT vq.vec_id, c.cell,
+                 list_sum(list_transform(c.v, x -> CAST(x * x AS DOUBLE)))
+               - 2 * list_sum(list_transform(range(1, 65),
+                                             i -> CAST(vq.v[i] * c.v[i] AS DOUBLE))) AS d
+          FROM vq CROSS JOIN {_KM_FINAL} c) t1) t2
+      WHERE rn = 1
+    ),
+    nz AS (
+      SELECT af.vec_id, af.cell, vq.v, nsq FROM af JOIN (
+        SELECT vec_id, v,
+               list_sum(list_transform(v, x -> CAST(x * x AS DOUBLE))) AS nsq
+        FROM vq) vq USING (vec_id)
+      WHERE nsq > 0
+    ),
+    dups AS (
+      SELECT DISTINCT y.vec_id AS vec_id
+      FROM nz x JOIN nz y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      WHERE CAST(list_sum(list_transform(range(1, 65),
+                                         i -> CAST(x.v[i] * y.v[i] AS DOUBLE)))
+                 / sqrt(x.nsq * y.nsq) AS DOUBLE) >= 0.3
+    )
+    SELECT af.vec_id, CAST(af.cell AS INT) AS cell,
+           (dups.vec_id IS NOT NULL) AS is_dup
+    FROM af LEFT JOIN dups USING (vec_id)
+    """,
+    doc="SemDeDup (Abbas et al. 2023): k-means the corpus, then flag "
+    "items whose quantized cosine to a lower-id item IN THE SAME "
+    "CLUSTER is >= 0.3 (keep-lowest-id representative). The pairwise "
+    "stage is an equi-join on the cell id — O(sum cell^2), never "
+    "corpus^2; production picks k so cells stay O(10^3..10^4). Fully "
+    "oracle-checked: centroids, cells, cosines and flags reproduce "
+    "bit-for-bit in DuckDB.",
+    survey_refs=("LLM-dedup", "LLM-sim"),
+)
+def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.kmeans import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, "vec_id", "embedding", k=8, iters=2, threshold=0.3)
+
+
 @register(
     "embedding_topk_qcosine",
     oracle="""
