@@ -548,10 +548,34 @@ def pq_topk(
         )
         return subs.join(F.broadcast(cb), "j").withColumn("_d", d2)
 
-    codes = (
-        _sub_dists(vq, "_cid")
-        .groupBy("_cid", "j")
-        .agg(F.min_by("code", F.struct(F.col("_d"), F.col("code"))).alias("code"))
+    # Corpus code assignment is |C| × m × n_codes subvector distances —
+    # as a posexplode × codebook join each is an INTERPRETED
+    # zip_with/aggregate lambda (the measured hot spot: ~1M lambda
+    # evals even at bench scale, and it grows linearly with the
+    # corpus). One numpy matmul per Arrow batch instead — the same
+    # justified-Pandas-UDF pattern as signbit_signature; all math is
+    # integer-valued float64 (< 2^53) so codes are bit-identical to
+    # the Catalyst path (argmin first-min == min_by (d, code)). The
+    # query-side LUT keeps the Catalyst join: |Q| × m × n_codes stays
+    # tiny (it is the broadcast side).
+    books_np = np.array(books, dtype=np.float64)  # (m, n_codes, sub)
+    books_sq = (books_np**2).sum(axis=2)  # (m, n_codes)
+
+    @F.pandas_udf("array<int>")
+    def _code_vec(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype="object")
+        mat = np.array([list(v) for v in vec], dtype=np.float64)  # (n, dim)
+        out = np.empty((len(mat), m), dtype=np.int32)
+        for j in range(m):
+            vj = mat[:, j * sub : (j + 1) * sub]
+            d = books_sq[j][None, :] - 2.0 * (vj @ books_np[j].T)
+            out[:, j] = d.argmin(axis=1)
+        return pd.Series(list(out))
+
+    codes = vq.select(
+        F.col("_id").alias("_cid"),
+        F.posexplode(_code_vec(F.col("_v"))).alias("j", "code"),
     )
     qq = spread(queries, id_col).select(
         F.col(id_col).alias("_id"), quantize(vec_col, scale).alias("_v")
