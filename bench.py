@@ -49,6 +49,7 @@ BENCH_QUERIES = (
     "embedding_topk_mips",
     "embedding_lsh_topk",
     "embedding_pq_topk",
+    "embedding_semantic_dedup",
     # chain domain: the first query pays the one-time derive+classify+
     # extract materialization (the production ingest path), the rest
     # run the analytics views over the promoted tables
