@@ -565,7 +565,12 @@ def pq_topk(
     def _code_vec(vec: pd.Series) -> pd.Series:
         if len(vec) == 0:
             return pd.Series([], dtype="object")
-        mat = np.array([list(v) for v in vec], dtype=np.float64)  # (n, dim)
+        # NULL embeddings → zero vector, same policy as the other
+        # Arrow stages (deterministic codes, never wins a re-rank)
+        mat = np.array(
+            [list(v) if v is not None else [0.0] * dim for v in vec],
+            dtype=np.float64,
+        )  # (n, dim)
         out = np.empty((len(mat), m), dtype=np.int32)
         for j in range(m):
             vj = mat[:, j * sub : (j + 1) * sub]
