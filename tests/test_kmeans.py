@@ -96,6 +96,16 @@ def test_semantic_dedup_flags_match_numpy(spark, sf_dir):
     assert not expect_dup.all()
 
 
+def test_corpus_smaller_than_k_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="smaller than k"):
+        kmeans_assign(df, k=5, iters=0)
+
+
 def test_empty_cell_keeps_previous_centroid(spark):
     """Two far apart seed points plus a mass near seed 0: seed 1's
     cell goes empty after iteration 1 (every point is nearer the

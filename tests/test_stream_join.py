@@ -53,6 +53,32 @@ def test_left_outer_batch_nulls(spark):
     assert rows[f"0x{0:064x}"] == "logs-0"
 
 
+def test_batch_twin_matches_python_model(spark):
+    """Randomized (seeded) delays: the batch twin must equal a plain
+    python model of the interval predicate."""
+    import random
+
+    rng = random.Random(42)
+    txs_rows = [(f"0x{i:064x}", i, BASE + rng.randrange(0, 1000)) for i in range(60)]
+    tx_ts = {h: ts for h, _, ts in txs_rows}
+    rc_rows = []
+    for i in range(60):
+        if rng.random() < 0.15:
+            continue  # undelivered
+        h = f"0x{i:064x}"
+        rc_rows.append((h, tx_ts[h] + rng.randrange(-30, 500), f"l{i}"))
+    txs = spark.createDataFrame(txs_rows, TX_SCHEMA)
+    receipts = spark.createDataFrame(rc_rows, RC_SCHEMA)
+    out = join_tx_receipts(txs, receipts, max_delay="5 minutes").collect()
+    got = {(r["hash"], r["logs"]) for r in out}
+    expect = {
+        (h, logs)
+        for h, ts, logs in rc_rows
+        if tx_ts[h] <= ts <= tx_ts[h] + 300
+    }
+    assert got == expect and len(expect) > 10
+
+
 def test_stream_inner_matches_batch(spark, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("ssj"))
     txs, receipts = _frames(spark)
