@@ -142,3 +142,21 @@ def test_rollup_is_single_shuffle_expand(spark, sf_dir):
     assert "Expand" in p
     shuffles = p.count("Exchange") - p.count("BroadcastExchange") - p.count("ReusedExchange")
     assert shuffles == 1, f"rollup re-shuffles per level:\n{p}"
+
+
+def test_kmeans_assignment_is_arrow_not_interpreted(spark, sf_dir):
+    # final assignment: one ArrowEvalPython stage (numpy matmul per
+    # batch), no row-at-a-time BatchEvalPython, no join at all — the
+    # centroids ride the UDF closure
+    p = _plan(spark, sf_dir, "embedding_kmeans_clusters")
+    assert "ArrowEvalPython" in p
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_semantic_dedup_pairs_join_on_cell(spark, sf_dir):
+    # the pairwise stage must be an equi-join keyed on the cell id
+    # (SortMergeJoin or broadcast), never a nested-loop over the corpus
+    p = _plan(spark, sf_dir, "embedding_semantic_dedup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
