@@ -70,6 +70,7 @@ PRIORITY = (
     "asof_latest_purchase",
     "range_join_active_sessions",
     "gap_detection",
+    "stream_reassembly_join",
     "filtered_projection",
     "json_payload",
     "membership_collect",

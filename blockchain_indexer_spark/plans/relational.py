@@ -926,3 +926,49 @@ def salted_join_segment_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_events"), _dsum("value").alias("total_value")
     )
+
+
+@register(
+    "stream_reassembly_join",
+    oracle="""
+    WITH txs AS (
+      SELECT concat('0x', md5(CAST(event_id AS VARCHAR))) AS hash,
+             1600000000 + event_id AS block_timestamp
+      FROM events
+    ),
+    receipts AS (
+      SELECT concat('0x', md5(CAST(event_id AS VARCHAR))) AS receipt_hash,
+             1600000000 + event_id + (event_id % 500) AS receipt_timestamp,
+             concat('l', CAST(event_id AS VARCHAR)) AS logs
+      FROM events WHERE event_id % 7 != 0
+    )
+    SELECT t.hash, t.block_timestamp, r.receipt_timestamp, r.logs
+    FROM txs t LEFT JOIN receipts r
+      ON t.hash = r.receipt_hash
+     AND r.receipt_timestamp >= t.block_timestamp
+     AND r.receipt_timestamp <= t.block_timestamp + 300
+    """,
+    doc="Batch twin of the watermarked stream-stream reassembly join "
+    "(streaming/joins.py join_tx_receipts): tx headers LEFT OUTER "
+    "interval-join their receipts; every-7th receipt is undelivered "
+    "and delays beyond the 5-minute bound (event_id % 500 > 300) "
+    "surface as NULL logs — the gap signal the streaming form emits "
+    "after the watermark passes. Reference S8/S9 download reunion, "
+    "requested_blocks J10.",
+    survey_refs=("S8", "S9", "J10"),
+)
+def stream_reassembly_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.streaming.joins import join_tx_receipts
+
+    ev = load_table(spark, sf_dir, "events")
+    h = F.concat(F.lit("0x"), F.md5(F.col("event_id").cast("string")))
+    base = F.lit(1_600_000_000) + F.col("event_id")
+    txs = ev.select(h.alias("hash"), base.cast("bigint").alias("block_timestamp"))
+    receipts = ev.filter(F.col("event_id") % 7 != 0).select(
+        h.alias("receipt_hash"),
+        (base + F.col("event_id") % 500).cast("bigint").alias("receipt_timestamp"),
+        F.concat(F.lit("l"), F.col("event_id").cast("string")).alias("logs"),
+    )
+    return join_tx_receipts(txs, receipts, max_delay="5 minutes", how="left_outer").select(
+        "hash", "block_timestamp", "receipt_timestamp", "logs"
+    )
