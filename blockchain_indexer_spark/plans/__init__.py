@@ -95,6 +95,7 @@ PRIORITY = (
     "doc_token_stats",
     "doc_lang_id",
     "doc_quality_score",
+    "doc_unigram_stats",
     "doc_repetition_stats",
     "doc_chunk_packing",
     "corpus_mixture_rebalance",

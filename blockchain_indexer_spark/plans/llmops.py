@@ -1626,3 +1626,63 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_ids.alias("n_ids"),
         pii_redact("t").alias("scrubbed"),
     )
+
+
+@register(
+    "doc_unigram_stats",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS tok
+      FROM documents
+    ),
+    t AS (SELECT * FROM toks WHERE tok <> ''),
+    uni AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok)
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           COUNT(DISTINCT t.tok) AS n_distinct,
+           CAST(SUM(CASE WHEN uni.cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(SUM(uni.cnt) AS DOUBLE) / COUNT(*) AS mean_corpus_freq,
+           CAST(SUM(CASE WHEN uni.cnt <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS rare_fraction
+    FROM t JOIN uni USING (tok)
+    GROUP BY t.doc_id
+    """,
+    doc="Corpus-LM quality statistics per document (the CCNet/Gopher "
+    "perplexity-filter shape): build the global unigram count table "
+    "(one groupBy on token), join every token back to its corpus "
+    "count, aggregate per document — mean corpus frequency of the "
+    "doc's tokens (a low-perplexity proxy: common-language docs "
+    "score high), hapax count and rare-token fraction (OOV/noise "
+    "signals). All outputs are integer sums or single exact integer "
+    "divisions, so the gate is engine-exact; a true ln-based logprob "
+    "is a monotone driver-side transform away but ln differs by ulps "
+    "across engines, so it stays out of the hash-compared surface. "
+    "Scale: two token-keyed shuffles + one doc-keyed agg; the unigram "
+    "table shards by token (no broadcast assumption).",
+    survey_refs=("LLM-text",),
+)
+def doc_unigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        spread(d, "doc_id")
+        .select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    uni = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    return (
+        tok.join(uni, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.countDistinct("tok").alias("n_distinct"),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).cast("bigint").alias("n_hapax"),
+            (F.sum("cnt").cast("double") / F.count("*")).alias("mean_corpus_freq"),
+            (
+                F.sum(F.when(F.col("cnt") <= 2, 1).otherwise(0)).cast("double")
+                / F.count("*")
+            ).alias("rare_fraction"),
+        )
+    )
