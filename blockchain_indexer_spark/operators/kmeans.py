@@ -46,6 +46,19 @@ from blockchain_indexer_spark.functions.vectors import quantize
 from blockchain_indexer_spark.sources.parquet import spread
 
 
+def _vq(corpus: DataFrame, id_col: str, vec_col: str, scale: int) -> DataFrame:
+    """Quantized (_id, _v) working frame. NULL vectors are excluded —
+    the single policy the seeds, the centroid means, the assignment
+    UDF and the DuckDB oracle can all honor identically (a NULL row
+    would crash the seed collect and silently vanish from the
+    posexplode means while the oracle NULL-propagates differently)."""
+    return (
+        spread(corpus, id_col)
+        .filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), quantize(vec_col, scale).alias("_v"))
+    )
+
+
 def _seed_centroids(vq: DataFrame, k: int) -> np.ndarray:
     """Data-seeded init: the k lowest-id quantized vectors (an
     O(k)-row pruned top-k collect, corpus-size independent — the same
@@ -128,11 +141,12 @@ def kmeans_assign(
     so every stage stays engine-exact — the quantization error is
     ≤ 0.5/scale per coordinate per iteration, immaterial next to
     cluster radii. A cell that loses all members keeps its previous
-    centroid (both engines). NULL embeddings assign as zero vectors.
+    centroid (both engines). Rows with a NULL vector are EXCLUDED up
+    front (clustering a missing vector is meaningless, and exclusion
+    is the one policy every stage — seeds, means, assignment, the SQL
+    oracle — can implement identically).
     """
-    vq = spread(corpus, id_col).select(
-        F.col(id_col).alias("_id"), quantize(vec_col, scale).alias("_v")
-    )
+    vq = _vq(corpus, id_col, vec_col, scale)
     cents = _lloyd(vq, k, iters)
     return _assign(vq, cents, with_dist=True).select(
         F.col("_id").alias(id_col), "cell", "dist_sq"
@@ -158,11 +172,10 @@ def semantic_dedup(
     equi-join on cell — O(Σ|cell|²) candidate pairs, never corpus²;
     at production scale pick k so E[|cell|] stays O(10³..10⁴)
     (SemDeDup's published configuration: ~10⁵ clusters for web-scale
-    corpora). Zero-norm vectors have no cosine and are never flagged.
+    corpora). Zero-norm vectors have no cosine and are never flagged;
+    NULL vectors are excluded like in ``kmeans_assign``.
     """
-    vq = spread(corpus, id_col).select(
-        F.col(id_col).alias("_id"), quantize(vec_col, scale).alias("_v")
-    )
+    vq = _vq(corpus, id_col, vec_col, scale)
     cents = _lloyd(vq, k, iters)
     # both the pair join's sides and the final left join read the
     # assignment — materialize it once (same seam as lsh_near_dup_pairs)
@@ -170,12 +183,19 @@ def semantic_dedup(
 
     from blockchain_indexer_spark.functions.vectors import dot, norm_sq  # noqa: PLC0415
 
-    nz = assigned.filter(norm_sq(F.col("_v")) > 0)
-    a = nz.select(F.col("_id").alias("_ida"), F.col("_v").alias("_va"), "cell")
-    b = nz.select(F.col("_id").alias("_idb"), F.col("_v").alias("_vb"), "cell")
-    cos = dot(F.col("_va"), F.col("_vb")) / F.sqrt(
-        norm_sq(F.col("_va")) * norm_sq(F.col("_vb"))
+    # each row's norm is computed ONCE here, not per candidate pair —
+    # the pair stage is the hot O(Σ|cell|²) loop and an inline
+    # norm_sq there would re-evaluate a 64-term lambda |cell| times
+    # per vector (the module's DuckDB oracle precomputes nsq the same
+    # way)
+    nz = assigned.withColumn("_nsq", norm_sq(F.col("_v"))).filter(F.col("_nsq") > 0)
+    a = nz.select(
+        F.col("_id").alias("_ida"), F.col("_v").alias("_va"), F.col("_nsq").alias("_nsqa"), "cell"
     )
+    b = nz.select(
+        F.col("_id").alias("_idb"), F.col("_v").alias("_vb"), F.col("_nsq").alias("_nsqb"), "cell"
+    )
+    cos = dot(F.col("_va"), F.col("_vb")) / F.sqrt(F.col("_nsqa") * F.col("_nsqb"))
     dup_ids = (
         a.join(b, "cell")
         .filter(F.col("_ida") < F.col("_idb"))

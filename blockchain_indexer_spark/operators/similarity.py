@@ -491,8 +491,14 @@ def pq_topk(
     """
     if m <= 0 or n_codes <= 0:
         raise ValueError("m and n_codes must be positive")
-    vq = spread(corpus, id_col).select(
-        F.col(id_col).alias("_id"), quantize(vec_col, scale).alias("_v")
+    # NULL vectors are excluded on BOTH sides: a NULL corpus row would
+    # code deterministically but re-rank with a NULL exact distance
+    # (which sorts first and steals rank 1), and the oracle cannot
+    # reproduce any non-exclusion policy
+    vq = (
+        spread(corpus, id_col)
+        .filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), quantize(vec_col, scale).alias("_v"))
     )
     sample = n_codes if iters == 0 else max(n_codes * 32, 256)
     seed_rows = vq.orderBy("_id").limit(sample).select("_v").collect()
@@ -565,8 +571,8 @@ def pq_topk(
     def _code_vec(vec: pd.Series) -> pd.Series:
         if len(vec) == 0:
             return pd.Series([], dtype="object")
-        # NULL embeddings → zero vector, same policy as the other
-        # Arrow stages (deterministic codes, never wins a re-rank)
+        # NULLs are excluded upstream (vq/qq filters); the zero-fill
+        # is a crash-free safety net for direct callers only
         mat = np.array(
             [list(v) if v is not None else [0.0] * dim for v in vec],
             dtype=np.float64,
@@ -582,8 +588,10 @@ def pq_topk(
         F.col("_id").alias("_cid"),
         F.posexplode(_code_vec(F.col("_v"))).alias("j", "code"),
     )
-    qq = spread(queries, id_col).select(
-        F.col(id_col).alias("_id"), quantize(vec_col, scale).alias("_v")
+    qq = (
+        spread(queries, id_col)
+        .filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), quantize(vec_col, scale).alias("_v"))
     )
     lut = _sub_dists(qq, "_qid").select("_qid", "j", "code", F.col("_d").alias("_ld"))
     adc = (

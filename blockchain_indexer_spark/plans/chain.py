@@ -426,18 +426,35 @@ def compute_pipeline_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataF
     the parsed `_lp` structs, so the raw topic/data strings would
     only inflate the checkpointed frame.
 
-    The derived frame is checkpointed BEFORE classify: fused,
+    The derived frame is materialized BEFORE classify: fused,
     Catalyst's CollapseProject inlines derive's synthetic log-array
     construction (md5/format_string per log) into every classifier
     predicate that touches a log field, re-evaluating it dozens of
     times per row (measured 16-34 s vs ~7 s split at sf0.01, and the
-    blowup is per-row, so it scales WITH data). The checkpoint is the
+    blowup is per-row, so it scales WITH data). The barrier is the
     staging-table seam the reference has anyway
     (ImportProcedure.cs:17-27): raw tx+logs land once, the classifier
-    reads the materialized staging rows.
+    reads the materialized staging rows. persist() rather than
+    localCheckpoint: InMemoryRelation is the same optimizer barrier,
+    the cache populates inside the classify action (one pass, no
+    separate eager job), and unpersist() releases the raw-logs blocks
+    as soon as the classified snapshot exists — a checkpoint would pin
+    them until RDD GC (the sole consumer is the one classify pass).
     """
-    derived = derive_chain(spark, sf_dir).localCheckpoint(eager=True)
+    from pyspark import StorageLevel  # noqa: PLC0415
+
+    # coalesce the 3-way union (signups/orgs/events, 3×32 partitions)
+    # back to core count before caching: cached plans bypass AQE's
+    # post-shuffle coalescing, and the partitioning here is inherited
+    # by every downstream checkpoint (measured: 96-task stages ripple
+    # through all chain views otherwise)
+    derived = (
+        derive_chain(spark, sf_dir)
+        .coalesce(spark.sparkContext.defaultParallelism)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     classified = classify(derived).drop("logs").localCheckpoint(eager=True)
+    derived.unpersist(blocking=False)
     tables = extract_all(classified)
     # coalesce: the event tables are small relative to the 3-way
     # union's partition count; 16 partitions keeps downstream

@@ -547,33 +547,45 @@ def embedding_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_near_dup_pairs(emb, "vec_id", "embedding", dim=64, threshold=0.3)
 
 
-def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64) -> tuple[str, str]:
-    """CTE chain reproducing operators/kmeans._lloyd in DuckDB SQL:
-    data-seeded init (k lowest-id quantized vectors), then per
-    iteration exact-integer nearest-centroid assignment (ties → lowest
-    cell) and a floor(mean+0.5) integer-lattice centroid update with
-    empty cells keeping their previous centroid. Returns (ctes,
-    final_centroid_cte_name); prepend after _QV."""
-    parts = [
-        f"""c0 AS (
-      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
-      FROM (SELECT vec_id, v FROM vq ORDER BY vec_id LIMIT {k}) s
-    )"""
-    ]
-    for it in range(iters):
-        c, nxt = f"c{it}", f"c{it + 1}"
-        parts.append(f"""a{it} AS (
-      SELECT vec_id, cell FROM (
-        SELECT vec_id, cell,
+def _km_assign_sql(name: str, cents: str, dim: int) -> str:
+    """One nearest-centroid assignment CTE: exact integer distances
+    d = ‖c‖² − 2·v·c (ties → lowest cell), vsq carried so callers can
+    reconstruct the true squared distance d + vsq."""
+    return f"""{name} AS (
+      SELECT vec_id, cell, d, vsq FROM (
+        SELECT vec_id, cell, d, vsq,
                row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
         FROM (
           SELECT vq.vec_id, c.cell,
                  list_sum(list_transform(c.v, x -> CAST(x * x AS DOUBLE)))
                - 2 * list_sum(list_transform(range(1, {dim} + 1),
-                                             i -> CAST(vq.v[i] * c.v[i] AS DOUBLE))) AS d
-          FROM vq CROSS JOIN {c} c) t1) t2
+                                             i -> CAST(vq.v[i] * c.v[i] AS DOUBLE))) AS d,
+                 list_sum(list_transform(vq.v, x -> CAST(x * x AS DOUBLE))) AS vsq
+          FROM vq CROSS JOIN {cents} c
+          WHERE vq.v IS NOT NULL) t1) t2
       WHERE rn = 1
-    )""")
+    )"""
+
+
+def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64) -> tuple[str, str]:
+    """CTE chain reproducing operators/kmeans._lloyd in DuckDB SQL:
+    data-seeded init (k lowest-id NON-NULL quantized vectors — NULL
+    vectors are excluded, matching operators/kmeans._vq), then per
+    iteration exact-integer nearest-centroid assignment (ties → lowest
+    cell) and a floor(mean+0.5) integer-lattice centroid update with
+    empty cells keeping their previous centroid. Returns (ctes,
+    final_assignment_cte_name) where the final CTE has (vec_id, cell,
+    d, vsq); prepend after _QV."""
+    parts = [
+        f"""c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+      FROM (SELECT vec_id, v FROM vq WHERE v IS NOT NULL
+            ORDER BY vec_id LIMIT {k}) s
+    )"""
+    ]
+    for it in range(iters):
+        c, nxt = f"c{it}", f"c{it + 1}"
+        parts.append(_km_assign_sql(f"a{it}", c, dim))
         parts.append(f"""m{it} AS (
       SELECT a.cell, p.i,
              CAST(floor(avg(CAST(vq.v[p.i] AS DOUBLE)) + 0.5) AS BIGINT) AS x
@@ -588,7 +600,8 @@ def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64) -> tuple[str, str]:
             f"{nxt} AS (SELECT c.cell, COALESCE(l.v, c.v) AS v "
             f"FROM {c} c LEFT JOIN l{it} l USING (cell))"
         )
-    return ",\n    ".join(parts), f"c{iters}"
+    parts.append(_km_assign_sql("afinal", f"c{iters}", dim))
+    return ",\n    ".join(parts), "afinal"
 
 
 _KM_CTES, _KM_FINAL = _kmeans_ctes(k=8, iters=2, dim=64)
@@ -598,22 +611,10 @@ _KM_CTES, _KM_FINAL = _kmeans_ctes(k=8, iters=2, dim=64)
     "embedding_kmeans_clusters",
     oracle=f"""
     WITH {_QV},
-    {_KM_CTES},
-    final AS (
-      SELECT vec_id, cell, d + vsq AS dist FROM (
-        SELECT vec_id, cell, d, vsq,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-        FROM (
-          SELECT vq.vec_id, c.cell,
-                 list_sum(list_transform(c.v, x -> CAST(x * x AS DOUBLE)))
-               - 2 * list_sum(list_transform(range(1, 65),
-                                             i -> CAST(vq.v[i] * c.v[i] AS DOUBLE))) AS d,
-                 list_sum(list_transform(vq.v, x -> CAST(x * x AS DOUBLE))) AS vsq
-          FROM vq CROSS JOIN {_KM_FINAL} c) t1) t2
-      WHERE rn = 1
-    )
-    SELECT vec_id, CAST(cell AS INT) AS cell, CAST(dist AS BIGINT) AS dist_sq
-    FROM final
+    {_KM_CTES}
+    SELECT vec_id, CAST(cell AS INT) AS cell,
+           CAST(d + vsq AS BIGINT) AS dist_sq
+    FROM {_KM_FINAL}
     """,
     doc="Distributed k-means (Lloyd, k=8, 2 iterations) over the "
     "embedding corpus: data-seeded init, Arrow-matmul assignment, "
@@ -636,35 +637,21 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_QV},
     {_KM_CTES},
-    af AS (
-      SELECT vec_id, cell FROM (
-        SELECT vec_id, cell,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-        FROM (
-          SELECT vq.vec_id, c.cell,
-                 list_sum(list_transform(c.v, x -> CAST(x * x AS DOUBLE)))
-               - 2 * list_sum(list_transform(range(1, 65),
-                                             i -> CAST(vq.v[i] * c.v[i] AS DOUBLE))) AS d
-          FROM vq CROSS JOIN {_KM_FINAL} c) t1) t2
-      WHERE rn = 1
-    ),
     nz AS (
-      SELECT af.vec_id, af.cell, vq.v, nsq FROM af JOIN (
-        SELECT vec_id, v,
-               list_sum(list_transform(v, x -> CAST(x * x AS DOUBLE))) AS nsq
-        FROM vq) vq USING (vec_id)
-      WHERE nsq > 0
+      SELECT af.vec_id, af.cell, vq.v, af.vsq AS nsq
+      FROM {_KM_FINAL} af JOIN vq USING (vec_id)
+      WHERE af.vsq > 0
     ),
     dups AS (
       SELECT DISTINCT y.vec_id AS vec_id
       FROM nz x JOIN nz y ON x.cell = y.cell AND x.vec_id < y.vec_id
-      WHERE CAST(list_sum(list_transform(range(1, 65),
+      WHERE CAST(list_sum(list_transform(range(1, len(x.v) + 1),
                                          i -> CAST(x.v[i] * y.v[i] AS DOUBLE)))
                  / sqrt(x.nsq * y.nsq) AS DOUBLE) >= 0.3
     )
     SELECT af.vec_id, CAST(af.cell AS INT) AS cell,
            (dups.vec_id IS NOT NULL) AS is_dup
-    FROM af LEFT JOIN dups USING (vec_id)
+    FROM {_KM_FINAL} af LEFT JOIN dups USING (vec_id)
     """,
     doc="SemDeDup (Abbas et al. 2023): k-means the corpus, then flag "
     "items whose quantized cosine to a lower-id item IN THE SAME "

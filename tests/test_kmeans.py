@@ -39,7 +39,10 @@ def _quantized(spark, sf_dir) -> tuple[np.ndarray, np.ndarray]:
         .collect()
     )
     ids = np.array([r[0] for r in rows])
-    x = np.round(np.array([r[1] for r in rows], dtype=np.float64) * SCALE)
+    raw = np.array([r[1] for r in rows], dtype=np.float64) * SCALE
+    # Spark F.round is HALF-AWAY-FROM-ZERO; np.round is half-to-even,
+    # which diverges on exact .5 products (e.g. 0.0625 * 1000)
+    x = np.copysign(np.floor(np.abs(raw) + 0.5), raw)
     return ids, x
 
 
