@@ -634,3 +634,175 @@ def pq_topk(
             F.col("l2_dist").cast("bigint").alias("l2_dist"),
         )
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 16,
+    n_codes: int = 32,
+    rerank: int = 50,
+    sample: int = 256,
+    scale: int = 1000,
+) -> DataFrame:
+    """IVF-PQ with residual encoding — the FAISS-style production ANN
+    composition (Jégou et al. 2011, §IV): the coarse quantizer prunes
+    the corpus to ``n_probe`` of ``n_cells`` inverted lists, PQ codes
+    of the RESIDUAL (v − centroid) score the survivors via per-(query,
+    cell) ADC lookup tables, and an exact integer-L2 re-rank cuts the
+    ``rerank`` shortlist to ``k``.
+
+    Scale shape: the corpus contributes one Arrow cell+code assignment
+    pass and then only its (cell, m codes) rows — vectors never enter
+    the candidate join. The ADC join is an equi-join on (cell,
+    subspace, code) against a broadcast LUT frame of |Q| × n_probe ×
+    m × n_codes rows (the LUT math itself stays Catalyst-side: it is
+    the small broadcast side, same justification as ``pq_topk``'s
+    LUT). Probe cost is |Q| × n_probe × avg-cell-size code rows, and
+    the exact re-rank touches |Q| × rerank true vectors.
+
+    Determinism: coarse centroids are the data-seeded stride sample
+    (``train_ivf_centroids(iters=0)``), the codebook is the residuals
+    of the ``n_codes`` lowest-id corpus vectors, and every distance —
+    cell assignment, code assignment, LUT entries, ADC sums, final L2
+    — is integer-exact with ties to the lowest index, so the whole
+    index round-trips through the DuckDB oracle. NULL vectors are
+    excluded on both sides (same policy and reasons as ``pq_topk``).
+    """
+    if m <= 0 or n_codes <= 0:
+        raise ValueError("m and n_codes must be positive")
+    cents = train_ivf_centroids(corpus, id_col, vec_col, n_cells, sample, iters=0)
+    cents_q = np.round(cents * scale)  # integer-valued float64
+    cents_sq = (cents_q**2).sum(axis=1)
+    dim = cents.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+
+    vq = (
+        spread(corpus, id_col)
+        .filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), quantize(vec_col, scale).alias("_v"))
+    )
+    # codebook: residuals of the n_codes lowest-id vectors w.r.t.
+    # their own coarse cells — O(n_codes) driver rows, corpus-size
+    # independent, re-derivable in SQL
+    seed_rows = vq.orderBy("_id").limit(n_codes).select("_v").collect()
+    if len(seed_rows) < n_codes:
+        raise ValueError(f"corpus smaller than n_codes={n_codes}")
+    seeds = np.array([list(r[0]) for r in seed_rows], dtype=np.float64)
+    seed_cells = (cents_sq[None, :] - 2.0 * (seeds @ cents_q.T)).argmin(axis=1)
+    resid_seeds = seeds - cents_q[seed_cells]  # integer-valued
+    books = np.stack(
+        [resid_seeds[:, j * sub : (j + 1) * sub] for j in range(m)]
+    )  # (m, n_codes, sub)
+    books_sq = (books**2).sum(axis=2)  # (m, n_codes)
+
+    @F.pandas_udf("struct<cell:int,codes:array<int>>")
+    def _cell_codes(vec: pd.Series) -> pd.DataFrame:
+        if len(vec) == 0:
+            return pd.DataFrame(
+                {"cell": pd.Series([], dtype="int32"), "codes": pd.Series([], dtype="object")}
+            )
+        mat = np.array([list(v) for v in vec], dtype=np.float64)
+        cell = (cents_sq[None, :] - 2.0 * (mat @ cents_q.T)).argmin(axis=1)
+        resid = mat - cents_q[cell]
+        codes = np.empty((len(mat), m), dtype=np.int32)
+        for j in range(m):
+            rj = resid[:, j * sub : (j + 1) * sub]
+            d = books_sq[j][None, :] - 2.0 * (rj @ books[j].T)
+            codes[:, j] = d.argmin(axis=1)
+        return pd.DataFrame({"cell": cell.astype(np.int32), "codes": list(codes)})
+
+    coded = vq.select(
+        F.col("_id").alias("neighbor_id"), _cell_codes(F.col("_v")).alias("_cc")
+    ).select(
+        "neighbor_id",
+        F.col("_cc.cell").alias("cell"),
+        F.posexplode(F.col("_cc.codes")).alias("j", "code"),
+    )
+
+    @F.pandas_udf("array<int>")
+    def _probes(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype="object")
+        mat = np.array([list(v) for v in vec], dtype=np.float64)
+        d = cents_sq[None, :] - 2.0 * (mat @ cents_q.T)
+        order = np.argsort(d, axis=1, kind="stable")[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    spark = corpus.sparkSession
+    qq = (
+        spread(queries, id_col)
+        .filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("_qid"), quantize(vec_col, scale).alias("_qv"))
+    )
+    probes = qq.select("_qid", "_qv", F.explode(_probes(F.col("_qv"))).alias("cell"))
+    cents_df = spark.createDataFrame(
+        [(c, [int(x) for x in cents_q[c]]) for c in range(len(cents_q))],
+        "cell int, cv array<bigint>",
+    )
+    book_df = spark.createDataFrame(
+        [
+            (j, c, [int(x) for x in books[j, c]])
+            for j in range(m)
+            for c in range(n_codes)
+        ],
+        "j int, code int, bv array<bigint>",
+    )
+    # per-(query, probed cell) residual, sliced per subspace, against
+    # the full codebook: the LUT — |Q| x n_probe x m x n_codes rows,
+    # the broadcast side by construction
+    resid = F.zip_with(F.col("_qv"), F.col("cv"), lambda x, y: x - y)
+    lut_base = probes.join(F.broadcast(cents_df), "cell").select(
+        "_qid",
+        "cell",
+        F.posexplode(
+            F.array(*[F.slice(resid, j * sub + 1, sub) for j in range(m)])
+        ).alias("j", "rv"),
+    )
+    ld = F.aggregate(
+        F.zip_with(F.col("rv"), F.col("bv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    lut = lut_base.join(F.broadcast(book_df), "j").select(
+        "_qid", "cell", "j", "code", ld.alias("_ld")
+    )
+    adc = (
+        coded.join(F.broadcast(lut), ["cell", "j", "code"])
+        .groupBy("_qid", "neighbor_id")
+        .agg(F.sum("_ld").alias("adc_dist"))
+        .filter(F.col("_qid") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("_qid").orderBy("adc_dist", "neighbor_id")
+    short = adc.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= rerank
+    )
+    l2 = F.aggregate(
+        F.zip_with(F.col("_qv"), F.col("_cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    exact = (
+        short.select("_qid", "neighbor_id")
+        .join(F.broadcast(qq), "_qid")
+        .join(vq.select(F.col("_id").alias("neighbor_id"), F.col("_v").alias("_cv")), "neighbor_id")
+        .withColumn("l2_dist", l2)
+    )
+    w2 = Window.partitionBy("_qid").orderBy("l2_dist", "neighbor_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor_id",
+            F.col("l2_dist").cast("bigint").alias("l2_dist"),
+        )
+    )

@@ -89,6 +89,7 @@ PRIORITY = (
     "embedding_lsh_topk",
     "embedding_ivf_topk",
     "embedding_pq_topk",
+    "embedding_ivfpq_topk",
     "embedding_lsh_near_dups",
     "embedding_kmeans_clusters",
     "embedding_semantic_dedup",

@@ -99,3 +99,44 @@ def test_pq_recall_vs_exact_l2_and_determinism(spark, sf_dir):
     a = approx.sort_values(["query_id", "rank"]).reset_index(drop=True)
     b = again.sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_ivfpq_recall_and_determinism(spark, sf_dir):
+    from blockchain_indexer_spark.operators.similarity import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = brute_force_topk(emb, queries, k=5, metric="quantized_neg_l2").toPandas()
+    approx = ivf_pq_topk(emb, queries, k=5, n_probe=6, rerank=50).toPandas()
+    assert (approx["query_id"] != approx["neighbor_id"]).all()
+    assert approx.groupby("query_id")["rank"].max().le(5).all()
+    exact_pairs = set(zip(exact["query_id"], exact["neighbor_id"]))
+    approx_pairs = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # IVF pruning caps recall below plain PQ (6/16 cells probed) —
+    # on this near-uniform synthetic corpus the coarse cells carry
+    # little signal, so the floor is deliberately modest
+    assert recall >= 0.35, f"IVF-PQ recall {recall} too low"
+    # fully data-seeded (coarse centroids + residual codebook): no RNG
+    again = ivf_pq_topk(emb, queries, k=5, n_probe=6, rerank=50).toPandas()
+    a = approx.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = again.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_ivfpq_probe_widening_monotone(spark, sf_dir):
+    from blockchain_indexer_spark.operators.similarity import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 200 == 0)
+    exact = brute_force_topk(emb, queries, k=5, metric="quantized_neg_l2").toPandas()
+    exact_pairs = set(zip(exact["query_id"], exact["neighbor_id"]))
+
+    def recall(n_probe):
+        out = ivf_pq_topk(emb, queries, k=5, n_probe=n_probe, rerank=100).toPandas()
+        pairs = set(zip(out["query_id"], out["neighbor_id"]))
+        return len(exact_pairs & pairs) / len(exact_pairs)
+
+    # probing every cell with a wide shortlist approaches the PQ-only
+    # ranking; more probes never hurt recall on a fixed shortlist
+    assert recall(16) >= recall(4)
