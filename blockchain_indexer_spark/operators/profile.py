@@ -40,7 +40,12 @@ def profile(
     aggs = [F.count(F.lit(1)).cast("bigint").alias("_n")]
     for c in cols:
         aggs.append(
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint").alias(f"_nn_{c}")
+            # coalesce: SUM over an empty table is NULL, but the
+            # null-count contract says 0 (profiling a not-yet-promoted
+            # shard is a normal call)
+            F.coalesce(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)), F.lit(0))
+            .cast("bigint")
+            .alias(f"_nn_{c}")
         )
         nd = F.countDistinct(c) if exact_distinct else F.approx_count_distinct(c)
         aggs.append(nd.cast("bigint").alias(f"_nd_{c}"))

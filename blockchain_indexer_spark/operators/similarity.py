@@ -29,6 +29,17 @@ from blockchain_indexer_spark.functions.vectors import (
 from blockchain_indexer_spark.sources.parquet import spread
 
 
+def _q_away(a: np.ndarray) -> np.ndarray:
+    """Quantization rounding: HALF AWAY FROM ZERO, matching Spark's
+    F.round (functions.vectors.quantize) and DuckDB's round() so
+    numpy-side quantization is bit-identical to the Catalyst exact
+    paths and the oracles. np.round is half-to-even and diverges on
+    any component where x*scale lands exactly on .5 (e.g. 0.0625 at
+    scale 1000) — which would make a signature/cell disagree with the
+    same operator's own exact re-rank."""
+    return np.copysign(np.floor(np.abs(a) + 0.5), a)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -136,7 +147,7 @@ def signbit_signature(
         mat = np.array(
             [v if v is not None else np.zeros(dim) for v in vec], dtype=np.float64
         )
-        bits = (np.round(mat * scale) @ planes.T) > 0  # (n, num_planes), exact
+        bits = (_q_away(mat * scale) @ planes.T) > 0  # (n, num_planes), exact
         return pd.Series(bits.astype(np.int64) @ weights)
 
     return df.withColumn("sig", _sig(F.col(vec_col)))
@@ -305,7 +316,7 @@ def ivf_topk(
     (data-seeded centroids), bit-reproducible by the DuckDB oracle.
     """
     cents = train_ivf_centroids(corpus, id_col, vec_col, n_cells, sample, iters)
-    cents_q = np.round(cents * scale)  # integer-valued float64
+    cents_q = _q_away(cents * scale)  # integer-valued float64
     cents_sq = (cents_q**2).sum(axis=1)  # (n_cells,)
 
     dim = cents.shape[1]
@@ -322,7 +333,7 @@ def ivf_topk(
     def _cell(vec: pd.Series) -> pd.Series:
         if len(vec) == 0:
             return pd.Series([], dtype="int32")
-        mat = np.round(_as_matrix(vec) * scale)
+        mat = _q_away(_as_matrix(vec) * scale)
         # argmin ||v - c||^2 = argmin (||c||^2 - 2 v·c); ||v||^2 constant
         # per row. Integer math → exact; argmin takes the FIRST minimal
         # index, i.e. ties break to the lowest cell id.
@@ -333,7 +344,7 @@ def ivf_topk(
     def _probe_cells(vec: pd.Series) -> pd.Series:
         if len(vec) == 0:
             return pd.Series([], dtype="object")
-        mat = np.round(_as_matrix(vec) * scale)
+        mat = _q_away(_as_matrix(vec) * scale)
         d = cents_sq[None, :] - 2.0 * (mat @ cents_q.T)
         # stable sort on exact integers: probe order is (distance, cell)
         order = np.argsort(d, axis=1, kind="stable")[:, :n_probe].astype(np.int32)
@@ -677,7 +688,7 @@ def ivf_pq_topk(
     if m <= 0 or n_codes <= 0:
         raise ValueError("m and n_codes must be positive")
     cents = train_ivf_centroids(corpus, id_col, vec_col, n_cells, sample, iters=0)
-    cents_q = np.round(cents * scale)  # integer-valued float64
+    cents_q = _q_away(cents * scale)  # integer-valued float64
     cents_sq = (cents_q**2).sum(axis=1)
     dim = cents.shape[1]
     if dim % m != 0:

@@ -341,33 +341,41 @@ def _spine_dir(sf_dir: str, label: str) -> str:
 
 
 def _read_spine(spark: SparkSession, dest: str, names: tuple[str, ...]) -> dict[str, DataFrame] | None:
+    """Returns None (→ caller recomputes) on ANY failure, including a
+    concurrent writer's stale-fingerprint sweep deleting ``dest`` while
+    the checkpoint jobs are mid-scan — the disk layer is an
+    optimization and must never fail a query."""
     import json  # noqa: PLC0415
     import os  # noqa: PLC0415
 
     from pyspark.sql.types import StructType  # noqa: PLC0415
 
-    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
-        return None
-    out: dict[str, DataFrame] = {}
-    for name in names:
-        schema_path = os.path.join(dest, f"{name}.schema.json")
-        if not os.path.exists(schema_path):
+    try:
+        if not os.path.exists(os.path.join(dest, "_SUCCESS")):
             return None
-        with open(schema_path) as f:
-            schema = StructType.fromJson(json.load(f))
-        # explicit schema: an empty table writes no part files, and the
-        # sidecar keeps the read from failing on schema inference
-        out[name] = spark.read.schema(schema).parquet(os.path.join(dest, name))
-    # one shallow job per table, then every downstream view analyzes a
-    # one-node LogicalRDD instead of a scan relation — same lineage
-    # shape as the compute path's checkpoints (measured: the 7-branch
-    # timeline plan drops ~2.5 s of per-query analysis)
-    with ThreadPoolExecutor(max_workers=len(out)) as pool:
-        futures = {
-            n: pool.submit(lambda v=v: v.localCheckpoint(eager=True))
-            for n, v in out.items()
-        }
-        return {n: f.result() for n, f in futures.items()}
+        out: dict[str, DataFrame] = {}
+        for name in names:
+            schema_path = os.path.join(dest, f"{name}.schema.json")
+            if not os.path.exists(schema_path):
+                return None
+            with open(schema_path) as f:
+                schema = StructType.fromJson(json.load(f))
+            # explicit schema: an empty table writes no part files, and
+            # the sidecar keeps the read from failing on inference
+            out[name] = spark.read.schema(schema).parquet(os.path.join(dest, name))
+        # one shallow job per table, then every downstream view
+        # analyzes a one-node LogicalRDD instead of a scan relation —
+        # same lineage shape as the compute path's checkpoints
+        # (measured: the 7-branch timeline plan drops ~2.5 s of
+        # per-query analysis)
+        with ThreadPoolExecutor(max_workers=len(out)) as pool:
+            futures = {
+                n: pool.submit(lambda v=v: v.localCheckpoint(eager=True))
+                for n, v in out.items()
+            }
+            return {n: f.result() for n, f in futures.items()}
+    except Exception:
+        return None
 
 
 def _write_spine(dest: str, tables: dict[str, DataFrame]) -> None:
@@ -399,14 +407,33 @@ def _write_spine(dest: str, tables: dict[str, DataFrame]) -> None:
         with open(os.path.join(tmp, "_SUCCESS"), "w"):
             pass
         # drop stale fingerprints of the same layer before publishing
+        # (a concurrent reader mid-scan on an old fingerprint sees its
+        # files vanish — its AnalysisException falls back to a fresh
+        # compute in _pipeline_tables/_derived_views, so the sweep is
+        # safe; leftover .tmp- dirs of crashed writers are swept too)
         parent, base = os.path.split(dest)
         label = base.split("-", 1)[0]
         if os.path.isdir(parent):
+            import time  # noqa: PLC0415
+
             for d in os.listdir(parent):
-                if d.startswith(f"{label}-") and d != base and ".tmp-" not in d:
-                    shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+                full = os.path.join(parent, d)
+                stale = d.startswith(f"{label}-") and d != base and ".tmp-" not in d
+                # a crashed writer's tmp leaks forever otherwise; the
+                # age gate keeps a CONCURRENT live writer's tmp safe
+                crashed_tmp = False
+                if ".tmp-" in d and d != os.path.basename(tmp):
+                    try:
+                        crashed_tmp = time.time() - os.path.getmtime(full) > 3600
+                    except OSError:
+                        pass
+                if stale or crashed_tmp:
+                    shutil.rmtree(full, ignore_errors=True)
         os.rename(tmp, dest)
-    except OSError:
+    except Exception:
+        # the disk cache is an optimization: a failed publish (OSError,
+        # Py4J error from a write job) must neither fail the query nor
+        # leak a partial multi-hundred-MB copy
         shutil.rmtree(tmp, ignore_errors=True)
 
 

@@ -151,8 +151,6 @@ def fetch_safe_owners(
     return safes.mapInPandas(batches, OWNERS_SCHEMA)
 
 
-TX_FIELDS = ("hash", "index", "from", "to", "value", "input", "nonce", "type")
-
 BLOCK_TX_SCHEMA = T.StructType(
     [
         T.StructField("number", T.LongType()),

@@ -118,8 +118,12 @@ class ApiHost:
                     )
                 elif url.path == "/events":
                     q = parse_qs(url.query)
-                    cursor = int(q.get("cursor", ["0"])[0])
-                    timeout = min(float(q.get("timeout", ["25"])[0]), 60.0)
+                    try:
+                        cursor = int(q.get("cursor", ["0"])[0])
+                        timeout = min(float(q.get("timeout", ["25"])[0]), 60.0)
+                    except ValueError:
+                        self._json(400, {"error": "cursor/timeout must be numeric"})
+                        return
                     events = api.log.read(cursor, timeout)
                     next_cursor = (events[-1][0] + 1) if events else cursor
                     self._json(

@@ -147,26 +147,33 @@ class IngestPipeline:
 
         from blockchain_indexer_spark.operators.promote import retract_from  # noqa: PLC0415
 
-        tables = {}
-        for name in ("block", *EVENT_TABLES):
-            df = self.read_final(name)
-            if df is not None:
-                tables[name] = df
-        kept = retract_from(tables, reorg_block)
-        for name, df in kept.items():
-            block_col = "number" if name == "block" else "block_number"
-            # snapshot before overwrite: the plan reads the dir being replaced
-            snap = df.drop("block_group").localCheckpoint(eager=True)
-            (
-                snap.withColumn(
-                    "block_group", (F.col(block_col) / BLOCK_GROUP_SIZE).cast("long")
+        # under the import lock: the rewrite deletes part files a
+        # concurrent promote's anti-join may be scanning, and a batch
+        # appended between the filter and the overwrite would dodge
+        # the retraction entirely (same serialization the reference
+        # gets from its Serializable transaction)
+        with self._import_lock():
+            tables = {}
+            for name in ("block", *EVENT_TABLES):
+                df = self.read_final(name)
+                if df is not None:
+                    tables[name] = df
+            kept = retract_from(tables, reorg_block)
+            for name, df in kept.items():
+                block_col = "number" if name == "block" else "block_number"
+                # snapshot before overwrite: the plan reads the dir
+                # being replaced
+                snap = df.drop("block_group").localCheckpoint(eager=True)
+                (
+                    snap.withColumn(
+                        "block_group", (F.col(block_col) / BLOCK_GROUP_SIZE).cast("long")
+                    )
+                    .write.mode("overwrite")
+                    .partitionBy("block_group")
+                    .parquet(self._table_path(name))
                 )
-                .write.mode("overwrite")
-                .partitionBy("block_group")
-                .parquet(self._table_path(name))
-            )
-        for cache in (CACHE_BALANCES, CACHE_TRUST):
-            shutil.rmtree(self._table_path(cache), ignore_errors=True)
+            for cache in (CACHE_BALANCES, CACHE_TRUST):
+                shutil.rmtree(self._table_path(cache), ignore_errors=True)
         self.signal_reorg()
 
     def _table_path(self, name: str) -> str:
@@ -247,6 +254,20 @@ class IngestPipeline:
         if not os.path.isdir(table_dir):
             return results
         with self._import_lock():
+            # recovery sweep: a crash between the two swap renames
+            # leaves '.compact-old-<part>' holding the only copy of
+            # the partition — restore it before doing any new work (a
+            # crash after the second rename just leaves the old dir
+            # for deletion)
+            for entry in sorted(os.listdir(table_dir)):
+                if not entry.startswith(".compact-old-"):
+                    continue
+                orphan = os.path.join(table_dir, entry)
+                part_dir = os.path.join(table_dir, entry[len(".compact-old-"):])
+                if os.path.isdir(part_dir):
+                    shutil.rmtree(orphan, ignore_errors=True)
+                else:
+                    os.rename(orphan, part_dir)
             for part in sorted(os.listdir(table_dir)):
                 part_dir = os.path.join(table_dir, part)
                 if not (part.startswith("block_group=") and os.path.isdir(part_dir)):
@@ -266,6 +287,12 @@ class IngestPipeline:
                     .write.mode("overwrite")
                     .parquet(tmp_dir)
                 )
+                # two-rename swap: in-process readers outside the lock
+                # can see the partition absent for the instant between
+                # renames — acceptable for this sink (single-driver
+                # analytics reads run between batches); a table format
+                # with atomic commits (Delta/Iceberg) is the
+                # production answer for lock-free readers (SCALE.md)
                 os.rename(part_dir, old_dir)
                 os.rename(tmp_dir, part_dir)
                 shutil.rmtree(old_dir)
@@ -284,10 +311,19 @@ class IngestPipeline:
         both see them as new and double-import. mkdir is atomic on
         POSIX and object stores with atomic namespaces; a crashed
         holder's lock is stolen after SPARK_GRAFT_IMPORT_LOCK_TIMEOUT
-        seconds (default 600). JDBC multi-instance deployments must
-        instead run the promote under a SERIALIZABLE transaction
-        server-side, exactly like the reference (SCALE.md)."""
+        seconds (default 600). Two guards make the steal safe: (a)
+        stealing goes through an atomic rename to a unique grave name
+        — exactly one of N racing waiters wins the rename, the losers
+        get FileNotFoundError and fall back to the mkdir race, so a
+        freshly re-acquired lock can never be deleted by a second
+        stealer that also saw the stale mtime; (b) a daemon heartbeat
+        refreshes the lock's mtime at timeout/4 while held, so a
+        legitimately long import is never mistaken for a crashed one.
+        JDBC multi-instance deployments must instead run the promote
+        under a SERIALIZABLE transaction server-side, exactly like the
+        reference (SCALE.md)."""
         import contextlib  # noqa: PLC0415
+        import threading  # noqa: PLC0415
         import time  # noqa: PLC0415
 
         @contextlib.contextmanager
@@ -302,14 +338,31 @@ class IngestPipeline:
                 except FileExistsError:
                     try:
                         if time.time() - os.path.getmtime(path) > timeout:
-                            os.rmdir(path)  # steal a crashed holder's lock
+                            # atomic steal: one winner per stale lock
+                            grave = f"{path}.stale-{os.getpid()}-{time.monotonic_ns()}"
+                            os.rename(path, grave)
+                            os.rmdir(grave)
                             continue
                     except OSError:
-                        pass
+                        pass  # lost the steal race — back to mkdir
                     time.sleep(0.05)
+            stop = threading.Event()
+
+            def _heartbeat():
+                while not stop.wait(max(1.0, timeout / 4)):
+                    try:
+                        os.utime(path)
+                    except OSError:
+                        return  # lock dir gone — holder is done or robbed
+
+            beat = threading.Thread(
+                target=_heartbeat, name="import-lock-heartbeat", daemon=True
+            )
+            beat.start()
             try:
                 yield
             finally:
+                stop.set()
                 try:
                     os.rmdir(path)
                 except OSError:
