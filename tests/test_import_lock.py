@@ -62,14 +62,16 @@ def test_heartbeat_protects_long_legitimate_import(spark, tmp_path_factory, monk
     the heartbeat refreshes mtime, so a waiter must wait for release
     instead of stealing mid-import."""
     root = str(tmp_path_factory.mktemp("beat"))
-    monkeypatch.setenv("SPARK_GRAFT_IMPORT_LOCK_TIMEOUT", "2")
+    # timeout 4 → heartbeat every 1 s with a 4 s staleness margin, so
+    # even a loaded CI host can't slip the refresh past the steal gate
+    monkeypatch.setenv("SPARK_GRAFT_IMPORT_LOCK_TIMEOUT", "4")
     pipe = IngestPipeline(spark, os.path.join(root, "final"))
     entered_second = threading.Event()
     released_first = threading.Event()
 
     def holder():
         with pipe._import_lock():
-            time.sleep(5)  # > timeout; heartbeat at timeout/4 keeps it live
+            time.sleep(6)  # > timeout; heartbeat at timeout/4 keeps it live
             released_first.set()
 
     def waiter():
