@@ -1,0 +1,55 @@
+"""Run the heavy operators at 20x bench scale (/tmp/stress) and print
+wall times, to validate SCALE.md's linearity claims and flag any
+superlinear blowup."""
+
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from blockchain_indexer_spark.session import get_spark
+from blockchain_indexer_spark.sources.parquet import load_table
+import pyspark.sql.functions as F
+
+spark = get_spark("stress")
+SF = "/tmp/stress"
+
+def t(name, fn):
+    t0 = time.time()
+    n = fn()
+    print(f"STRESS {name}: {round(time.time()-t0,1)}s rows={n}", flush=True)
+
+docs = load_table(spark, SF, "documents")
+emb = load_table(spark, SF, "embeddings")
+
+from blockchain_indexer_spark.operators.dedup import (
+    exact_dup_clusters, ngram_jaccard_pairs, minhash_signatures,
+    minhash_lsh_candidates, decontaminate, distinct_shingles,
+)
+from blockchain_indexer_spark.operators.kmeans import kmeans_assign, semantic_dedup
+from blockchain_indexer_spark.operators.similarity import ivf_pq_topk, lsh_near_dup_pairs
+
+t("exact_dedup_100k", lambda: exact_dup_clusters(docs, "doc_id", "text").count())
+
+sh = distinct_shingles(docs, "doc_id", "text", 3)
+t("ngram_jaccard_100k", lambda: ngram_jaccard_pairs(
+    docs, "doc_id", "text", k=3, threshold=0.5, max_doc_freq=200, shingles=sh).count())
+
+
+t("minhash_lsh_100k", lambda: minhash_lsh_candidates(docs, "doc_id", "text", shingles=sh).count())
+
+eval_df = docs.filter(F.col("doc_id") % 100 == 0).limit(1000)
+t("decontaminate_100k", lambda: decontaminate(docs, eval_df).count())
+
+t("kmeans_100k_k64", lambda: kmeans_assign(emb, k=64, iters=2).count())
+t("semdedup_100k_k256", lambda: semantic_dedup(emb, k=256, iters=1, threshold=0.9).count())
+
+q = emb.filter(F.col("vec_id") % 1000 == 0)
+t("ivfpq_100k_q100", lambda: ivf_pq_topk(
+    emb, q, k=5, n_cells=64, n_probe=8, m=16, n_codes=64, rerank=100).count())
+
+t("lsh_neardup_100k_p64", lambda: lsh_near_dup_pairs(
+    emb, dim=64, threshold=0.9, num_planes=64, bands=4).count())
+
+from blockchain_indexer_spark.plans import chain
+t("chain_spine_1M", lambda: len(chain.compute_pipeline_tables(spark, SF)))
+t("chain_views_1M", lambda: len(chain._derived_views(spark, SF)))
+print("STRESS done", flush=True)
