@@ -21,7 +21,7 @@ docs = load_table(spark, SF, "documents")
 emb = load_table(spark, SF, "embeddings")
 
 from blockchain_indexer_spark.operators.dedup import (
-    exact_dup_clusters, ngram_jaccard_pairs, minhash_signatures,
+    exact_dup_clusters, ngram_jaccard_pairs,
     minhash_lsh_candidates, decontaminate, distinct_shingles,
 )
 from blockchain_indexer_spark.operators.kmeans import kmeans_assign, semantic_dedup
