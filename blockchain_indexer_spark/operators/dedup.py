@@ -260,6 +260,33 @@ def minhash_lsh_candidates(
     minhash, band bucket) to engine-portable md5 so the DuckDB oracle
     reproduces the exact candidate set; bucket keys become md5 strings.
     """
+    stacked = minhash_band_rows(
+        df, id_col, text_col, k, num_hashes, bands, shingles=shingles, hash_fn=hash_fn
+    )
+    a = stacked.select(F.col("_id").alias("doc_a"), "band", "bucket")
+    b = stacked.select(F.col("_id").alias("doc_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_band_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingles: DataFrame | None = None,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """The LSH index rows: (_id, band, bucket) — ``bands`` compact
+    8-byte keys per document (md5 strings on the portable path). This
+    is the frame a production pipeline PERSISTS as the inverted index;
+    ``minhash_index_update`` appends to it per ingest batch."""
     rows = num_hashes // bands
     sig = minhash_signatures(
         df, id_col, text_col, k, num_hashes, shingles=shingles, hash_fn=hash_fn
@@ -285,7 +312,7 @@ def minhash_lsh_candidates(
             for b in range(bands)
         ]
     banded = sig.select("_id", *band_cols)
-    stacked = (
+    return (
         banded.select(
             "_id",
             F.explode(
@@ -299,14 +326,63 @@ def minhash_lsh_candidates(
         # recompute)
         .localCheckpoint(eager=True)
     )
-    a = stacked.select(F.col("_id").alias("doc_a"), "band", "bucket")
-    b = stacked.select(F.col("_id").alias("doc_b"), "band", "bucket")
-    return (
+
+
+def minhash_index_update(
+    index: DataFrame | None,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    hash_fn: str = "xxhash64",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental LSH maintenance for a streaming/batched corpus: the
+    reference's stale-key cache-refresh philosophy (T8,
+    0.0.64.sql:2272-2376) applied to the dedup index.
+
+    ``index`` is the persisted band-row frame from prior batches
+    (``minhash_band_rows`` output; None bootstraps an empty index).
+    Returns ``(new_rows, new_pairs)``:
+
+    - ``new_rows`` — band rows for ``new_docs``, to APPEND to the
+      index (the index only ever grows by the batch, never recomputes).
+    - ``new_pairs`` — candidate near-dup pairs involving AT LEAST ONE
+      new document: new×new (self-join) plus new×existing (equi-join
+      against the index). old×old pairs were emitted by earlier
+      batches, so per-batch work is O(|batch| × bucket occupancy) —
+      independent of corpus age, exactly like the reference's
+      stale-key refresh never re-reading untouched accounts.
+
+    Union-equivalence (incremental pairs across batches == one full
+    batch run) is pinned in tests and by the ``minhash_incremental_md5``
+    gate, whose DuckDB oracle is the FULL-corpus candidate query.
+    Pairs are canonical (doc_a < doc_b) regardless of arrival order.
+    """
+    new_rows = minhash_band_rows(
+        new_docs, id_col, text_col, k, num_hashes, bands, hash_fn=hash_fn
+    )
+    a = new_rows.select(F.col("_id").alias("doc_a"), "band", "bucket")
+    b = new_rows.select(F.col("_id").alias("doc_b"), "band", "bucket")
+    pairs = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
-        .distinct()
     )
+    if index is not None:
+        cross = (
+            new_rows.select(F.col("_id").alias("_new"), "band", "bucket")
+            .join(index.select(F.col("_id").alias("_old"), "band", "bucket"),
+                  ["band", "bucket"])
+            .filter(F.col("_new") != F.col("_old"))
+            .select(
+                F.least("_new", "_old").alias("doc_a"),
+                F.greatest("_new", "_old").alias("doc_b"),
+            )
+        )
+        pairs = pairs.unionByName(cross)
+    return new_rows, pairs.distinct()
 
 
 def simhash_candidates(

@@ -81,6 +81,7 @@ PRIORITY = (
     "doc_fingerprint_dedup",
     "ngram_jaccard_near_dups",
     "minhash_lsh_candidates_md5",
+    "minhash_incremental_md5",
     "simhash_near_dups_md5",
     "doc_decontamination",
     "doc_dedup_clusters",

@@ -1164,6 +1164,45 @@ def minhash_lsh_candidates_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "minhash_incremental_md5",
+    oracle=_MD5_SH
+    + """
+    , bands AS (
+      SELECT doc_id, seed // 4 AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS bucket
+      FROM sig GROUP BY doc_id, seed // 4
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """,
+    doc="Incremental LSH index maintenance (minhash_index_update): "
+    "the corpus arrives in two batches; batch 1 bootstraps the "
+    "persisted band-row index and batch 2 joins only new x new and "
+    "new x index — never old x old. The emitted union must equal the "
+    "FULL-corpus candidate set, which is exactly what the oracle "
+    "computes: the gate proves per-batch incremental maintenance is "
+    "lossless. Per-batch cost is O(|batch| x bucket occupancy), "
+    "independent of corpus age — the reference's stale-key cache "
+    "refresh (T8) applied to the dedup index.",
+    survey_refs=("LLM-dedup", "T8"),
+)
+def minhash_incremental_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.dedup import minhash_index_update
+
+    d = load_table(spark, sf_dir, "documents")
+    half1 = d.filter(F.col("doc_id") % 2 == 0)
+    half2 = d.filter(F.col("doc_id") % 2 == 1)
+    index, pairs1 = minhash_index_update(
+        None, half1, "doc_id", "text", k=3, num_hashes=64, bands=16, hash_fn="md5_60"
+    )
+    _, pairs2 = minhash_index_update(
+        index, half2, "doc_id", "text", k=3, num_hashes=64, bands=16, hash_fn="md5_60"
+    )
+    return pairs1.unionByName(pairs2).distinct()
+
+
+@register(
     "simhash_signatures_md5",
     oracle=_MD5_SIMHASH
     + """

@@ -197,3 +197,28 @@ def test_decontaminate_validates_missing_inputs(spark):
         decontaminate(eval_shingles=sh)
     with pytest.raises(ValueError, match="eval_df or eval_shingles"):
         decontaminate(train_shingles=sh)
+
+
+def test_minhash_incremental_equals_full(spark, sf_dir):
+    """Three-batch incremental index maintenance emits exactly the
+    full-corpus candidate set (production xxhash64 path)."""
+    from pyspark.sql import functions as F
+
+    from blockchain_indexer_spark.operators.dedup import (
+        minhash_index_update,
+        minhash_lsh_candidates,
+    )
+    from blockchain_indexer_spark.sources.parquet import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates(d, "doc_id", "text").collect()
+    }
+    index, got = None, set()
+    for mod in range(3):
+        batch = d.filter(F.col("doc_id") % 3 == mod)
+        rows, pairs = minhash_index_update(index, batch, "doc_id", "text")
+        got |= {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+        index = rows if index is None else index.unionByName(rows)
+    assert got == full and len(full) > 0
