@@ -24,30 +24,27 @@ def stale_balance_addresses(
     erc20_batch: DataFrame, hub_batch: DataFrame, all_signups: DataFrame
 ) -> DataFrame:
     """Addresses whose balance may have changed (0.0.64.sql:2275-2290):
-    each endpoint of the batch's erc20/hub transfers that is a
-    signed-up account. Returns one column `safe_address`, distinct.
+    each endpoint of the batch's erc20/hub transfers. Returns one
+    column `safe_address`, distinct.
 
-    One deliberate addition over the reference's staleness rule: the
-    ledger books every mint's debit against the zero address
-    (0.0.64.sql:756-767 has no zero-address exclusion), yet the zero
-    address is never signed up — under the reference rule its cache
-    rows would go permanently stale on every new mint. Endpoints that
-    ARE the zero address therefore bypass the signup filter, keeping
-    cache == view an exact invariant (pinned by
-    tests/test_cache_maintenance.py)."""
-    from blockchain_indexer_spark.schemas import EMPTY_ADDRESS  # noqa: PLC0415
-
-    users = all_signups.select(F.col("user").alias("safe_address")).distinct()
+    One deliberate widening over the reference's staleness rule: the
+    reference semi-joins endpoints against crc_all_signups, but the
+    ledger (0.0.64.sql:743-780) books rows for EVERY endpoint of a
+    CRC-token transfer — the zero address on mints, and any
+    never-signed-up recipient (an exchange, a plain EOA). Under the
+    reference rule those cache rows go permanently stale the moment
+    they change. Taking every endpoint is a strict superset: refreshing
+    an unaffected address just recomputes identical rows, while
+    missing an affected one silently breaks cache == view — the exact
+    invariant tests/test_cache_maintenance.py pins. ``all_signups`` is
+    kept in the signature for call-site parity but no longer filters."""
+    del all_signups  # widened rule: every ledger endpoint is stale
     endpoints = None
     for batch in (erc20_batch, hub_batch):
         for side in ("from", "to"):
             part = batch.select(F.col(side).alias("safe_address"))
             endpoints = part if endpoints is None else endpoints.unionByName(part)
-    endpoints = endpoints.distinct()
-    signed_up = endpoints.join(users, "safe_address", "left_semi")
-    return signed_up.unionByName(
-        endpoints.filter(F.col("safe_address") == EMPTY_ADDRESS)
-    ).distinct()
+    return endpoints.distinct()
 
 
 def stale_trust_addresses(trust_batch: DataFrame) -> DataFrame:

@@ -76,11 +76,11 @@ def promote(
 ) -> dict[str, DataFrame]:
     """One promotion round over raw staging tables.
 
-    Returns {'block', 'transaction_raw', 'log_raw', 'leftover_*'}:
-    promoted rows (new, complete, deduplicated) plus the staging
-    leftovers that must be retried next round (incomplete blocks —
-    the reference leaves them in staging, :2265-2270 marks only
-    imported ones).
+    Returns {'block', 'transaction_raw', 'log_raw', 'leftover_blocks'}:
+    promoted rows (new, complete, deduplicated) plus the staged block
+    rows that must be retried next round (incomplete blocks that are
+    not yet imported — the reference leaves them in staging and marks
+    imported ones, :2265-2270).
 
     `checkpoint` (optional, df -> df): applied to each promoted frame
     in dependency order. The streaming path passes an eager
@@ -108,7 +108,17 @@ def promote(
         ).dropDuplicates(["tx_hash", "log_index"])
     )
 
+    # leftovers = rows still awaiting promotion NEXT round: not
+    # promoted this round AND not already imported earlier. Without
+    # the existing_blocks anti-join, an at-least-once redelivery of an
+    # old block would sit in the retry set forever (merge_new drops it
+    # from new_blocks every round) — the reference instead marks
+    # imported staged rows (:2265-2270); this is the same drain.
     leftover_blocks = block_staging.join(new_blocks.select("number"), "number", "left_anti")
+    if existing_blocks is not None:
+        leftover_blocks = leftover_blocks.join(
+            existing_blocks.select("number"), "number", "left_anti"
+        )
     return {
         "block": new_blocks,
         "transaction_raw": new_txs,
@@ -120,9 +130,23 @@ def promote(
 def retract_from(tables: dict[str, DataFrame], reorg_block: int) -> dict[str, DataFrame]:
     """Reorg retraction (T5, Indexer.cs:273-325): drop every final row
     at or above the diverging block; caller re-ingests from there.
-    With partitioned storage this is a partition-range delete."""
+    With partitioned storage this is a partition-range delete.
+
+    Every frame must carry its block column (`number` for 'block',
+    `block_number` otherwise) — a frame that cannot be range-retracted
+    raises instead of silently surviving the reorg (stale rows that
+    dodge a retraction would be re-promoted as duplicates on replay).
+    Raw per-tx logs never persist in this engine (they flow into the
+    typed event tables, which all carry block_number); a deployment
+    that does persist them must store the block number alongside.
+    """
     out = {}
     for name, df in tables.items():
         col = "number" if name == "block" else "block_number"
-        out[name] = df.filter(F.col(col) < reorg_block) if col in df.columns else df
+        if col not in df.columns:
+            raise ValueError(
+                f"retract_from: table {name!r} has no {col!r} column and "
+                "cannot be range-retracted — persist it with its block number"
+            )
+        out[name] = df.filter(F.col(col) < reorg_block)
     return out

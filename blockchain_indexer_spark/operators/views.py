@@ -33,6 +33,15 @@ from pyspark.sql import functions as F
 from blockchain_indexer_spark.schemas import EMPTY_ADDRESS
 
 
+
+def _json(col: Column) -> Column:
+    """to_json with explicit nulls: Postgres row_to_json/json_agg emit
+    "field": null, while Spark's to_json DROPS null fields by default —
+    a consumer ported from the reference indexing obj['token'] on an
+    organisation signup (NULL token) would hit a missing key."""
+    return F.to_json(col, {"ignoreNullFields": "false"})
+
+
 def crc_all_signups(crc_signup: DataFrame, crc_organisation_signup: DataFrame) -> DataFrame:
     """0.0.64.sql:716-731 — person + organisation signups unified;
     organisations have NULL token."""
@@ -178,6 +187,12 @@ def _accounts_by_last_activity(
 ) -> DataFrame:
     last = token_transfer.groupBy("to").agg(F.max("timestamp").alias("last_seen"))
     cutoff = F.lit(as_of) - F.expr("INTERVAL 90 DAYS")
+    # strict > / < on BOTH sides, faithful to the reference
+    # (:704-714 / :1241-1251): an account whose last activity falls
+    # EXACTLY on the cutoff instant is in neither view. Measure-zero
+    # under the reference's continuous now(); reachable with a
+    # parameterized as_of — callers needing an exhaustive partition
+    # should offset as_of by a tick.
     cond = F.col("last_seen") > cutoff if alive else F.col("last_seen") < cutoff
     return last.filter(cond).select("to")
 
@@ -313,7 +328,6 @@ _TL_COLS = [
 
 def crc_safe_timeline(
     tables: dict[str, DataFrame],
-    as_of: _dt.datetime | None = None,
     signups: DataFrame | None = None,
 ) -> DataFrame:
     """0.0.64.sql:1397-1557 — unified per-account activity feed:
@@ -353,15 +367,21 @@ def crc_safe_timeline(
         ),
         "CrcSignup",
         F.lit(0),
-        F.to_json(F.struct("hash", "block_number", "index", "timestamp", "user", "token")),
+        _json(F.struct("hash", "block_number", "index", "timestamp", "user", "token")),
     )
 
     # CrcHubTransfer branch with transitive path payload
     tt = crc_token_transfer(tables["erc20_transfer"], tables["crc_signup"])
+    # sort_array: collect_list order is task-scheduling-dependent; the
+    # reference's correlated subquery (:1438-1442) has no ORDER BY
+    # either, so a deterministic lexicographic step order is a strict
+    # improvement — payloads are stable across runs and engines
     steps = tt.groupBy("hash").agg(
-        F.collect_list(
-            F.struct(
-                F.col("from"), F.col("to"), F.col("token"), F.col("value").cast("string").alias("value")
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("from"), F.col("to"), F.col("token"), F.col("value").cast("string").alias("value")
+                )
             )
         ).alias("transfers")
     )
@@ -370,7 +390,7 @@ def crc_safe_timeline(
         .join(steps, "hash", "left")
         .withColumn(
             "obj_pre",
-            F.to_json(
+            _json(
                 F.array(
                     F.struct(
                         F.col("hash").alias("transactionHash"),
@@ -417,7 +437,7 @@ def crc_safe_timeline(
         ),
         "CrcTrust",
         F.col("limit"),
-        F.to_json(
+        _json(
             F.struct(
                 "block_number", "timestamp", "hash", "index", "address", "can_send_to", "limit"
             )
@@ -434,7 +454,7 @@ def crc_safe_timeline(
         mint_j.withColumn("contact_address", F.col("from")).withColumn("direction", F.lit("in")),
         "CrcMinting",
         F.col("value"),
-        F.to_json(
+        _json(
             F.struct(
                 "timestamp", "block_number", "index", "hash", "from", "to", "token", "value"
             )
@@ -450,7 +470,7 @@ def crc_safe_timeline(
             ),
             typ,
             F.col("value"),
-            F.to_json(
+            _json(
                 F.struct(
                     "timestamp", "block_number", "index", "hash", "from", "to", "value", *extra
                 )
@@ -625,6 +645,14 @@ def get_capacity(
 
     The reference's scalar subqueries become single-row aggregates
     cross-joined together — all filters push down to the balance scan.
+
+    Fidelity note: step 6 ('max') is v5 × v4 / 100 — the RECEIVER's
+    balance of their own token times the trust limit — exactly as the
+    reference computes it (:1712-1716, args.id=5 × args.id=4). The
+    capacity VIEW (crc_capacity_graph, :1599) instead scales the TOKEN
+    OWNER's own balance; the two disagree in the reference itself, and
+    this function replicates the reference's explain math verbatim
+    rather than reconciling them.
     """
     b = balances
     t = current_trust
@@ -745,7 +773,7 @@ def build_all(
             tables["crc_signup"],
             tables["crc_organisation_signup"],
         ),
-        "crc_safe_timeline": crc_safe_timeline(tables, as_of),
+        "crc_safe_timeline": crc_safe_timeline(tables, signups=signups),
         "crc_capacity_graph": crc_capacity_graph(trust, balances, signups),
     }
     return views

@@ -81,3 +81,43 @@ def test_caches_optional_and_off_for_jdbc(spark, tmp_path):
     assert pipe.maintain_caches is False
     pipe_jdbc = IngestPipeline(spark, str(tmp_path / "g"), jdbc_url="jdbc:stub://x")
     assert pipe_jdbc.maintain_caches is False
+
+
+def test_stale_rule_covers_non_signed_up_endpoints(spark):
+    """A CRC-token transfer to an address that never signed up still
+    books ledger rows for it (views.crc_ledger has no endpoint signup
+    filter), so the staleness rule MUST include it — the reference's
+    signup semi-join (0.0.64.sql:2275-2290) leaves such rows
+    permanently stale; this engine deliberately widens the rule."""
+    from blockchain_indexer_spark.operators.caches import stale_balance_addresses
+
+    erc20 = spark.createDataFrame(
+        [("0xalice", "0xexchange")], "`from` string, `to` string"
+    )
+    hub = spark.createDataFrame([], "`from` string, `to` string")
+    signups = spark.createDataFrame([("0xalice",)], "user string")
+    stale = {r["safe_address"] for r in stale_balance_addresses(erc20, hub, signups).collect()}
+    assert stale == {"0xalice", "0xexchange"}
+
+
+def test_promote_leftovers_drain_redelivered_blocks(spark):
+    """An at-least-once redelivery of an already-imported block must
+    NOT sit in the retry set forever."""
+    from blockchain_indexer_spark.operators.promote import promote
+
+    blocks = spark.createDataFrame(
+        [(100, "0xb100", 1_600_000_000, 0)],
+        "number long, hash string, timestamp long, total_transaction_count int",
+    )
+    txs = spark.createDataFrame(
+        [], "hash string, block_number long, block_hash string, `index` int"
+    )
+    logs = spark.createDataFrame([], "tx_hash string, log_index int")
+    first = promote(blocks, txs, logs)
+    assert first["block"].count() == 1
+    # redelivery: the block is now in existing_blocks
+    second = promote(
+        blocks, txs, logs, existing_blocks=first["block"].select("number", "hash")
+    )
+    assert second["block"].count() == 0
+    assert second["leftover_blocks"].count() == 0  # drained, not retried forever
