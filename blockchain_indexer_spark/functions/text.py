@@ -28,9 +28,17 @@ WS_CLASS = "[ \\t\\n\\x0b\\f\\r]"
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokenization of lowercased, trimmed text."""
+    """Whitespace tokenization of lowercased, trimmed text.
+
+    Empty elements are filtered out: F.trim strips only SPACES, so a
+    leading/trailing tab or newline leaves split() emitting phantom ''
+    tokens ('' for the empty doc, ['','hi'] for '\thi') that inflate
+    token_count and pollute shingles. Every oracle applies the
+    matching list_filter."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.trim(F.lower(c)), WS_CLASS + "+")
+    return F.filter(
+        F.split(F.trim(F.lower(c)), WS_CLASS + "+"), lambda x: x != ""
+    )
 
 
 def token_count(col: Column | str) -> Column:
@@ -111,8 +119,14 @@ def doc_lines(col: Column | str) -> Column:
     differing only in case.
     """
     c = F.col(col) if isinstance(col, str) else col
+    # whitespace-class trim, not F.trim (spaces only): CRLF documents
+    # would otherwise keep trailing \r — '\r'-only blanks count as
+    # lines and 'foo\r' never matches 'foo' across mixed endings
+    ws_trim = lambda l: F.regexp_replace(  # noqa: E731
+        l, "^" + WS_CLASS + "+|" + WS_CLASS + "+$", ""
+    )
     return F.filter(
-        F.transform(F.split(c, "\n"), lambda l: F.trim(l)),
+        F.transform(F.split(c, "\n"), ws_trim),
         lambda l: F.length(l) > 0,
     )
 
@@ -157,7 +171,12 @@ def mean_word_length(col: Column | str) -> Column:
     """Mean token length (characters / token over whitespace tokens).
     Extreme values either way are a quality red flag."""
     toks = tokens(col)
-    return _sum_lengths(toks).cast("double") / F.size(toks).cast("double")
+    # NULL for token-less docs: ANSI mode makes x/0 an error, and a
+    # mean over zero tokens has no value anyway (oracles mirror the
+    # CASE)
+    return F.when(
+        F.size(toks) > 0, _sum_lengths(toks).cast("double") / F.size(toks).cast("double")
+    )
 
 
 def shingles_from_tokens(toks: Column | str, k: int = 3) -> Column:

@@ -207,7 +207,11 @@ def _classify_columns(hub: str) -> tuple:
     )
 
     # --- C7: EOA eth transfer -----------------------------------------
-    tx_value = F.col("value").cast("decimal(38,0)")
+    # try_cast: a malformed/out-of-range wei string must classify as
+    # not-EOA (reference: a parse failure lands the tx in Unknown via
+    # the catch, TransactionClassifier.cs:439-443), never abort the
+    # job with an ANSI CAST_OVERFLOW
+    tx_value = F.col("value").try_cast("decimal(38,0)")
     is_eoa = (
         (tx_value > 0) & (n_logs == 0) & (F.col("input") == "0x") & F.col("to").isNotNull()
     )
@@ -216,12 +220,25 @@ def _classify_columns(hub: str) -> tuple:
     has_method = F.coalesce(F.col("input"), F.lit("")).startswith(EXEC_TRANSACTION_METHOD_ID)
     # 0x + 8 method chars + 10 * 64 head chars
     head_ok = F.length(F.col("input")) >= 2 + 8 + 640
-    data_offset = hex_to_decimal(F.concat(F.lit("0x"), hex_slot(F.col("input"), 2)))
-    # data length word sits at input[2 + 8 + offset*2 .. +64]
-    data_len_pos = (F.lit(2 + 8).cast("decimal(38,0)") + data_offset * 2 + 1).cast("int")
-    data_len_word = F.substring(F.col("input"), data_len_pos, 64)
-    decode_ok = head_ok & data_offset.isNotNull() & (
-        F.length(F.col("input")) >= (F.lit(2 + 8).cast("decimal(38,0)") + data_offset * 2 + 64).cast("int")
+    raw_offset = hex_to_decimal(F.concat(F.lit("0x"), hex_slot(F.col("input"), 2)))
+    # data length word sits at input[2 + 8 + offset*2 .. +64].
+    # An adversarial offset word anywhere in [2^31, 1e38) would throw
+    # under ANSI mode — CAST_OVERFLOW on the int position, or decimal
+    # overflow on offset*2 near the decimal(38,0) ceiling — killing
+    # the whole batch where the reference's DecodeFunctionInput throw
+    # is caught into Unknown (:439-443). The magnitude gate NULLs any
+    # offset that could not possibly address a real input string
+    # (lazy CASE: the arithmetic below never sees an ungated value),
+    # so such txs fail decode_ok and poison to Unknown exactly like
+    # the reference.
+    data_offset = F.when(
+        raw_offset < F.lit(1_000_000_000).cast("decimal(38,0)"), raw_offset
+    )
+    data_len_pos = (F.lit(2 + 8).cast("decimal(38,0)") + data_offset * 2 + 1).try_cast("int")
+    data_len_word = F.substring(F.col("input"), F.coalesce(data_len_pos, F.lit(1)), 64)
+    decode_ok = head_ok & data_offset.isNotNull() & data_len_pos.isNotNull() & (
+        F.length(F.col("input")).cast("decimal(38,0)")
+        >= F.lit(2 + 8).cast("decimal(38,0)") + data_offset * 2 + 64
     )
     safe_decode_poison = has_method & ~decode_ok  # DecodeFunctionInput throw
     data_empty = hex_to_decimal(F.concat(F.lit("0x"), data_len_word)) == 0
@@ -230,8 +247,11 @@ def _classify_columns(hub: str) -> tuple:
     safe_exec_poison = has_method & decode_ok & data_empty & operation_zero & (
         F.size(exec_logs) >= 2
     )
+    # to.isNotNull: the reference dereferences transaction.To (:311) —
+    # a NULL `to` (contract creation) throws into Unknown there
     is_safe = (
-        has_method & decode_ok & data_empty & operation_zero & (F.size(exec_logs) == 1)
+        has_method & decode_ok & data_empty & operation_zero
+        & (F.size(exec_logs) == 1) & F.col("to").isNotNull()
     )
 
     poisoned = (

@@ -82,9 +82,20 @@ def extract_erc20_transfers(classified: DataFrame) -> DataFrame:
     Reads the parsed-log structs (`_lp`) classify already built, so the
     topic strip and hex decode are not re-derived here.
     """
+    # `& data IS NOT NULL`: the reference skips a topic-valid Transfer
+    # log whose value failed to parse (`value == null` continue,
+    # Erc20TransferDetailExtractor.cs:34-37). Only the RAW data being
+    # NULL counts — a >=1e38 value is non-null there (BigInteger never
+    # overflows) and keeps its row under this engine's documented
+    # overflow-to-NULL-decimal policy (value_string preserves the hex).
     exploded = classified.filter(F.col(f"is_{CLASS_ERC20_TRANSFER}")).select(
         *_COMMON,
-        F.explode(F.filter(F.col("_lp"), parsed_erc20_transfer_p)).alias("log"),
+        F.explode(
+            F.filter(
+                F.col("_lp"),
+                lambda l: parsed_erc20_transfer_p(l) & l["data"].isNotNull(),
+            )
+        ).alias("log"),
     )
     return exploded.select(
         *_COMMON,
@@ -144,12 +155,17 @@ def extract_crc_signups(
 def extract_crc_organisation_signups(
     classified: DataFrame, hub: str = HUB_ADDRESS
 ) -> DataFrame:
-    """First valid OrgSignup log → (organisation)
-    (CrcOrganisationSignupDetailExtractor.cs:11-36)."""
-    first = F.get(F.filter(F.col("_lp"), lambda l: parsed_org_signup_p(l, hub)), 0)
+    """FIRST OrgSignup-TOPIC log, emitted only when valid
+    (CrcOrganisationSignupDetailExtractor.cs:14-30: FirstOrDefault on
+    the topic, THEN IsCrcOrganisationSignup validates it — an invalid
+    first log throws, so no row; taking the first VALID log would emit
+    rows the reference never produces. Same pattern as
+    extract_crc_trusts)."""
+    first = F.get(F.filter(F.col("_lp"), lambda l: l["has_org"]), 0)
     return (
         classified.filter(F.col(f"is_{CLASS_CRC_ORGANISATION_SIGNUP}"))
         .withColumn("_o", first)
+        .filter(parsed_org_signup_p(F.col("_o"), hub))
         .select(
             *_COMMON,
             F.col("_o")["t1"].alias("organisation"),
@@ -159,8 +175,14 @@ def extract_crc_organisation_signups(
 
 def extract_crc_hub_transfers(classified: DataFrame) -> DataFrame:
     """(from, to, value) of the single HubTransfer log
-    (CrcHubTransferDetailExtractor.cs:10-31)."""
-    return classified.filter(F.col(f"is_{CLASS_CRC_HUB_TRANSFER}")).select(
+    (CrcHubTransferDetailExtractor.cs:10-31; :18-21 throws when from,
+    to or amount is missing — no row here, matching that)."""
+    return classified.filter(
+        F.col(f"is_{CLASS_CRC_HUB_TRANSFER}")
+        & F.col("_hub_from").isNotNull()
+        & F.col("_hub_to").isNotNull()
+        & F.col("_hub_value_hex").isNotNull()
+    ).select(
         *_COMMON,
         F.col("_hub_from").alias("from"),
         F.col("_hub_to").alias("to"),
@@ -171,7 +193,9 @@ def extract_crc_hub_transfers(classified: DataFrame) -> DataFrame:
 def extract_eth_transfers(classified: DataFrame) -> DataFrame:
     """Plain EOA transfer from tx fields (EthTransferDetailExtractor
     .cs:9-18 — addresses NOT lowercased there, preserved as-is)."""
-    dec = F.col("value").cast("decimal(38,0)")
+    # try_cast: schemas.py's uint256 policy is overflow-to-NULL, and a
+    # malformed wei string must not ANSI-abort the batch
+    dec = F.col("value").try_cast("decimal(38,0)")
     return classified.filter(F.col(f"is_{CLASS_EOA_ETH_TRANSFER}")).select(
         *_COMMON,
         F.col("from"),
@@ -197,7 +221,7 @@ def extract_gnosis_safe_eth_transfers(classified: DataFrame) -> DataFrame:
 def extract_transactions(classified: DataFrame) -> DataFrame:
     """The transaction_2-shaped table (0.0.64.sql:358-377) with the
     classification label array (P8)."""
-    dec = F.col("value").cast("decimal(38,0)")
+    dec = F.col("value").try_cast("decimal(38,0)")  # overflow→NULL policy
     return classified.select(
         "block_number",
         "timestamp",

@@ -65,12 +65,15 @@ _SW = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
     "doc_token_stats",
     oracle=r"""
     SELECT doc_id,
-           CAST(len(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS BIGINT) AS n_tokens,
            CAST(len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^ \t\n\x0b\f\r\p{L}\p{N}]')) AS BIGINT)
              AS n_bpe_tokens,
            CAST(length(text) AS BIGINT) AS n_chars_actual,
-           CAST(length(text) AS DOUBLE)
-             / len(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS chars_per_token
+           CASE WHEN len(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'), x -> x <> '')) = 0
+                THEN NULL
+                ELSE CAST(length(text) AS DOUBLE)
+                  / len(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'), x -> x <> ''))
+           END AS chars_per_token
     FROM documents
     """,
     doc="Token counting (whitespace words + BPE-ish pre-tokenizer "
@@ -85,7 +88,10 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count("text").alias("n_tokens"),
         bpe_token_count("text").alias("n_bpe_tokens"),
         F.length("text").cast("bigint").alias("n_chars_actual"),
-        (F.length("text").cast("double") / token_count("text")).alias("chars_per_token"),
+        F.when(
+            token_count("text") > 0,
+            F.length("text").cast("double") / token_count("text"),
+        ).alias("chars_per_token"),
     )
 
 
@@ -94,15 +100,17 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=rf"""
     WITH t AS (
       SELECT doc_id, lang,
-             CAST(len(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS BIGINT) AS n_tokens,
-             CAST(len(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'), x -> x <> ''),
                                   x -> x IN ({_SW}))) AS BIGINT) AS n_stop
       FROM documents
     )
     SELECT doc_id, lang AS declared_lang,
            n_stop,
-           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
-           CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens >= 0.08 THEN 'en' ELSE 'other' END AS detected_lang
+           CASE WHEN n_tokens = 0 THEN NULL
+                ELSE CAST(n_stop AS DOUBLE) / n_tokens END AS stopword_ratio,
+           CASE WHEN n_tokens > 0 AND CAST(n_stop AS DOUBLE) / n_tokens >= 0.08
+                THEN 'en' ELSE 'other' END AS detected_lang
     FROM t
     """,
     doc="Language-ID heuristic: stopword-hit ratio against a frozen EN "
@@ -111,7 +119,10 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    ratio = stopword_count("text").cast("double") / token_count("text")
+    ratio = F.when(
+        token_count("text") > 0,
+        stopword_count("text").cast("double") / token_count("text"),
+    )
     return d.select(
         "doc_id",
         F.col("lang").alias("declared_lang"),
@@ -127,9 +138,11 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
            CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT)   AS n_digits,
-           CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
-             / length(text) AS punct_ratio,
-           (CAST(len(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS BIGINT) >= 20
+           CASE WHEN length(text) = 0 THEN NULL
+                ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                  / length(text) END AS punct_ratio,
+           (CAST(len(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS BIGINT) >= 20
+            AND length(text) > 0
             AND CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
                 / length(text) < 0.1) AS passes_quality
     FROM documents
@@ -140,7 +153,9 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    pr = punct_count("text").cast("double") / F.length("text")
+    pr = F.when(
+        F.length("text") > 0, punct_count("text").cast("double") / F.length("text")
+    )
     return d.select(
         "doc_id",
         punct_count("text").alias("n_punct"),
@@ -238,7 +253,7 @@ def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ngram_jaccard_near_dups",
     oracle=r"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS t FROM documents
+      SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS t FROM documents
     ),
     sh AS (
       SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
@@ -714,7 +729,7 @@ def embedding_topk_qcosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_dedup_clusters",
     oracle=r"""
     WITH RECURSIVE toks AS (
-      SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS t FROM documents
+      SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS t FROM documents
     ),
     sh AS (
       SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
@@ -808,7 +823,7 @@ def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH toks AS (
       SELECT doc_id,
-             unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS tok
+             unnest(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS tok
       FROM documents
     ),
     t AS (SELECT * FROM toks WHERE tok <> ''),
@@ -854,7 +869,7 @@ def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_decontamination",
     oracle=r"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS t FROM documents
+      SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS t FROM documents
     ),
     sh AS (
       SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
@@ -905,9 +920,10 @@ def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH base AS (
       SELECT doc_id,
-             list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+             list_filter(list_transform(string_split(text, chr(10)),
+                           l -> regexp_replace(l, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g')),
                          l -> length(l) > 0) AS lines,
-             string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS t
+             list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS t
       FROM documents
     ),
     lm AS (
@@ -922,8 +938,9 @@ def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                             AS DOUBLE)
                        / list_sum(list_transform(lines, l -> length(l)))
              END AS dup_char_frac,
-             CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
-               AS mean_word_len
+             CASE WHEN len(t) = 0 THEN NULL
+                  ELSE CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+             END AS mean_word_len
       FROM base
     ),
     bg AS (
@@ -994,7 +1011,7 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH t AS (
       SELECT source,
-             unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS tok
+             unnest(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS tok
       FROM documents
     )
     SELECT source,
@@ -1046,7 +1063,7 @@ def corpus_token_cardinality_approx(spark: SparkSession, sf_dir: str) -> DataFra
     oracle=r"""
     WITH t AS (
       SELECT source,
-             unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS tok
+             unnest(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS tok
       FROM documents
     )
     SELECT source,
@@ -1077,7 +1094,7 @@ def corpus_token_cardinality_bound(spark: SparkSession, sf_dir: str) -> DataFram
 
 _MD5_SH = r"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS t FROM documents
+      SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS t FROM documents
     ),
     sh AS (
       SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
@@ -1096,7 +1113,7 @@ _MD5_SH = r"""
 _MD5_SIMHASH = r"""
     WITH tok AS (
       SELECT doc_id,
-             unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS tok
+             unnest(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS tok
       FROM documents
     ),
     h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tok),
@@ -1248,7 +1265,7 @@ def simhash_near_dups_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH s AS (
       SELECT lang, source, n_chars,
-             CAST(len(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS BIGINT)
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS BIGINT)
                AS toks,
              CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                        % 100 < 90 THEN 'train'
@@ -1369,7 +1386,7 @@ def doc_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH t AS (
       SELECT doc_id, source,
-             CAST(len(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS BIGINT)
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS BIGINT)
                AS n_tokens
       FROM documents
     ),
@@ -1659,7 +1676,7 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH toks AS (
       SELECT doc_id,
-             unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS tok
+             unnest(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS tok
       FROM documents
     ),
     t AS (SELECT * FROM toks WHERE tok <> ''),

@@ -145,3 +145,34 @@ def test_hll_cardinality_within_error_bound(spark, sf_dir):
     for src, n in exact.items():
         rel_err = abs(approx[src] - n) / n
         assert rel_err < 0.05, f"{src}: HLL estimate off by {rel_err:.1%} (n={n})"
+
+
+def test_edge_documents_tokenize_cleanly(spark):
+    """Phantom-empty-token and CRLF regressions: F.trim strips only
+    spaces, so tab/newline-padded docs used to emit '' tokens and
+    count \r-only lines; ratios over zero tokens must be NULL, not an
+    ANSI divide-by-zero abort."""
+    from blockchain_indexer_spark.functions.text import (
+        doc_lines,
+        mean_word_length,
+        token_count,
+        tokens,
+    )
+
+    rows = [(0, ""), (1, "\thi"), (2, "hello world\n"), (3, "a\r\n\r\nb\r\n"), (4, "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n"], r["toks"], r["lines"], r["mwl"])
+        for r in df.select(
+            "doc_id",
+            token_count("text").alias("n"),
+            tokens("text").alias("toks"),
+            doc_lines("text").alias("lines"),
+            mean_word_length("text").alias("mwl"),
+        ).collect()
+    }
+    assert got[0] == (0, [], [], None)
+    assert got[1] == (1, ["hi"], ["hi"], 2.0)
+    assert got[2] == (2, ["hello", "world"], ["hello world"], 5.0)
+    assert got[3][2] == ["a", "b"]  # \r-only lines are blank, \r stripped
+    assert got[4] == (0, [], [], None)  # whitespace-only doc
