@@ -61,7 +61,14 @@ def asof_join(
     # at ts == left ts must sort BEFORE the left row (visible to it),
     # without it must sort after (invisible)
     r_side = 0 if allow_exact else 2
-    r = right.select(
+    # NULL-timestamp policy (pandas.merge_asof rejects null keys; here
+    # they must simply never match): a NULL-ts right row would sort
+    # nulls-first under ASC and "precede" every left row; a NULL-ts
+    # left row would sort nulls-last under DESC and "follow" every
+    # right row — both produce spurious matches. Right rows are
+    # dropped; left rows survive (left-join contract) but match
+    # nothing via the _m guard below.
+    r = right.filter(F.col(right_ts).isNotNull()).select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("_t"),
         F.lit(r_side).alias("_side"),
@@ -75,11 +82,14 @@ def asof_join(
     )
     unioned = l.unionByName(r, allowMissingColumns=True)
 
-    order = [F.col("_t").asc(), F.col("_side").asc()]
+    # the trailing _asof_payload sort key breaks ties between right
+    # rows sharing (key, ts): without it F.last picks whichever the
+    # partition-internal order delivers — nondeterministic across runs
+    order = [F.col("_t").asc(), F.col("_side").asc(), F.col("_asof_payload").asc()]
     if direction == "forward":
         # forward = backward over reversed time: latest-preceding
         # becomes earliest-following under descending order
-        order = [F.col("_t").desc(), F.col("_side").asc()]
+        order = [F.col("_t").desc(), F.col("_side").asc(), F.col("_asof_payload").asc()]
     w = (
         W.partitionBy(*keys)
         .orderBy(*order)
@@ -89,7 +99,7 @@ def asof_join(
         "_m", F.last("_asof_payload", ignorenulls=True).over(w)
     ).filter(F.col("_side") == 1)
 
-    m: Column = F.col("_m")
+    m: Column = F.when(F.col("_t").isNotNull(), F.col("_m"))
     if tolerance is not None:
         gap = (
             (F.col("_t") - m["_ts"])

@@ -51,7 +51,11 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    # max_iter + 1: a component whose diameter is EXACTLY max_iter
+    # still flips a label on round max_iter and needs one quiet round
+    # to confirm convergence — without the +1 the stated "diameter >
+    # max_iter" contract would raise on diameter == max_iter
+    for _ in range(max_iter + 1):
         nb = (
             sym.join(labels.withColumnRenamed("id", "b"), "b")
             .groupBy("a")

@@ -89,7 +89,10 @@ def decode_image(with_blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     implementation swaps `_fake_geometry` for PIL.Image.open and keeps
     the identical dataframe-in/dataframe-out shape.
     """
-    src = with_blobs.select(id_col, "blob")
+    # NULL blobs are skipped (a row without media has nothing to
+    # decode); len(None)/np.frombuffer(None) would otherwise kill
+    # the executor batch
+    src = with_blobs.filter(F.col("blob").isNotNull()).select(id_col, "blob")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -134,7 +137,10 @@ def extract_features(with_blobs: DataFrame, id_col: str = "doc_id") -> DataFrame
     output is array<double> ready for the similarity operators."""
     import numpy as np
 
-    src = with_blobs.select(id_col, "blob")
+    # NULL blobs are skipped (a row without media has nothing to
+    # decode); len(None)/np.frombuffer(None) would otherwise kill
+    # the executor batch
+    src = with_blobs.filter(F.col("blob").isNotNull()).select(id_col, "blob")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -165,7 +171,10 @@ def resize_thumbnail(
     """Stub resize: scales the fake geometry to fit max_side and
     reports the implied thumbnail byte size (w*h*3). Real codec swap
     point identical to decode_image."""
-    src = with_blobs.select(id_col, "blob")
+    # NULL blobs are skipped (a row without media has nothing to
+    # decode); len(None)/np.frombuffer(None) would otherwise kill
+    # the executor batch
+    src = with_blobs.filter(F.col("blob").isNotNull()).select(id_col, "blob")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -203,7 +212,10 @@ def sample_frames(
     sized frames; every `every`-th frame is emitted (0..n_frames-1
     stepping). One input row → 0..N output rows, the fan-out shape a
     real ffmpeg keyframe sampler has."""
-    src = with_blobs.select(id_col, "blob")
+    # NULL blobs are skipped (a row without media has nothing to
+    # decode); len(None)/np.frombuffer(None) would otherwise kill
+    # the executor batch
+    src = with_blobs.filter(F.col("blob").isNotNull()).select(id_col, "blob")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

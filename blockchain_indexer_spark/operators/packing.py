@@ -77,8 +77,14 @@ def pack_chunks(
     )
     d = d.withColumn("_cum_after", F.sum("n_tokens").over(w))
     cum_before = F.col("_cum_after") - F.col("n_tokens")
-    first_chunk = F.floor(cum_before / budget)
-    last_chunk = F.floor((F.col("_cum_after") - 1) / budget)
+    # integer `div`, not floor(x/y): bigint/int promotes to DOUBLE and
+    # cumulative sums past 2^53 could round across a chunk boundary,
+    # disagreeing with the exact % offset below (same rationale as
+    # range_join's bucket math). Operands are non-negative, so div ==
+    # floor-division.
+    b = int(budget)
+    first_chunk = F.expr(f"(_cum_after - n_tokens) div {b}")
+    last_chunk = F.expr(f"(_cum_after - 1) div {b}")
     return d.select(
         id_col,
         group_col,
@@ -107,7 +113,13 @@ def rebalance_mixture(
     = ``n_group * target/n_group = target``; groups at or under target
     keep everything. Returns the surviving rows as (``id_col``,
     ``group_col``, n_group, bucket).
+
+    Rows with a NULL group are EXCLUDED up front: the equi-join below
+    would silently drop them anyway (null-key semantics), but without
+    the explicit filter their phantom (NULL, n) count row could become
+    the smallest group and poison the default target.
     """
+    df = df.filter(F.col(group_col).isNotNull())
     counts = df.groupBy(group_col).agg(F.count("*").alias("n_group"))
     if target is None:
         tgt = counts.agg(F.min("n_group").alias("_target"))

@@ -54,15 +54,24 @@ def interval_point_join(
         .withColumn(
             "_bucket",
             F.explode(
-                F.when(F.col("_span") <= F.lit(int(max_span)),
-                       F.sequence(b_start, b_end))
+                # lower bound too: an INVERTED interval (end < start)
+                # has span <= 0, and Spark's sequence(b_start, b_end)
+                # would then auto-step -1 and materialize a giant
+                # DESCENDING array — the exact OOM this guard exists
+                # to prevent
+                F.when(
+                    (F.col("_span") >= 1)
+                    & (F.col("_span") <= F.lit(int(max_span))),
+                    F.sequence(b_start, b_end),
+                )
                 # fail fast, inside the row that violates the bound, so
                 # the error names the offending span instead of OOMing
                 .otherwise(F.raise_error(F.concat(
                     F.lit("interval_point_join: interval spans "),
                     F.col("_span").cast("string"),
-                    F.lit(f" buckets (> max_span={max_span}); widen "
-                          "bucket_width or pre-split long intervals"),
+                    F.lit(f" buckets (must be in [1, {max_span}]); "
+                          "widen bucket_width, pre-split long "
+                          "intervals, or drop inverted ones"),
                 )))
             ),
         )

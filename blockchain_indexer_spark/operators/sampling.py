@@ -47,6 +47,11 @@ def hash_split(
     splits = splits or {"train": 90, "val": 5, "test": 5}
     if sum(splits.values()) != 100:
         raise ValueError(f"split percentages must sum to 100: {splits}")
+    bad = {n: p for n, p in splits.items() if not 0 <= p <= 100}
+    if bad:
+        # {'a': 110, 'b': -10} sums to 100 but routes every bucket to
+        # 'a' while 'b' silently gets nothing
+        raise ValueError(f"split percentages must each be in [0, 100]: {bad}")
     b = hash_bucket(id_col, 100)
     expr: Column | None = None
     hi = 0

@@ -20,18 +20,27 @@ from pyspark.sql import functions as F
 
 
 def salted_join(
-    big: DataFrame, small: DataFrame, key: str, salt: int = 16, how: str = "inner"
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt: int = 16,
+    how: str = "inner",
+    salt_on: str | None = None,
 ) -> DataFrame:
     """Equi-join with the big side salted into ``salt`` sub-partitions
     per key.
 
     The salt is a deterministic hash of the big row's full content
     (uniform-ish, stable across retries — no rand(), which would break
-    task re-execution). Output columns match ``big.join(small, key,
-    how)`` for the SUPPORTED join types: inner, left (outer), left_semi
-    and left_anti. Right/full joins are rejected — the ×salt
-    replication of the small side would surface each unmatched small
-    row `salt` times.
+    task re-execution). Caveat that follows from determinism: IDENTICAL
+    duplicate rows share a salt, so a hot key whose rows are verbatim
+    copies (rather than merely key-skewed) still lands on one reducer —
+    for that shape pass ``salt_on`` naming a per-row-distinct column
+    (an id, offset, or monotonic ingest counter). Output columns match
+    ``big.join(small, key, how)`` for the SUPPORTED join types: inner,
+    left (outer), left_semi and left_anti. Right/full joins are
+    rejected — the ×salt replication of the small side would surface
+    each unmatched small row `salt` times.
     """
     allowed = {"inner", "left", "leftouter", "left_outer", "left_semi", "leftsemi", "left_anti", "leftanti"}
     if how.lower().replace("_", "") not in {h.replace("_", "") for h in allowed}:
@@ -40,9 +49,8 @@ def salted_join(
             "is replicated per salt, so right/full flavors would duplicate "
             "unmatched small-side rows"
         )
-    salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)).cast(
-        "int"
-    )
+    salt_src = [F.col(salt_on)] if salt_on else [F.col(c) for c in big.columns]
+    salt_col = F.pmod(F.xxhash64(*salt_src), F.lit(salt)).cast("int")
     b = big.withColumn("_salt", salt_col)
     s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<int>"))

@@ -84,3 +84,34 @@ def test_one_shuffle_plan(frames):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert p.count("Exchange") - p.count("ReusedExchange") == 1, p
+
+
+def test_null_timestamps_never_match(spark):
+    """NULL-ts right rows must not 'precede everything' (ASC
+    nulls-first), and NULL-ts left rows must survive with no match."""
+    left = spark.createDataFrame(
+        [(1, 100), (1, None)], "id long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, None, 7.0), (1, 50, 9.0)], "id long, ts long, v double"
+    )
+    out = {
+        (r["ts"]): (r["ts_asof"], r["v_asof"])
+        for r in asof_join(left, right, on="id", left_ts="ts").collect()
+    }
+    assert out[100] == (50, 9.0)  # matches the real row, not the NULL one
+    assert out[None] == (None, None)  # NULL-ts left row survives unmatched
+
+
+def test_right_tie_break_is_deterministic(spark):
+    """Two right rows at the same (key, ts): repeated runs must pick
+    the same one (payload-ordered)."""
+    left = spark.createDataFrame([(1, 100)], "id long, ts long")
+    right = spark.createDataFrame(
+        [(1, 50, 5.0), (1, 50, 9.0)], "id long, ts long, v double"
+    )
+    picks = {
+        asof_join(left, right, on="id", left_ts="ts").collect()[0]["v_asof"]
+        for _ in range(3)
+    }
+    assert picks == {9.0}  # max payload struct sorts last under ASC

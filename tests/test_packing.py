@@ -96,3 +96,19 @@ def test_pack_chunks_property_vs_python_reference(spark):
                          (cum + n - 1) // budget - cum // budget + 1, cum % budget)
             cum += n
     assert got == expect
+
+
+def test_rebalance_excludes_null_groups_from_target(spark):
+    """A tiny NULL-source group must neither survive nor poison the
+    default (min-group) target."""
+    from blockchain_indexer_spark.operators.packing import rebalance_mixture
+
+    rows = [(i, "big") for i in range(200)] + [(1000 + i, None) for i in range(3)] + [
+        (2000 + i, "small") for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = rebalance_mixture(df, "doc_id", "source").collect()
+    assert all(r["source"] is not None for r in out)
+    # target = 50 (the smallest REAL group), not 3
+    n_small = sum(1 for r in out if r["source"] == "small")
+    assert n_small == 50  # at-or-under-target group keeps everything

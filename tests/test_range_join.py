@@ -70,7 +70,20 @@ def test_no_keys_variant(spark, data):
 
 def test_max_span_guard_fails_fast(spark, data):
     pts, iv = data
-    with pytest.raises(Exception, match="max_span"):
+    with pytest.raises(Exception, match="interval spans"):
         interval_point_join(
             pts, iv, "p", "s", "e", bucket_width=1, on="k", max_span=10
+        ).collect()
+
+
+def test_inverted_interval_fails_fast_not_oom(spark):
+    """end < start must raise the span guard, not hand sequence() a
+    descending range that materializes a giant bucket array."""
+    pts = spark.createDataFrame([(1, "k", 5)], "pid long, k string, p long")
+    iv = spark.createDataFrame(
+        [(1, "k", 10**12, 0)], "iid long, k string, s long, e long"
+    )
+    with pytest.raises(Exception, match="interval spans"):
+        interval_point_join(
+            pts, iv, "p", "s", "e", bucket_width=1000, on="k", max_span=4096
         ).collect()
