@@ -65,8 +65,15 @@ def detect_reorg(stored: DataFrame, chain: DataFrame, depth: int = REORG_DEPTH) 
     )
     ch = chain.select("number", F.col("hash").alias("chain_hash"))
     return (
-        recent.join(F.broadcast(ch), "number")
-        .filter(F.col("stored_hash") != F.col("chain_hash"))
+        # LEFT join: a stored block the chain no longer has at all
+        # (reorg onto a SHORTER fork) must count as diverging — an
+        # inner join would silently drop it and the orphaned blocks
+        # would stay in the final tables as a dead fork
+        recent.join(F.broadcast(ch), "number", "left")
+        .filter(
+            F.col("chain_hash").isNull()
+            | (F.col("stored_hash") != F.col("chain_hash"))
+        )
         .agg(F.min("number").alias("reorg_at"))
         .filter(F.col("reorg_at").isNotNull())
     )

@@ -27,8 +27,16 @@ def write_bucketed(
 
     Sorting within buckets lets the join skip its sort stage entirely —
     the plan degenerates to a streaming zip of the two bucket files.
+
+    The frame is repartitioned BY THE BUCKET KEY first: without it,
+    every input partition writes its own file per bucket, and Spark
+    only trusts a bucket's sort order when the bucket is a single
+    file — the read side would silently re-insert Sort nodes and the
+    zip-join benefit evaporates.
     """
-    writer = df.write.mode("overwrite").bucketBy(buckets, key)
+    writer = (
+        df.repartition(buckets, key).write.mode("overwrite").bucketBy(buckets, key)
+    )
     if sort:
         writer = writer.sortBy(key)
     writer.format("parquet").saveAsTable(table)

@@ -88,6 +88,8 @@ def _resplit_path(spark: SparkSession, sf_dir: str, name: str) -> str | None:
             if not (
                 os.path.exists(marker) and os.path.getmtime(marker) >= os.path.getmtime(src)
             ):
+                import shutil  # noqa: PLC0415
+
                 # Right-size splits by rows, not a blanket fan-out: a
                 # 100k-row table as 32 splits pays more in task launch
                 # + shuffle-block overhead than the parallel decode
@@ -97,18 +99,32 @@ def _resplit_path(spark: SparkSession, sf_dir: str, name: str) -> str | None:
                     spark.sparkContext.defaultParallelism, -(-n_rows // 25_000)
                 )
                 tbl = pq.read_table(src)
-                os.makedirs(dest, exist_ok=True)
+                # build in a tmp dir, then swap: an in-place rebuild
+                # would (a) leave stale part files behind when the new
+                # build has fewer parts — every later scan silently
+                # reads a mix of generations — and (b) expose
+                # half-written files to concurrent PROCESSES, which
+                # the in-process _RESPLIT_LOCK cannot serialize
+                tmp = f"{dest}.tmp-{os.getpid()}"
+                shutil.rmtree(tmp, ignore_errors=True)
+                os.makedirs(tmp)
                 step = -(-n_rows // n_parts)
                 for i in range(n_parts):
                     chunk = tbl.slice(i * step, step)
                     if chunk.num_rows:
                         pq.write_table(
                             chunk,
-                            os.path.join(dest, f"part-{i:05d}.parquet"),
+                            os.path.join(tmp, f"part-{i:05d}.parquet"),
                             row_group_size=step,
                         )
-                with open(marker, "w"):
+                with open(os.path.join(tmp, "_SUCCESS"), "w"):
                     pass
+                old = f"{dest}.old-{os.getpid()}"
+                shutil.rmtree(old, ignore_errors=True)
+                if os.path.isdir(dest):
+                    os.rename(dest, old)
+                os.rename(tmp, dest)
+                shutil.rmtree(old, ignore_errors=True)
             _RESPLIT_DONE[key] = dest
         except Exception:  # unwritable cache dir, odd file — serve the source
             _RESPLIT_DONE[key] = None

@@ -100,6 +100,11 @@ def download_receipts(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def fetch(h: str) -> dict:
             r = transport("eth_getTransactionReceipt", [h])
+            if r is None:
+                # pending or reorged-out tx: the node answers null —
+                # emit no logs rather than AttributeError-ing the task
+                # (the gap/reorg machinery re-requests the block)
+                return {"tx_hash": h, "logs": []}
             logs = [
                 {
                     "log_index": int(lg["logIndex"], 16)

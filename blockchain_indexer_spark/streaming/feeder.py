@@ -184,7 +184,14 @@ class IntervalFeeder:
         numbers = self.spark.range(self.next_block, head + 1).select(
             F.col("id").alias("number")
         )
-        blocks = download_blocks_with_txs(numbers, self.transport, self.block_pool)
+        # materialize the download ONCE: the blocks frame feeds both
+        # the receipt fan-out and the final assembly — lazily it would
+        # appear twice in the plan, doubling every eth_getBlockByNumber
+        # call AND letting a mid-poll reorg produce a feed file whose
+        # tx rows and receipts come from two different chain states
+        blocks = download_blocks_with_txs(
+            numbers, self.transport, self.block_pool
+        ).localCheckpoint(eager=True)
         tx_hashes = blocks.select(
             F.explode("transactions").alias("tx")
         ).select(F.col("tx.hash").alias("tx_hash"))

@@ -23,18 +23,23 @@ def backlog_distances(
     - staging_distance: max staged number - max imported number
     - imported_distance: max imported number - (min requested-but-
       never-imported number - 1)  — how far back the oldest hole is
+
+    ``requested`` uses the K3 ledger's `number` column, the same
+    contract as sources.blocks.last_valid_block. The anti-join runs
+    against the FULL imported set: filtering imported blocks to
+    `< max imported` would mark the head block itself as a hole and
+    report a phantom imported_distance of 1 on a fully caught-up
+    chain.
     """
     max_imported = blocks.agg(F.max("number")).collect()[0][0]
     max_staging = block_staging.agg(F.max("number")).collect()[0][0]
     missing = (
         requested.join(
-            blocks.select("number").filter(F.col("number") < F.lit(max_imported))
-            if max_imported is not None
-            else blocks.select("number"),
-            requested["block_no"] == F.col("number"),
+            blocks.select("number"),
+            requested["number"] == blocks["number"],
             "left_anti",
         )
-        .agg(F.min("block_no"))
+        .agg(F.min(requested["number"]))
         .collect()[0][0]
     )
     staging_distance = (
@@ -107,12 +112,19 @@ def watch_liveness(
     last_input = start
     seen_batches: set[str] = set()
     while query.isActive:
-        for p in query.recentProgress:
+        progress = query.recentProgress
+        for p in progress:
             key = f"{p['id']}:{p['batchId']}"
             if key not in seen_batches:
                 seen_batches.add(key)
                 if p["numInputRows"] > 0:
                     last_input = clock()
+        if len(seen_batches) > 1024:
+            # recentProgress only ever exposes the last ~100 entries;
+            # keys older than that can never reappear, so cap the set
+            # instead of leaking one entry per 500 ms trigger forever
+            current = {f"{p['id']}:{p['batchId']}" for p in progress}
+            seen_batches &= current if current else set()
         # Delivered-but-unprocessed data is not a stall: the channel
         # is hot, the engine is just mid-batch. Only silent AND
         # drained counts (matches the reference: the timeout guards

@@ -112,11 +112,20 @@ def dedup_feed_stream(feed: DataFrame, watermark: str = "2 days") -> DataFrame:
     the watermark passes — bounded state, unlike a plain
     dropDuplicates which would keep every hash forever on a stream.
     """
+    # NULL hashes are the FEED_SCHEMA empty-block markers, and NULL
+    # dedup keys compare EQUAL — deduping on raw `hash` would collapse
+    # every in-watermark empty block onto the first one, making the
+    # others look like permanent gaps. Each marker dedups per block
+    # instead.
+    key = F.coalesce(
+        F.col("hash"), F.concat(F.lit("empty-block-"), F.col("block_number"))
+    )
     return (
         feed.withColumn("_event_time", F.timestamp_seconds("block_timestamp"))
+        .withColumn("_dedup_key", key)
         .withWatermark("_event_time", watermark)
-        .dropDuplicatesWithinWatermark(["hash"])
-        .drop("_event_time")
+        .dropDuplicatesWithinWatermark(["_dedup_key"])
+        .drop("_event_time", "_dedup_key")
     )
 
 

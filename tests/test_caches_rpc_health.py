@@ -202,13 +202,20 @@ def test_rpc_pool_actually_concurrent():
 def test_health_predicates(spark):
     blocks = spark.createDataFrame([(n,) for n in (1, 2, 3, 5)], "number long")
     staging = spark.createDataFrame([(6,), (7, )], "number long")
-    requested = spark.createDataFrame([(n,) for n in (1, 2, 3, 4, 5, 6, 7)], "block_no long")
+    requested = spark.createDataFrame([(n,) for n in (1, 2, 3, 4, 5, 6, 7)], "number long")
     d = backlog_distances(blocks, staging, requested)
     # oldest hole: block 4 => imported_distance = 5 - (4-1) = 2
     assert d["imported_distance"] == 2
     assert d["staging_distance"] == 2
     assert is_healthy(blocks, staging, requested, max_healthy_backlog=3)
     assert not is_healthy(blocks, staging, requested, max_healthy_backlog=2)
+    # fully caught up: no hole, no phantom 1-block distance from the
+    # head block being excluded from its own imported set
+    caught = spark.createDataFrame([(n,) for n in (1, 2, 3)], "number long")
+    req3 = spark.createDataFrame([(n,) for n in (1, 2, 3)], "number long")
+    d2 = backlog_distances(caught, caught, req3)
+    assert d2["imported_distance"] is None
+    assert d2["staging_distance"] == 0
 
 
 def test_download_blocks_with_txs_full_and_hash_only(spark):
