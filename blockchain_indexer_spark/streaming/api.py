@@ -43,6 +43,15 @@ class BroadcastLog:
         self._cond = threading.Condition()
         self.last_batch_at: dt.datetime | None = None
 
+    def touch(self) -> None:
+        """Liveness heartbeat: refresh last_batch_at WITHOUT appending
+        an event — an imported batch of empty blocks (or a pure
+        redelivery) proves the pipeline alive but has nothing to
+        announce, and waking every long-poll client for it would
+        defeat the long-poll."""
+        with self._cond:
+            self.last_batch_at = dt.datetime.now(dt.timezone.utc)
+
     def publish(self, hashes: list[str]) -> None:
         with self._cond:
             seq = self._base_seq + len(self._events)
@@ -106,7 +115,15 @@ class ApiHost:
                     now = dt.datetime.now(dt.timezone.utc)
                     last = api.log.last_batch_at
                     fresh = last is not None and (now - last).total_seconds() <= max_age_seconds
-                    healthy = fresh and (health_fn() if health_fn is not None else True)
+                    try:
+                        healthy = fresh and (
+                            health_fn() if health_fn is not None else True
+                        )
+                    except Exception:
+                        # a throwing health probe IS an unhealthy
+                        # verdict — return the 503 + diagnostics the
+                        # monitor needs, not a connection reset
+                        healthy = False
                     self._json(
                         200 if healthy else 503,
                         {
@@ -120,7 +137,13 @@ class ApiHost:
                     q = parse_qs(url.query)
                     try:
                         cursor = int(q.get("cursor", ["0"])[0])
-                        timeout = min(float(q.get("timeout", ["25"])[0]), 60.0)
+                        timeout = float(q.get("timeout", ["25"])[0])
+                        # NaN passes float() but poisons every deadline
+                        # comparison in read() into an infinite busy
+                        # loop; clamp instead of trusting the client
+                        if not timeout == timeout:
+                            raise ValueError("timeout is NaN")
+                        timeout = min(max(timeout, 0.0), 60.0)
                     except ValueError:
                         self._json(400, {"error": "cursor/timeout must be numeric"})
                         return

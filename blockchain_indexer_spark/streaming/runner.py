@@ -97,6 +97,7 @@ class IngestPipeline:
         hub: str = HUB_ADDRESS,
         safe_owners: DataFrame | None = None,
         on_imported=None,
+        on_batch=None,
         jdbc_url: str | None = None,
         jdbc_properties: dict[str, str] | None = None,
         maintain_caches: bool = True,
@@ -116,6 +117,11 @@ class IngestPipeline:
         self.hub = hub
         self.safe_owners = safe_owners
         self.on_imported = on_imported
+        # liveness heartbeat, fired after EVERY successful batch — even
+        # one of empty blocks or pure redeliveries, which import
+        # correctly but announce no hashes (wire to BroadcastLog.touch
+        # so /health doesn't 503 a healthy indexer on a quiet chain)
+        self.on_batch = on_batch
         self.jdbc_url = jdbc_url
         self.jdbc_properties = jdbc_properties or {}
         # T8: refresh the balance/trust materializations per batch —
@@ -153,6 +159,7 @@ class IngestPipeline:
         # the retraction entirely (same serialization the reference
         # gets from its Serializable transaction)
         with self._import_lock():
+            self._recover_table_swaps()
             tables = {}
             for name in ("block", *EVENT_TABLES):
                 df = self.read_final(name)
@@ -161,20 +168,51 @@ class IngestPipeline:
             kept = retract_from(tables, reorg_block)
             for name, df in kept.items():
                 block_col = "number" if name == "block" else "block_number"
-                # snapshot before overwrite: the plan reads the dir
-                # being replaced
                 snap = df.drop("block_group").localCheckpoint(eager=True)
+                # write-aside + two-rename swap (same journal as
+                # compact): a direct overwrite DELETES the table dir
+                # before the new files commit, so a crash mid-retract
+                # would lose all pre-reorg history — the in-memory
+                # snapshot dies with the driver. A crash between the
+                # renames is healed by _recover_table_swaps.
+                final = self._table_path(name)
+                tmp = os.path.join(self.out_dir, f".retract-tmp-{name}")
+                old_dir = os.path.join(self.out_dir, f".retract-old-{name}")
+                shutil.rmtree(tmp, ignore_errors=True)
+                shutil.rmtree(old_dir, ignore_errors=True)
                 (
                     snap.withColumn(
                         "block_group", (F.col(block_col) / BLOCK_GROUP_SIZE).cast("long")
                     )
                     .write.mode("overwrite")
                     .partitionBy("block_group")
-                    .parquet(self._table_path(name))
+                    .parquet(tmp)
                 )
+                os.rename(final, old_dir)
+                os.rename(tmp, final)
+                shutil.rmtree(old_dir)
             for cache in (CACHE_BALANCES, CACHE_TRUST):
                 shutil.rmtree(self._table_path(cache), ignore_errors=True)
         self.signal_reorg()
+
+    def _recover_table_swaps(self) -> None:
+        """Heal a crash inside retract()'s two-rename window: an
+        orphaned '.retract-old-<table>' whose final dir is missing
+        holds the only copy — restore it; otherwise it is post-swap
+        residue — drop it. Runs under the import lock."""
+        import shutil  # noqa: PLC0415
+
+        if not os.path.isdir(self.out_dir):
+            return
+        for entry in os.listdir(self.out_dir):
+            if not entry.startswith(".retract-old-"):
+                continue
+            orphan = os.path.join(self.out_dir, entry)
+            final = self._table_path(entry[len(".retract-old-"):])
+            if os.path.isdir(final):
+                shutil.rmtree(orphan, ignore_errors=True)
+            else:
+                os.rename(orphan, final)
 
     def _table_path(self, name: str) -> str:
         return os.path.join(self.out_dir, name)
@@ -326,11 +364,15 @@ class IngestPipeline:
         import threading  # noqa: PLC0415
         import time  # noqa: PLC0415
 
+        import shutil  # noqa: PLC0415
+
         @contextlib.contextmanager
         def lock():
             path = os.path.join(self.out_dir, ".import.lock")
+            token_path = os.path.join(path, "owner")
             timeout = float(os.environ.get("SPARK_GRAFT_IMPORT_LOCK_TIMEOUT", "600"))
             os.makedirs(self.out_dir, exist_ok=True)
+            token = f"{os.getpid()}-{time.monotonic_ns()}"
             while True:
                 try:
                     os.mkdir(path)
@@ -341,15 +383,27 @@ class IngestPipeline:
                             # atomic steal: one winner per stale lock
                             grave = f"{path}.stale-{os.getpid()}-{time.monotonic_ns()}"
                             os.rename(path, grave)
-                            os.rmdir(grave)
+                            shutil.rmtree(grave, ignore_errors=True)
                             continue
                     except OSError:
                         pass  # lost the steal race — back to mkdir
                     time.sleep(0.05)
+            # ownership token: if this holder is ever (wrongly) robbed,
+            # its release must not delete the THIEF's lock and cascade a
+            # third concurrent holder — release checks the token first
+            try:
+                with open(token_path, "w") as f:
+                    f.write(token)
+            except OSError:
+                pass
             stop = threading.Event()
 
             def _heartbeat():
-                while not stop.wait(max(1.0, timeout / 4)):
+                # refresh at timeout/4 but never slower than 4x per
+                # steal window even for sub-second timeouts — an
+                # interval >= the threshold would make a LIVE lock
+                # stealable between beats
+                while not stop.wait(max(0.05, timeout / 4)):
                     try:
                         os.utime(path)
                     except OSError:
@@ -364,9 +418,12 @@ class IngestPipeline:
             finally:
                 stop.set()
                 try:
-                    os.rmdir(path)
+                    with open(token_path) as f:
+                        owned = f.read() == token
                 except OSError:
-                    pass
+                    owned = False
+                if owned:
+                    shutil.rmtree(path, ignore_errors=True)
 
         return lock()
 
@@ -385,6 +442,10 @@ class IngestPipeline:
             feed.unpersist()
 
     def _process_batch_locked(self, feed: DataFrame) -> None:
+        # heal any crashed retract swap FIRST: a missing final table
+        # with its only copy in '.retract-old-*' would otherwise read
+        # as an empty (first-run) table and double-import everything
+        self._recover_table_swaps()
         block_staging = feed.select(
             F.col("block_number").alias("number"),
             F.col("block_hash").alias("hash"),
@@ -394,10 +455,8 @@ class IngestPipeline:
         tx_rows = feed.filter(F.col("hash").isNotNull())
         tx_staging = tx_rows.select(*[f.name for f in RAW_TRANSACTION_SCHEMA.fields])
         log_staging = tx_rows.select(
-            F.col("hash").alias("tx_hash"), F.explode_outer("logs").alias("l")
-        ).select("tx_hash", "l.log_index", "l.address", "l.topics", "l.data").filter(
-            F.col("log_index").isNotNull()
-        )
+            F.col("hash").alias("tx_hash"), F.explode("logs").alias("l")
+        ).select("tx_hash", "l.log_index", "l.address", "l.topics", "l.data")
 
         # Eager localCheckpoints inside promote snapshot the merge
         # results BEFORE any append: their plans anti-join against
@@ -449,14 +508,24 @@ class IngestPipeline:
             ]
             for fut in futures:
                 fut.result()
-        # new_txs is checkpointed inside promote, so the emptiness
-        # probe is a cheap scan, not a recompute
-        if self.maintain_caches and new_txs.limit(1).count() > 0:
-            self.refresh_caches(tables)
+        # one pass over the checkpointed new_txs serves both the
+        # cache-refresh emptiness gate and the broadcast payload —
+        # limit(1).count() plus a separate collect would submit two
+        # Spark jobs per 500 ms trigger
+        hashes = None
         if self.on_imported is not None:
             hashes = [r["hash"] for r in new_txs.select("hash").collect()]
-            if hashes:
-                self.on_imported(hashes)
+        has_new = (
+            bool(hashes)
+            if hashes is not None
+            else new_txs.limit(1).count() > 0
+        )
+        if self.maintain_caches and has_new:
+            self.refresh_caches(tables)
+        if hashes:
+            self.on_imported(hashes)
+        if self.on_batch is not None:
+            self.on_batch()
 
     def read_cache(self, name: str) -> DataFrame | None:
         """Current materialization of CACHE_BALANCES / CACHE_TRUST."""

@@ -87,3 +87,59 @@ def test_api_host_serves_real_ingest(spark, tmp_path, host):
     expected = {r["hash"] for r in feed.filter("hash is not null").select("hash").collect()}
     assert announced == expected
     assert _get(h, "/health")[1]["healthy"] is True
+
+
+def test_health_fn_exception_is_503_not_reset():
+    import json as _json
+    from urllib.request import urlopen
+    from urllib.error import HTTPError
+
+    from blockchain_indexer_spark.streaming.api import ApiHost, BroadcastLog
+
+    log = BroadcastLog()
+    log.touch()
+
+    def bad_health():
+        raise RuntimeError("probe query failed")
+
+    host = ApiHost(log, health_fn=bad_health).start()
+    try:
+        addr = host.address
+        try:
+            urlopen(f"http://{addr[0]}:{addr[1]}/health", timeout=10)
+            raise AssertionError("expected 503")
+        except HTTPError as e:
+            assert e.code == 503
+            assert _json.loads(e.read())["healthy"] is False
+    finally:
+        host.stop()
+
+
+def test_events_rejects_nan_timeout():
+    from urllib.request import urlopen
+    from urllib.error import HTTPError
+
+    from blockchain_indexer_spark.streaming.api import ApiHost, BroadcastLog
+
+    host = ApiHost(BroadcastLog()).start()
+    try:
+        addr = host.address
+        try:
+            urlopen(f"http://{addr[0]}:{addr[1]}/events?cursor=0&timeout=nan", timeout=10)
+            raise AssertionError("expected 400")
+        except HTTPError as e:
+            assert e.code == 400
+    finally:
+        host.stop()
+
+
+def test_touch_keeps_health_fresh_without_events():
+    """An imported empty-block batch heartbeats via touch(): health
+    stays fresh, but no long-poll consumer is woken."""
+    from blockchain_indexer_spark.streaming.api import BroadcastLog
+
+    log = BroadcastLog()
+    assert log.last_batch_at is None
+    log.touch()
+    assert log.last_batch_at is not None
+    assert log.read(0, timeout=0.1) == []  # no event appended

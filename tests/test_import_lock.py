@@ -112,3 +112,26 @@ def test_compact_recovers_orphaned_partition(spark, tmp_path_factory, feed_df): 
     assert before.equals(after)
     assert os.path.isdir(os.path.join(table_dir, part))
     assert not os.path.isdir(os.path.join(table_dir, f".compact-old-{part}"))
+
+
+def test_retract_crash_recovery_restores_table(spark, tmp_path_factory, feed_df):  # noqa: F811
+    """A crash between retract's two renames leaves the only copy in
+    .retract-old-<table>; the next batch (or retract) must restore it
+    instead of treating the table as empty and double-importing."""
+    root = str(tmp_path_factory.mktemp("rr"))
+    pipe = IngestPipeline(spark, os.path.join(root, "final"))
+    pipe.process_batch(feed_df)
+    before = (
+        pipe.read_final("transaction").toPandas().sort_values("hash").reset_index(drop=True)
+    )
+    # simulate the crash window
+    os.rename(
+        os.path.join(root, "final", "transaction"),
+        os.path.join(root, "final", ".retract-old-transaction"),
+    )
+    assert pipe.read_final("transaction") is None
+    pipe.process_batch(feed_df)  # heals first, then dedups to zero new
+    after = (
+        pipe.read_final("transaction").toPandas().sort_values("hash").reset_index(drop=True)
+    )
+    assert before.equals(after)
