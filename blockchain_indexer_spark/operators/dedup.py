@@ -34,10 +34,14 @@ def exact_dup_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Group rows by exact normalized-content fingerprint.
 
     Returns (fingerprint, keep_id, n_copies): keep_id is the smallest id
-    (deterministic survivor), n_copies the cluster size.
+    (deterministic survivor), n_copies the cluster size. NULL-text rows
+    are excluded: md5(NULL) is NULL and groupBy treats NULL as a key,
+    so two unrelated contentless documents would otherwise be declared
+    exact copies of each other.
     """
     return (
-        df.select(F.col(id_col).alias("_id"), fingerprint_md5(text_col).alias("fingerprint"))
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), fingerprint_md5(text_col).alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(F.min("_id").alias("keep_id"), F.count("*").alias("n_copies"))
     )
@@ -130,10 +134,14 @@ def ngram_jaccard_pairs(
 
     Exact Jaccard over distinct k-shingles via inverted-index self-join
     (shuffle keyed on shingle). Returns (doc_a, doc_b, n_common,
-    jaccard) with doc_a < doc_b. Jaccard uses the UNCAPPED distinct
-    shingle counts per doc; the df-cap only prunes candidate
-    generation, which can only lose pairs whose common shingles are all
-    stop-shingles — the standard trade, stated here explicitly.
+    jaccard) with doc_a < doc_b. The df-cap prunes CANDIDATE GENERATION
+    only: candidate pairs come from capped postings, then n_common is
+    re-verified EXACTLY against the full shingle frame — so reported
+    jaccard is true jaccard, and the only loss is pairs whose entire
+    intersection is stop-shingles (the standard trade, stated here
+    explicitly; counting only capped shingles in n_common would instead
+    UNDERSTATE jaccard for every pair sharing a stop-shingle and
+    silently drop some above-threshold pairs).
     Pass ``shingles`` (from distinct_shingles) to share one shingling
     pass across strategies.
     """
@@ -158,10 +166,21 @@ def ngram_jaccard_pairs(
             ),
             lambda s: s["doc_a"] < s["doc_b"],
         )
-        common = (
+        cand = (
             posting.filter(F.size("ids") <= max_doc_freq)
             .select(F.explode(combos).alias("p"))
-            .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+            .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+            .distinct()
+        )
+        # exact verify on the FULL shingle frame: candidates are few
+        # (that is the cap's whole point), so this re-join is
+        # O(candidates x shingles-per-doc), not corpus-wide
+        a = sh.select(F.col("_id").alias("doc_a"), "shingle")
+        b = sh.select(F.col("_id").alias("doc_b"), "shingle")
+        common = (
+            cand.join(a, "doc_a")
+            .join(b, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
             .agg(F.count("*").alias("n_common"))
         )
     else:
@@ -287,6 +306,8 @@ def minhash_band_rows(
     8-byte keys per document (md5 strings on the portable path). This
     is the frame a production pipeline PERSISTS as the inverted index;
     ``minhash_index_update`` appends to it per ingest batch."""
+    if num_hashes % bands:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
     rows = num_hashes // bands
     sig = minhash_signatures(
         df, id_col, text_col, k, num_hashes, shingles=shingles, hash_fn=hash_fn

@@ -83,6 +83,13 @@ def brute_force_topk(
 
     q = prep(queries).select(F.col(id_col).alias("query_id"), F.col("_v").alias("_qv"))
     c = prep(spread(corpus, id_col)).select(F.col(id_col).alias("neighbor_id"), F.col("_v").alias("_cv"))
+    if metric in ("quantized_cosine", "cosine"):
+        # a zero-norm vector's cosine is 0/0 = NaN, and Spark orders
+        # NaN ABOVE every real number — one zero vector would steal
+        # rank 1 for every query (the near-dup operators filter
+        # norm_sq > 0 for the same reason)
+        q = q.filter(norm_sq(F.col("_qv")) > 0)
+        c = c.filter(norm_sq(F.col("_cv")) > 0)
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("score", score(F.col("_qv"), F.col("_cv")))
@@ -177,6 +184,8 @@ def lsh_topk(
     first and fetch vectors back by hash join against the index
     instead — two more joins but no vector payload in the band shuffle.
     """
+    if num_planes % bands:
+        raise ValueError(f"bands={bands} must divide num_planes={num_planes}")
     rows = num_planes // bands
     mask = (1 << rows) - 1
 
@@ -266,11 +275,14 @@ def train_ivf_centroids(
     """
     rows = (
         corpus.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())  # a None row breaks np.array
         .orderBy(id_col)
         .limit(sample)
         .select(vec_col)
         .collect()
     )
+    if not rows:
+        raise ValueError("train_ivf_centroids: corpus has no non-null vectors")
     x = np.array([r[0] for r in rows], dtype=np.float64)  # (sample, dim)
     stride = max(1, len(x) // n_cells)
     cents = x[::stride][:n_cells].copy()
@@ -398,8 +410,8 @@ def lsh_near_dup_pairs(
     oracle re-derives signatures, buckets, candidates and cosines
     exactly. Returns (vec_a, vec_b, cosine) with vec_a < vec_b.
     """
-    from blockchain_indexer_spark.functions.vectors import dot, norm_sq, quantize
-
+    if num_planes % bands:
+        raise ValueError(f"bands={bands} must divide num_planes={num_planes}")
     rows = num_planes // bands
     mask = (1 << rows) - 1
     base = spread(corpus, id_col).select(
@@ -544,7 +556,9 @@ def pq_topk(
                     members = xj[assign == c]
                     if len(members):
                         cents[c] = members.mean(axis=0)
-            books.append([[int(v) for v in np.rint(row)] for row in cents])
+            # half-away rounding (_q_away), NOT np.rint (half-to-even):
+            # the module contract is one rounding rule everywhere
+            books.append([[int(v) for v in _q_away(row)] for row in cents])
     spark = corpus.sparkSession
     cb = spark.createDataFrame(
         [(j, c, books[j][c]) for j in range(m) for c in range(n_codes)],

@@ -172,6 +172,7 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(doc_id) AS keep_id,
            COUNT(*) AS n_copies
     FROM documents
+    WHERE text IS NOT NULL
     GROUP BY 1
     """,
     doc="Exact dedup on normalized-content fingerprint: one shuffle on "
@@ -266,9 +267,17 @@ def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100) f
         USING (shingle)
     ),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      -- exact n_common over the FULL shingle set: the cap only
+      -- generated the candidates
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
       GROUP BY 1, 2
     )
     SELECT p.doc_a, p.doc_b, p.n_common,

@@ -36,7 +36,7 @@ def _blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mm_decode_stats",
     oracle="""
-    WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents)
+    WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents WHERE text IS NOT NULL)
     SELECT CAST(16 + nb % 624 AS INT) AS width,
            CAST(16 + nb % 464 AS INT) AS height,
            COUNT(*) AS n,
@@ -63,6 +63,7 @@ def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                16 + octet_length(encode(text)) % 624 AS w,
                16 + octet_length(encode(text)) % 464 AS h
         FROM documents
+      WHERE text IS NOT NULL
     ), s AS (
         SELECT doc_id, w, h,
                GREATEST(GREATEST(w, h) / 64.0, 1.0) AS scale
@@ -86,7 +87,7 @@ def mm_thumbnail_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mm_frame_sample",
     oracle="""
-    WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents)
+    WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents WHERE text IS NOT NULL)
     SELECT doc_id, CAST(u AS INT) AS frame_index,
            CAST(LEAST(1024, nb - u * 1024) AS INT) AS frame_nbytes
     FROM d, UNNEST(range(0, CAST(ceil(nb / 1024.0) AS BIGINT), 4)) AS t(u)
@@ -105,6 +106,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH chars AS (
       SELECT doc_id, unnest(string_split_regex(text, '')) AS c FROM documents
+      WHERE text IS NOT NULL
     ),
     b AS (SELECT doc_id, ord(c) // 16 AS bin FROM chars WHERE c <> ''),
     cnt AS (SELECT doc_id, bin, COUNT(*) AS n FROM b GROUP BY 1, 2),
@@ -116,7 +118,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(16 AS INT) AS dim,
            CAST(COALESCE(agg.nz, 0) AS INT) AS nonzero_bins,
            CAST(COALESCE(CAST(agg.top AS DOUBLE) / agg.t, 0.0) AS DOUBLE) AS feature_max
-    FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    FROM (SELECT * FROM documents WHERE text IS NOT NULL) d LEFT JOIN agg ON d.doc_id = agg.doc_id
     """,
     doc="Binary → fixed-dim feature vector (16-bin byte histogram, "
     "L1-normalized) ready for the ANN operators; numpy-vectorized per "
@@ -143,15 +145,16 @@ def mm_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH chars AS (
       SELECT doc_id, unnest(string_split_regex(text, '')) AS c FROM documents
+      WHERE text IS NOT NULL
     ),
     b AS (SELECT doc_id, ord(c) // 16 AS bin FROM chars WHERE c <> ''),
     cnt AS (SELECT doc_id, bin, COUNT(*) AS n FROM b GROUP BY 1, 2),
     tot AS (
       SELECT d.doc_id, COALESCE(SUM(cnt.n), 0) AS t
-      FROM documents d LEFT JOIN cnt ON cnt.doc_id = d.doc_id
+      FROM (SELECT * FROM documents WHERE text IS NOT NULL) d LEFT JOIN cnt ON cnt.doc_id = d.doc_id
       GROUP BY d.doc_id
     ),
-    bins AS (SELECT doc_id, i AS bin FROM documents, UNNEST(range(0, 16)) AS r(i))
+    bins AS (SELECT doc_id, i AS bin FROM documents, UNNEST(range(0, 16)) AS r(i) WHERE text IS NOT NULL)
     SELECT bins.doc_id, CAST(bins.bin AS BIGINT) AS bin,
            CASE WHEN tot.t = 0 THEN 0.0
                 ELSE CAST(COALESCE(cnt.n, 0) AS DOUBLE) / tot.t END AS weight
