@@ -166,19 +166,71 @@ def ngram_jaccard_pairs(
             ),
             lambda s: s["doc_a"] < s["doc_b"],
         )
-        cand = (
-            posting.filter(F.size("ids") <= max_doc_freq)
-            .select(F.explode(combos).alias("p"))
-            .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        capped = posting.filter(F.size("ids") <= max_doc_freq).localCheckpoint(
+            eager=True  # feeds both the pair counts and per-doc capped sizes
+        )
+        pair_c = (
+            capped.select(F.explode(combos).alias("p"))
+            .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+            .agg(F.count("*").alias("_c"))
+        )
+        # Bounded exact verification: _c counts only CAPPED common
+        # shingles; the true intersection adds at most
+        # min(stop_a, stop_b) stop-shingles (stop_x = doc x's shingles
+        # over the cap). Pairs whose UPPER-BOUND jaccard cannot reach
+        # the threshold are pruned WITHOUT touching the shingle frame
+        # again — on corpora where candidates are dense (bench: 1.1M
+        # candidate pairs from 5k docs) this cuts the exact re-join
+        # from all candidates to the near-threshold few, while the
+        # reported n_common/jaccard stay exactly true.
+        ncap = (
+            capped.select(F.explode("ids").alias("_id"))
+            .groupBy("_id")
+            .agg(F.count("*").alias("n_capped"))
+        )
+        stats = (
+            sizes.join(ncap, "_id", "left")
+            .select(
+                "_id",
+                "n_shingles",
+                (F.col("n_shingles") - F.coalesce("n_capped", F.lit(0))).alias("n_stop"),
+            )
+        )
+        st_a = stats.select(
+            F.col("_id").alias("doc_a"),
+            F.col("n_shingles").alias("n_a"),
+            F.col("n_stop").alias("_stop_a"),
+        )
+        st_b = stats.select(
+            F.col("_id").alias("doc_b"),
+            F.col("n_shingles").alias("n_b"),
+            F.col("n_stop").alias("_stop_b"),
+        )
+        slack = F.least("_stop_a", "_stop_b")
+        ub_num = (F.col("_c") + slack).cast("double")
+        ub = ub_num / (F.col("n_a") + F.col("n_b") - F.col("_c") - slack).cast("double")
+        plausible = (
+            # no broadcast HINT: per-doc stats are small relative to
+            # the candidate frame at any scale AQE can see (it
+            # auto-broadcasts under the threshold), but forcing it
+            # would OOM on a billion-doc corpus where even per-doc
+            # stats outgrow the driver
+            pair_c.join(st_a, "doc_a")
+            .join(st_b, "doc_b")
+            .filter(ub >= F.lit(threshold))
+        )
+        cand = plausible.select("doc_a", "doc_b").localCheckpoint(eager=True)
+        cand_docs = (
+            cand.select(F.col("doc_a").alias("_id"))
+            .unionByName(cand.select(F.col("doc_b").alias("_id")))
             .distinct()
         )
-        # exact verify on the FULL shingle frame: candidates are few
-        # (that is the cap's whole point), so this re-join is
-        # O(candidates x shingles-per-doc), not corpus-wide
-        a = sh.select(F.col("_id").alias("doc_a"), "shingle")
-        b = sh.select(F.col("_id").alias("doc_b"), "shingle")
+        sh_cand = sh.join(F.broadcast(cand_docs), "_id", "left_semi")
+        a = sh_cand.select(F.col("_id").alias("doc_a"), "shingle")
+        b = sh_cand.select(F.col("_id").alias("doc_b"), "shingle")
         common = (
-            cand.join(a, "doc_a")
+            F.broadcast(cand)
+            .join(a, "doc_a")
             .join(b, ["doc_b", "shingle"])
             .groupBy("doc_a", "doc_b")
             .agg(F.count("*").alias("n_common"))
