@@ -25,10 +25,74 @@ from blockchain_indexer_spark.plans import chain as _chain  # noqa: E402,F401
 from blockchain_indexer_spark.plans import multimodal as _multimodal  # noqa: E402,F401
 
 #: Driver-facing iteration order (highest verification value first).
+#:
+#: Round-3 rotation (VERDICT r2 "Next round" #1): the driver records
+#: exactly the first 50 entries per round. Round 2's window covered the
+#: 50 entries that now sit at the BACK; the front is now (a) the 12
+#: queries that have never had a driver row, (b) new round-3 gates,
+#: (c) the 31 queries whose only driver row is round 1, (d) a small
+#: chain/mm sentinel set, so after this round every registered query
+#: has a driver row from round 2 or round 3.
 PRIORITY = (
-    # -- tier A: reference chain pipeline (classify→extract→views) ----
-    "chain_classification_counts",
+    # -- tier A: never driver-verified (no r1/r2 row) ------------------
+    "minhash_incremental_md5",
+    "embedding_pq_topk",
+    "embedding_ivfpq_topk",
+    "embedding_lsh_near_dups",
+    "embedding_kmeans_clusters",
+    "embedding_semantic_dedup",
+    "doc_unigram_stats",
+    "doc_chunk_packing",
+    "corpus_mixture_rebalance",
+    "doc_pii_scrub",
+    "corpus_token_cardinality_bound",
+    "doc_length_quantiles_approx_bound",
+    # -- tier A: new round-3 gates -------------------------------------
+    "mm_real_decode",
+    # -- tier B: driver row is round 1 only (pre-refactor code) --------
+    "minhash_lsh_candidates_md5",
+    "simhash_near_dups_md5",
+    "doc_decontamination",
+    "doc_dedup_clusters",
+    "embedding_topk_qcosine",
+    "embedding_topk_mips",
+    "embedding_lsh_topk",
+    "embedding_ivf_topk",
+    "doc_token_stats",
+    "doc_lang_id",
+    "doc_quality_score",
+    "doc_repetition_stats",
+    "doc_train_split",
+    "doc_top_terms",
+    "doc_rolling_fingerprint",
+    "corpus_token_cardinality",
+    "corpus_mixture_report",
+    "doc_length_quantiles",
+    "embedding_cosine_near_dups",
+    "minhash_signatures_md5",
+    "simhash_signatures_md5",
+    "per_day_counts",
+    "scalar_total",
+    "double_entry_ledger",
+    "multi_join_revenue",
+    "topk_per_group",
+    "union_activity_timeline",
+    # rows-only production variants (no DuckDB oracle) — still r1-only
+    "minhash_lsh_candidates",
+    "simhash_signatures",
+    "simhash_near_dups",
+    "corpus_token_cardinality_approx",
+    # -- tier C: r2-verified sentinels (regression canaries for the
+    #    round-3 edits: dedup/simhash rewrite, chain spine, multimodal) -
+    "ngram_jaccard_near_dups",
     "chain_crc_balances",
+    "chain_classification_counts",
+    "mm_decode_stats",
+    "doc_fingerprint_dedup",
+    "stream_reassembly_join",
+    # ------------------------------------------------------------------
+    # Below the ~50-row driver window: all r2-verified (green in
+    # CORRECTNESS_r02.json), ordered as in round 2.
     "chain_current_trust",
     "chain_eth_transfer_stats",
     "chain_hub_transfers_per_day",
@@ -48,14 +112,11 @@ PRIORITY = (
     "chain_crc_minting",
     "chain_formatted_transfers",
     "chain_trust_reachability",
-    # -- tier A: multimodal mapInPandas plumbing ----------------------
-    "mm_decode_stats",
     "mm_thumbnail_geometry",
     "mm_frame_sample",
     "mm_feature_vectors",
     "mm_feature_hist",
     "doc_quota_sample",
-    # -- tier B: distinct relational §2 shapes ------------------------
     "pricing_summary",
     "broadcast_join_agg",
     "dedup_first_seen",
@@ -70,62 +131,12 @@ PRIORITY = (
     "asof_latest_purchase",
     "range_join_active_sessions",
     "gap_detection",
-    "stream_reassembly_join",
     "filtered_projection",
     "json_payload",
     "membership_collect",
     "rollup_revenue_hierarchy",
     "profile_orders",
     "salted_join_segment_totals",
-    # -- tier C: one gate per LLM-pipeline component ------------------
-    "doc_fingerprint_dedup",
-    "ngram_jaccard_near_dups",
-    "minhash_lsh_candidates_md5",
-    "minhash_incremental_md5",
-    "simhash_near_dups_md5",
-    "doc_decontamination",
-    "doc_dedup_clusters",
-    "embedding_topk_qcosine",
-    "embedding_topk_mips",
-    "embedding_lsh_topk",
-    "embedding_ivf_topk",
-    "embedding_pq_topk",
-    "embedding_ivfpq_topk",
-    "embedding_lsh_near_dups",
-    "embedding_kmeans_clusters",
-    "embedding_semantic_dedup",
-    "doc_token_stats",
-    "doc_lang_id",
-    "doc_quality_score",
-    "doc_unigram_stats",
-    "doc_repetition_stats",
-    "doc_chunk_packing",
-    "corpus_mixture_rebalance",
-    "doc_pii_scrub",
-    # -- tier D: extra gates for already-covered components -----------
-    "doc_train_split",
-    "doc_top_terms",
-    "doc_rolling_fingerprint",
-    "corpus_token_cardinality",
-    "corpus_token_cardinality_bound",
-    "corpus_mixture_report",
-    "doc_length_quantiles",
-    "doc_length_quantiles_approx_bound",
-    "embedding_cosine_near_dups",
-    "minhash_signatures_md5",
-    "simhash_signatures_md5",
-    # -- tier D: relational shapes whose §2 id has a chain twin above -
-    "per_day_counts",
-    "scalar_total",
-    "double_entry_ledger",
-    "multi_join_revenue",
-    "topk_per_group",
-    "union_activity_timeline",
-    # -- tier E: rows-only production variants (no DuckDB oracle) -----
-    "minhash_lsh_candidates",
-    "simhash_signatures",
-    "simhash_near_dups",
-    "corpus_token_cardinality_approx",
 )
 
 
