@@ -20,7 +20,9 @@ from pyspark.sql import functions as F
 
 from blockchain_indexer_spark.operators.multimodal import (
     attach_blob,
+    attach_bmp_blob,
     decode_image,
+    decode_image_real,
     extract_features,
     resize_thumbnail,
     sample_frames,
@@ -53,6 +55,34 @@ def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.groupBy("width", "height").agg(
         F.count("*").alias("n"), F.sum("nbytes").alias("total_bytes")
     )
+
+
+@register(
+    "mm_real_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(4 + doc_id % 13 AS INT) AS width,
+           CAST(4 + doc_id % 9 AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_b,
+           CAST((7 * doc_id + 1) % 256 AS DOUBLE) AS mean_g,
+           CAST((13 * doc_id + 2) % 256 AS DOUBLE) AS mean_r
+    FROM documents
+    """,
+    doc="REAL image decode, not the byte-length stub: each document "
+    "gets a genuine 24-bpp BMP payload (header, stride, 4-byte row "
+    "padding) synthesized from its id, and decode_image_real parses it "
+    "with the pure-numpy BMP decoder (PIL fast path when installed). "
+    "Geometry and per-channel fills are closed-form in doc_id, so the "
+    "oracle verifies header parsing, stride/padding handling and "
+    "channel order value-for-value: a wrong stride or BGR/RGB mixup "
+    "shifts the per-channel means. Channel means of a constant fill "
+    "are IEEE-exact ((N*v)/N == v), so DOUBLE compare is safe.",
+    survey_refs=("LLM-multimodal",),
+)
+def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blobs = attach_bmp_blob(load_table(spark, sf_dir, "documents"))
+    return decode_image_real(blobs)
 
 
 @register(

@@ -94,6 +94,55 @@ def test_feature_histogram_exact(docs):
         assert len(got[i]["feature"]) == 16
 
 
-def test_real_decoder_gated():
-    with pytest.raises(NotImplementedError):
-        decode_image_real(None)
+def _mk_bmp(w: int, h: int, px: np.ndarray, top_down: bool = False) -> bytes:
+    """Reference BMP writer for decoder tests: px is [h, w, 3] BGR in
+    visual (top-to-bottom) order; bottom-up files store rows reversed."""
+    import struct
+
+    rows = px if top_down else px[::-1]
+    stride_pad = b"\x00" * ((-3 * w) % 4)
+    data = b"".join(bytes(rows[y].reshape(-1)) + stride_pad for y in range(h))
+    off = 54
+    fh = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    ih = struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, 24, 0, len(data), 0, 0, 0, 0
+    )
+    return fh + ih + data
+
+
+def test_bmp_decode_gradient_roundtrip():
+    """Gradient pixels + a pad-carrying width catch stride and
+    row-order bugs the constant-fill gate can't."""
+    from blockchain_indexer_spark.operators.multimodal import decode_bmp
+
+    rng = np.random.RandomState(7)
+    for w, h in [(5, 3), (4, 4), (7, 2), (1, 1), (6, 5)]:
+        px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        for top_down in (False, True):
+            gw, gh, got = decode_bmp(_mk_bmp(w, h, px, top_down=top_down))
+            assert (gw, gh) == (w, h)
+            assert np.array_equal(got, px), (w, h, top_down)
+
+
+def test_bmp_decode_rejects_other_formats():
+    from blockchain_indexer_spark.operators.multimodal import decode_bmp
+
+    with pytest.raises(ValueError):
+        decode_bmp(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+
+
+def test_real_decode_spark_path(spark):
+    """End-to-end: synthesized BMP blobs through decode_image_real on
+    Spark match the closed-form geometry/fill contract."""
+    from blockchain_indexer_spark.operators.multimodal import attach_bmp_blob
+
+    ids = [0, 1, 12, 13, 255, 256, 9999]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r["doc_id"]: r for r in decode_image_real(attach_bmp_blob(df)).collect()}
+    assert set(got) == set(ids)
+    for i in ids:
+        r = got[i]
+        assert (r["width"], r["height"], r["channels"]) == (4 + i % 13, 4 + i % 9, 3)
+        assert r["mean_b"] == float(i % 256)
+        assert r["mean_g"] == float((7 * i + 1) % 256)
+        assert r["mean_r"] == float((13 * i + 2) % 256)
