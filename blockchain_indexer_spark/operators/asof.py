@@ -24,6 +24,19 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _orderable(dt: T.DataType) -> bool:
+    """Whether a type may appear in ORDER BY: MapType (at any nesting
+    depth) is Spark's one unorderable container."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
 
 
 def asof_join(
@@ -57,6 +70,15 @@ def asof_join(
     payload = F.struct(
         F.col(right_ts).alias("_ts"), *[F.col(c) for c in right_cols]
     ).alias("_asof_payload")
+    # deterministic tie-break between right rows sharing (key, ts):
+    # only ORDERABLE payload columns may join the sort key — a MapType
+    # payload column in the ORDER BY fails analysis outright, and such
+    # frames must still join (just with an arbitrary-but-stable-per-run
+    # winner among ties, like pandas keeps the last input row)
+    tie_cols = [c for c in right_cols if _orderable(right.schema[c].dataType)]
+    tie = (
+        F.struct(*[F.col(c) for c in tie_cols]) if tie_cols else F.lit(0)
+    ).alias("_asof_tie")
     # side flag orders equal timestamps: with allow_exact a right row
     # at ts == left ts must sort BEFORE the left row (visible to it),
     # without it must sort after (invisible)
@@ -73,23 +95,27 @@ def asof_join(
         F.col(right_ts).alias("_t"),
         F.lit(r_side).alias("_side"),
         payload,
+        tie,
     )
     l = left.select(
         "*",
         F.col(left_ts).alias("_t"),
         F.lit(1).alias("_side"),
         F.lit(None).cast(r.schema["_asof_payload"].dataType).alias("_asof_payload"),
+        F.lit(None).cast(r.schema["_asof_tie"].dataType).alias("_asof_tie"),
     )
     unioned = l.unionByName(r, allowMissingColumns=True)
 
-    # the trailing _asof_payload sort key breaks ties between right
-    # rows sharing (key, ts): without it F.last picks whichever the
+    # the trailing _asof_tie sort key breaks ties between right rows
+    # sharing (key, ts): without it F.last picks whichever the
     # partition-internal order delivers — nondeterministic across runs
-    order = [F.col("_t").asc(), F.col("_side").asc(), F.col("_asof_payload").asc()]
+    # (when NO payload column is orderable the struct is empty and the
+    # tie-break degrades to that documented nondeterminism)
+    order = [F.col("_t").asc(), F.col("_side").asc(), F.col("_asof_tie").asc()]
     if direction == "forward":
         # forward = backward over reversed time: latest-preceding
         # becomes earliest-following under descending order
-        order = [F.col("_t").desc(), F.col("_side").asc(), F.col("_asof_payload").asc()]
+        order = [F.col("_t").desc(), F.col("_side").asc(), F.col("_asof_tie").asc()]
     w = (
         W.partitionBy(*keys)
         .orderBy(*order)

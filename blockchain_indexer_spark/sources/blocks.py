@@ -58,18 +58,33 @@ def detect_reorg(stored: DataFrame, chain: DataFrame, depth: int = REORG_DEPTH) 
     chain's view; emit the OLDEST diverging number (0 or 1 row).
 
     `chain` is the RPC's (number, hash) — a tiny side input, broadcast.
+
+    CONTRACT: `chain` must be AUTHORITATIVE for the full recent window
+    — a stored number entirely ABSENT from it is treated as orphaned
+    on a shorter fork and triggers retraction from that number. A
+    merely-incomplete snapshot (transient RPC failure on one number)
+    must therefore not reach this function row-lessly: callers retry
+    absent numbers first (the reference retries on null via its catch,
+    ReorgSource.cs:85-91). A chain row PRESENT with a NULL hash is
+    handled here: it means "RPC answered but had no hash yet" and the
+    number is skipped this round — retried next poll — rather than
+    flagged as diverging.
     """
     max_nr = stored.agg(F.max("number").alias("m"))
     recent = stored.join(F.broadcast(max_nr), stored["number"] > F.col("m") - depth).select(
         "number", F.col("hash").alias("stored_hash")
     )
     ch = chain.select("number", F.col("hash").alias("chain_hash"))
+    unknown = ch.filter(F.col("chain_hash").isNull()).select("number")
     return (
         # LEFT join: a stored block the chain no longer has at all
         # (reorg onto a SHORTER fork) must count as diverging — an
         # inner join would silently drop it and the orphaned blocks
-        # would stay in the final tables as a dead fork
-        recent.join(F.broadcast(ch), "number", "left")
+        # would stay in the final tables as a dead fork. NULL-hash
+        # chain rows are excluded FIRST (anti-join) so a transient
+        # null answer never masquerades as a missing block.
+        recent.join(F.broadcast(unknown), "number", "left_anti")
+        .join(F.broadcast(ch.filter(F.col("chain_hash").isNotNull())), "number", "left")
         .filter(
             F.col("chain_hash").isNull()
             | (F.col("stored_hash") != F.col("chain_hash"))

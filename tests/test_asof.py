@@ -115,3 +115,19 @@ def test_right_tie_break_is_deterministic(spark):
         for _ in range(3)
     }
     assert picks == {9.0}  # max payload struct sorts last under ASC
+
+
+def test_map_payload_joins(spark):
+    """A MapType payload column is unorderable and must be excluded
+    from the tie-break sort key, not fail analysis (ADVICE r2)."""
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame([(1, 100), (2, 100)], "id long, ts long")
+    right = (
+        spark.createDataFrame([(1, 50, "a"), (1, 70, "b")], "id long, ts long, tag string")
+        .withColumn("attrs", F.create_map(F.lit("k"), F.col("tag")))
+    )
+    got = {r["id"]: r for r in asof_join(left, right, on="id", left_ts="ts").collect()}
+    assert got[1]["tag_asof"] == "b"
+    assert got[1]["attrs_asof"] == {"k": "b"}
+    assert got[2]["attrs_asof"] is None

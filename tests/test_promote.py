@@ -127,3 +127,27 @@ def test_reorg_detection(spark):
     assert len(rows) == 1 and rows[0]["reorg_at"] == 115
     # no divergence → no rows
     assert detect_reorg(stored, stored.withColumnRenamed("hash", "h").withColumnRenamed("h", "hash")).count() == 0
+
+
+def test_detect_reorg_null_hash_is_skipped_not_diverging(spark):
+    """A chain row present with NULL hash (transient RPC answer) must
+    not trigger retraction; absence still does (shorter fork)."""
+    from pyspark.sql import functions as F
+
+    stored = spark.createDataFrame(
+        [(n, f"h{n}") for n in range(1, 6)], "number long, hash string"
+    )
+    # number 4 answered with NULL hash → skip; everything else matches
+    chain = spark.createDataFrame(
+        [(1, "h1"), (2, "h2"), (3, "h3"), (5, "h5")], "number long, hash string"
+    ).unionByName(
+        spark.createDataFrame([(4,)], "number long").withColumn(
+            "hash", F.lit(None).cast("string")
+        )
+    )
+    assert detect_reorg(stored, chain, depth=10).count() == 0
+    # number 4 absent entirely → orphaned on a shorter fork → retract at 4
+    chain_short = spark.createDataFrame(
+        [(1, "h1"), (2, "h2"), (3, "h3"), (5, "h5")], "number long, hash string"
+    )
+    assert detect_reorg(stored, chain_short, depth=10).collect()[0]["reorg_at"] == 4
