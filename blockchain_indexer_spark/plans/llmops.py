@@ -696,16 +696,21 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_topk_qcosine",
     oracle="""
-    WITH q AS (
+    WITH q0 AS (
       SELECT vec_id AS query_id,
              list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
       FROM embeddings WHERE vec_id % 50 = 0
     ),
-    c AS (
+    -- zero-norm vectors have no cosine (0/0); mirror the operator's
+    -- norm_sq > 0 filter on BOTH sides so a future corpus containing a
+    -- zero (or all-zero-quantized) embedding cannot diverge the gate
+    q AS (SELECT * FROM q0 WHERE list_sum(list_transform(qv, x -> x * x)) > 0),
+    c0 AS (
       SELECT vec_id AS neighbor_id,
              list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS cv
       FROM embeddings
     ),
+    c AS (SELECT * FROM c0 WHERE list_sum(list_transform(cv, x -> x * x)) > 0),
     scored AS (
       SELECT q.query_id, c.neighbor_id,
              CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] * cv[i] AS DOUBLE)))

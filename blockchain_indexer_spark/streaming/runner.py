@@ -79,6 +79,17 @@ BLOCK_GROUP_SIZE = 100_000
 # (Indexer.cs:37-38, Api/TransactionHashBroadcastService.cs:41-57)
 REORG_MAGIC_HASH = "0xdeadbeef" + "0" * 56
 
+# Array-typed columns in the final tables, JSON-encoded on generic
+# JDBC targets (the reference's Postgres stores them as text[],
+# 0.0.64.sql:358-377; embedded Derby — the in-sandbox test target —
+# has no array type at all). Encoded with to_json on write, decoded
+# with from_json on read, so every consumer above read_final sees the
+# parquet-identical schema.
+JDBC_ARRAY_COLS: dict[str, dict[str, str]] = {
+    "transaction": {"classification": "array<string>"},
+    "crc_signup": {"owners": "array<string>"},
+}
+
 
 class IngestPipeline:
     """Batch-or-streaming ingest into partitioned parquet final tables.
@@ -108,9 +119,14 @@ class IngestPipeline:
         promote semantics are sink-agnostic: exactly-once still comes
         from the anti-join against the read-back table, so the target
         needs no unique indexes (the reference dropped them too,
-        README.md:85-87). Parquet remains the tested default; the JDBC
-        branch is exercised against a recording stub in tests (no
-        database ships in this environment).
+        README.md:85-87). Parquet remains the default; the JDBC branch
+        is end-to-end tested against embedded Derby (tests/test_jdbc.py
+        — append, exactly-once replay, retract+replay, cache refresh).
+        Target caveats vs the reference's Postgres: array columns are
+        JSON text (JDBC_ARRAY_COLS) instead of text[], and Derby's
+        dialect caps DECIMAL at precision 31 (uint256 wei values above
+        1e31-1 overflow the TEST target only; value_string always
+        preserves the exact value, and Postgres numeric is unbounded).
         """
         self.spark = spark
         self.out_dir = out_dir
@@ -125,9 +141,11 @@ class IngestPipeline:
         self.jdbc_url = jdbc_url
         self.jdbc_properties = jdbc_properties or {}
         # T8: refresh the balance/trust materializations per batch —
-        # parquet sink only (the JDBC twin would run the same set
-        # algebra server-side, as the reference's SQL procedure does)
-        self.maintain_caches = maintain_caches and jdbc_url is None
+        # the same Spark-side set algebra on either sink; JDBC targets
+        # get the refreshed frames as table overwrites (the reference
+        # instead runs the algebra server-side in its SQL procedure,
+        # 0.0.64.sql:2272-2376 — same result, different engine)
+        self.maintain_caches = maintain_caches
 
     def signal_reorg(self) -> None:
         """Announce a reorg to push consumers (K5's deadbeef path)."""
@@ -142,13 +160,26 @@ class IngestPipeline:
         block_group pruning keeps the rewrite to the affected ranges);
         derived cache tables are dropped and rebuild in full on the
         next batch. JDBC targets run the reference's SQL delete
-        server-side instead.
+        server-side: one transaction issuing DELETE .. WHERE
+        block_number >= ? over block + the 8 event tables and dropping
+        the two cache tables (Indexer.cs:273-325 runs the same ordered
+        deletes inside a single Serializable transaction via
+        ImportProcedure.cs:17-27) — atomic on the server, so a crash
+        mid-retract rolls back instead of leaving a half-retracted
+        database.
         """
         if self.jdbc_url is not None:
-            raise NotImplementedError(
-                "JDBC retraction is a server-side DELETE (Indexer.cs:273-325); "
-                "run it on the target database"
-            )
+            # under the import lock like the parquet path: the DELETE
+            # itself is atomic server-side, but a concurrent promote
+            # could append rows >= reorg_block between our DELETE and
+            # its commit — the lock serializes whole batches against
+            # the retraction (one shared filesystem still backs the
+            # lock; a fully multi-host JDBC deployment runs promote
+            # and retract under SERIALIZABLE instead, see SCALE.md)
+            with self._import_lock():
+                self._retract_jdbc(reorg_block)
+            self.signal_reorg()
+            return
         import shutil  # noqa: PLC0415
 
         from blockchain_indexer_spark.operators.promote import retract_from  # noqa: PLC0415
@@ -217,22 +248,108 @@ class IngestPipeline:
     def _table_path(self, name: str) -> str:
         return os.path.join(self.out_dir, name)
 
+    # ---- JDBC sink plumbing -------------------------------------------
+    # The table identifier is always double-quoted: `transaction` is an
+    # SQL reserved word on most targets (Derby rejects it outright),
+    # and quoting pins the exact lowercase names the parquet sink uses.
+    # Spark itself quotes COLUMN identifiers through the dialect, so
+    # raw statements below must quote columns too ("number").
+
+    @staticmethod
+    def _jdbc_quote(name: str) -> str:
+        return '"' + name.replace('"', '""') + '"'
+
+    def _jdbc_connection(self):
+        """Raw java.sql connection to the sink via py4j — for the DML
+        Spark's DataFrame JDBC writer cannot express (DELETE, DROP,
+        metadata probes). Driver resolution rides the JVM's service
+        loader, same classpath as the DataFrame reader."""
+        jvm = self.spark._sc._jvm
+        props = jvm.java.util.Properties()
+        for k, v in self.jdbc_properties.items():
+            props.setProperty(k, v)
+        return jvm.java.sql.DriverManager.getConnection(self.jdbc_url, props)
+
+    @staticmethod
+    def _jdbc_table_exists(conn, name: str) -> bool:
+        rs = conn.getMetaData().getTables(None, None, name, None)
+        try:
+            return bool(rs.next())
+        finally:
+            rs.close()
+
+    def _jdbc_encode(self, name: str, df: DataFrame) -> DataFrame:
+        """Array columns → JSON text for targets without array types
+        (see JDBC_ARRAY_COLS). Lossless: from_json inverts to_json for
+        array<string> exactly (NULL stays NULL, [] stays [])."""
+        for col in JDBC_ARRAY_COLS.get(name, {}):
+            df = df.withColumn(col, F.to_json(F.col(col)))
+        return df
+
+    def _jdbc_decode(self, name: str, df: DataFrame) -> DataFrame:
+        for col, typ in JDBC_ARRAY_COLS.get(name, {}).items():
+            if col in df.columns:
+                df = df.withColumn(col, F.from_json(F.col(col), typ))
+        return df
+
+    def _retract_jdbc(self, reorg_block: int) -> None:
+        """T5 on a JDBC sink: the reference's server-side retraction
+        (Indexer.cs:273-325) — every final row at or above the
+        diverging block deleted and both cache tables dropped (they
+        rebuild in full on the next batch, same as the parquet path),
+        all inside ONE transaction so readers never observe a
+        half-retracted database and a mid-flight crash rolls back."""
+        conn = self._jdbc_connection()
+        try:
+            conn.setAutoCommit(False)
+            st = conn.createStatement()
+            try:
+                for name in ("block", *EVENT_TABLES):
+                    if not self._jdbc_table_exists(conn, name):
+                        continue  # pre-first-batch target
+                    block_col = "number" if name == "block" else "block_number"
+                    st.executeUpdate(
+                        f"DELETE FROM {self._jdbc_quote(name)} "
+                        f"WHERE {self._jdbc_quote(block_col)} >= {int(reorg_block)}"
+                    )
+                for cache in (CACHE_BALANCES, CACHE_TRUST):
+                    if self._jdbc_table_exists(conn, cache):
+                        st.execute(f"DROP TABLE {self._jdbc_quote(cache)}")
+                conn.commit()
+            except Exception:
+                conn.rollback()
+                raise
+            finally:
+                st.close()
+        finally:
+            conn.close()
+
     def read_final(self, name: str) -> DataFrame | None:
-        """None means 'table not created yet' (first batch). Only
-        analysis errors (missing path/table) are treated that way —
-        a transient connection/auth failure in JDBC mode must PROPAGATE,
-        because swallowing it would make the exactly-once anti-join run
-        against existing=None and re-import every staged row as a
-        duplicate. Like the reference (which runs schema migrations up
-        front), a JDBC target whose driver reports a missing table as a
-        SQL error should have its schema created before ingest.
+        """None means 'table not created yet' (first batch). Only a
+        POSITIVE missing-table signal is treated that way — the parquet
+        isdir probe, or a successful JDBC metadata query reporting no
+        such table. A transient connection/auth failure in JDBC mode
+        PROPAGATES (from getConnection/read), because swallowing it
+        would make the exactly-once anti-join run against existing=None
+        and re-import every staged row as a duplicate.
         """
         from pyspark.errors.exceptions.captured import AnalysisException
 
         try:
             if self.jdbc_url is not None:
-                return self.spark.read.jdbc(
-                    self.jdbc_url, name, properties=self.jdbc_properties
+                conn = self._jdbc_connection()
+                try:
+                    if not self._jdbc_table_exists(conn, name):
+                        return None
+                finally:
+                    conn.close()
+                return self._jdbc_decode(
+                    name,
+                    self.spark.read.jdbc(
+                        self.jdbc_url,
+                        self._jdbc_quote(name),
+                        properties=self.jdbc_properties,
+                    ),
                 )
             # probe locally first: letting spark.read throw on a
             # missing dir works, but the JVM logs a full stack trace
@@ -246,8 +363,8 @@ class IngestPipeline:
 
     def _append(self, name: str, df: DataFrame, block_col: str) -> None:
         if self.jdbc_url is not None:
-            df.write.mode("append").jdbc(
-                self.jdbc_url, name, properties=self.jdbc_properties
+            self._jdbc_encode(name, df).write.mode("append").jdbc(
+                self.jdbc_url, self._jdbc_quote(name), properties=self.jdbc_properties
             )
             return
         (
@@ -390,10 +507,18 @@ class IngestPipeline:
                     time.sleep(0.05)
             # ownership token: if this holder is ever (wrongly) robbed,
             # its release must not delete the THIEF's lock and cascade a
-            # third concurrent holder — release checks the token first
+            # third concurrent holder — release checks the token first.
+            # token_written records whether the token actually landed:
+            # when the write itself failed, an absent token at release is
+            # EXPECTED and must not leak the lock (a leak stalls every
+            # later batch for the full steal timeout) — the in-memory
+            # acquired flag is then the ownership proof. Only a token
+            # that exists and reads as someone ELSE's blocks release.
+            token_written = False
             try:
                 with open(token_path, "w") as f:
                     f.write(token)
+                token_written = True
             except OSError:
                 pass
             stop = threading.Event()
@@ -421,7 +546,13 @@ class IngestPipeline:
                     with open(token_path) as f:
                         owned = f.read() == token
                 except OSError:
-                    owned = False
+                    # token unreadable: if OUR write never landed, the
+                    # absence proves nothing about a thief — the mkdir
+                    # succeeded, so we own the lock and must free it;
+                    # if our write DID land, a now-missing/unreadable
+                    # token means the dir was robbed and re-created —
+                    # leave the thief's lock alone
+                    owned = not token_written
                 if owned:
                     shutil.rmtree(path, ignore_errors=True)
 
@@ -531,6 +662,8 @@ class IngestPipeline:
         """Current materialization of CACHE_BALANCES / CACHE_TRUST."""
         from pyspark.errors.exceptions.captured import AnalysisException
 
+        if self.jdbc_url is not None:
+            return self.read_final(name)  # same probe+decode semantics
         if not os.path.isdir(self._table_path(name)):
             return None  # avoid the JVM's logged stack trace per probe
         try:
@@ -575,10 +708,16 @@ class IngestPipeline:
 
         def _publish(name: str, df: DataFrame) -> None:
             # snapshot before overwrite: the refreshed plan READS the
-            # cache dir it is about to replace (read-modify-write)
-            df.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-                self._table_path(name)
-            )
+            # cache dir/table it is about to replace (read-modify-write)
+            snap = df.localCheckpoint(eager=True)
+            if self.jdbc_url is not None:
+                snap.write.mode("overwrite").jdbc(
+                    self.jdbc_url,
+                    self._jdbc_quote(name),
+                    properties=self.jdbc_properties,
+                )
+                return
+            snap.write.mode("overwrite").parquet(self._table_path(name))
 
         def _refresh_balances() -> None:
             stale_b = stale_balance_addresses(

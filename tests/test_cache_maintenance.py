@@ -76,11 +76,14 @@ def test_cache_equals_scratch_recompute_after_each_batch(spark, tmp_path):
     assert before == _sorted(bal_fresh, _BAL_COLS)
 
 
-def test_caches_optional_and_off_for_jdbc(spark, tmp_path):
+def test_caches_optional_and_on_for_jdbc(spark, tmp_path):
+    """maintain_caches is sink-agnostic: the JDBC sink refreshes the
+    same materializations via table overwrites (it used to silently
+    turn itself off — a feature loss the sink switch must not imply)."""
     pipe = IngestPipeline(spark, str(tmp_path / "f"), maintain_caches=False)
     assert pipe.maintain_caches is False
     pipe_jdbc = IngestPipeline(spark, str(tmp_path / "g"), jdbc_url="jdbc:stub://x")
-    assert pipe_jdbc.maintain_caches is False
+    assert pipe_jdbc.maintain_caches is True
 
 
 def test_stale_rule_covers_non_signed_up_endpoints(spark):

@@ -87,6 +87,50 @@ def test_heartbeat_protects_long_legitimate_import(spark, tmp_path_factory, monk
     assert entered_second.is_set()
 
 
+def test_token_write_failure_does_not_leak_lock(spark, tmp_path_factory, monkeypatch):
+    """If the ownership-token write fails at acquire, release must still
+    free the lock (the mkdir proved ownership): a leaked lock would stall
+    every later batch for the full steal timeout."""
+    import builtins
+
+    root = str(tmp_path_factory.mktemp("tokfail"))
+    pipe = IngestPipeline(spark, os.path.join(root, "final"))
+    real_open = builtins.open
+
+    def flaky_open(path, mode="r", *a, **kw):
+        if "w" in mode and str(path).endswith(os.path.join(".import.lock", "owner")):
+            raise OSError("disk full")
+        return real_open(path, mode, *a, **kw)
+
+    monkeypatch.setattr(builtins, "open", flaky_open)
+    lock_path = os.path.join(pipe.out_dir, ".import.lock")
+    with pipe._import_lock():
+        assert os.path.isdir(lock_path)
+        assert not os.path.exists(os.path.join(lock_path, "owner"))
+    assert not os.path.exists(lock_path), "token-IO failure leaked the lock"
+
+
+def test_robbed_holder_leaves_thief_lock_alone(spark, tmp_path_factory):
+    """A holder whose lock was (wrongly) stolen and re-acquired must not
+    delete the thief's lock at release — its own token no longer reads
+    back, which is the robbery signal."""
+    import shutil
+
+    root = str(tmp_path_factory.mktemp("robbed"))
+    pipe = IngestPipeline(spark, os.path.join(root, "final"))
+    lock_path = os.path.join(pipe.out_dir, ".import.lock")
+    with pipe._import_lock():
+        # simulate a steal: our dir vanishes, a thief re-creates it
+        shutil.rmtree(lock_path)
+        os.mkdir(lock_path)
+        with open(os.path.join(lock_path, "owner"), "w") as f:
+            f.write("thief")
+    assert os.path.isdir(lock_path), "release deleted the thief's lock"
+    with open(os.path.join(lock_path, "owner")) as f:
+        assert f.read() == "thief"
+    shutil.rmtree(lock_path)
+
+
 def test_compact_recovers_orphaned_partition(spark, tmp_path_factory, feed_df):  # noqa: F811
     """Crash between compact's two swap renames leaves the partition
     only under .compact-old-<part>; the next compact run must restore

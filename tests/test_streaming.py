@@ -143,27 +143,47 @@ def test_micro_batch_promote_latency(spark, tmp_path_factory, feed_df):
 
 def test_jdbc_sink_dispatch(spark, tmp_path_factory, feed_df, monkeypatch):
     """The JDBC branch routes every append through DataFrameWriter.jdbc
-    and reads finals back via DataFrameReader.jdbc — verified with a
-    recording stub that spools to parquet (no DB in this container)."""
+    (quoted identifiers — `transaction` is an SQL reserved word) and
+    reads finals back via DataFrameReader.jdbc — verified with a
+    recording stub that spools to parquet (the real-database twin is
+    tests/test_jdbc.py against embedded Derby)."""
     import pyspark.sql.readwriter as rw
 
     root = str(tmp_path_factory.mktemp("jdbc"))
     spool = os.path.join(root, "spool")
     written, read = [], []
 
+    def unq(table):
+        assert table.startswith('"') and table.endswith('"'), table
+        return table.strip('"')
+
     def fake_write_jdbc(self, url, table, mode=None, properties=None):
-        written.append((url, table))
-        self.parquet(os.path.join(spool, table), mode="append")
+        written.append((url, unq(table)))
+        self.parquet(os.path.join(spool, unq(table)), mode="append")
 
     def fake_read_jdbc(self, url, table, **kw):
-        read.append((url, table))
-        return spark.read.parquet(os.path.join(spool, table))
+        read.append((url, unq(table)))
+        return spark.read.parquet(os.path.join(spool, unq(table)))
 
     monkeypatch.setattr(rw.DataFrameWriter, "jdbc", fake_write_jdbc)
     monkeypatch.setattr(rw.DataFrameReader, "jdbc", fake_read_jdbc)
+    # the missing-table probe would dial the (nonexistent) server —
+    # answer it from the spool instead
+    monkeypatch.setattr(
+        IngestPipeline,
+        "_jdbc_connection",
+        lambda self: type("C", (), {"close": lambda s: None})(),
+    )
+    monkeypatch.setattr(
+        IngestPipeline,
+        "_jdbc_table_exists",
+        staticmethod(lambda conn, name: os.path.isdir(os.path.join(spool, name))),
+    )
 
     url = "jdbc:postgresql://db/indexer"
-    pipe = IngestPipeline(spark, root, jdbc_url=url, jdbc_properties={"user": "u"})
+    pipe = IngestPipeline(
+        spark, root, jdbc_url=url, jdbc_properties={"user": "u"}, maintain_caches=False
+    )
     pipe.process_batch(feed_df)
     tables = {t for _, t in written}
     assert tables == {"block", "transaction", *(set(EVENT_TABLES) - {"transaction"})}
