@@ -49,7 +49,13 @@ BENCH_QUERIES = (
     "embedding_topk_mips",
     "embedding_lsh_topk",
     "embedding_pq_topk",
+    "embedding_ivfpq_topk",
     "embedding_semantic_dedup",
+    # heavy iterative / incremental / streaming-twin operators: in the
+    # bench so regressions are visible (VERDICT r2 item 7)
+    "doc_dedup_clusters",
+    "minhash_incremental_md5",
+    "stream_reassembly_join",
     # chain domain: the first query pays the one-time derive+classify+
     # extract materialization (the production ingest path), the rest
     # run the analytics views over the promoted tables

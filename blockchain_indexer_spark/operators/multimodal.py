@@ -242,6 +242,138 @@ def decode_image_real(with_blobs: DataFrame, id_col: str = "doc_id") -> DataFram
     return src.mapInPandas(batches, _REAL_DECODE_SCHEMA)
 
 
+def attach_wav_blob(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL audio payload per document: a 16-bit PCM mono
+    RIFF/WAVE file at 8 kHz whose samples derive deterministically from
+    the id —
+
+        n_samples = 16 + id % 37
+        sample[i] = (id*31 + i*17) % 65536 - 32768
+
+    so a DuckDB oracle recomputes every decoded stat from arithmetic
+    alone, while the decoder must walk genuine RIFF chunks: a LIST
+    chunk is planted between fmt and data, so a parser that assumes
+    the data chunk at byte 44 (the classic WAV shortcut) reads noise.
+    """
+    import struct
+
+    import numpy as np
+
+    @F.pandas_udf("binary")
+    def _wav(ids: pd.Series) -> pd.Series:
+        def mk(doc_id: int) -> bytes:
+            n = 16 + doc_id % 37
+            pcm = (
+                ((doc_id * 31 + np.arange(n, dtype=np.int64) * 17) % 65536 - 32768)
+                .astype("<i2")
+                .tobytes()
+            )
+            fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+            junk = b"LIST" + struct.pack("<I", 4) + b"INFO"  # chunk walk test
+            data = b"data" + struct.pack("<I", len(pcm)) + pcm
+            body = b"WAVE" + fmt + junk + data
+            return b"RIFF" + struct.pack("<I", len(body)) + body
+
+        return ids.map(lambda i: mk(int(i)))
+
+    return documents.select(id_col).withColumn("blob", _wav(id_col)).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("audio/wav").alias("mime"),
+            F.length(F.col("blob")).alias("nbytes"),
+            F.lit("pcm16-v1").alias("codec"),
+        ),
+    )
+
+
+def decode_wav(buf: bytes):
+    """Pure-numpy RIFF/WAVE PCM decode → (sample_rate, channels,
+    samples[n, channels] int16). Walks the chunk list (word-aligned,
+    unknown chunks skipped) instead of assuming data at offset 44.
+    Raises on non-RIFF magic / non-PCM / non-16-bit payloads — the
+    honest seam where ffmpeg/librosa plug in for other codecs.
+    """
+    import struct
+
+    import numpy as np
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        size = struct.unpack_from("<I", buf, pos + 4)[0]
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(f"only 16-bit PCM (format={audio_format}, bits={bits})")
+    samples = np.frombuffer(data, dtype="<i2")
+    return rate, channels, samples.reshape(-1, channels)
+
+
+_REAL_AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_s", DoubleType()),
+        StructField("mean_amp", DoubleType()),
+        StructField("max_abs", LongType()),
+    ]
+)
+
+
+def decode_audio_real(with_blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL audio decode: binary → sample geometry + amplitude stats
+    via the pure-numpy RIFF/PCM parser (decode_wav) — the audio twin
+    of decode_image_real, same Arrow-batched mapInPandas shape.
+    mean_amp is an exact-integer sum divided once (IEEE-identical
+    across engines for these magnitudes), so the gate compares doubles
+    safely.
+    """
+    src = with_blobs.filter(F.col("blob").isNotNull()).select(id_col, "blob")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("doc_id", "sample_rate", "channels", "n_samples", "mean_amp", "max_abs")}
+            for did, b in zip(pdf[id_col], pdf["blob"]):
+                rate, channels, samples = decode_wav(bytes(b))
+                flat = samples.astype("int64").ravel()
+                rows["doc_id"].append(did)
+                rows["sample_rate"].append(rate)
+                rows["channels"].append(channels)
+                rows["n_samples"].append(samples.shape[0])
+                rows["mean_amp"].append(float(flat.sum()) / len(flat) if len(flat) else 0.0)
+                rows["max_abs"].append(int(abs(flat).max()) if len(flat) else 0)
+            n = len(rows["doc_id"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "sample_rate": pd.Series(rows["sample_rate"], dtype="int32"),
+                    "channels": pd.Series(rows["channels"], dtype="int32"),
+                    "n_samples": pd.Series(rows["n_samples"], dtype="int64"),
+                    "duration_s": pd.Series(
+                        [s / r for s, r in zip(rows["n_samples"], rows["sample_rate"])],
+                        dtype="float64",
+                    )
+                    if n
+                    else pd.Series([], dtype="float64"),
+                    "mean_amp": pd.Series(rows["mean_amp"], dtype="float64"),
+                    "max_abs": pd.Series(rows["max_abs"], dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(batches, _REAL_AUDIO_SCHEMA)
+
+
 _FEATURE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

@@ -49,6 +49,7 @@ PRIORITY = (
     "doc_length_quantiles_approx_bound",
     # -- tier A: new round-3 gates -------------------------------------
     "mm_real_decode",
+    "mm_real_audio",
     # -- tier B: driver row is round 1 only (pre-refactor code) --------
     "minhash_lsh_candidates_md5",
     "simhash_near_dups_md5",
@@ -89,10 +90,12 @@ PRIORITY = (
     "chain_classification_counts",
     "mm_decode_stats",
     "doc_fingerprint_dedup",
-    "stream_reassembly_join",
     # ------------------------------------------------------------------
     # Below the ~50-row driver window: all r2-verified (green in
     # CORRECTNESS_r02.json), ordered as in round 2.
+    # (stream_reassembly_join yielded its sentinel slot to the new
+    # mm_real_audio gate — it is r2-verified and untouched this round)
+    "stream_reassembly_join",
     "chain_current_trust",
     "chain_eth_transfer_stats",
     "chain_hub_transfers_per_day",

@@ -21,6 +21,8 @@ from pyspark.sql import functions as F
 from blockchain_indexer_spark.operators.multimodal import (
     attach_blob,
     attach_bmp_blob,
+    attach_wav_blob,
+    decode_audio_real,
     decode_image,
     decode_image_real,
     extract_features,
@@ -83,6 +85,40 @@ def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = attach_bmp_blob(load_table(spark, sf_dir, "documents"))
     return decode_image_real(blobs)
+
+
+@register(
+    "mm_real_audio",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             16 + doc_id % 37 AS n,
+             list_transform(range(0, 16 + doc_id % 37),
+                            i -> CAST((doc_id * 31 + i * 17) % 65536 - 32768 AS BIGINT)) AS samples
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS channels,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(n / 8000.0 AS DOUBLE) AS duration_s,
+           CAST(list_sum(samples) AS DOUBLE) / n AS mean_amp,
+           CAST(list_max(list_transform(samples, x -> abs(x))) AS BIGINT) AS max_abs
+    FROM s
+    """,
+    doc="REAL audio decode, the WAV twin of mm_real_decode: each "
+    "document gets a genuine RIFF/PCM payload (fmt chunk, planted "
+    "LIST chunk, word alignment) with samples closed-form in doc_id, "
+    "and decode_audio_real parses it with the pure-numpy chunk-walking "
+    "decoder. A parser that assumes data at byte 44 — the classic WAV "
+    "shortcut — reads the planted LIST chunk as audio and fails the "
+    "amplitude stats. Integer sample sums are exact in doubles, so "
+    "mean_amp compares bit-for-bit.",
+    survey_refs=("LLM-multimodal",),
+)
+def mm_real_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blobs = attach_wav_blob(load_table(spark, sf_dir, "documents"))
+    return decode_audio_real(blobs)
 
 
 @register(

@@ -6,30 +6,91 @@ each committed batch's transaction hashes — plus the deadbeef magic on
 reorgs (Api/TransactionHashBroadcastService.cs:41-57, Indexer.cs:37-38)
 — and a `publish_event` → pg_notify channel (0.0.64.sql:2384-2391, K6).
 
-No network/websocket library ships in this environment, so the push
-channel is a cursor-based long-poll over HTTP (stdlib http.server):
+Two push channels, both stdlib-only (no websocket library ships in
+this environment — RFC 6455 needs only sha1/base64/struct):
 
+- ``GET /events?cursor=N[&timeout=S]`` → cursor-based long-poll:
+  blocks until an announcement with seq >= N exists (or the timeout
+  lapses), then returns ``{"next_cursor": M, "events": [{"seq": k,
+  "hashes": [...]}]}``. Unlike the reference's fire-and-forget
+  socket, the cursor lets a consumer resume without losing
+  announcements (bounded by the ring capacity).
+- ``GET /ws`` with ``Upgrade: websocket`` → a REAL RFC 6455
+  websocket matching the reference's contract verbatim
+  (Api/TransactionHashBroadcastService.cs:41-57): each committed
+  batch's hashes pushed as one text frame of JSON, reorgs as the
+  deadbeef magic. Handshake, text/ping/pong/close frames and client
+  masking are implemented below; ``?cursor=N`` optionally replays
+  from the ring like the long-poll (default: only new announcements,
+  the reference's fire-and-forget behavior).
 - ``GET /health`` → 200/503 with the staleness verdict (a batch older
   than 30 s flags the instance unhealthy, like HealthService).
-- ``GET /events?cursor=N[&timeout=S]`` → blocks until an announcement
-  with seq >= N exists (or the timeout lapses), then returns
-  ``{"next_cursor": M, "events": [{"seq": k, "hashes": [...]}]}``.
 
-Unlike the reference's fire-and-forget socket, the cursor lets a
-consumer resume without losing announcements (bounded by the ring
-capacity). ``BroadcastLog.publish`` IS the pipeline's ``on_imported``
-hook — wiring is one constructor argument, and reorgs arrive as the
-REORG_MAGIC_HASH announcement exactly like the websocket contract.
+``BroadcastLog.publish`` IS the pipeline's ``on_imported`` hook —
+wiring is one constructor argument.
 """
 
 from __future__ import annotations
 
+import base64
 import datetime as dt
+import hashlib
 import json
+import select
+import struct
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
+
+_WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"  # RFC 6455 §1.3
+
+
+def ws_accept_key(client_key: str) -> str:
+    """Sec-WebSocket-Accept for a client's Sec-WebSocket-Key."""
+    digest = hashlib.sha1((client_key + _WS_GUID).encode()).digest()
+    return base64.b64encode(digest).decode()
+
+
+def ws_encode_frame(payload: bytes, opcode: int = 0x1) -> bytes:
+    """One unmasked server→client frame, FIN set (RFC 6455 §5.2)."""
+    header = bytes([0x80 | opcode])
+    n = len(payload)
+    if n < 126:
+        header += bytes([n])
+    elif n < 1 << 16:
+        header += bytes([126]) + struct.pack(">H", n)
+    else:
+        header += bytes([127]) + struct.pack(">Q", n)
+    return header + payload
+
+
+def ws_read_frame(rfile) -> tuple[int, bytes] | None:
+    """Read one client→server frame; returns (opcode, payload) or None
+    on EOF/protocol error. Client frames MUST be masked (§5.1)."""
+    head = rfile.read(2)
+    if len(head) < 2:
+        return None
+    opcode = head[0] & 0x0F
+    masked = bool(head[1] & 0x80)
+    n = head[1] & 0x7F
+    if n == 126:
+        ext = rfile.read(2)
+        if len(ext) < 2:
+            return None
+        n = struct.unpack(">H", ext)[0]
+    elif n == 127:
+        ext = rfile.read(8)
+        if len(ext) < 8:
+            return None
+        n = struct.unpack(">Q", ext)[0]
+    if not masked:
+        return None  # §5.1: server must fail unmasked client frames
+    mask = rfile.read(4)
+    payload = rfile.read(n)
+    if len(mask) < 4 or len(payload) < n:
+        return None
+    return opcode, bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
 
 
 class BroadcastLog:
@@ -62,6 +123,14 @@ class BroadcastLog:
                 self._base_seq += drop
             self.last_batch_at = dt.datetime.now(dt.timezone.utc)
             self._cond.notify_all()
+
+    @property
+    def end_cursor(self) -> int:
+        """Cursor one past the newest announcement — the 'only new
+        events from here' starting point a websocket subscriber gets by
+        default (the reference's fire-and-forget semantics)."""
+        with self._cond:
+            return self._base_seq + len(self._events)
 
     def read(self, cursor: int, timeout: float = 25.0) -> list[tuple[int, list[str]]]:
         """Announcements with seq >= cursor, long-polling up to
@@ -98,6 +167,11 @@ class ApiHost:
         api = self
 
         class Handler(BaseHTTPRequestHandler):
+            # RFC 6455 upgrades are an HTTP/1.1 feature; every plain
+            # response below carries Content-Length, so keep-alive is
+            # safe too
+            protocol_version = "HTTP/1.1"
+
             def log_message(self, *args):  # quiet
                 pass
 
@@ -156,8 +230,62 @@ class ApiHost:
                             "events": [{"seq": s, "hashes": h} for s, h in events],
                         },
                     )
+                elif url.path == "/ws":
+                    self._websocket(url)
                 else:
                     self._json(404, {"error": "unknown path"})
+
+            def _websocket(self, url) -> None:
+                """K5 as a real RFC 6455 push socket
+                (Api/TransactionHashBroadcastService.cs:41-57): one
+                text frame of {"seq": n, "hashes": [...]} per committed
+                batch; reorgs arrive as the deadbeef magic hash.
+                Client pings are answered with pongs; a client close
+                is echoed and ends the session."""
+                if self.headers.get("Upgrade", "").lower() != "websocket":
+                    self._json(400, {"error": "websocket upgrade required"})
+                    return
+                key = self.headers.get("Sec-WebSocket-Key")
+                if not key:
+                    self._json(400, {"error": "missing Sec-WebSocket-Key"})
+                    return
+                self.send_response(101, "Switching Protocols")
+                self.send_header("Upgrade", "websocket")
+                self.send_header("Connection", "Upgrade")
+                self.send_header("Sec-WebSocket-Accept", ws_accept_key(key))
+                self.end_headers()
+                self.close_connection = True
+
+                q = parse_qs(url.query)
+                try:
+                    cursor = int(q.get("cursor", [str(api.log.end_cursor)])[0])
+                except ValueError:
+                    cursor = api.log.end_cursor
+                try:
+                    while True:
+                        # drain control frames first: select() keeps the
+                        # push loop from blocking on a silent client,
+                        # while a blocking read inside the readable
+                        # branch keeps partial frames whole
+                        readable, _, _ = select.select([self.connection], [], [], 0)
+                        if readable:
+                            frame = ws_read_frame(self.rfile)
+                            if frame is None:
+                                return  # EOF or protocol error
+                            opcode, payload = frame
+                            if opcode == 0x8:  # close → echo and finish
+                                self.wfile.write(ws_encode_frame(payload, 0x8))
+                                return
+                            if opcode == 0x9:  # ping → pong, same payload
+                                self.wfile.write(ws_encode_frame(payload, 0xA))
+                            # pong (0xA) and client data frames: ignored —
+                            # the reference's socket is broadcast-only
+                        for seq, hashes in api.log.read(cursor, timeout=0.25):
+                            body = json.dumps({"seq": seq, "hashes": hashes}).encode()
+                            self.wfile.write(ws_encode_frame(body, 0x1))
+                            cursor = seq + 1
+                except (BrokenPipeError, ConnectionResetError, OSError):
+                    return  # client went away mid-push
 
         self._server = ThreadingHTTPServer((host, port), Handler)
         self._thread: threading.Thread | None = None

@@ -133,6 +133,122 @@ def test_events_rejects_nan_timeout():
         host.stop()
 
 
+class _WsClient:
+    """Minimal RFC 6455 client (stdlib): handshake, masked sends,
+    frame reads — enough to consume the K5 broadcast like the
+    reference's websocket subscribers."""
+
+    def __init__(self, addr, path="/ws"):
+        import base64
+        import os as _os
+        import socket
+
+        self.sock = socket.create_connection(addr, timeout=10)
+        key = base64.b64encode(_os.urandom(16)).decode()
+        req = (
+            f"GET {path} HTTP/1.1\r\n"
+            f"Host: {addr[0]}:{addr[1]}\r\n"
+            "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+            f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n\r\n"
+        )
+        self.sock.sendall(req.encode())
+        self.rfile = self.sock.makefile("rb")
+        status = self.rfile.readline().decode()
+        assert " 101 " in status, status
+        self.headers = {}
+        while True:
+            line = self.rfile.readline().decode().strip()
+            if not line:
+                break
+            k, _, v = line.partition(":")
+            self.headers[k.strip().lower()] = v.strip()
+        from blockchain_indexer_spark.streaming.api import ws_accept_key
+
+        assert self.headers["sec-websocket-accept"] == ws_accept_key(key)
+
+    def send(self, payload: bytes, opcode: int = 0x1) -> None:
+        import os as _os
+        import struct
+
+        mask = _os.urandom(4)
+        n = len(payload)
+        head = bytes([0x80 | opcode])
+        if n < 126:
+            head += bytes([0x80 | n])
+        else:
+            head += bytes([0x80 | 126]) + struct.pack(">H", n)
+        body = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+        self.sock.sendall(head + mask + body)
+
+    def recv(self):
+        import struct
+
+        head = self.rfile.read(2)
+        if len(head) < 2:
+            return None
+        opcode = head[0] & 0x0F
+        n = head[1] & 0x7F
+        if n == 126:
+            n = struct.unpack(">H", self.rfile.read(2))[0]
+        elif n == 127:
+            n = struct.unpack(">Q", self.rfile.read(8))[0]
+        assert not (head[1] & 0x80), "server frames must be unmasked"
+        return opcode, self.rfile.read(n)
+
+    def close(self):
+        self.sock.close()
+
+
+def test_websocket_push_hashes_and_reorg_magic(host):
+    """K5 over a real RFC 6455 socket: published batches arrive as
+    pushed JSON text frames without the client asking, and a reorg
+    arrives as the deadbeef magic — the reference's
+    TransactionHashBroadcastService contract."""
+    h, log = host
+    log.publish(["0xold"])  # before connect: not replayed by default
+    ws = _WsClient(h.address)
+    try:
+        log.publish(["0xaa", "0xbb"])
+        opcode, payload = ws.recv()
+        assert opcode == 0x1
+        msg = json.loads(payload)
+        assert msg["hashes"] == ["0xaa", "0xbb"]
+        log.publish([REORG_MAGIC_HASH])
+        _, payload2 = ws.recv()
+        assert json.loads(payload2)["hashes"] == [REORG_MAGIC_HASH]
+    finally:
+        ws.close()
+
+
+def test_websocket_cursor_replay_ping_and_close(host):
+    h, log = host
+    log.publish(["0x1"])
+    log.publish(["0x2"])
+    ws = _WsClient(h.address, path="/ws?cursor=0")
+    try:
+        # cursor=0 replays the ring (beyond the reference's
+        # fire-and-forget — same resume semantics as /events)
+        assert json.loads(ws.recv()[1])["hashes"] == ["0x1"]
+        assert json.loads(ws.recv()[1])["hashes"] == ["0x2"]
+        ws.send(b"are-you-there", opcode=0x9)  # ping
+        opcode, payload = ws.recv()
+        assert (opcode, payload) == (0xA, b"are-you-there")
+        ws.send(b"", opcode=0x8)  # close → echoed, then EOF
+        assert ws.recv()[0] == 0x8
+        assert ws.rfile.read(1) == b""
+    finally:
+        ws.close()
+
+
+def test_websocket_requires_upgrade_header(host):
+    h, _ = host
+    try:
+        _get(h, "/ws")
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
 def test_touch_keeps_health_fresh_without_events():
     """An imported empty-block batch heartbeats via touch(): health
     stays fresh, but no long-poll consumer is woken."""

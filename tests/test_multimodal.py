@@ -146,3 +146,64 @@ def test_real_decode_spark_path(spark):
         assert r["mean_b"] == float(i % 256)
         assert r["mean_g"] == float((7 * i + 1) % 256)
         assert r["mean_r"] == float((13 * i + 2) % 256)
+
+
+def _mk_wav(rate: int, samples: np.ndarray, junk_chunk: bool = False) -> bytes:
+    """Reference WAV writer for decoder tests: samples is [n, channels]
+    int16; optionally plants a LIST chunk before data (chunk-walk test)
+    and an odd-sized chunk (word-alignment test)."""
+    import struct
+
+    channels = samples.shape[1]
+    pcm = samples.astype("<i2").tobytes()
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, channels, rate, rate * 2 * channels, 2 * channels, 16
+    )
+    junk = b""
+    if junk_chunk:
+        # odd-sized chunk: a parser ignoring the pad byte desyncs here
+        junk = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    data = b"data" + struct.pack("<I", len(pcm)) + pcm
+    body = b"WAVE" + fmt + junk + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_decode_roundtrip_with_chunk_walk():
+    from blockchain_indexer_spark.operators.multimodal import decode_wav
+
+    rng = np.random.RandomState(11)
+    for n, channels in [(1, 1), (17, 1), (8, 2), (33, 2)]:
+        samples = rng.randint(-32768, 32768, size=(n, channels)).astype(np.int16)
+        for junk in (False, True):
+            rate, ch, got = decode_wav(_mk_wav(44100, samples, junk_chunk=junk))
+            assert (rate, ch) == (44100, channels)
+            assert np.array_equal(got, samples), (n, channels, junk)
+
+
+def test_wav_decode_rejects_other_formats():
+    from blockchain_indexer_spark.operators.multimodal import decode_wav
+
+    with pytest.raises(ValueError):
+        decode_wav(b"OggS" + b"\x00" * 64)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x10\x00\x00\x00AVI " + b"\x00" * 16)
+
+
+def test_real_audio_spark_path(spark):
+    """End-to-end: synthesized WAV blobs through decode_audio_real on
+    Spark match the closed-form sample contract (incl. the planted
+    LIST chunk a byte-44 parser would trip over)."""
+    from blockchain_indexer_spark.operators.multimodal import attach_wav_blob, decode_audio_real
+
+    ids = [0, 1, 36, 37, 255, 9999]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r["doc_id"]: r for r in decode_audio_real(attach_wav_blob(df)).collect()}
+    assert set(got) == set(ids)
+    for i in ids:
+        n = 16 + i % 37
+        samples = (i * 31 + np.arange(n, dtype=np.int64) * 17) % 65536 - 32768
+        r = got[i]
+        assert (r["sample_rate"], r["channels"], r["n_samples"]) == (8000, 1, n)
+        assert r["duration_s"] == n / 8000.0
+        assert r["mean_amp"] == float(samples.sum()) / n
+        assert r["max_abs"] == int(np.abs(samples).max())

@@ -53,13 +53,13 @@ def test_round3_window_covers_stale_evidence():
         "chain_classification_counts",
         "mm_decode_stats",
         "doc_fingerprint_dedup",
-        "stream_reassembly_join",
     }
+    round3_new_gates = {"mm_real_decode", "mm_real_audio"}
     stale_or_new = [
         n
         for n in REGISTRY
         if n in NEVER_DRIVER_VERIFIED
-        or n == "mm_real_decode"
+        or n in round3_new_gates
         or n not in _R2_VERIFIED
     ]
     assert all(n in head for n in stale_or_new), [n for n in stale_or_new if n not in head]
