@@ -14,13 +14,15 @@ Design for 100 TB:
   the blob back.
 - Codec libraries (PIL/libvips/ffmpeg/librosa) are NOT available in
   this environment; `decode_image`/`sample_frames` run a clearly
-  marked deterministic stub decoder over the raw bytes, while
-  `decode_image_real` runs an actual format parser: PIL when
-  installed, else the pure-numpy 24-bpp BMP decoder (`decode_bmp`) —
-  so one real decode path executes here end to end. Other formats
-  raise at the same seam. The Spark-side plumbing — blob layout,
-  metadata struct, UDF signature, batch shape, partitioning — is real
-  and tested either way.
+  marked deterministic stub decoder over the raw bytes, while each
+  modality ALSO has a real-parser path that executes here end to end:
+  `decode_image_real` (PIL when installed, else the pure-numpy 24-bpp
+  BMP decoder `decode_bmp`), `decode_audio_real` (chunk-walking
+  RIFF/PCM WAV, `decode_wav`), and `sample_frames_real` (uncompressed
+  24-bpp AVI container, `decode_avi`). Compressed formats raise at
+  the same seams. The Spark-side plumbing — blob layout, metadata
+  struct, UDF signature, batch shape, partitioning — is real and
+  tested either way.
 """
 
 from __future__ import annotations
@@ -454,6 +456,172 @@ _FRAME_SCHEMA = StructType(
         StructField("frame_nbytes", IntegerType()),
     ]
 )
+
+
+def attach_avi_blob(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL video payload per document: an uncompressed
+    24-bpp AVI (RIFF container: hdrl with avih/strh/strf headers, movi
+    list of 00db DIB frames) whose geometry, frame count and per-frame
+    fills derive deterministically from the id —
+
+        width = 4 + id % 7   height = 2 + id % 5   n_frames = 1 + id % 5
+        frame f: B = (id + 11*f) % 256
+                 G = (3*id + 7*f + 1) % 256
+                 R = (5*id + 13*f + 2) % 256
+
+    so a DuckDB oracle recomputes every sampled frame's stats from
+    arithmetic alone, while the decoder must walk nested RIFF LISTs,
+    read geometry from the strf BITMAPINFOHEADER, and handle DIB
+    stride padding (width % 4 varies).
+    """
+    import struct
+
+    @F.pandas_udf("binary")
+    def _avi(ids: pd.Series) -> pd.Series:
+        def mk(doc_id: int) -> bytes:
+            w, h, nf = 4 + doc_id % 7, 2 + doc_id % 5, 1 + doc_id % 5
+            pad = b"\x00" * ((-3 * w) % 4)
+            frames = b""
+            for f in range(nf):
+                row = bytes(
+                    (
+                        (doc_id + 11 * f) % 256,
+                        (3 * doc_id + 7 * f + 1) % 256,
+                        (5 * doc_id + 13 * f + 2) % 256,
+                    )
+                ) * w
+                dib = (row + pad) * h
+                frames += b"00db" + struct.pack("<I", len(dib)) + dib
+            avih = b"avih" + struct.pack("<I", 56) + struct.pack(
+                "<14I", 33333, 0, 0, 0, nf, 0, 1, 0, w, h, 0, 0, 0, 0
+            )
+            strh = b"strh" + struct.pack("<I", 56) + b"vids" + b"DIB " + b"\x00" * 48
+            bih = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, 0, 0, 0, 0, 0)
+            strf = b"strf" + struct.pack("<I", len(bih)) + bih
+            strl = b"LIST" + struct.pack("<I", 4 + len(strh + strf)) + b"strl" + strh + strf
+            hdrl = b"LIST" + struct.pack("<I", 4 + len(avih + strl)) + b"hdrl" + avih + strl
+            movi = b"LIST" + struct.pack("<I", 4 + len(frames)) + b"movi" + frames
+            body = b"AVI " + hdrl + movi
+            return b"RIFF" + struct.pack("<I", len(body)) + body
+
+        return ids.map(lambda i: mk(int(i)))
+
+    return documents.select(id_col).withColumn("blob", _avi(id_col)).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("video/x-msvideo").alias("mime"),
+            F.length(F.col("blob")).alias("nbytes"),
+            F.lit("avi-dib24-v1").alias("codec"),
+        ),
+    )
+
+
+def decode_avi(buf: bytes):
+    """Pure-numpy uncompressed-AVI decode → (width, height,
+    [frame[h, w, 3] BGR, ...]). Walks the RIFF tree: geometry from the
+    strf BITMAPINFOHEADER inside LIST hdrl/strl, frames from the 00db/
+    01db DIB chunks inside LIST movi (bottom-up rows, 4-byte stride,
+    same pixel layout as decode_bmp). Raises on non-AVI magic or
+    compressed/non-24-bpp streams — the seam where ffmpeg plugs in.
+    """
+    import struct
+
+    import numpy as np
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+
+    geometry: list[tuple[int, int]] = []
+    frames: list[bytes] = []
+
+    def walk(lo: int, hi: int) -> None:
+        pos = lo
+        while pos + 8 <= hi:
+            cid = buf[pos : pos + 4]
+            size = struct.unpack_from("<I", buf, pos + 4)[0]
+            body_lo, body_hi = pos + 8, pos + 8 + size
+            if cid == b"LIST":
+                walk(body_lo + 4, body_hi)  # skip the 4-byte list type
+            elif cid == b"strf" and size >= 40:
+                _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", buf, body_lo)
+                if bpp != 24 or comp != 0:
+                    raise NotImplementedError(
+                        f"only 24-bpp uncompressed DIB streams (bpp={bpp})"
+                    )
+                geometry.append((w, h))
+            elif cid[2:4] == b"db":  # 00db/01db: uncompressed DIB frame
+                frames.append(buf[body_lo:body_hi])
+            pos = body_hi + (size & 1)  # chunks are word-aligned
+
+    walk(12, len(buf))
+    if not geometry:
+        raise ValueError("missing strf video stream header")
+    w, h = geometry[0]
+    height, top_down = abs(h), h < 0
+    stride = (w * 3 + 3) // 4 * 4
+    out = []
+    for raw in frames:
+        px = (
+            np.frombuffer(raw, dtype=np.uint8, count=stride * height)
+            .reshape(height, stride)[:, : w * 3]
+            .reshape(height, w, 3)
+        )
+        out.append(px if top_down else px[::-1])
+    return w, height, out
+
+
+_REAL_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_b", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_r", DoubleType()),
+    ]
+)
+
+
+def sample_frames_real(
+    with_blobs: DataFrame, every: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL video frame sampling: AVI container parsed per Arrow batch
+    (decode_avi), every `every`-th frame emitted with its geometry and
+    per-channel pixel means — the same one-row→N-rows fan-out shape as
+    the stub sampler, but over genuine container bytes. Channel means
+    of a constant fill are IEEE-exact, so the gate compares doubles
+    safely (same argument as decode_image_real).
+    """
+    src = with_blobs.filter(F.col("blob").isNotNull()).select(id_col, "blob")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("doc_id", "frame_index", "width", "height", "mean_b", "mean_g", "mean_r")}
+            for did, b in zip(pdf[id_col], pdf["blob"]):
+                w, h, frames = decode_avi(bytes(b))
+                for fi in range(0, len(frames), every):
+                    means = frames[fi].reshape(-1, 3).mean(axis=0)
+                    rows["doc_id"].append(did)
+                    rows["frame_index"].append(fi)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["mean_b"].append(float(means[0]))
+                    rows["mean_g"].append(float(means[1]))
+                    rows["mean_r"].append(float(means[2]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "frame_index": pd.Series(rows["frame_index"], dtype="int32"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "mean_b": pd.Series(rows["mean_b"], dtype="float64"),
+                    "mean_g": pd.Series(rows["mean_g"], dtype="float64"),
+                    "mean_r": pd.Series(rows["mean_r"], dtype="float64"),
+                }
+            )
+
+    return src.mapInPandas(batches, _REAL_FRAME_SCHEMA)
 
 
 def sample_frames(

@@ -50,6 +50,7 @@ PRIORITY = (
     # -- tier A: new round-3 gates -------------------------------------
     "mm_real_decode",
     "mm_real_audio",
+    "mm_real_frames",
     # -- tier B: driver row is round 1 only (pre-refactor code) --------
     "minhash_lsh_candidates_md5",
     "simhash_near_dups_md5",
@@ -89,12 +90,14 @@ PRIORITY = (
     "chain_crc_balances",
     "chain_classification_counts",
     "mm_decode_stats",
-    "doc_fingerprint_dedup",
     # ------------------------------------------------------------------
     # Below the ~50-row driver window: all r2-verified (green in
     # CORRECTNESS_r02.json), ordered as in round 2.
-    # (stream_reassembly_join yielded its sentinel slot to the new
-    # mm_real_audio gate — it is r2-verified and untouched this round)
+    # (stream_reassembly_join and doc_fingerprint_dedup yielded their
+    # sentinel slots to the new mm_real_audio/mm_real_frames gates —
+    # both are r2-verified; ngram_jaccard_near_dups still sentinels the
+    # round-3 dedup rewrite)
+    "doc_fingerprint_dedup",
     "stream_reassembly_join",
     "chain_current_trust",
     "chain_eth_transfer_stats",

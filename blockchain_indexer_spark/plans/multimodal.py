@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from blockchain_indexer_spark.operators.multimodal import (
+    attach_avi_blob,
     attach_blob,
     attach_bmp_blob,
     attach_wav_blob,
@@ -28,6 +29,7 @@ from blockchain_indexer_spark.operators.multimodal import (
     extract_features,
     resize_thumbnail,
     sample_frames,
+    sample_frames_real,
 )
 from blockchain_indexer_spark.plans.registry import register
 from blockchain_indexer_spark.sources.parquet import load_table
@@ -119,6 +121,44 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_real_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = attach_wav_blob(load_table(spark, sf_dir, "documents"))
     return decode_audio_real(blobs)
+
+
+@register(
+    "mm_real_frames",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             4 + doc_id % 7 AS w,
+             2 + doc_id % 5 AS h,
+             1 + doc_id % 5 AS nf
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, w, h, UNNEST(range(0, nf, 2)) AS fi FROM d
+    )
+    SELECT doc_id,
+           CAST(fi AS INT) AS frame_index,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST((doc_id + 11 * fi) % 256 AS DOUBLE) AS mean_b,
+           CAST((3 * doc_id + 7 * fi + 1) % 256 AS DOUBLE) AS mean_g,
+           CAST((5 * doc_id + 13 * fi + 2) % 256 AS DOUBLE) AS mean_r
+    FROM f
+    """,
+    doc="REAL video frame sampling, the AVI twin of mm_real_decode: "
+    "each document gets a genuine uncompressed AVI (nested RIFF "
+    "LISTs: hdrl/avih/strh/strf headers, movi list of 00db DIB "
+    "frames) with geometry, frame count and per-frame fills "
+    "closed-form in doc_id; sample_frames_real walks the container "
+    "with the pure-numpy parser and emits every 2nd frame's channel "
+    "means. Verifies nested-LIST walking, BITMAPINFOHEADER geometry, "
+    "DIB stride padding and the 1→N fan-out multiplicity "
+    "value-for-value.",
+    survey_refs=("LLM-multimodal",),
+)
+def mm_real_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blobs = attach_avi_blob(load_table(spark, sf_dir, "documents"))
+    return sample_frames_real(blobs, every=2)
 
 
 @register(

@@ -4,7 +4,9 @@ The reference runs an ASP.NET host next to the indexer with
 `/health` (Api/HealthService.cs:52-60) and a websocket that broadcasts
 each committed batch's transaction hashes — plus the deadbeef magic on
 reorgs (Api/TransactionHashBroadcastService.cs:41-57, Indexer.cs:37-38)
-— and a `publish_event` → pg_notify channel (0.0.64.sql:2384-2391, K6).
+— and a `publish_event` → pg_notify channel (0.0.64.sql:2384-2391, K6
+— served by streaming/notify.PgNotifyBus for Postgres JDBC sinks; the
+channels here are the portable in-process/HTTP twins).
 
 Two push channels, both stdlib-only (no websocket library ships in
 this environment — RFC 6455 needs only sha1/base64/struct):

@@ -207,3 +207,72 @@ def test_real_audio_spark_path(spark):
         assert r["duration_s"] == n / 8000.0
         assert r["mean_amp"] == float(samples.sum()) / n
         assert r["max_abs"] == int(np.abs(samples).max())
+
+
+def _mk_avi(w: int, h: int, frames: list, top_down: bool = False) -> bytes:
+    """Reference AVI writer for decoder tests: frames are [h, w, 3] BGR
+    in visual order; bottom-up files store rows reversed."""
+    import struct
+
+    pad = b"\x00" * ((-3 * w) % 4)
+    movi_body = b""
+    for px in frames:
+        rows = px if top_down else px[::-1]
+        dib = b"".join(bytes(rows[y].reshape(-1)) + pad for y in range(h))
+        movi_body += b"00db" + struct.pack("<I", len(dib)) + dib
+    avih = b"avih" + struct.pack("<I", 56) + struct.pack(
+        "<14I", 33333, 0, 0, 0, len(frames), 0, 1, 0, w, h, 0, 0, 0, 0
+    )
+    bih = struct.pack("<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, 24, 0, 0, 0, 0, 0, 0)
+    strh = b"strh" + struct.pack("<I", 56) + b"vids" + b"DIB " + b"\x00" * 48
+    strf = b"strf" + struct.pack("<I", len(bih)) + bih
+    strl = b"LIST" + struct.pack("<I", 4 + len(strh + strf)) + b"strl" + strh + strf
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih + strl)) + b"hdrl" + avih + strl
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_body)) + b"movi" + movi_body
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_avi_decode_gradient_roundtrip():
+    """Gradient frames + pad-carrying widths catch stride, row-order
+    and nested-LIST-walking bugs the constant-fill gate can't."""
+    from blockchain_indexer_spark.operators.multimodal import decode_avi
+
+    rng = np.random.RandomState(23)
+    for w, h, nf in [(5, 3, 2), (4, 4, 1), (7, 2, 4), (1, 1, 3)]:
+        frames = [rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8) for _ in range(nf)]
+        for top_down in (False, True):
+            gw, gh, got = decode_avi(_mk_avi(w, h, frames, top_down=top_down))
+            assert (gw, gh) == (w, h)
+            assert len(got) == nf
+            for want, have in zip(frames, got):
+                assert np.array_equal(have, want), (w, h, nf, top_down)
+
+
+def test_avi_decode_rejects_other_containers():
+    from blockchain_indexer_spark.operators.multimodal import decode_avi
+
+    with pytest.raises(ValueError):
+        decode_avi(b"RIFF\x10\x00\x00\x00WAVE" + b"\x00" * 16)
+    with pytest.raises(ValueError):
+        decode_avi(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 16)
+
+
+def test_real_frames_spark_path(spark):
+    """End-to-end: synthesized AVI blobs through sample_frames_real on
+    Spark match the closed-form frame contract (every-2nd sampling)."""
+    from blockchain_indexer_spark.operators.multimodal import attach_avi_blob, sample_frames_real
+
+    ids = [0, 1, 4, 5, 255, 9999]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {}
+    for r in sample_frames_real(attach_avi_blob(df), every=2).collect():
+        got.setdefault(r["doc_id"], {})[r["frame_index"]] = r
+    for i in ids:
+        nf = 1 + i % 5
+        assert sorted(got[i]) == list(range(0, nf, 2))
+        for fi, r in got[i].items():
+            assert (r["width"], r["height"]) == (4 + i % 7, 2 + i % 5)
+            assert r["mean_b"] == float((i + 11 * fi) % 256)
+            assert r["mean_g"] == float((3 * i + 7 * fi + 1) % 256)
+            assert r["mean_r"] == float((5 * i + 13 * fi + 2) % 256)

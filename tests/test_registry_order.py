@@ -52,9 +52,8 @@ def test_round3_window_covers_stale_evidence():
         "chain_crc_balances",
         "chain_classification_counts",
         "mm_decode_stats",
-        "doc_fingerprint_dedup",
     }
-    round3_new_gates = {"mm_real_decode", "mm_real_audio"}
+    round3_new_gates = {"mm_real_decode", "mm_real_audio", "mm_real_frames"}
     stale_or_new = [
         n
         for n in REGISTRY
