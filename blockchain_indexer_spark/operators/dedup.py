@@ -642,6 +642,114 @@ def decontaminate(
     )
 
 
+class _AhoCorasick:
+    """Dict-transition Aho-Corasick automaton: one pass over the text
+    finds every occurrence of every needle — O(len(text) + matches),
+    independent of needle count. Pure Python (the in-container
+    baseline); the C `pyahocorasick` package drops in at this seam for
+    production throughput, same API shape."""
+
+    def __init__(self, needles: list[str]) -> None:
+        from collections import deque
+
+        self.goto: list[dict[str, int]] = [{}]
+        self.out: list[set[int]] = [set()]
+        self.fail = [0]
+        for ni, needle in enumerate(needles):
+            s = 0
+            for ch in needle:
+                nxt = self.goto[s].get(ch)
+                if nxt is None:
+                    self.goto.append({})
+                    self.out.append(set())
+                    self.fail.append(0)
+                    nxt = len(self.goto) - 1
+                    self.goto[s][ch] = nxt
+                s = nxt
+            self.out[s].add(ni)
+        q = deque()
+        for s in self.goto[0].values():
+            q.append(s)
+        while q:
+            s = q.popleft()
+            for ch, t in self.goto[s].items():
+                q.append(t)
+                f = self.fail[s]
+                while f and ch not in self.goto[f]:
+                    f = self.fail[f]
+                self.fail[t] = self.goto[f].get(ch, 0) if self.goto[f].get(ch, 0) != t else 0
+                self.out[t] |= self.out[self.fail[t]]
+
+    def matched_ids(self, text: str) -> set[int]:
+        """Distinct needle indices occurring in `text`."""
+        s, found = 0, set()
+        for ch in text:
+            while s and ch not in self.goto[s]:
+                s = self.fail[s]
+            s = self.goto[s].get(ch, 0)
+            if self.out[s]:
+                found |= self.out[s]
+        return found
+
+
+def decontaminate_exact(
+    corpus: DataFrame,
+    needles: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    needle_col: str = "needle",
+) -> DataFrame:
+    """Exact-substring decontamination: flag corpus documents that
+    contain ANY needle string verbatim — the canary/eval-answer leak
+    check that shingle-overlap decontamination (``decontaminate``)
+    deliberately is not (a paraphrased answer passes here but trips
+    the shingle pass; a verbatim canary inside an otherwise-unrelated
+    document trips here but may stay under the shingle threshold).
+
+    Scale shape: the needle set is an EVAL artifact — small by
+    construction (10^3..10^6 strings) — so it is collected once on the
+    driver, compiled into an Aho-Corasick automaton and broadcast;
+    the corpus then streams through ``mapInPandas`` in a single pass
+    with NO shuffle and cost O(text bytes + matches) per document,
+    independent of needle count (a per-needle ``contains`` scan would
+    be O(text × needles) and a join would shuffle the corpus).
+
+    Returns (id_col, n_matched_needles, is_contaminated) — one row per
+    corpus document, NULL-text documents matching nothing.
+    """
+    from pyspark.sql.types import BooleanType, LongType, StructField, StructType
+
+    needle_list = sorted(
+        {r[0] for r in needles.select(needle_col).filter(F.col(needle_col).isNotNull()).collect()}
+    )
+    ac = corpus.sparkSession.sparkContext.broadcast(_AhoCorasick(needle_list))
+    src = corpus.select(id_col, text_col)
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("n_matched_needles", LongType()),
+            StructField("is_contaminated", BooleanType()),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            auto = ac.value
+            n = [
+                len(auto.matched_ids(t)) if isinstance(t, str) else 0
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "n_matched_needles": pd.Series(n, dtype="int64"),
+                    "is_contaminated": pd.Series([x > 0 for x in n], dtype="bool"),
+                }
+            )
+
+    return src.mapInPandas(batches, schema)
+
+
 def simhash64(
     df: DataFrame, id_col: str, text_col: str, hash_fn: str = "xxhash64"
 ) -> DataFrame:

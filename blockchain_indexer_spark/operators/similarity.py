@@ -103,6 +103,66 @@ def brute_force_topk(
     )
 
 
+def knn_label_probe(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+    stride: int = 37,
+    scale: int = 1000,
+) -> DataFrame:
+    """Embedding-quality probe: predict each probe vector's label by
+    majority vote among its k nearest neighbors (leave-one-out kNN) —
+    the standard cheap health check for an embedding table (label
+    coherence ≈ retrieval quality), run before spending a training
+    job on it.
+
+    Probes are every ``stride``-th id (deterministic, corpus-size
+    proportional); distances are quantized cosine so rankings — and
+    therefore the vote — are engine-reproducible (see
+    brute_force_topk). Vote ties break to the smallest label.
+
+    Returns (query_id, true_label, predicted_label, n_votes, correct).
+
+    Scale shape: the probe set rides broadcast through the flat scan
+    (O(corpus × probes) map-side work, no corpus shuffle); the vote is
+    a k-row-per-probe aggregation. Swap brute_force_topk for ivf_topk
+    at IVF scale — the vote stage is unchanged.
+    """
+    topk = brute_force_topk(
+        emb, emb.filter(F.col(id_col) % stride == 0), id_col, vec_col,
+        k=k, metric="quantized_cosine", scale=scale,
+    )
+    neighbor_labels = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_nl")
+    )
+    votes = (
+        topk.join(neighbor_labels, "neighbor_id")
+        .groupBy("query_id", "_nl")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), F.asc("_nl"))
+    predicted = (
+        votes.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("query_id", F.col("_nl").alias("predicted_label"), "n_votes")
+    )
+    truth = emb.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("true_label")
+    )
+    return (
+        predicted.join(truth, "query_id")
+        .select(
+            "query_id",
+            "true_label",
+            "predicted_label",
+            "n_votes",
+            (F.col("predicted_label") == F.col("true_label")).alias("correct"),
+        )
+    )
+
+
 def _hyperplane(dim: int, plane: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane: a fixed integer
     hash of (plane, i) mapped to [-1, 1). No RNG state — reproducible

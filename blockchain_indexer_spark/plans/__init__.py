@@ -51,6 +51,8 @@ PRIORITY = (
     "mm_real_decode",
     "mm_real_audio",
     "mm_real_frames",
+    "doc_exact_decontamination",
+    "embedding_knn_label_probe",
     # -- tier B: driver row is round 1 only (pre-refactor code) --------
     "minhash_lsh_candidates_md5",
     "simhash_near_dups_md5",
@@ -88,15 +90,15 @@ PRIORITY = (
     #    round-3 edits: dedup/simhash rewrite, chain spine, multimodal) -
     "ngram_jaccard_near_dups",
     "chain_crc_balances",
-    "chain_classification_counts",
-    "mm_decode_stats",
     # ------------------------------------------------------------------
     # Below the ~50-row driver window: all r2-verified (green in
     # CORRECTNESS_r02.json), ordered as in round 2.
-    # (stream_reassembly_join and doc_fingerprint_dedup yielded their
-    # sentinel slots to the new mm_real_audio/mm_real_frames gates —
-    # both are r2-verified; ngram_jaccard_near_dups still sentinels the
-    # round-3 dedup rewrite)
+    # (four r2-verified sentinels yielded their slots to the five new
+    # round-3 gates; the two kept above — ngram_jaccard_near_dups and
+    # chain_crc_balances — sentinel the round-3 dedup rewrite and the
+    # chain ingest spine end to end)
+    "chain_classification_counts",
+    "mm_decode_stats",
     "doc_fingerprint_dedup",
     "stream_reassembly_join",
     "chain_current_trust",

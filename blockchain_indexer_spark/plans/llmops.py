@@ -930,6 +930,108 @@ def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_exact_decontamination",
+    oracle="""
+    WITH needles AS (
+      SELECT DISTINCT substr(text, 11, 40) AS needle
+      FROM documents
+      WHERE doc_id % 97 = 0 AND length(text) >= 60
+    ),
+    hits AS (
+      SELECT d.doc_id, COUNT(DISTINCT n.needle) AS n_matched
+      FROM documents d JOIN needles n ON position(n.needle IN d.text) > 0
+      GROUP BY d.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_matched, 0) AS BIGINT) AS n_matched_needles,
+           COALESCE(h.n_matched, 0) > 0 AS is_contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    """,
+    doc="EXACT-substring decontamination (canary / verbatim eval-answer "
+    "leak check) — the complement of the shingle-overlap pass: the "
+    "needle set (here 40-char excerpts of every 97th document) is "
+    "compiled into a broadcast Aho-Corasick automaton and the corpus "
+    "streams through one mapInPandas pass, O(text + matches) per "
+    "document independent of needle count, no shuffle. The oracle "
+    "cross-checks with a position() cross join (fine at sf0.01; the "
+    "operator exists precisely because that plan is O(corpus x "
+    "needles)).",
+    survey_refs=("LLM-decontam", "LLM-dedup"),
+)
+def doc_exact_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.dedup import decontaminate_exact
+
+    d = load_table(spark, sf_dir, "documents")
+    needles = (
+        d.filter((F.col("doc_id") % 97 == 0) & (F.length("text") >= 60))
+        .select(F.substring("text", 11, 40).alias("needle"))
+        .distinct()
+    )
+    return decontaminate_exact(d, needles)
+
+
+@register(
+    "embedding_knn_label_probe",
+    oracle="""
+    WITH q0 AS (
+      SELECT vec_id AS query_id, label AS true_label,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM embeddings WHERE vec_id % 37 = 0
+    ),
+    q AS (SELECT * FROM q0 WHERE list_sum(list_transform(qv, x -> x * x)) > 0),
+    c0 AS (
+      SELECT vec_id AS neighbor_id, label AS nl,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS cv
+      FROM embeddings
+    ),
+    c AS (SELECT * FROM c0 WHERE list_sum(list_transform(cv, x -> x * x)) > 0),
+    scored AS (
+      SELECT q.query_id, q.true_label, c.nl,
+             CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] * cv[i] AS DOUBLE)))
+                  / sqrt(CAST(list_sum(list_transform(qv, x -> CAST(x * x AS DOUBLE))) AS DOUBLE)
+                         * CAST(list_sum(list_transform(cv, x -> CAST(x * x AS DOUBLE))) AS DOUBLE))
+                  AS DOUBLE) AS score,
+             c.neighbor_id
+      FROM q JOIN c ON q.query_id != c.neighbor_id
+    ),
+    topk AS (
+      SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                                  ORDER BY score DESC, neighbor_id) AS rn
+                     FROM scored) WHERE rn <= 5
+    ),
+    votes AS (
+      SELECT query_id, true_label, nl, COUNT(*) AS n_votes
+      FROM topk GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                                  ORDER BY n_votes DESC, nl) AS rk
+                     FROM votes) WHERE rk = 1
+    )
+    SELECT query_id, true_label,
+           CAST(nl AS INT) AS predicted_label,
+           CAST(n_votes AS BIGINT) AS n_votes,
+           nl = true_label AS correct
+    FROM pred
+    """,
+    doc="Embedding-quality probe: leave-one-out kNN label prediction "
+    "(majority vote among the 5 quantized-cosine nearest neighbors, "
+    "ties to the smallest label) for every 37th vector — the standard "
+    "cheap health check that an embedding table's labels cohere before "
+    "a training job consumes it. Quantized-cosine ranking makes the "
+    "vote engine-reproducible, so predictions match DuckDB row for "
+    "row; swap brute_force_topk for ivf_topk at scale, vote stage "
+    "unchanged.",
+    survey_refs=("LLM-sim",),
+)
+def embedding_knn_label_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.similarity import knn_label_probe
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_label_probe(emb, "vec_id", "embedding", "label", k=5, stride=37)
+
+
+@register(
     "doc_repetition_stats",
     oracle=r"""
     WITH base AS (

@@ -222,3 +222,49 @@ def test_minhash_incremental_equals_full(spark, sf_dir):
         got |= {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
         index = rows if index is None else index.unionByName(rows)
     assert got == full and len(full) > 0
+
+
+def test_decontaminate_exact_flags_verbatim_needles(spark):
+    from blockchain_indexer_spark.operators.dedup import decontaminate_exact
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a quick brown fox appears"),          # contains needle A
+            (3, "nothing to see here"),
+            (4, None),                                  # NULL text matches nothing
+            (5, "lazy dog and quick brown fox both"),   # contains A and B
+        ],
+        "doc_id long, text string",
+    )
+    needles = spark.createDataFrame(
+        [("quick brown fox",), ("lazy dog",), (None,)], "needle string"
+    )
+    got = {r["doc_id"]: r for r in decontaminate_exact(corpus, needles).collect()}
+    assert {i: got[i]["n_matched_needles"] for i in range(1, 6)} == {
+        1: 2, 2: 1, 3: 0, 4: 0, 5: 2
+    }
+    assert {i for i in got if got[i]["is_contaminated"]} == {1, 2, 5}
+
+
+def test_decontaminate_exact_empty_needles(spark):
+    from blockchain_indexer_spark.operators.dedup import decontaminate_exact
+
+    corpus = spark.createDataFrame([(1, "anything")], "doc_id long, text string")
+    needles = spark.createDataFrame([], "needle string")
+    rows = decontaminate_exact(corpus, needles).collect()
+    assert [(r["doc_id"], r["n_matched_needles"], r["is_contaminated"]) for r in rows] == [
+        (1, 0, False)
+    ]
+
+
+def test_decontaminate_exact_overlapping_needles_counted_distinctly(spark):
+    """'aba' in 'ababa' twice, 'ab' inside it, 'ba' too: the flag
+    counts DISTINCT needles matched, and overlapping occurrences must
+    not confuse the automaton's fail links."""
+    from blockchain_indexer_spark.operators.dedup import decontaminate_exact
+
+    corpus = spark.createDataFrame([(1, "ababa"), (2, "bbb")], "doc_id long, text string")
+    needles = spark.createDataFrame([("aba",), ("ab",), ("ba",), ("bbb",)], "needle string")
+    got = {r["doc_id"]: r["n_matched_needles"] for r in decontaminate_exact(corpus, needles).collect()}
+    assert got == {1: 3, 2: 1}

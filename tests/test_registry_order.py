@@ -50,10 +50,14 @@ def test_round3_window_covers_stale_evidence():
     r2_verified_sentinels = {
         "ngram_jaccard_near_dups",
         "chain_crc_balances",
-        "chain_classification_counts",
-        "mm_decode_stats",
     }
-    round3_new_gates = {"mm_real_decode", "mm_real_audio", "mm_real_frames"}
+    round3_new_gates = {
+        "mm_real_decode",
+        "mm_real_audio",
+        "mm_real_frames",
+        "doc_exact_decontamination",
+        "embedding_knn_label_probe",
+    }
     stale_or_new = [
         n
         for n in REGISTRY

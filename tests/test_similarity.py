@@ -140,3 +140,58 @@ def test_ivfpq_probe_widening_monotone(spark, sf_dir):
     # probing every cell with a wide shortlist approaches the PQ-only
     # ranking; more probes never hurt recall on a fixed shortlist
     assert recall(16) >= recall(4)
+
+
+def test_knn_label_probe_votes_and_ties(spark):
+    """Hand-built geometry: probe 0 sits among label-1 neighbors (clear
+    majority); tie votes break to the smallest label."""
+    from blockchain_indexer_spark.operators.similarity import knn_label_probe
+
+    rows = [
+        (0, [1.0, 0.0], 1),     # probe (stride 1 → every vector probes)
+        (1, [0.9, 0.1], 1),
+        (2, [0.8, 0.2], 1),
+        (3, [0.0, 1.0], 2),
+        (4, [0.1, 0.9], 2),
+        (5, [0.2, 0.8], 2),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r["query_id"]: r for r in knn_label_probe(
+        emb, "vec_id", "embedding", "label", k=2, stride=1
+    ).collect()}
+    assert len(got) == 6
+    # k=2 nearest of probe 0 are vectors 1,2 (label 1) → predicted 1
+    assert got[0]["predicted_label"] == 1 and got[0]["correct"]
+    assert got[0]["n_votes"] == 2
+    assert got[3]["predicted_label"] == 2 and got[3]["correct"]
+
+
+def test_knn_label_probe_tie_breaks_to_smallest_label(spark):
+    from blockchain_indexer_spark.operators.similarity import knn_label_probe
+
+    rows = [
+        (10, [1.0, 0.0], 9),      # probe; its 2 nearest split 1-1
+        (11, [0.99, 0.01], 2),
+        (12, [0.98, 0.02], 1),
+        (13, [-1.0, 0.0], 5),     # far away, outside k=2
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r["query_id"]: r for r in knn_label_probe(
+        emb, "vec_id", "embedding", "label", k=2, stride=1
+    ).collect()}
+    assert got[10]["n_votes"] == 1
+    assert got[10]["predicted_label"] == 1  # 1-1 tie → smallest label
+    assert not got[10]["correct"]
+
+
+def test_knn_label_probe_drops_zero_norm_probes(spark):
+    from blockchain_indexer_spark.operators.similarity import knn_label_probe
+
+    rows = [
+        (0, [0.0, 0.0], 1),  # zero-norm: no cosine, dropped
+        (1, [1.0, 0.0], 1),
+        (2, [0.9, 0.1], 1),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = knn_label_probe(emb, "vec_id", "embedding", "label", k=1, stride=1).collect()
+    assert sorted(r["query_id"] for r in got) == [1, 2]
