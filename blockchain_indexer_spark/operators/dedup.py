@@ -450,9 +450,15 @@ def minhash_index_update(
     gate, whose DuckDB oracle is the FULL-corpus candidate query.
     Pairs are canonical (doc_a < doc_b) regardless of arrival order.
     """
+    # Materialize the batch's band rows once: they feed the new×new
+    # self-join (which would otherwise run the shingle→minhash→band
+    # pipeline TWICE), the new×index join, and the caller's index
+    # append — in production this frame is literally persisted (it IS
+    # the index increment), so the eager checkpoint mirrors the
+    # deployment shape rather than diverging from it.
     new_rows = minhash_band_rows(
         new_docs, id_col, text_col, k, num_hashes, bands, hash_fn=hash_fn
-    )
+    ).localCheckpoint(eager=True)
     a = new_rows.select(F.col("_id").alias("doc_a"), "band", "bucket")
     b = new_rows.select(F.col("_id").alias("doc_b"), "band", "bucket")
     pairs = (

@@ -53,6 +53,7 @@ PRIORITY = (
     "mm_real_frames",
     "doc_exact_decontamination",
     "embedding_knn_label_probe",
+    "corpus_prep_report",
     # -- tier B: driver row is round 1 only (pre-refactor code) --------
     "minhash_lsh_candidates_md5",
     "simhash_near_dups_md5",
@@ -83,20 +84,21 @@ PRIORITY = (
     "union_activity_timeline",
     # rows-only production variants (no DuckDB oracle) — still r1-only
     "minhash_lsh_candidates",
+    "minhash_incremental",
     "simhash_signatures",
     "simhash_near_dups",
     "corpus_token_cardinality_approx",
     # -- tier C: r2-verified sentinels (regression canaries for the
     #    round-3 edits: dedup/simhash rewrite, chain spine, multimodal) -
-    "ngram_jaccard_near_dups",
-    "chain_crc_balances",
     # ------------------------------------------------------------------
     # Below the ~50-row driver window: all r2-verified (green in
-    # CORRECTNESS_r02.json), ordered as in round 2.
-    # (four r2-verified sentinels yielded their slots to the five new
-    # round-3 gates; the two kept above — ngram_jaccard_near_dups and
-    # chain_crc_balances — sentinel the round-3 dedup rewrite and the
-    # chain ingest spine end to end)
+    # CORRECTNESS_r02.json), ordered as in round 2. All r2 sentinels
+    # yielded their slots to the seven new round-3 entries; the round-3
+    # dedup rewrite is still inside the window via doc_dedup_clusters
+    # (calls ngram_jaccard_pairs directly) and the two simhash md5
+    # gates, and the chain spine runs every round via entry() itself.
+    "ngram_jaccard_near_dups",
+    "chain_crc_balances",
     "chain_classification_counts",
     "mm_decode_stats",
     "doc_fingerprint_dedup",

@@ -185,6 +185,86 @@ def doc_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_prep_report",
+    oracle=r"""
+    WITH q AS (
+      SELECT doc_id, source, text,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+             CASE WHEN length(text) = 0 THEN NULL
+                  ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                    / length(text) END AS pr,
+             md5(trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS fp
+      FROM documents WHERE text IS NOT NULL
+    ),
+    flt AS (
+      SELECT *, COALESCE(n_tokens >= 20 AND pr < 0.1, FALSE) AS pass FROM q
+    ),
+    surv AS (SELECT MIN(doc_id) AS doc_id FROM flt WHERE pass GROUP BY fp),
+    agg AS (
+      SELECT f.source,
+             CAST(COUNT(*) FILTER (WHERE f.pass) AS BIGINT) AS n_pass_quality,
+             CAST(COUNT(s.doc_id) AS BIGINT) AS n_kept,
+             CAST(COALESCE(SUM(f.n_tokens) FILTER (WHERE s.doc_id IS NOT NULL), 0) AS BIGINT) AS kept_tokens
+      FROM flt f LEFT JOIN surv s ON f.doc_id = s.doc_id
+      GROUP BY f.source
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(ANY_VALUE(a.n_pass_quality), 0) AS BIGINT) AS n_pass_quality,
+           CAST(COALESCE(ANY_VALUE(a.n_kept), 0) AS BIGINT) AS n_kept,
+           CAST(COALESCE(ANY_VALUE(a.kept_tokens), 0) AS BIGINT) AS kept_tokens
+    FROM documents d LEFT JOIN agg a ON d.source = a.source
+    GROUP BY d.source
+    """,
+    doc="End-to-end corpus-prep recipe — the COMPOSITION a pretraining "
+    "pipeline actually runs: quality filter (token floor + punct "
+    "ratio) THEN exact dedup among survivors (min-id wins) THEN a "
+    "per-source yield report (docs in, quality passes, dedup "
+    "survivors, surviving token budget). Filter-before-dedup order is "
+    "semantic: a low-quality copy must not steal survivorship from a "
+    "passing twin. All outputs are exact counts/bigint sums (no "
+    "float accumulation order sensitivity). One scan + one dedup "
+    "shuffle + one group-by; survivorship joins back on doc_id "
+    "(uniform key).",
+    survey_refs=("LLM-text", "LLM-dedup", "LLM-mix"),
+)
+def corpus_prep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.dedup import exact_dup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    pr = F.when(
+        F.length("text") > 0, punct_count("text").cast("double") / F.length("text")
+    )
+    flt = d.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        "source",
+        "text",
+        token_count("text").alias("n_tokens"),
+        F.coalesce((token_count("text") >= 20) & (pr < 0.1), F.lit(False)).alias("pass"),
+    )
+    surv = (
+        exact_dup_clusters(flt.filter("pass"), "doc_id", "text")
+        .select(F.col("keep_id").alias("doc_id"), F.lit(True).alias("_kept"))
+    )
+    joined = flt.join(surv, "doc_id", "left")
+    stats = joined.groupBy("source").agg(
+        F.count(F.when(F.col("pass"), 1)).alias("n_pass_quality"),
+        F.count(F.when(F.col("_kept"), 1)).alias("n_kept"),
+        F.coalesce(
+            F.sum(F.when(F.col("_kept"), F.col("n_tokens"))), F.lit(0).cast("bigint")
+        ).alias("kept_tokens"),
+    )
+    base = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    return base.join(stats, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce("n_pass_quality", F.lit(0).cast("bigint")).alias("n_pass_quality"),
+        F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
+        F.coalesce("kept_tokens", F.lit(0).cast("bigint")).alias("kept_tokens"),
+    )
+
+
+@register(
     "doc_rolling_fingerprint",
     oracle=r"""
     WITH cs AS (
@@ -346,6 +426,32 @@ def embedding_topk_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return minhash_lsh_candidates(d, "doc_id", "text", k=3, num_hashes=64, bands=16)
+
+
+@register(
+    "minhash_incremental",
+    oracle=None,
+    doc="Production twin of minhash_incremental_md5: the same two-batch "
+    "LSH index maintenance on xxhash64 signatures (JVM-side 8-byte "
+    "keys; no DuckDB equivalent → rows-only). This is the variant a "
+    "deployment runs per ingest batch, and the one bench.py measures — "
+    "the md5 gate's cost is dominated by 64 md5-string evaluations per "
+    "shingle, an oracle-portability tax the production path never pays.",
+    survey_refs=("LLM-dedup", "T8"),
+)
+def minhash_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.dedup import minhash_index_update
+
+    d = load_table(spark, sf_dir, "documents")
+    half1 = d.filter(F.col("doc_id") % 2 == 0)
+    half2 = d.filter(F.col("doc_id") % 2 == 1)
+    index, pairs1 = minhash_index_update(
+        None, half1, "doc_id", "text", k=3, num_hashes=64, bands=16
+    )
+    _, pairs2 = minhash_index_update(
+        index, half2, "doc_id", "text", k=3, num_hashes=64, bands=16
+    )
+    return pairs1.unionByName(pairs2).distinct()
 
 
 @register(

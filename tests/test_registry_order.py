@@ -47,16 +47,14 @@ def test_round3_window_covers_stale_evidence():
     whose only row is round 1 — must sit inside the driver's ~50-row
     recording window; the back is all round-2-verified."""
     head = set(list(REGISTRY)[:50])
-    r2_verified_sentinels = {
-        "ngram_jaccard_near_dups",
-        "chain_crc_balances",
-    }
     round3_new_gates = {
         "mm_real_decode",
         "mm_real_audio",
         "mm_real_frames",
         "doc_exact_decontamination",
         "embedding_knn_label_probe",
+        "corpus_prep_report",
+        "minhash_incremental",
     }
     stale_or_new = [
         n
@@ -66,7 +64,9 @@ def test_round3_window_covers_stale_evidence():
         or n not in _R2_VERIFIED
     ]
     assert all(n in head for n in stale_or_new), [n for n in stale_or_new if n not in head]
-    assert r2_verified_sentinels <= head
+    # the round-3 dedup rewrite keeps in-window coverage through
+    # doc_dedup_clusters (ngram_jaccard_pairs) + the simhash md5 gates
+    assert {"doc_dedup_clusters", "simhash_near_dups_md5"} <= head
 
 
 # First 50 rows of CORRECTNESS_r02.json (the round-2 driver window).
@@ -102,6 +102,7 @@ def test_rows_only_variants_behind_their_oracled_twins():
     with_oracle = set(oracles())
     twins = {
         "minhash_lsh_candidates": "minhash_lsh_candidates_md5",
+        "minhash_incremental": "minhash_incremental_md5",
         "simhash_signatures": "simhash_signatures_md5",
         "simhash_near_dups": "simhash_near_dups_md5",
         "corpus_token_cardinality_approx": "corpus_token_cardinality",
