@@ -7,16 +7,22 @@ reference pipeline lacks and every large-scale corpus dedup needs
 (matches the pair generators in operators.dedup: ngram_jaccard_pairs,
 minhash_lsh_candidates, simhash_candidates, cosine_near_dup_pairs).
 
-Implemented as driver-coordinated min-label propagation: each round a
-vertex takes the minimum label among itself and its neighbors — one
-shuffle join + one groupBy per round, converging in O(component
-diameter) rounds. Near-dup clusters are dense and shallow (diameter ≲
-4), so propagation beats the asymptotically-better alternating
-large-star/small-star contraction (Kiveris et al., "Connected
-Components in MapReduce and Beyond") in practice; switch to that for
-adversarial long-chain graphs. Every round localCheckpoints its label
-frame — iterative lineage otherwise grows a plan tree per round and
-re-analysis cost compounds (see SCALE.md).
+Two interchangeable algorithms, same (id, cluster) contract:
+
+- ``connected_components`` — driver-coordinated min-label propagation:
+  each round a vertex takes the minimum label among itself and its
+  neighbors — one shuffle join + one groupBy per round, converging in
+  O(component diameter) rounds. Near-dup clusters are dense and
+  shallow (diameter ≲ 4), so propagation wins there.
+- ``connected_components_star`` — alternating large-star/small-star
+  contraction (Kiveris et al., "Connected Components in MapReduce and
+  Beyond"), O(log n) rounds regardless of diameter: the escape hatch
+  for adversarial long-chain graphs (equality with propagation is
+  test-pinned; a 512-link chain closes in ≤ 20 rounds where
+  propagation needs 512).
+
+Every round localCheckpoints its frame — iterative lineage otherwise
+grows a plan tree per round and re-analysis cost compounds (SCALE.md).
 """
 
 from __future__ import annotations
@@ -81,6 +87,97 @@ def connected_components(
         f"connected_components: not converged after {max_iter} rounds; "
         "component diameter exceeds the cap"
     )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond") — the O(log n)-round escape hatch for graphs whose
+    component diameter defeats min-label propagation (a 10k-link chain
+    converges here in ~log rounds instead of 10k).
+
+    Each round is two phases over the current edge multiset, each ONE
+    groupBy + join, all keyed on the vertex id:
+
+    - large-star: every node's strictly-LARGER neighbors re-attach to
+      the minimum of its closed neighborhood;
+    - small-star: its smaller-or-equal neighbors (and itself) do.
+
+    Both phases only ever decrease (node, min-neighbor) attachments,
+    so the edge set converges to stars whose centers are component
+    minima. Per-round frames are localCheckpointed (iterative lineage).
+
+    Returns (id, cluster) for every vertex in an edge — identical
+    contract to connected_components; equality on random graphs and
+    pathological chains is test-pinned.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    vertices = (
+        e.select(F.col("u").alias("id"))
+        .unionByName(e.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _star(cur: DataFrame, large: bool) -> DataFrame:
+        sym = cur.unionByName(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        # m(u) = min of the CLOSED neighborhood (neighbors + u itself)
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        nbrs = sym.filter(F.col("v") > F.col("u")) if large else sym.filter(
+            F.col("v") <= F.col("u")
+        )
+        out = nbrs.join(m, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+        if not large:
+            # small-star also attaches u itself to its minimum
+            out = out.unionByName(m.select("u", F.col("m").alias("v")))
+        return (
+            out.filter(F.col("u") != F.col("v"))
+            .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    for _ in range(max_iter):
+        after_large = _star(e, large=True)
+        after_small = _star(after_large, large=False)
+        # converged when the canonical edge set is a fixpoint
+        changed = (
+            after_small.join(e, ["u", "v"], "left_anti")
+            .unionByName(e.join(after_small, ["u", "v"], "left_anti"))
+            .limit(1)
+            .count()
+        )
+        e = after_small
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star: not converged after {max_iter} rounds"
+        )
+    # e is now a union of stars rooted at component minima: every
+    # remaining edge (u, v) with u < v attaches v to root u — but
+    # roots may chain one level (u itself attached elsewhere) only if
+    # not converged, which the fixpoint excludes.
+    labels = e.select(F.col("v").alias("id"), F.col("u").alias("cluster"))
+    roots = (
+        vertices.join(labels, "id", "left_anti")
+        .select("id", F.col("id").alias("cluster"))
+    )
+    return labels.unionByName(roots)
 
 
 def dedup_survivors(

@@ -122,3 +122,43 @@ def test_khop_reachability_diamond_and_cycle(spark):
         # 8 absent: self-loop only, no outgoing non-self edge
     }
     assert 8 not in got
+
+
+def test_star_components_equal_propagation_on_random_graphs(spark):
+    """large-star/small-star contraction must produce the identical
+    (id, cluster) labeling as min-label propagation — same canonical
+    min-id cluster representative."""
+    import random
+
+    from blockchain_indexer_spark.operators.cluster import connected_components_star
+
+    rng = random.Random(5)
+    for trial in range(4):
+        n = 40
+        pairs = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(10, 50))
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        if not pairs:
+            continue
+        e = _edges(spark, pairs)
+        want = sorted(map(tuple, connected_components(e).collect()))
+        got = sorted(map(tuple, connected_components_star(e).collect()))
+        assert got == want, (trial, pairs)
+
+
+def test_star_components_converge_on_long_chain_fast(spark):
+    """A 512-link chain has diameter 512: propagation needs ~512 rounds
+    (the raising cap pins that), while star contraction closes it in
+    O(log n) rounds — the documented escape hatch, now real."""
+    from blockchain_indexer_spark.operators.cluster import connected_components_star
+
+    chain = _edges(spark, [(i, i + 1) for i in range(512)])
+    out = connected_components_star(chain, max_iter=20)  # log2(512)=9 + slack
+    rows = {r["id"]: r["cluster"] for r in out.collect()}
+    assert len(rows) == 513
+    assert set(rows.values()) == {0}
+    # propagation at the same round budget must NOT converge
+    with pytest.raises(RuntimeError):
+        connected_components(chain, max_iter=20)
