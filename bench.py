@@ -44,6 +44,9 @@ BENCH_QUERIES = (
     "doc_chunk_packing",
     "corpus_mixture_rebalance",
     "doc_pii_scrub",
+    "doc_exact_decontamination",
+    "corpus_prep_report",
+    "embedding_knn_label_probe",
     "rollup_revenue_hierarchy",
     "profile_orders",
     "embedding_topk_mips",

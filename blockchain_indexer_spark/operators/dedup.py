@@ -137,13 +137,14 @@ def ngram_jaccard_pairs(
     Exact Jaccard over distinct k-shingles via inverted-index self-join
     (shuffle keyed on shingle). Returns (doc_a, doc_b, n_common,
     jaccard) with doc_a < doc_b. The df-cap prunes CANDIDATE GENERATION
-    only: candidate pairs come from capped postings, then n_common is
-    re-verified EXACTLY against the full shingle frame — so reported
-    jaccard is true jaccard, and the only loss is pairs whose entire
-    intersection is stop-shingles (the standard trade, stated here
-    explicitly; counting only capped shingles in n_common would instead
-    UNDERSTATE jaccard for every pair sharing a stop-shingle and
-    silently drop some above-threshold pairs).
+    only: candidate pairs come from capped postings (which yield the
+    EXACT under-cap intersection), then near-threshold pairs add their
+    exact STOP-shingle intersection from the over-cap rows — so
+    reported jaccard is true jaccard, and the only loss is pairs whose
+    entire intersection is stop-shingles (the standard trade, stated
+    here explicitly; counting only capped shingles in n_common would
+    instead UNDERSTATE jaccard for every pair sharing a stop-shingle
+    and silently drop some above-threshold pairs).
     Pass ``shingles`` (from distinct_shingles) to share one shingling
     pass across strategies.
     """
@@ -156,7 +157,23 @@ def ngram_jaccard_pairs(
         # agg, cap join, both join sides). The ≤ max_doc_freq² structs
         # per shingle stay inside a single HOF expression (no row
         # blow-up before the explode).
-        posting = sh.groupBy("shingle").agg(F.collect_list("_id").alias("ids"))
+        #
+        # df is computed by a WINDOW count on the same shingle key and
+        # over-cap rows are dropped BEFORE collect_list — building the
+        # array first and size-filtering after would materialize one
+        # array per stop-shingle as large as its document frequency
+        # (df=10M ⇒ a 10M-element array in a single aggregation row:
+        # an executor OOM at corpus scale). The window and the
+        # aggregation share one Exchange (same partitioning key).
+        from pyspark.sql import Window as _W
+
+        sh_df = sh.withColumn("_df", F.count("*").over(_W.partitionBy("shingle")))
+        under = sh_df.filter(F.col("_df") <= max_doc_freq).drop("_df")
+        # over-cap (stop) rows, per doc: the ONLY shingles the exact
+        # verify below still needs to intersect — the capped postings
+        # already yield the exact under-cap intersection
+        over = sh_df.filter(F.col("_df") > max_doc_freq).drop("_df")
+        posting = under.groupBy("shingle").agg(F.collect_list("_id").alias("ids"))
         combos = F.filter(
             F.flatten(
                 F.transform(
@@ -168,7 +185,7 @@ def ngram_jaccard_pairs(
             ),
             lambda s: s["doc_a"] < s["doc_b"],
         )
-        capped = posting.filter(F.size("ids") <= max_doc_freq).localCheckpoint(
+        capped = posting.localCheckpoint(
             eager=True  # feeds both the pair counts and per-doc capped sizes
         )
         pair_c = (
@@ -236,20 +253,35 @@ def ngram_jaccard_pairs(
         exact_pairs = plausible.filter(F.col("_slack") == 0).select(
             "doc_a", "doc_b", F.col("_c").alias("n_common")
         )
-        cand = plausible.filter(F.col("_slack") > 0).select("doc_a", "doc_b")
+        cand = plausible.filter(F.col("_slack") > 0).select("doc_a", "doc_b", "_c")
         cand_docs = (
             cand.select(F.col("doc_a").alias("_id"))
             .unionByName(cand.select(F.col("doc_b").alias("_id")))
             .distinct()
         )
-        sh_cand = sh.join(cand_docs, "_id", "left_semi")
+        # The verify intersects STOP shingles only: _c is already the
+        # exact under-cap intersection (capped postings cover every
+        # under-cap shingle), so true n_common = _c + |stop_a ∩ stop_b|.
+        # Joining the full shingle sets here would redo work the
+        # postings already did — on corpora where stop-shingles are a
+        # thin heavy-hitter tail this cuts the verify join by ~n/stop.
+        sh_cand = over.join(cand_docs, "_id", "left_semi")
         a = sh_cand.select(F.col("_id").alias("doc_a"), "shingle")
         b = sh_cand.select(F.col("_id").alias("doc_b"), "shingle")
-        verified = (
-            cand.join(a, "doc_a")
+        stop_common = (
+            cand.select("doc_a", "doc_b")
+            .join(a, "doc_a")
             .join(b, ["doc_b", "shingle"])
             .groupBy("doc_a", "doc_b")
-            .agg(F.count("*").alias("n_common"))
+            .agg(F.count("*").alias("_stop_common"))
+        )
+        verified = (
+            cand.join(stop_common, ["doc_a", "doc_b"], "left")
+            .select(
+                "doc_a",
+                "doc_b",
+                (F.col("_c") + F.coalesce("_stop_common", F.lit(0))).alias("n_common"),
+            )
         )
         common = exact_pairs.unionByName(verified)
     else:

@@ -49,6 +49,26 @@ t("ivfpq_100k_q100", lambda: ivf_pq_topk(
 t("lsh_neardup_100k_p64", lambda: lsh_near_dup_pairs(
     emb, dim=64, threshold=0.9, num_planes=64, bands=4).count())
 
+from blockchain_indexer_spark.operators.dedup import decontaminate_exact, simhash_candidates
+
+needles = (
+    docs.filter((F.col("doc_id") % 100 == 0) & (F.length("text") >= 60))
+    .select(F.substring("text", 11, 40).alias("needle"))
+    .distinct()
+    .limit(1000)
+)
+t("exact_decontam_100k_n1000", lambda: decontaminate_exact(docs, needles).count())
+
+t("simhash_neardup_100k", lambda: simhash_candidates(
+    docs, "doc_id", "text", max_hamming=3, bands=4).count())
+
+from blockchain_indexer_spark.operators.similarity import knn_label_probe
+t("knn_probe_100k_q100", lambda: knn_label_probe(
+    emb, "vec_id", "embedding", "label", k=5, stride=1000).count())
+
+from blockchain_indexer_spark.plans import REGISTRY
+t("corpus_prep_100k", lambda: REGISTRY["corpus_prep_report"].build(spark, SF).count())
+
 from blockchain_indexer_spark.plans import chain
 t("chain_spine_1M", lambda: len(chain.compute_pipeline_tables(spark, SF)))
 t("chain_views_1M", lambda: len(chain._derived_views(spark, SF)))
