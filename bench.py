@@ -123,6 +123,8 @@ def main() -> None:
     # whose views query Postgres tables populated once by ingest. The
     # ingest cost itself is measured separately below, uncached.
     timings: dict[str, float] = {}
+    import gc  # noqa: PLC0415
+
     for name in BENCH_QUERIES:
         q = REGISTRY[name]
         best = float("inf")
@@ -140,8 +142,6 @@ def main() -> None:
     # retained blocks otherwise turn the ingest measurement into a GC
     # benchmark (observed 7x on identical code).
     spark.catalog.clearCache()
-    import gc  # noqa: PLC0415
-
     gc.collect()
     spark.sparkContext._jvm.System.gc()
     time.sleep(2)
