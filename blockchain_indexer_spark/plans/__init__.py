@@ -54,6 +54,7 @@ PRIORITY = (
     "doc_exact_decontamination",
     "embedding_knn_label_probe",
     "corpus_prep_report",
+    "fuzzy_name_matches",
     # -- tier B: driver row is round 1 only (pre-refactor code) --------
     "minhash_lsh_candidates_md5",
     "simhash_near_dups_md5",
@@ -70,7 +71,11 @@ PRIORITY = (
     "doc_train_split",
     "doc_top_terms",
     "doc_rolling_fingerprint",
-    "corpus_token_cardinality",
+    # (corpus_token_cardinality moved below the fold: its exact
+    # computation runs INSIDE the tier-A corpus_token_cardinality_bound
+    # gate, which compares exact vs HLL — the only r1-only query whose
+    # correctness signal is fully embedded in an in-window gate, so it
+    # yields its slot to the fuzzy_name_matches round-3 gate)
     "corpus_mixture_report",
     "doc_length_quantiles",
     "embedding_cosine_near_dups",
@@ -87,17 +92,20 @@ PRIORITY = (
     "minhash_incremental",
     "simhash_signatures",
     "simhash_near_dups",
-    "corpus_token_cardinality_approx",
-    # -- tier C: r2-verified sentinels (regression canaries for the
-    #    round-3 edits: dedup/simhash rewrite, chain spine, multimodal) -
-    # ------------------------------------------------------------------
-    # Below the ~50-row driver window: all r2-verified (green in
-    # CORRECTNESS_r02.json), ordered as in round 2. All r2 sentinels
-    # yielded their slots to the seven new round-3 entries; the round-3
-    # dedup rewrite is still inside the window via doc_dedup_clusters
-    # (calls ngram_jaccard_pairs directly) and the two simhash md5
-    # gates, and the chain spine runs every round via entry() itself.
+    # -- tier C: one r2-verified sentinel (regression canary for the
+    #    round-3 dedup rewrite — the heaviest code churn this round) --
     "ngram_jaccard_near_dups",
+    # ------------------------------------------------------------------
+    # Below the ~50-row driver window. The r2 sentinels yielded their
+    # slots to the eight new round-3 entries; the round-3 dedup rewrite
+    # keeps a canary above via ngram_jaccard_near_dups (plus
+    # doc_dedup_clusters and the simhash md5 gates in tier B), and the
+    # chain spine runs every round via entry() itself.
+    # corpus_token_cardinality's exact computation runs INSIDE the
+    # tier-A _bound gate, so it (and its rows-only approx twin, which
+    # must stay behind it) sit just below the fold.
+    "corpus_token_cardinality",
+    "corpus_token_cardinality_approx",
     "chain_crc_balances",
     "chain_classification_counts",
     "mm_decode_stats",

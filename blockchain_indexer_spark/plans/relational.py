@@ -972,3 +972,37 @@ def stream_reassembly_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return join_tx_receipts(txs, receipts, max_delay="5 minutes", how="left_outer").select(
         "hash", "block_timestamp", "receipt_timestamp", "logs"
     )
+
+
+@register(
+    "fuzzy_name_matches",
+    oracle="""
+    SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS distance
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    doc="Edit-distance (fuzzy) self-join on customer names via "
+    "deletion-neighborhood blocking (operators/fuzzy.py): each string "
+    "fans out to len+1 variants, candidates come from ONE equi-join on "
+    "the xxhash64(variant) key, and F.levenshtein verifies — "
+    "exact-complete for distance 1 by the neighborhood argument, so "
+    "the result equals the oracle's O(n^2) cross-join levenshtein "
+    "filter without ever planning a cartesian product. The "
+    "typo-level entity-matching join a metadata/catalog pipeline "
+    "needs (Spark has the distance function but no join strategy "
+    "for it).",
+    survey_refs=("LLM-dedup",),
+)
+def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.fuzzy import edit_distance_join
+
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.select(F.col("c_custkey").alias("custkey_a"), F.col("c_name").alias("name_a"))
+    b = cust.select(F.col("c_custkey").alias("custkey_b"), F.col("c_name").alias("name_b"))
+    return (
+        edit_distance_join(a, b, "name_a", "name_b", max_dist=1)
+        .filter(F.col("custkey_a") < F.col("custkey_b"))
+        .select("custkey_a", "custkey_b", "name_a", "name_b", "distance")
+    )

@@ -268,3 +268,52 @@ def test_decontaminate_exact_overlapping_needles_counted_distinctly(spark):
     needles = spark.createDataFrame([("aba",), ("ab",), ("ba",), ("bbb",)], "needle string")
     got = {r["doc_id"]: r["n_matched_needles"] for r in decontaminate_exact(corpus, needles).collect()}
     assert got == {1: 3, 2: 1}
+
+
+def test_edit_distance_join_exact_vs_naive(spark):
+    """Deletion-neighborhood join equals the naive cross-join filter on
+    an adversarial mini-corpus: substitutions/insertions/deletions at
+    distance 1 match; transpositions ('ab'/'ba' share deletion variants
+    but are distance 2) must be verified away; empty strings and NULLs
+    behave."""
+    from pyspark.sql import functions as F
+
+    from blockchain_indexer_spark.operators.fuzzy import edit_distance_join
+
+    names = ["abc", "abd", "ab", "ba", "abcd", "", "a", "xyz", None, "abc"]
+    rows = [(i, n) for i, n in enumerate(names)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    a = df.select(F.col("id").alias("id_a"), F.col("name").alias("name_a"))
+    b = df.select(F.col("id").alias("id_b"), F.col("name").alias("name_b"))
+    got = sorted(
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in edit_distance_join(a, b, "name_a", "name_b").collect()
+        if r["id_a"] < r["id_b"]
+    )
+    import itertools
+
+    def lev(x, y):
+        if x is None or y is None:
+            return 99
+        d = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            prev, d[0] = d[0], i
+            for j, cy in enumerate(y, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (cx != cy))
+        return d[len(y)]
+
+    want = sorted(
+        (i, j, lev(names[i], names[j]))
+        for i, j in itertools.combinations(range(len(names)), 2)
+        if lev(names[i], names[j]) <= 1
+    )
+    assert got == want
+    assert (3, 9) not in {(x, y) for x, y, _ in got}  # 'ba' vs 'abc'
+
+
+def test_edit_distance_join_rejects_unsupported_bound(spark):
+    from blockchain_indexer_spark.operators.fuzzy import edit_distance_join
+
+    df = spark.createDataFrame([(1, "x")], "id long, name string")
+    with pytest.raises(NotImplementedError):
+        edit_distance_join(df, df, "name", "name", max_dist=2)

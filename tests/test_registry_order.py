@@ -55,13 +55,21 @@ def test_round3_window_covers_stale_evidence():
         "embedding_knn_label_probe",
         "corpus_prep_report",
         "minhash_incremental",
+        "fuzzy_name_matches",
     }
+    # Excused from the window: corpus_token_cardinality's exact
+    # computation runs inside the in-window _bound gate (which compares
+    # exact vs HLL), and its rows-only approx twin must stay behind it.
+    excused = {"corpus_token_cardinality", "corpus_token_cardinality_approx"}
     stale_or_new = [
         n
         for n in REGISTRY
-        if n in NEVER_DRIVER_VERIFIED
-        or n in round3_new_gates
-        or n not in _R2_VERIFIED
+        if n not in excused
+        and (
+            n in NEVER_DRIVER_VERIFIED
+            or n in round3_new_gates
+            or n not in _R2_VERIFIED
+        )
     ]
     assert all(n in head for n in stale_or_new), [n for n in stale_or_new if n not in head]
     # the round-3 dedup rewrite keeps in-window coverage through
