@@ -55,6 +55,7 @@ PRIORITY = (
     "embedding_knn_label_probe",
     "corpus_prep_report",
     "fuzzy_name_matches",
+    "snapshot_diff_orders",
     # -- tier B: driver row is round 1 only (pre-refactor code) --------
     "minhash_lsh_candidates_md5",
     "simhash_near_dups_md5",
@@ -77,7 +78,6 @@ PRIORITY = (
     # correctness signal is fully embedded in an in-window gate, so it
     # yields its slot to the fuzzy_name_matches round-3 gate)
     "corpus_mixture_report",
-    "doc_length_quantiles",
     "embedding_cosine_near_dups",
     "minhash_signatures_md5",
     "simhash_signatures_md5",
@@ -101,11 +101,13 @@ PRIORITY = (
     # keeps a canary above via ngram_jaccard_near_dups (plus
     # doc_dedup_clusters and the simhash md5 gates in tier B), and the
     # chain spine runs every round via entry() itself.
-    # corpus_token_cardinality's exact computation runs INSIDE the
-    # tier-A _bound gate, so it (and its rows-only approx twin, which
-    # must stay behind it) sit just below the fold.
+    # corpus_token_cardinality's and doc_length_quantiles' exact
+    # computations run INSIDE their tier-A _bound gates, so they (and
+    # the rows-only approx twin, which must stay behind its oracled
+    # sibling) sit just below the fold.
     "corpus_token_cardinality",
     "corpus_token_cardinality_approx",
+    "doc_length_quantiles",
     "chain_crc_balances",
     "chain_classification_counts",
     "mm_decode_stats",

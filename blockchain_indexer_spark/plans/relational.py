@@ -1006,3 +1006,53 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("custkey_a") < F.col("custkey_b"))
         .select("custkey_a", "custkey_b", "name_a", "name_b", "distance")
     )
+
+
+@register(
+    "snapshot_diff_orders",
+    oracle="""
+    WITH before AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 7 != 0
+    ),
+    after AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 5 != 0
+    )
+    SELECT COALESCE(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+           CASE WHEN b.o_orderkey IS NULL THEN 'added'
+                WHEN a.o_orderkey IS NULL THEN 'removed'
+                WHEN b.o_totalprice IS DISTINCT FROM a.o_totalprice
+                  OR b.o_orderstatus IS DISTINCT FROM a.o_orderstatus
+                THEN 'changed' END AS change_type
+    FROM before b FULL OUTER JOIN after a ON b.o_orderkey = a.o_orderkey
+    WHERE (b.o_orderkey IS NULL OR a.o_orderkey IS NULL
+           OR b.o_totalprice IS DISTINCT FROM a.o_totalprice
+           OR b.o_orderstatus IS DISTINCT FROM a.o_orderstatus)
+    """,
+    doc="Snapshot diff (operators/diff.py): added/removed/changed rows "
+    "between two versions of a keyed table via ONE full-outer join + "
+    "null-safe column comparison — the audit primitive behind the "
+    "reorg retract/replay invariant (T5: an empty diff IS "
+    "replay-identical, checked distributedly) and any "
+    "yesterday-vs-today shard regression. Fixture: two deterministic "
+    "views of orders with disjoint drops and a price bump.",
+    survey_refs=("T5", "A10"),
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.diff import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    before = o.filter(F.col("o_orderkey") % 7 != 0)
+    after = o.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(before, after, ["o_orderkey"])

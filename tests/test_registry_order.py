@@ -56,11 +56,17 @@ def test_round3_window_covers_stale_evidence():
         "corpus_prep_report",
         "minhash_incremental",
         "fuzzy_name_matches",
+        "snapshot_diff_orders",
     }
-    # Excused from the window: corpus_token_cardinality's exact
-    # computation runs inside the in-window _bound gate (which compares
-    # exact vs HLL), and its rows-only approx twin must stay behind it.
-    excused = {"corpus_token_cardinality", "corpus_token_cardinality_approx"}
+    # Excused from the window: these queries' exact computations run
+    # inside their in-window _bound gates (which compare exact vs
+    # sketch), and the rows-only approx twin must stay behind its
+    # oracled sibling.
+    excused = {
+        "corpus_token_cardinality",
+        "corpus_token_cardinality_approx",
+        "doc_length_quantiles",
+    }
     stale_or_new = [
         n
         for n in REGISTRY
