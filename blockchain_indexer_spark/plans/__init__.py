@@ -56,6 +56,8 @@ PRIORITY = (
     "corpus_prep_report",
     "fuzzy_name_matches",
     "snapshot_diff_orders",
+    "embedding_pca_covariance",
+    "embedding_pca_project",
     # -- tier B: driver row is round 1 only (pre-refactor code) --------
     "minhash_lsh_candidates_md5",
     "simhash_near_dups_md5",
@@ -87,11 +89,12 @@ PRIORITY = (
     "multi_join_revenue",
     "topk_per_group",
     "union_activity_timeline",
-    # rows-only production variants (no DuckDB oracle) — still r1-only
+    # rows-only production variants (no DuckDB oracle) — still r1-only.
+    # The simhash pair yielded their slots to the PCA gates above: a
+    # rows-only driver row is the weakest signal, and their algorithm
+    # correctness is carried by the in-window md5-oracled twins.
     "minhash_lsh_candidates",
     "minhash_incremental",
-    "simhash_signatures",
-    "simhash_near_dups",
     # -- tier C: one r2-verified sentinel (regression canary for the
     #    round-3 dedup rewrite — the heaviest code churn this round) --
     "ngram_jaccard_near_dups",
@@ -157,6 +160,8 @@ PRIORITY = (
     "rollup_revenue_hierarchy",
     "profile_orders",
     "salted_join_segment_totals",
+    "simhash_signatures",
+    "simhash_near_dups",
 )
 
 

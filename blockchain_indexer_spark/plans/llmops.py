@@ -2078,3 +2078,73 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, "vec_id", "embedding",
         k=5, n_cells=16, n_probe=6, m=16, n_codes=32, rerank=50,
     )
+
+
+@register(
+    "embedding_pca_covariance",
+    oracle="""
+    WITH v AS (
+      SELECT list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM embeddings
+      WHERE embedding IS NOT NULL
+    ),
+    dims AS (SELECT CAST(r AS INTEGER) AS i FROM range(0, 64) t(r)),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+    sums AS (
+      SELECT d.i AS i, CAST(sum(v.qv[d.i + 1]) AS BIGINT) AS s
+      FROM v CROSS JOIN dims d
+      GROUP BY d.i
+    ),
+    prods AS (
+      SELECT a.i AS i, b.i AS j,
+             CAST(sum(v.qv[a.i + 1] * v.qv[b.i + 1]) AS BIGINT) AS sum_prod
+      FROM v CROSS JOIN dims a CROSS JOIN dims b
+      WHERE a.i <= b.i
+      GROUP BY a.i, b.i
+    )
+    SELECT p.i, p.j, t.n, sa.s AS sum_i, sb.s AS sum_j, p.sum_prod,
+           (CAST(p.sum_prod AS DOUBLE)
+              - CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+             / (CAST(t.n AS DOUBLE) - 1) AS cov
+    FROM prods p
+    CROSS JOIN tot t
+    JOIN sums sa ON sa.i = p.i
+    JOIN sums sb ON sb.i = p.j
+    """,
+    doc="Upper-triangle sample covariance of the embedding corpus — "
+    "the distributed half of PCA. ONE corpus pass: a per-partition "
+    "mapInPandas fold into (n, sum v, sum v v^T) partials (O(parts x "
+    "d^2) reduce, corpus-size independent), never a posexplode^2 "
+    "row-multiplier. Integer-quantized moments are exact, so every "
+    "sum — and the one double-typed cov derivation, computed with the "
+    "identical op sequence in both engines — hash-matches bit-for-bit. "
+    "The oracle's v x dims x dims cross join is the smallness-bounded "
+    "DuckDB re-derivation, not the Spark plan.",
+    survey_refs=("LLM-sim",),
+)
+def embedding_pca_covariance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.pca import covariance_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return covariance_pairs(emb, "vec_id", "embedding", scale=1000, dim=64)
+
+
+@register(
+    "embedding_pca_project",
+    oracle=None,
+    doc="PCA projection onto the top-4 principal components (driver "
+    "eigh over the collected O(d^2) moment summary; deterministic "
+    "sign convention; one Arrow matmul per batch for the projection). "
+    "Eigendecomposition is not SQL-expressible -> rows-only; "
+    "tests/test_pca.py pins orthonormality, agreement with full-batch "
+    "numpy PCA on the same quantized data, and per-component variance "
+    "== eigenvalue. Whitening (unit component variance, the OPQ-style "
+    "preconditioner for PQ/LSH) is the whiten=True variant of the "
+    "same operator.",
+    survey_refs=("LLM-sim",),
+)
+def embedding_pca_project_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.pca import pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_project(emb, "vec_id", "embedding", k=4, scale=1000)
