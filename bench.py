@@ -54,6 +54,7 @@ BENCH_QUERIES = (
     "embedding_pq_topk",
     "embedding_ivfpq_topk",
     "embedding_semantic_dedup",
+    "embedding_pca_covariance",
     # heavy iterative / incremental / streaming-twin operators: in the
     # bench so regressions are visible (VERDICT r2 item 7)
     "doc_dedup_clusters",
