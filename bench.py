@@ -55,6 +55,8 @@ BENCH_QUERIES = (
     "embedding_ivfpq_topk",
     "embedding_semantic_dedup",
     "embedding_pca_covariance",
+    "doc_bpe_merges",
+    "doc_bpe_token_stats",
     # heavy iterative / incremental / streaming-twin operators: in the
     # bench so regressions are visible (VERDICT r2 item 7)
     "doc_dedup_clusters",

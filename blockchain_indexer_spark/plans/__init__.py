@@ -58,6 +58,8 @@ PRIORITY = (
     "snapshot_diff_orders",
     "embedding_pca_covariance",
     "embedding_pca_project",
+    "doc_bpe_merges",
+    "doc_bpe_token_stats",
     # -- tier B: driver row is round 1 only (pre-refactor code) --------
     "minhash_lsh_candidates_md5",
     "simhash_near_dups_md5",
@@ -89,12 +91,10 @@ PRIORITY = (
     "multi_join_revenue",
     "topk_per_group",
     "union_activity_timeline",
-    # rows-only production variants (no DuckDB oracle) — still r1-only.
-    # The simhash pair yielded their slots to the PCA gates above: a
-    # rows-only driver row is the weakest signal, and their algorithm
-    # correctness is carried by the in-window md5-oracled twins.
-    "minhash_lsh_candidates",
-    "minhash_incremental",
+    # (the four rows-only production variants yielded their slots to
+    # the round-3 PCA/BPE gates: a rows-only driver row is the weakest
+    # signal, and each algorithm's correctness is carried by its
+    # in-window md5-oracled twin — they now sit below the fold)
     # -- tier C: one r2-verified sentinel (regression canary for the
     #    round-3 dedup rewrite — the heaviest code churn this round) --
     "ngram_jaccard_near_dups",
@@ -160,6 +160,8 @@ PRIORITY = (
     "rollup_revenue_hierarchy",
     "profile_orders",
     "salted_join_segment_totals",
+    "minhash_lsh_candidates",
+    "minhash_incremental",
     "simhash_signatures",
     "simhash_near_dups",
 )

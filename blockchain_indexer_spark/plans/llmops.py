@@ -2148,3 +2148,125 @@ def embedding_pca_project_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pca_project(emb, "vec_id", "embedding", k=4, scale=1000)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (operators/bpe.py). The oracle unrolls the
+# training loop into per-merge CTE layers — the _kmeans_ctes recipe
+# applied to BPE. Word = whitespace token (same normalization as
+# doc_token_stats); symbols ride a DOUBLE-chr(31)-delimited string and
+# each merge pattern consumes only the inner half of each boundary, so
+# one `replace` per merge IS greedy leftmost BPE application including
+# back-to-back merges in runs (identical left-to-right non-overlapping
+# scan in Java and DuckDB; see operators/bpe.py module doc).
+# ---------------------------------------------------------------------------
+
+_BPE_WORDS0 = r"""
+words0 AS (
+  SELECT chr(31) || chr(31) || regexp_replace(w, '(.)', '\1' || chr(31) || chr(31), 'g') AS w,
+         CAST(count(*) AS BIGINT) AS freq
+  FROM (
+    SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
+                  x -> x <> '' AND NOT contains(x, chr(31)))) AS w
+    FROM documents
+  )
+  GROUP BY 1
+),
+syms0 AS (SELECT freq, list_filter(string_split(w, chr(31)), x -> x <> '') AS sy FROM words0)"""
+
+
+def _bpe_ctes(n_merges: int) -> str:
+    """CTE chain learning `n_merges` merges: best1..best{n} each hold
+    one (lhs, rhs, cnt) row, tie-broken (cnt DESC, lhs, rhs)."""
+    parts = [_BPE_WORDS0]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        parts.append(
+            f"""
+pairs{i} AS (
+  SELECT sy[u.i] AS lhs, sy[u.i + 1] AS rhs, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM syms{p}, LATERAL unnest(range(1, len(sy))) u(i)
+  GROUP BY 1, 2
+),
+best{i} AS (SELECT lhs, rhs, cnt FROM pairs{i} ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+words{i} AS (
+  SELECT replace(w.w, chr(31) || b.lhs || chr(31) || chr(31) || b.rhs || chr(31),
+                      chr(31) || b.lhs || b.rhs || chr(31)) AS w, w.freq
+  FROM words{p} w CROSS JOIN best{i} b
+),
+syms{i} AS (SELECT freq, list_filter(string_split(w, chr(31)), x -> x <> '') AS sy FROM words{i})"""
+        )
+    return "WITH " + ",".join(parts)
+
+
+def _bpe_merges_oracle(n_merges: int) -> str:
+    unions = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({i} AS INTEGER) AS rank, lhs, rhs, lhs || rhs AS merged, "
+        f"cnt AS pair_count FROM best{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return f"{_bpe_ctes(n_merges)}\n    {unions}"
+
+
+def _bpe_token_stats_oracle(n_merges: int) -> str:
+    chain = r"chr(31) || chr(31) || regexp_replace(w, '(.)', '\1' || chr(31) || chr(31), 'g')"
+    for i in range(1, n_merges + 1):
+        chain = (
+            f"replace({chain}, chr(31) || b{i}.lhs || chr(31) || chr(31) || b{i}.rhs || chr(31), "
+            f"chr(31) || b{i}.lhs || b{i}.rhs || chr(31))"
+        )
+    joins = " ".join(f"CROSS JOIN best{i} b{i}" for i in range(1, n_merges + 1))
+    return rf"""{_bpe_ctes(n_merges)}
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
+                x -> x <> '' AND NOT contains(x, chr(31)))) AS BIGINT) AS n_words,
+           CAST(COALESCE(list_sum(list_transform(
+                list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
+                            x -> x <> '' AND NOT contains(x, chr(31))),
+                w -> length(w))), 0) AS BIGINT) AS n_word_chars,
+           CAST(COALESCE(list_sum(list_transform(
+                list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
+                            x -> x <> '' AND NOT contains(x, chr(31))),
+                w -> len(list_filter(string_split({chain}, chr(31)), s -> s <> '')))), 0) AS BIGINT)
+             AS n_bpe_tokens
+    FROM documents {joins}"""
+
+
+@register(
+    "doc_bpe_merges",
+    oracle=_bpe_merges_oracle(8),
+    doc="Distributed BPE tokenizer training (Sennrich 2016): 8 merges "
+    "learned from the word-frequency table. ONE corpus pass (word "
+    "count shuffle); every merge iteration runs on the vocab frame "
+    "only — pair counts via a zip_with explode + groupBy(pair), "
+    "argmax collects one row, the merge applies as a narrow replace "
+    "projection. Exact integer counts + (cnt DESC, lhs, rhs) binary "
+    "tie-break make every merge engine-reproducible; the oracle "
+    "unrolls the loop into per-merge CTE layers.",
+    survey_refs=("LLM-text",),
+)
+def doc_bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.bpe import bpe_train, merges_frame
+
+    d = load_table(spark, sf_dir, "documents")
+    return merges_frame(spark, bpe_train(d, "text", n_merges=8))
+
+
+@register(
+    "doc_bpe_token_stats",
+    oracle=_bpe_token_stats_oracle(8),
+    doc="Per-document token accounting under the 8 learned BPE merges: "
+    "(n_words, n_word_chars, n_bpe_tokens). The merge rules become "
+    "string literals in a transform lambda, so tokenization is a "
+    "shuffle-free JVM projection over the corpus — the token-budget "
+    "measurement a packing/pricing pipeline actually runs. The oracle "
+    "re-learns the merges in SQL (same CTE chain as doc_bpe_merges) "
+    "and tokenizes with the same replace chain.",
+    survey_refs=("LLM-text",),
+)
+def doc_bpe_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.bpe import bpe_token_stats, bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(d, "text", n_merges=8)
+    return bpe_token_stats(d, "doc_id", "text", merges)

@@ -54,22 +54,26 @@ def test_round3_window_covers_stale_evidence():
         "doc_exact_decontamination",
         "embedding_knn_label_probe",
         "corpus_prep_report",
-        "minhash_incremental",
         "fuzzy_name_matches",
         "snapshot_diff_orders",
         "embedding_pca_covariance",
         "embedding_pca_project",
+        "doc_bpe_merges",
+        "doc_bpe_token_stats",
     }
     # Excused from the window: the first three's exact computations run
     # inside their in-window _bound gates (which compare exact vs
     # sketch), and the rows-only approx twin must stay behind its
-    # oracled sibling; the simhash production twins yielded their slots
-    # to the PCA gates — a rows-only driver row is the weakest signal
-    # and their algorithm correctness rides the in-window md5 twins.
+    # oracled sibling; the four rows-only production twins yielded
+    # their slots to the round-3 PCA/BPE gates — a rows-only driver
+    # row is the weakest signal and each algorithm's correctness rides
+    # its in-window md5-oracled twin.
     excused = {
         "corpus_token_cardinality",
         "corpus_token_cardinality_approx",
         "doc_length_quantiles",
+        "minhash_lsh_candidates",
+        "minhash_incremental",
         "simhash_signatures",
         "simhash_near_dups",
     }
