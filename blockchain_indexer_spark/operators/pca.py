@@ -93,7 +93,14 @@ def second_moments(qframe: DataFrame, vec_col: str = "_v") -> DataFrame:
             x = np.array(pdf[vec_col].tolist(), dtype=np.int64)
             n += x.shape[0]
             bs = x.sum(axis=0, dtype=np.int64)
-            bg = x.T @ x
+            # Gram via float64 BLAS, EXACT: per-batch entries are sums
+            # of ≤ batch_size integer products |q_i·q_j| ≤ scale²·‖x‖∞²
+            # ≈ 10⁷, so every intermediate stays < 2^53 and the result
+            # is integer-valued bit-for-bit. (numpy's int64 matmul has
+            # no BLAS path and is ~10× slower.) Accumulation across
+            # batches then proceeds in unbounded-exact int64.
+            xf = x.astype(np.float64)
+            bg = np.rint(xf.T @ xf).astype(np.int64)
             s = bs if s is None else s + bs
             g = bg if g is None else g + bg
         if n:

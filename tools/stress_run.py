@@ -69,6 +69,15 @@ t("knn_probe_100k_q100", lambda: knn_label_probe(
 from blockchain_indexer_spark.plans import REGISTRY
 t("corpus_prep_100k", lambda: REGISTRY["corpus_prep_report"].build(spark, SF).count())
 
+from blockchain_indexer_spark.operators.pca import covariance_pairs, pca_project
+t("pca_covariance_100k", lambda: covariance_pairs(emb, "vec_id", "embedding").count())
+t("pca_project_100k_k8", lambda: pca_project(emb, "vec_id", "embedding", k=8).count())
+
+from blockchain_indexer_spark.operators.bpe import bpe_token_stats, bpe_train
+bpe_merges = []
+t("bpe_train_100k_m8", lambda: len(bpe_merges.extend(bpe_train(docs, "text", n_merges=8)) or bpe_merges))
+t("bpe_tokenize_100k_m8", lambda: bpe_token_stats(docs, "doc_id", "text", bpe_merges).count())
+
 from blockchain_indexer_spark.plans import chain
 t("chain_spine_1M", lambda: len(chain.compute_pipeline_tables(spark, SF)))
 t("chain_views_1M", lambda: len(chain._derived_views(spark, SF)))
