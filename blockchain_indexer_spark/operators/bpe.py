@@ -177,3 +177,23 @@ def bpe_token_stats(
             "n_bpe_tokens"
         ),
     )
+
+
+def bpe_vocab(df: DataFrame, text_col: str, merges: list[Merge]) -> DataFrame:
+    """Final vocabulary after applying the learned merges: (token,
+    freq) — the artifact a tokenizer ships. One corpus pass (the
+    word-frequency shuffle) + a vocab-sized explode/groupBy; token
+    frequency counts every occurrence of the symbol across all words,
+    weighted by word frequency."""
+    words = word_freqs(df, text_col)
+    merged = words
+    for m in merges:
+        pat, rep = _merge_pattern(m.lhs, m.rhs)
+        merged = merged.select(
+            F.replace("w", F.lit(pat), F.lit(rep)).alias("w"), "freq"
+        )
+    return (
+        merged.select("freq", F.explode(_symbols("w")).alias("token"))
+        .groupBy("token")
+        .agg(F.sum("freq").cast("long").alias("freq"))
+    )

@@ -160,6 +160,10 @@ PRIORITY = (
     "rollup_revenue_hierarchy",
     "profile_orders",
     "salted_join_segment_totals",
+    # below-fold round-3 late addition: its training loop is fully
+    # oracle-verified by the two in-window BPE gates; the round-4
+    # rotation gives it a driver row
+    "doc_bpe_vocab",
     "minhash_lsh_candidates",
     "minhash_incremental",
     "simhash_signatures",

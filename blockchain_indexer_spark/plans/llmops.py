@@ -2270,3 +2270,26 @@ def doc_bpe_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     merges = bpe_train(d, "text", n_merges=8)
     return bpe_token_stats(d, "doc_id", "text", merges)
+
+
+def _bpe_vocab_oracle(n_merges: int) -> str:
+    return f"""{_bpe_ctes(n_merges)}
+    SELECT u.token, CAST(sum(s.freq) AS BIGINT) AS freq
+    FROM syms{n_merges} s, LATERAL unnest(s.sy) u(token)
+    GROUP BY 1"""
+
+
+@register(
+    "doc_bpe_vocab",
+    oracle=_bpe_vocab_oracle(8),
+    doc="Final vocabulary under the 8 learned BPE merges: (token, "
+    "freq) over the whole corpus — the artifact a tokenizer ships. "
+    "Costs the one word-count corpus pass plus a vocab-sized "
+    "explode/groupBy; exact integer frequencies.",
+    survey_refs=("LLM-text",),
+)
+def doc_bpe_vocab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.bpe import bpe_train, bpe_vocab
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_vocab(d, "text", bpe_train(d, "text", n_merges=8))

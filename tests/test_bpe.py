@@ -134,3 +134,20 @@ def test_early_stop_without_pairs(spark):
         "merged",
         "pair_count",
     ]
+
+
+def test_vocab_consistent_with_token_stats(spark, sf_dir):
+    from blockchain_indexer_spark.operators.bpe import bpe_vocab
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", n_merges=6)
+    vocab = bpe_vocab(docs, "text", merges).collect()
+    stats = bpe_token_stats(docs, "doc_id", "text", merges).collect()
+    # total token occurrences agree between the two views
+    assert sum(r["freq"] for r in vocab) == sum(r["n_bpe_tokens"] for r in stats)
+    # every merged symbol that survived is a vocab entry; base symbols
+    # plus merge products are the only possible tokens
+    tokens_set = {r["token"] for r in vocab}
+    merge_products = {m.lhs + m.rhs for m in merges}
+    base = {c for r in docs.select("text").collect() for c in r["text"].lower() if not c.isspace()}
+    assert tokens_set <= base | merge_products

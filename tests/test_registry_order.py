@@ -76,6 +76,10 @@ def test_round3_window_covers_stale_evidence():
         "minhash_incremental",
         "simhash_signatures",
         "simhash_near_dups",
+        # below-fold late addition; its training loop is verified by
+        # the two in-window BPE gates, and the round-4 rotation will
+        # give it a driver row
+        "doc_bpe_vocab",
     }
     stale_or_new = [
         n
