@@ -159,8 +159,15 @@ def bpe_token_stats(
     """Per-document token accounting under a learned merge list:
     (id, n_words, n_word_chars, n_bpe_tokens). Pure projection — the
     merge rules are literals in the transform lambda, so the whole
-    thing runs JVM-side with no shuffle and no UDF."""
-    words = _clean_words(text_col)
+    thing runs JVM-side with no shuffle and no UDF.
+
+    NULL text counts as zero words/chars/tokens (coalesced to an empty
+    array) — matching the oracle's COALESCE(list_sum(...), 0) instead
+    of NULL-propagating, so a future corpus with NULL rows cannot
+    silently diverge."""
+    words = F.coalesce(
+        _clean_words(text_col), F.array().cast("array<string>")
+    )
     per_word_tokens = F.transform(
         words, lambda w: F.size(_symbols(_apply_merges(w, merges))).cast("long")
     )

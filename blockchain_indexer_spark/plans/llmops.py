@@ -2218,8 +2218,8 @@ def _bpe_token_stats_oracle(n_merges: int) -> str:
     joins = " ".join(f"CROSS JOIN best{i} b{i}" for i in range(1, n_merges + 1))
     return rf"""{_bpe_ctes(n_merges)}
     SELECT doc_id,
-           CAST(len(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
-                x -> x <> '' AND NOT contains(x, chr(31)))) AS BIGINT) AS n_words,
+           CAST(COALESCE(len(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
+                x -> x <> '' AND NOT contains(x, chr(31)))), 0) AS BIGINT) AS n_words,
            CAST(COALESCE(list_sum(list_transform(
                 list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
                             x -> x <> '' AND NOT contains(x, chr(31))),

@@ -151,3 +151,15 @@ def test_vocab_consistent_with_token_stats(spark, sf_dir):
     merge_products = {m.lhs + m.rhs for m in merges}
     base = {c for r in docs.select("text").collect() for c in r["text"].lower() if not c.isspace()}
     assert tokens_set <= base | merge_products
+
+
+def test_null_text_counts_as_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "aa ab"), (2, None)], "doc_id long, text string"
+    )
+    merges = bpe_train(df, "text", n_merges=1)
+    out = {r["doc_id"]: r for r in bpe_token_stats(df, "doc_id", "text", merges).collect()}
+    assert out[2]["n_words"] == 0
+    assert out[2]["n_word_chars"] == 0
+    assert out[2]["n_bpe_tokens"] == 0
+    assert out[1]["n_words"] == 2
