@@ -60,6 +60,7 @@ PRIORITY = (
     "embedding_pca_project",
     "doc_bpe_merges",
     "doc_bpe_token_stats",
+    "doc_bpe_vocab",
     # -- tier B: driver row is round 1 only (pre-refactor code) --------
     "minhash_lsh_candidates_md5",
     "simhash_near_dups_md5",
@@ -86,7 +87,10 @@ PRIORITY = (
     "minhash_signatures_md5",
     "simhash_signatures_md5",
     "per_day_counts",
-    "scalar_total",
+    # (scalar_total yielded its slot to doc_bpe_vocab: it is a trivial
+    # single-agg whose shape is identically exercised by the in-window
+    # chain_total_minted r2 row, while doc_bpe_vocab is a new round-3
+    # oracled gate with no driver row at all)
     "double_entry_ledger",
     "multi_join_revenue",
     "topk_per_group",
@@ -160,10 +164,7 @@ PRIORITY = (
     "rollup_revenue_hierarchy",
     "profile_orders",
     "salted_join_segment_totals",
-    # below-fold round-3 late addition: its training loop is fully
-    # oracle-verified by the two in-window BPE gates; the round-4
-    # rotation gives it a driver row
-    "doc_bpe_vocab",
+    "scalar_total",
     "minhash_lsh_candidates",
     "minhash_incremental",
     "simhash_signatures",
