@@ -60,6 +60,7 @@ def test_round3_window_covers_stale_evidence():
         "embedding_pca_project",
         "doc_bpe_merges",
         "doc_bpe_token_stats",
+        "doc_bpe_vocab",
     }
     # Excused from the window: the first three's exact computations run
     # inside their in-window _bound gates (which compare exact vs
@@ -76,10 +77,10 @@ def test_round3_window_covers_stale_evidence():
         "minhash_incremental",
         "simhash_signatures",
         "simhash_near_dups",
-        # below-fold late addition; its training loop is verified by
-        # the two in-window BPE gates, and the round-4 rotation will
-        # give it a driver row
-        "doc_bpe_vocab",
+        # yielded its slot to doc_bpe_vocab (the last oracled gate
+        # with no driver row in any round): a trivial single-agg whose
+        # shape the r2-verified chain_total_minted row already covers
+        "scalar_total",
     }
     stale_or_new = [
         n
