@@ -148,7 +148,10 @@ def dup_line_fraction(col: Column | str) -> Column:
     whole metric rides in the scan projection.
     """
     ls = doc_lines(col)
-    n = F.size(ls)
+    # NULL text means no lines: coalesce so the 0-line guard fires and
+    # the metric is 0.0 rather than NULL-propagating (oracles mirror
+    # the COALESCE)
+    n = F.coalesce(F.size(ls), F.lit(0))
     return F.when(n == 0, F.lit(0.0)).otherwise(
         (n - F.size(F.array_distinct(ls))).cast("double") / n.cast("double")
     )
@@ -160,8 +163,11 @@ def dup_line_char_fraction(col: Column | str) -> Column:
     Weighting by length separates one long boilerplate block from many
     short repeats."""
     ls = doc_lines(col)
-    total = _sum_lengths(ls)
-    distinct_chars = _sum_lengths(F.array_distinct(ls))
+    # NULL text → NULL line array → NULL sums would dodge the == 0
+    # guard and NaN-propagate; coalesce to 0 so NULL text scores 0.0
+    # like any other line-less doc (oracles mirror the COALESCE)
+    total = F.coalesce(_sum_lengths(ls), F.lit(0).cast("bigint"))
+    distinct_chars = F.coalesce(_sum_lengths(F.array_distinct(ls)), F.lit(0).cast("bigint"))
     return F.when(total == 0, F.lit(0.0)).otherwise(
         (total - distinct_chars).cast("double") / total.cast("double")
     )

@@ -1151,7 +1151,7 @@ def embedding_knn_label_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm AS (
       SELECT doc_id,
              CAST(len(lines) AS BIGINT) AS n_lines,
-             CASE WHEN len(lines) = 0 THEN 0.0
+             CASE WHEN COALESCE(len(lines), 0) = 0 THEN 0.0
                   ELSE CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines)
              END AS dup_line_frac,
              CASE WHEN COALESCE(list_sum(list_transform(lines, l -> length(l))), 0) = 0 THEN 0.0

@@ -113,6 +113,7 @@ def test_repetition_metrics(spark):
             (1, "a b\na b\nc d"),  # 3 lines, one repeat
             (2, "unique line\nother line"),
             (3, "   \n  "),  # only blank lines
+            (4, None),  # NULL text scores 0.0 like any line-less doc
         ],
         "doc_id bigint, text string",
     )
@@ -128,6 +129,8 @@ def test_repetition_metrics(spark):
     assert out[1] == (pytest.approx(1 / 3), pytest.approx(1 / 3), pytest.approx(1.0))
     assert out[2] == (0.0, 0.0, pytest.approx(4.75))
     assert out[3][:2] == (0.0, 0.0)
+    assert out[4][:2] == (0.0, 0.0)
+    assert out[4][2] is None
 
 
 def test_hll_cardinality_within_error_bound(spark, sf_dir):

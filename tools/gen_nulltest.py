@@ -1,0 +1,69 @@
+"""Build a NULL-robustness corpus at /tmp/nulltest: a copy of a small
+sf dir with adversarial rows appended — NULL / empty / whitespace-only
+document text, and a zero vector plus a NULL vector in embeddings.
+
+Running the oracle harness against it flags any operator whose Spark
+NULL semantics silently diverge from its DuckDB oracle (the corpus-luck
+failure mode that hit embedding_topk_qcosine's zero-norm filter,
+doc_bpe_token_stats' NULL text, and doc_repetition_stats' NaN
+dup_char_frac):
+
+    python tools/gen_nulltest.py [src_sf_dir]
+    python tools/check_correctness.py /tmp/nulltest <doc_*/embedding_*/corpus_* gates>
+"""
+
+import os
+import shutil
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def build(src: str = "/root/testdata/sf0.001", dst: str = "/tmp/nulltest") -> str:
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    for f in os.listdir(src):
+        shutil.copy(os.path.join(src, f), dst)
+
+    t = pq.read_table(os.path.join(src, "documents.parquet"))
+    df = t.to_pandas()
+    base = df.iloc[0].to_dict()
+    extra = []
+    for i, txt in enumerate([None, "", "   ", "x"]):
+        r = dict(base)
+        r["doc_id"] = int(df["doc_id"].max()) + 1 + i
+        r["text"] = txt
+        extra.append(r)
+    df2 = pd.concat([df, pd.DataFrame(extra)], ignore_index=True)
+    pq.write_table(
+        pa.Table.from_pandas(df2, schema=t.schema, preserve_index=False),
+        os.path.join(dst, "documents.parquet"),
+    )
+
+    e = pq.read_table(os.path.join(src, "embeddings.parquet"))
+    ed = e.to_pandas()
+    b = ed.iloc[0].to_dict()
+    dim = len(b["embedding"])
+    ex = []
+    r = dict(b)
+    r["vec_id"] = int(ed["vec_id"].max()) + 1
+    r["embedding"] = np.zeros(dim, dtype=np.float32)
+    ex.append(r)
+    r = dict(b)
+    r["vec_id"] = int(ed["vec_id"].max()) + 2
+    r["embedding"] = None
+    ex.append(r)
+    ed2 = pd.concat([ed, pd.DataFrame(ex)], ignore_index=True)
+    pq.write_table(
+        pa.Table.from_pandas(ed2, schema=e.schema, preserve_index=False),
+        os.path.join(dst, "embeddings.parquet"),
+    )
+    print(f"wrote {dst}: {len(df2)} docs, {len(ed2)} vecs")
+    return dst
+
+
+if __name__ == "__main__":
+    build(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")
