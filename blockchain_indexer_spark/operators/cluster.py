@@ -116,15 +116,18 @@ def connected_components_star(
     contract to connected_components; equality on random graphs and
     pathological chains is test-pinned.
     """
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
+        raw.filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Vertices come from the RAW edges (before the self-loop filter):
+    # a vertex appearing only in self-loop edges must still emit
+    # (id, id) — the same contract as connected_components' (ADVICE r3).
     vertices = (
-        e.select(F.col("u").alias("id"))
-        .unionByName(e.select(F.col("v").alias("id")))
+        raw.select(F.col("u").alias("id"))
+        .unionByName(raw.select(F.col("v").alias("id")))
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -758,18 +758,28 @@ def decontaminate_exact(
     be O(text × needles) and a join would shuffle the corpus).
 
     Returns (id_col, n_matched_needles, is_contaminated) — one row per
-    corpus document, NULL-text documents matching nothing.
+    corpus document, NULL-text documents matching nothing. Zero-length
+    needles are dropped alongside NULLs (an empty needle is in every
+    text under SQL ``position`` semantics but matches nothing in the
+    automaton — excluding it keeps both engines agreeing). The id
+    column keeps its input type (string/UUID ids work, ADVICE r3).
     """
     from pyspark.sql.types import BooleanType, LongType, StructField, StructType
 
     needle_list = sorted(
-        {r[0] for r in needles.select(needle_col).filter(F.col(needle_col).isNotNull()).collect()}
+        {
+            r[0]
+            for r in needles.select(needle_col)
+            .filter(F.col(needle_col).isNotNull() & (F.col(needle_col) != ""))
+            .collect()
+        }
     )
     ac = corpus.sparkSession.sparkContext.broadcast(_AhoCorasick(needle_list))
     src = corpus.select(id_col, text_col)
+    id_field = next(f for f in src.schema.fields if f.name == id_col)
     schema = StructType(
         [
-            StructField(id_col, LongType()),
+            StructField(id_col, id_field.dataType, id_field.nullable),
             StructField("n_matched_needles", LongType()),
             StructField("is_contaminated", BooleanType()),
         ]
@@ -784,7 +794,7 @@ def decontaminate_exact(
             ]
             yield pd.DataFrame(
                 {
-                    id_col: pdf[id_col].astype("int64"),
+                    id_col: pdf[id_col],
                     "n_matched_needles": pd.Series(n, dtype="int64"),
                     "is_contaminated": pd.Series([x > 0 for x in n], dtype="bool"),
                 }

@@ -1620,10 +1620,11 @@ def doc_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t WHERE n_tokens > 0
     )
     SELECT doc_id, source, n_tokens,
-           (cum_after - n_tokens) // 512 AS first_chunk,
-           (cum_after - 1) // 512 AS last_chunk,
-           (cum_after - 1) // 512 - (cum_after - n_tokens) // 512 + 1 AS n_chunks,
-           (cum_after - n_tokens) % 512 AS chunk_offset
+           CAST((cum_after - n_tokens) // 512 AS BIGINT) AS first_chunk,
+           CAST((cum_after - 1) // 512 AS BIGINT) AS last_chunk,
+           CAST((cum_after - 1) // 512 - (cum_after - n_tokens) // 512 + 1 AS BIGINT)
+             AS n_chunks,
+           CAST((cum_after - n_tokens) % 512 AS BIGINT) AS chunk_offset
     FROM c
     """,
     doc="Concat-and-chunk sequence packing plan (operators.packing."
@@ -2147,7 +2148,14 @@ def embedding_pca_project_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blockchain_indexer_spark.operators.pca import pca_project
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return pca_project(emb, "vec_id", "embedding", k=4, scale=1000)
+    out = pca_project(emb, "vec_id", "embedding", k=4, scale=1000)
+    # Driver-gate schema: scalar pc_i columns, not array<double> — the
+    # verification harness canonicalizes via pandas sort_values, which
+    # cannot factorize list columns (r3: TypeError unhashable 'list').
+    # Library callers keep the array-returning pca_project API.
+    return out.select(
+        "vec_id", *[F.col("pcs")[i].alias(f"pc_{i}") for i in range(4)]
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -95,6 +95,50 @@ def ws_read_frame(rfile) -> tuple[int, bytes] | None:
     return opcode, bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
 
 
+class _FrameReader:
+    """Unbuffered read(n) over a socket, seeded with whatever the HTTP
+    handler's BufferedReader had already drained past the upgrade
+    request. Rationale (ADVICE r3): select() on the raw socket cannot
+    see bytes sitting in a user-space buffer, so a close/ping pipelined
+    behind the handshake (or a second frame behind a first) would
+    strand until unrelated new bytes arrived. Reading via recv keeps
+    kernel-buffered data select()-visible; `buffered` exposes the one
+    remaining user-space stash."""
+
+    def __init__(self, sock, initial: bytes = b"") -> None:
+        self._sock = sock
+        self._pending = initial
+
+    @property
+    def buffered(self) -> bool:
+        return bool(self._pending)
+
+    def read(self, n: int) -> bytes:
+        out = self._pending[:n]
+        self._pending = self._pending[n:]
+        while len(out) < n:
+            chunk = self._sock.recv(n - len(out))
+            if not chunk:
+                break
+            out += chunk
+        return out
+
+
+def _drain_buffered(rfile, sock) -> bytes:
+    """Pull any bytes the handler's BufferedReader holds past the HTTP
+    request WITHOUT blocking: read1 serves from the buffer when
+    non-empty (no syscall); the socket is flipped non-blocking so an
+    empty buffer's single raw read returns immediately."""
+    sock.setblocking(False)
+    try:
+        chunk = rfile.read1(1 << 16)
+        return chunk or b""
+    except (BlockingIOError, OSError, ValueError):
+        return b""
+    finally:
+        sock.setblocking(True)
+
+
 class BroadcastLog:
     """Thread-safe announcement ring with monotonically increasing
     sequence numbers; `publish` is the K5 `on_imported` hook."""
@@ -263,15 +307,25 @@ class ApiHost:
                     cursor = int(q.get("cursor", [str(api.log.end_cursor)])[0])
                 except ValueError:
                     cursor = api.log.end_cursor
+                reader = _FrameReader(
+                    self.connection, _drain_buffered(self.rfile, self.connection)
+                )
                 try:
                     while True:
-                        # drain control frames first: select() keeps the
-                        # push loop from blocking on a silent client,
-                        # while a blocking read inside the readable
-                        # branch keeps partial frames whole
-                        readable, _, _ = select.select([self.connection], [], [], 0)
-                        if readable:
-                            frame = ws_read_frame(self.rfile)
+                        # drain ALL waiting client frames first —
+                        # reader.buffered covers bytes pipelined behind
+                        # the upgrade request, select() covers the
+                        # kernel buffer; a blocking read inside the
+                        # readable branch keeps partial frames whole.
+                        # Bounded per push cycle so a flooding client
+                        # can't starve the broadcast.
+                        for _ in range(64):
+                            if not (
+                                reader.buffered
+                                or select.select([self.connection], [], [], 0)[0]
+                            ):
+                                break
+                            frame = ws_read_frame(reader)
                             if frame is None:
                                 return  # EOF or protocol error
                             opcode, payload = frame

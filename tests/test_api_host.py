@@ -138,7 +138,7 @@ class _WsClient:
     frame reads — enough to consume the K5 broadcast like the
     reference's websocket subscribers."""
 
-    def __init__(self, addr, path="/ws"):
+    def __init__(self, addr, path="/ws", pipelined: bytes = b""):
         import base64
         import os as _os
         import socket
@@ -151,7 +151,10 @@ class _WsClient:
             "Upgrade: websocket\r\nConnection: Upgrade\r\n"
             f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n\r\n"
         )
-        self.sock.sendall(req.encode())
+        # `pipelined`: raw websocket frames sent in the SAME segment as
+        # the upgrade request — they land in the server's HTTP
+        # BufferedReader before the frame loop starts (ADVICE r3).
+        self.sock.sendall(req.encode() + pipelined)
         self.rfile = self.sock.makefile("rb")
         status = self.rfile.readline().decode()
         assert " 101 " in status, status
@@ -234,6 +237,50 @@ def test_websocket_cursor_replay_ping_and_close(host):
         opcode, payload = ws.recv()
         assert (opcode, payload) == (0xA, b"are-you-there")
         ws.send(b"", opcode=0x8)  # close → echoed, then EOF
+        assert ws.recv()[0] == 0x8
+        assert ws.rfile.read(1) == b""
+    finally:
+        ws.close()
+
+
+def _masked_frame(payload: bytes, opcode: int) -> bytes:
+    import os as _os
+
+    mask = _os.urandom(4)
+    head = bytes([0x80 | opcode, 0x80 | len(payload)])
+    return head + mask + bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+
+
+def test_websocket_ping_pipelined_behind_upgrade(host):
+    """A ping sent in the same TCP segment as the upgrade request sits
+    in the server's user-space HTTP buffer, invisible to select() —
+    the frame loop must still answer it promptly (ADVICE r3)."""
+    h, _log = host
+    ws = _WsClient(h.address, pipelined=_masked_frame(b"early", 0x9))
+    try:
+        ws.sock.settimeout(5)
+        opcode, payload = ws.recv()
+        assert (opcode, payload) == (0xA, b"early")
+    finally:
+        ws.close()
+
+
+def test_websocket_two_frames_one_segment(host):
+    """Two frames in one segment: the second is already drained into a
+    buffer when the first is read — both must be handled without the
+    client sending more bytes."""
+    h, _log = host
+    ws = _WsClient(h.address)
+    try:
+        ws.sock.settimeout(5)
+        ws.sock.sendall(
+            _masked_frame(b"p1", 0x9) + _masked_frame(b"p2", 0x9)
+        )
+        assert ws.recv() == (0xA, b"p1")
+        assert ws.recv() == (0xA, b"p2")
+        # a close pipelined behind a ping ends the session cleanly
+        ws.sock.sendall(_masked_frame(b"p3", 0x9) + _masked_frame(b"", 0x8))
+        assert ws.recv() == (0xA, b"p3")
         assert ws.recv()[0] == 0x8
         assert ws.rfile.read(1) == b""
     finally:

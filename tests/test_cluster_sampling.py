@@ -148,6 +148,20 @@ def test_star_components_equal_propagation_on_random_graphs(spark):
         assert got == want, (trial, pairs)
 
 
+def test_star_components_self_loop_only_vertex_gets_row(spark):
+    """A vertex appearing ONLY in self-loop edges must still emit
+    (id, id), matching connected_components' contract (ADVICE r3: the
+    star variant derived vertices after the u != v filter and dropped
+    such vertices entirely)."""
+    from blockchain_indexer_spark.operators.cluster import connected_components_star
+
+    e = _edges(spark, [(7, 7), (1, 2), (3, 3), (2, 3)])
+    want = sorted(map(tuple, connected_components(e).collect()))
+    got = sorted(map(tuple, connected_components_star(e).collect()))
+    assert got == want
+    assert (7, 7) in got
+
+
 def test_star_components_converge_on_long_chain_fast(spark):
     """A 512-link chain has diameter 512: propagation needs ~512 rounds
     (the raising cap pins that), while star contraction closes it in

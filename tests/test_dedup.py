@@ -258,6 +258,24 @@ def test_decontaminate_exact_empty_needles(spark):
     ]
 
 
+def test_decontaminate_exact_string_ids_and_empty_needle(spark):
+    """String/UUID doc ids must survive (the id column keeps its input
+    type, ADVICE r3 — previously hard-cast to int64), and a zero-length
+    needle is dropped like NULL: it would match every text under SQL
+    position() semantics but nothing in the automaton."""
+    from blockchain_indexer_spark.operators.dedup import decontaminate_exact
+
+    corpus = spark.createDataFrame(
+        [("u-1", "alpha beta"), ("u-2", "gamma"), ("u-3", None)],
+        "doc_id string, text string",
+    )
+    needles = spark.createDataFrame([("beta",), ("",), (None,)], "needle string")
+    out = decontaminate_exact(corpus, needles)
+    assert dict(out.dtypes)["doc_id"] == "string"
+    got = {r["doc_id"]: r["n_matched_needles"] for r in out.collect()}
+    assert got == {"u-1": 1, "u-2": 0, "u-3": 0}
+
+
 def test_decontaminate_exact_overlapping_needles_counted_distinctly(spark):
     """'aba' in 'ababa' twice, 'ab' inside it, 'ba' too: the flag
     counts DISTINCT needles matched, and overlapping occurrences must

@@ -59,6 +59,23 @@ def values_equal(a, b) -> bool:
     return a == b
 
 
+def _dtype_family(dtype) -> str:
+    """int / float / bool / datetime / other — the granularity at which
+    the driver's value-hash can diverge while values_equal still holds
+    (r3: DuckDB HUGEINT arithmetic landing as float64 hashed 3.0 vs
+    Spark int64's 3 on doc_chunk_packing)."""
+    kind = getattr(dtype, "kind", "O")
+    if kind in "iu":
+        return "int"
+    if kind == "f":
+        return "float"
+    if kind == "b":
+        return "bool"
+    if kind == "M":
+        return "datetime"
+    return "other"
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     problems: list[str] = []
     sp, du = canon(spark_pdf), canon(duck_pdf)
@@ -68,6 +85,17 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     if len(sp) != len(du):
         problems.append(f"row count differs: spark={len(sp)} duck={len(du)}")
         return problems
+    for col in sp.columns:
+        sf, df_ = _dtype_family(sp[col].dtype), _dtype_family(du[col].dtype)
+        # int-vs-float is exactly the hash-divergence class the driver
+        # sees and values_equal(3, 3.0) masks; 'other' (object) columns
+        # arise from NULL-bearing ints in either engine and stay
+        # value-compared only.
+        if {sf, df_} == {"int", "float"}:
+            problems.append(
+                f"col {col!r}: dtype family differs: spark={sp[col].dtype} "
+                f"duck={du[col].dtype} (driver hash would diverge on e.g. 3 vs 3.0)"
+            )
     for col in sp.columns:
         sv, dv = sp[col].tolist(), du[col].tolist()
         bad = [
