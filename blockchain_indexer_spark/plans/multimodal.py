@@ -22,6 +22,7 @@ from blockchain_indexer_spark.operators.multimodal import (
     attach_avi_blob,
     attach_blob,
     attach_bmp_blob,
+    attach_png_blob,
     attach_wav_blob,
     decode_audio_real,
     decode_image,
@@ -86,6 +87,45 @@ def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = attach_bmp_blob(load_table(spark, sf_dir, "documents"))
+    return decode_image_real(blobs)
+
+
+@register(
+    "mm_real_png",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 9 AS h FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h,
+             (3 * doc_id + r.x + 13 * c.x) % 256 AS b,
+             (2 * doc_id + 5 * r.x + 11 * c.x) % 256 AS g,
+             (doc_id + 3 * r.x + 7 * c.x) % 256 AS rr
+      FROM d, UNNEST(range(0, h)) AS r(x), UNNEST(range(0, w)) AS c(x)
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(SUM(b) AS DOUBLE) / (w * h) AS mean_b,
+           CAST(SUM(g) AS DOUBLE) / (w * h) AS mean_g,
+           CAST(SUM(rr) AS DOUBLE) / (w * h) AS mean_r
+    FROM px GROUP BY doc_id, w, h
+    """,
+    doc="REAL COMPRESSED image decode: each document gets a genuine "
+    "8-bit RGB PNG (DEFLATE IDAT split across two chunks, CRC-checked, "
+    "tEXt chunk planted between header and data) whose gradient pixels "
+    "are closed-form in doc_id, and decode_png inflates and defilters "
+    "it in pure Python/numpy — scanline filters cycle through ALL five "
+    "types (None/Sub/Up/Average/Paeth), so a wrong predictor, "
+    "byte-vs-pixel Sub offset, or Paeth tie-break shifts the channel "
+    "means the oracle recomputes by enumerating pixels. Channel sums "
+    "are integers < 2^53, so the one double division is IEEE-identical "
+    "in both engines.",
+    survey_refs=("LLM-multimodal",),
+)
+def mm_real_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blobs = attach_png_blob(load_table(spark, sf_dir, "documents"))
     return decode_image_real(blobs)
 
 
