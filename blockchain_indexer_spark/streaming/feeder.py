@@ -14,10 +14,10 @@ live poll is a handful of blocks (the reference processes them one
 round at a time too). Empty blocks become NULL-hash marker rows, the
 same contract as FEED_SCHEMA.
 
-A websocket `newHeads` push source (reference LiveSource.cs:21-130)
-plugs in by replacing `poll_once`'s head probe with the pushed head —
-the download/assemble/emit path is identical, which is why the seam
-lives here and not in the socket client.
+`LiveFeeder` is the websocket `newHeads` push source (reference
+LiveSource.cs:21-130): catch-up via the polling path, then a REAL
+RFC 6455 client subscription (sources/ws.py) replaces the head probe —
+the download/assemble/emit path is shared (`emit_through`).
 """
 
 from __future__ import annotations
@@ -179,6 +179,11 @@ class IntervalFeeder:
         """One IntervalSource round: returns the number of new blocks
         emitted (0 when the head has not advanced)."""
         head = _hex_int(self.transport("eth_blockNumber", [])["number"])
+        return self.emit_through(head)
+
+    def emit_through(self, head: int) -> int:
+        """Download/assemble/emit blocks next_block..head as one feed
+        file — shared by the polling path and LiveFeeder's push path."""
         if head < self.next_block:
             return 0
         numbers = self.spark.range(self.next_block, head + 1).select(
@@ -209,3 +214,56 @@ class IntervalFeeder:
         while stop_when is None or not stop_when():
             self.poll_once()
             time.sleep(interval_s)
+
+
+class LiveFeeder(IntervalFeeder):
+    """LiveSource (S3) with a REAL ``eth_subscribe("newHeads")`` push
+    channel — the reference's UnfoldAsync loop
+    (`Sources/LiveSource.cs:21-130`) re-expressed:
+
+    1. **catch-up**: while the database trails the chain head, emit
+       the next block via the polling path (`LiveSource.cs:32-66`'s
+       catchingUp loop; here each catch-up round emits the whole
+       remaining range in one distributed download rather than one
+       block per unfold — same rows, fewer RPC round trips);
+    2. **subscribe**: open the websocket, ``eth_subscribe`` newHeads,
+       and emit one feed round per pushed header; 20 s of silence
+       raises TimeoutError (`LiveSource.cs:75-83`) and a head that
+       skips a number raises the reference's missed-block error
+       (`LiveSource.cs:121-124`) — in both cases the caller restarts
+       the round, whose catch-up phase IS the gap repair (the same
+       recovery the reference's Indexer round loop performs).
+
+    ``ws_factory`` returns a fresh NewHeadsSubscription (sources.ws);
+    injectable so tests run a local stdlib ws server and a deployment
+    passes ``lambda: NewHeadsSubscription(WsConnection(url))``.
+    """
+
+    def __init__(self, *args, ws_factory=None, **kwargs) -> None:
+        super().__init__(*args, **kwargs)
+        if ws_factory is None:
+            raise ValueError("LiveFeeder requires a ws_factory")
+        self.ws_factory = ws_factory
+
+    def run_live(self, stop_when=None, stall_timeout: float = 20.0) -> int:
+        """One live round: catch up, then consume pushed heads until
+        `stop_when()` is True. Returns the number of blocks emitted.
+        TimeoutError (20 s stall) and the missed-block RuntimeError
+        propagate — the deployment loop reconnects by calling
+        run_live again, which re-enters catch-up."""
+        emitted = 0
+        while True:  # catchingUp (LiveSource.cs:32)
+            n = self.poll_once()
+            emitted += n
+            if n == 0:
+                break
+        with self.ws_factory() as sub:
+            while stop_when is None or not stop_when():
+                head = sub.next_head(timeout=stall_timeout)
+                if head > self.next_block:
+                    raise RuntimeError(
+                        f"The live source missed at least one block. "
+                        f"Current block: {head}; Last block: {self.next_block - 1}"
+                    )
+                emitted += self.emit_through(head)
+        return emitted

@@ -1,0 +1,226 @@
+"""Client-side RFC 6455 newHeads push (S3 genuine push parity,
+VERDICT r3 "Next round" #6): a stdlib websocket JSON-RPC server stands
+in for the gateway, sources.ws subscribes with masked client frames,
+and LiveFeeder turns pushed headers into feed files end-to-end —
+catch-up loop, 20 s stall timeout and missed-block error included
+(reference Sources/LiveSource.cs:21-130).
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import select
+import socket
+import threading
+
+import pytest
+
+from blockchain_indexer_spark.sources.ws import NewHeadsSubscription, WsConnection
+from blockchain_indexer_spark.streaming.api import (
+    ws_accept_key,
+    ws_encode_frame,
+    ws_read_frame,
+)
+from blockchain_indexer_spark.streaming.feeder import LiveFeeder
+from blockchain_indexer_spark.streaming.runner import IngestPipeline
+from tests.chain_fixtures import EXPECTED
+from tests.test_feeder import make_gateway
+
+
+class FakeWsGateway:
+    """Minimal eth_subscribe("newHeads") websocket server: handshake,
+    subscribe ack, then pushes whatever block numbers are fed through
+    `push`. One connection at a time (the LiveSource contract)."""
+
+    def __init__(self) -> None:
+        self._srv = socket.create_server(("127.0.0.1", 0))
+        self.port = self._srv.getsockname()[1]
+        self.heads: queue.Queue[int] = queue.Queue()
+        self.ping_first = False
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    @property
+    def url(self) -> str:
+        return f"ws://127.0.0.1:{self.port}/"
+
+    def push(self, number: int) -> None:
+        self.heads.put(number)
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._srv.close()
+        self._thread.join(timeout=5)
+
+    def _serve(self) -> None:
+        while not self._stop.is_set():
+            try:
+                self._srv.settimeout(0.2)
+                conn, _ = self._srv.accept()
+            except (socket.timeout, OSError):
+                continue
+            try:
+                self._session(conn)
+            except OSError:
+                pass
+            finally:
+                conn.close()
+
+    def _session(self, conn: socket.socket) -> None:
+        rfile = conn.makefile("rb")
+        head = b""
+        while b"\r\n\r\n" not in head:
+            chunk = rfile.readline()
+            if not chunk:
+                return
+            head += chunk
+        key = next(
+            ln.split(":", 1)[1].strip()
+            for ln in head.decode().split("\r\n")
+            if ln.lower().startswith("sec-websocket-key")
+        )
+        conn.sendall(
+            (
+                "HTTP/1.1 101 Switching Protocols\r\n"
+                "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                f"Sec-WebSocket-Accept: {ws_accept_key(key)}\r\n\r\n"
+            ).encode()
+        )
+        subscribed = False
+        while not self._stop.is_set():
+            if select.select([conn], [], [], 0.02)[0]:
+                frame = ws_read_frame(rfile)
+                if frame is None:
+                    return
+                opcode, payload = frame
+                if opcode == 0x8:
+                    conn.sendall(ws_encode_frame(payload, 0x8))
+                    return
+                if opcode == 0x1:
+                    msg = json.loads(payload)
+                    if msg.get("method") == "eth_subscribe":
+                        if self.ping_first:
+                            conn.sendall(ws_encode_frame(b"hb", 0x9))
+                        conn.sendall(
+                            ws_encode_frame(
+                                json.dumps(
+                                    {"jsonrpc": "2.0", "id": msg["id"], "result": "0xsub1"}
+                                ).encode()
+                            )
+                        )
+                        subscribed = True
+            if subscribed:
+                try:
+                    n = self.heads.get_nowait()
+                except queue.Empty:
+                    continue
+                body = {
+                    "jsonrpc": "2.0",
+                    "method": "eth_subscription",
+                    "params": {"subscription": "0xsub1", "result": {"number": hex(n)}},
+                }
+                conn.sendall(ws_encode_frame(json.dumps(body).encode()))
+
+
+@pytest.fixture()
+def gateway_ws():
+    g = FakeWsGateway()
+    yield g
+    g.stop()
+
+
+def test_subscription_heads_ping_and_stall_timeout(gateway_ws):
+    """Masked-handshake subscribe, pushed heads in order, transparent
+    ping handling, and the reference's stall TimeoutError."""
+    gateway_ws.ping_first = True  # a ping pipelined before the ack
+    with NewHeadsSubscription(WsConnection(gateway_ws.url)) as sub:
+        assert sub.subscription_id == "0xsub1"
+        gateway_ws.push(7)
+        gateway_ws.push(8)
+        assert sub.next_head(timeout=5) == 7
+        assert sub.next_head(timeout=5) == 8
+        with pytest.raises(TimeoutError, match="no new block"):
+            sub.next_head(timeout=0.4)
+
+
+def test_ws_connection_rejects_bad_accept():
+    srv = socket.create_server(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+
+    def bad():
+        conn, _ = srv.accept()
+        conn.recv(4096)
+        conn.sendall(
+            b"HTTP/1.1 101 Switching Protocols\r\n"
+            b"Upgrade: websocket\r\nConnection: Upgrade\r\n"
+            b"Sec-WebSocket-Accept: bogus\r\n\r\n"
+        )
+        conn.close()
+
+    t = threading.Thread(target=bad, daemon=True)
+    t.start()
+    with pytest.raises(ConnectionError, match="Accept"):
+        WsConnection(f"ws://127.0.0.1:{port}/")
+    srv.close()
+
+
+def test_live_feeder_push_end_to_end(spark, tmp_path, gateway_ws):
+    """The full LiveSource round: catch-up over the stale range, then
+    blocks arrive via websocket push frames and land in final tables
+    with full classifier parity."""
+    transport, head, numbers = make_gateway(spark)
+    mid = numbers[len(numbers) // 2]
+    head["number"] = mid
+    feed_dir = str(tmp_path / "feed")
+    feeder = LiveFeeder(
+        spark,
+        transport,
+        feed_dir,
+        start_block=numbers[0],
+        block_pool=4,
+        receipt_pool=8,
+        ws_factory=lambda: NewHeadsSubscription(WsConnection(gateway_ws.url)),
+    )
+    pushed = [n for n in numbers if n > mid]
+    for n in pushed:
+        gateway_ws.push(n)
+    done = {"rounds": 0}
+
+    def stop_when():
+        # stop once every pushed head has been consumed
+        return feeder.next_block > numbers[-1]
+
+    emitted = feeder.run_live(stop_when=stop_when, stall_timeout=10)
+    assert emitted == len(numbers)
+    done["rounds"] += 1
+
+    pipe = IngestPipeline(spark, str(tmp_path / "final"), maintain_caches=False)
+    q = pipe.start_stream(feed_dir, str(tmp_path / "ckpt"), available_now=False)
+    q.processAllAvailable()
+    q.stop()
+    got_blocks = {r["number"] for r in pipe.read_final("block").select("number").collect()}
+    assert got_blocks == set(numbers)
+    got = {
+        r["hash"]: r["classification"]
+        for r in pipe.read_final("transaction").select("hash", "classification").collect()
+    }
+    assert got == EXPECTED
+
+
+def test_live_feeder_missed_block_raises(spark, tmp_path, gateway_ws):
+    transport, head, numbers = make_gateway(spark)
+    head["number"] = numbers[0]
+    feeder = LiveFeeder(
+        spark,
+        transport,
+        str(tmp_path / "feed"),
+        start_block=numbers[0],
+        block_pool=4,
+        receipt_pool=8,
+        ws_factory=lambda: NewHeadsSubscription(WsConnection(gateway_ws.url)),
+    )
+    gateway_ws.push(numbers[0] + 5)  # skips ahead
+    with pytest.raises(RuntimeError, match="missed at least one block"):
+        feeder.run_live(stop_when=None, stall_timeout=10)
