@@ -123,6 +123,35 @@ def shingle_index(
     return sh
 
 
+#: Escape-hatch floor: below this many posting-combo rows the
+#: deterministic capped path is fast regardless of amplification
+#: ratio, so the LSH detour (extra signature pass) would only add
+#: latency. ~50M combos ≈ the point where the explode+groupBy starts
+#: to dominate a 32-core run; at cluster scale a dense corpus clears
+#: it by orders of magnitude.
+_ESCAPE_MIN_PAIR_WORK = 50_000_000
+
+
+def _lsh_bands_for(threshold: float, num_hashes: int = 64) -> int:
+    """Smallest band count (largest rows-per-band) whose LSH s-curve
+    keeps ≥90% recall at similarity threshold+0.2: recall(s) =
+    1-(1-s^r)^b with r = num_hashes/b. Anchoring the recall target a
+    step ABOVE the threshold keeps the banding selective — demanding
+    95% recall exactly AT the threshold forces r=2 on mid thresholds,
+    whose bucket collisions explode on a Zipf corpus (measured: 48M
+    candidate pairs at r=2 vs 5.4k at r=4 on the 100k stress set).
+    True near-dups sit well above the threshold; borderline pairs get
+    the lower s-curve recall — the documented trade of the escape."""
+    target = min(0.95, threshold + 0.2)
+    for rows in (8, 4, 2, 1):
+        if num_hashes % rows:
+            continue
+        bands = num_hashes // rows
+        if 1 - (1 - target**rows) ** bands >= 0.90:
+            return bands
+    return num_hashes
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -131,6 +160,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     max_doc_freq: int | None = 100,
     shingles: DataFrame | None = None,
+    density_escape: float | None = 8.0,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard similarity above ``threshold``.
 
@@ -147,6 +177,23 @@ def ngram_jaccard_pairs(
     and silently drop some above-threshold pairs).
     Pass ``shingles`` (from distinct_shingles) to share one shingling
     pass across strategies.
+
+    ``density_escape``: on an adversarially DENSE corpus (planted
+    near-dup clusters, small Zipf vocab) the under-cap postings
+    amplify into far more candidate-pair combos than shingle rows —
+    Σ df² over under-cap shingles, 157M combos from 11.4M rows on the
+    measured 20× worst case (SCALE.md) — and the combos explode
+    dominates the runtime. When that amplification factor (probed
+    with one aggregate over the windowed shingle frame) exceeds
+    ``density_escape``, candidate generation switches to MinHash-LSH
+    (banding from ``_lsh_bands_for``: selective, ≥90% recall at
+    threshold+0.2) and ONLY those candidates get a full exact
+    intersection, bounded by a semi-join to candidate docs. Reported
+    jaccard stays true either way; the loss model changes from "pairs
+    whose entire intersection is stop-shingles" to "LSH band misses
+    (borderline-similarity pairs; near-certain catch for true
+    near-dups)". ``None`` disables the escape (fully deterministic
+    capped path, the oracle-gated configuration).
     """
     sh = shingles if shingles is not None else _distinct_shingles(df, id_col, text_col, k)
     sizes = sh.groupBy("_id").agg(F.count("*").alias("n_shingles"))
@@ -172,6 +219,64 @@ def ngram_jaccard_pairs(
         # 45 s, anti-join 61 s, collect-then-filter 85 s).
         from pyspark.sql import Window as _W
 
+        if density_escape is not None:
+            # Density probe: Σ df² over under-cap shingles == the
+            # number of candidate-pair structs the posting-combos
+            # explode will materialize. THAT is the degeneracy metric:
+            # a Zipf corpus with many near-cap shingles amplifies
+            # 11.4M shingle rows into 157M combo rows (measured, 20×
+            # stress) while its over-cap ROW fraction is only 0.32 —
+            # so the trigger is work amplification, not stop fraction.
+            # Probed with a partially-aggregated groupBy (map-side
+            # combine → one row per distinct shingle), far lighter
+            # than materializing the windowed row frame for it.
+            n_rows, pair_work = (
+                sh.groupBy("shingle")
+                .agg(F.count("*").alias("_d"))
+                .agg(
+                    F.sum("_d"),
+                    F.sum(
+                        F.when(
+                            F.col("_d") <= max_doc_freq, F.col("_d") * F.col("_d")
+                        ).otherwise(F.lit(0))
+                    ),
+                )
+                .first()
+            )
+            # Both conditions must hold: high amplification (dense
+            # corpus, scale-free) AND a large absolute combo volume
+            # (the amplification ratio alone cannot separate a small
+            # Zipf corpus the deterministic path handles in seconds —
+            # sf0.1: amp 10.7, 5.6M combos — from the degenerate case
+            # — 20× stress: amp 13.8, 157M combos).
+            if (
+                n_rows
+                and (pair_work or 0) / n_rows > density_escape
+                and (pair_work or 0) > _ESCAPE_MIN_PAIR_WORK
+            ):
+                cand = minhash_lsh_candidates(
+                    df,
+                    id_col,
+                    text_col,
+                    k=k,
+                    bands=_lsh_bands_for(threshold),
+                    shingles=sh,
+                ).localCheckpoint(eager=True)  # feeds doc set + pair join
+                cand_docs = (
+                    cand.select(F.col("doc_a").alias("_id"))
+                    .unionByName(cand.select(F.col("doc_b").alias("_id")))
+                    .distinct()
+                )
+                sh_c = sh.join(cand_docs, "_id", "left_semi")
+                a = sh_c.select(F.col("_id").alias("doc_a"), "shingle")
+                b = sh_c.select(F.col("_id").alias("doc_b"), "shingle")
+                common = (
+                    cand.join(a, "doc_a")
+                    .join(b, ["doc_b", "shingle"])
+                    .groupBy("doc_a", "doc_b")
+                    .agg(F.count("*").alias("n_common"))
+                )
+                return _jaccard_tail(common, sizes, threshold)
         sh_df = sh.withColumn("_df", F.count("*").over(_W.partitionBy("shingle")))
         under = sh_df.filter(F.col("_df") <= max_doc_freq).drop("_df")
         # over-cap (stop) rows, per doc: the ONLY shingles the exact
@@ -301,6 +406,13 @@ def ngram_jaccard_pairs(
             .groupBy("doc_a", "doc_b")
             .agg(F.count("*").alias("n_common"))
         )
+    return _jaccard_tail(common, sizes, threshold)
+
+
+def _jaccard_tail(common: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
+    """(doc_a, doc_b, n_common) + per-doc sizes → thresholded exact
+    jaccard rows — shared by the capped, uncapped and density-escape
+    candidate paths."""
     sa = sizes.select(F.col("_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col("_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
     return (

@@ -158,6 +158,79 @@ def test_decontaminate_contamination_ratio(spark):
     assert row["is_contaminated"]
 
 
+def test_jaccard_density_escape_matches_exact_on_dense_corpus(spark, monkeypatch):
+    """A tiny-vocab corpus where EVERY shingle is over a df-cap of 1:
+    the density probe must fire (floor lowered for the test), route
+    candidates through MinHash-LSH, and the exact verify must
+    reproduce the uncapped ground truth for the planted duplicate
+    pairs (identical docs share identical signatures, so banding can
+    never miss them)."""
+    from blockchain_indexer_spark.operators import dedup as dedup_mod
+    from blockchain_indexer_spark.operators.dedup import ngram_jaccard_pairs
+
+    monkeypatch.setattr(dedup_mod, "_ESCAPE_MIN_PAIR_WORK", 0)
+
+    base = "a b c d e f g h i j k"
+    rows = [(i, base) for i in range(6)] + [
+        (10, "x y z " + base),  # near-dup of the clones
+        (20, "p q r s t u v w"),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    truth = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["jaccard"])
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", k=3, threshold=0.5, max_doc_freq=None
+        ).collect()
+    }
+    escaped = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["jaccard"])
+        for r in ngram_jaccard_pairs(
+            df,
+            "doc_id",
+            "text",
+            k=3,
+            threshold=0.5,
+            max_doc_freq=1,
+            density_escape=0.0,  # any amplification fires the escape
+        ).collect()
+    }
+    clone_pairs = {(a, b) for a in range(6) for b in range(6) if a < b}
+    assert clone_pairs <= set(escaped)
+    for p in escaped:
+        assert escaped[p] == truth[p]  # reported jaccard is TRUE jaccard
+    # the deterministic capped path (escape disabled) still reports
+    # exact values through the stop-shingle verify
+    capped = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["jaccard"])
+        for r in ngram_jaccard_pairs(
+            df,
+            "doc_id",
+            "text",
+            k=3,
+            threshold=0.5,
+            max_doc_freq=1,
+            density_escape=None,
+        ).collect()
+    }
+    for p in capped:
+        assert capped[p] == truth[p]
+
+
+def test_lsh_bands_for_recall_curve():
+    from blockchain_indexer_spark.operators.dedup import _lsh_bands_for
+
+    for t in (0.2, 0.5, 0.8, 0.95):
+        bands = _lsh_bands_for(t)
+        rows = 64 // bands
+        target = min(0.95, t + 0.2)
+        assert 1 - (1 - target**rows) ** bands >= 0.90
+    # mid thresholds must NOT degrade to r=2 banding (the measured 48M
+    # candidate blowup) — r=4 banding means at most 16 bands
+    assert _lsh_bands_for(0.5) <= 16
+    # higher thresholds must allow more selective banding (fewer bands)
+    assert _lsh_bands_for(0.9) < _lsh_bands_for(0.3)
+
+
 def test_md5_variant_rejects_prehashed_shingles(spark):
     from blockchain_indexer_spark.operators.dedup import distinct_shingles, minhash_signatures
 
