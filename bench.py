@@ -75,6 +75,13 @@ BENCH_QUERIES = (
     # multimodal mapInPandas stages
     "mm_decode_stats",
     "mm_frame_sample",
+    # round-4 additions (VERDICT r3 item 8): the remaining heavies
+    "fuzzy_name_matches",
+    "doc_bpe_vocab",
+    "mm_real_frames",
+    "snapshot_diff_orders",
+    # real compressed decode: PNG inflate + defilter per blob
+    "mm_real_png",
 )
 
 

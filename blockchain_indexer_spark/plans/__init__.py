@@ -34,92 +34,37 @@ from blockchain_indexer_spark.plans import multimodal as _multimodal  # noqa: E4
 #: chain/mm sentinel set, so after this round every registered query
 #: has a driver row from round 2 or round 3.
 PRIORITY = (
-    # -- tier A: never driver-verified (no r1/r2 row) ------------------
-    "minhash_incremental_md5",
-    "embedding_pq_topk",
-    "embedding_ivfpq_topk",
-    "embedding_lsh_near_dups",
-    "embedding_kmeans_clusters",
-    "embedding_semantic_dedup",
-    "doc_unigram_stats",
-    "doc_chunk_packing",
-    "corpus_mixture_rebalance",
-    "doc_pii_scrub",
-    "corpus_token_cardinality_bound",
-    "doc_length_quantiles_approx_bound",
-    # -- tier A: new round-3 gates -------------------------------------
-    "mm_real_decode",
-    "mm_real_audio",
-    "mm_real_frames",
-    "doc_exact_decontamination",
-    "embedding_knn_label_probe",
-    "corpus_prep_report",
-    "fuzzy_name_matches",
-    "snapshot_diff_orders",
-    "embedding_pca_covariance",
-    "embedding_pca_project",
-    "doc_bpe_merges",
-    "doc_bpe_token_stats",
-    "doc_bpe_vocab",
-    # -- tier B: driver row is round 1 only (pre-refactor code) --------
-    "minhash_lsh_candidates_md5",
-    "simhash_near_dups_md5",
-    "doc_decontamination",
-    "doc_dedup_clusters",
-    "embedding_topk_qcosine",
-    "embedding_topk_mips",
-    "embedding_lsh_topk",
-    "embedding_ivf_topk",
-    "doc_token_stats",
-    "doc_lang_id",
-    "doc_quality_score",
-    "doc_repetition_stats",
-    "doc_train_split",
-    "doc_top_terms",
-    "doc_rolling_fingerprint",
-    # (corpus_token_cardinality moved below the fold: its exact
-    # computation runs INSIDE the tier-A corpus_token_cardinality_bound
-    # gate, which compares exact vs HLL — the only r1-only query whose
-    # correctness signal is fully embedded in an in-window gate, so it
-    # yields its slot to the fuzzy_name_matches round-3 gate)
-    "corpus_mixture_report",
-    "embedding_cosine_near_dups",
-    "minhash_signatures_md5",
-    "simhash_signatures_md5",
-    "per_day_counts",
-    # (scalar_total yielded its slot to doc_bpe_vocab: it is a trivial
-    # single-agg whose shape is identically exercised by the in-window
-    # chain_total_minted r2 row, while doc_bpe_vocab is a new round-3
-    # oracled gate with no driver row at all)
-    "double_entry_ledger",
-    "multi_join_revenue",
-    "topk_per_group",
-    "union_activity_timeline",
-    # (the four rows-only production variants yielded their slots to
-    # the round-3 PCA/BPE gates: a rows-only driver row is the weakest
-    # signal, and each algorithm's correctness is carried by its
-    # in-window md5-oracled twin — they now sit below the fold)
-    # -- tier C: one r2-verified sentinel (regression canary for the
-    #    round-3 dedup rewrite — the heaviest code churn this round) --
-    "ngram_jaccard_near_dups",
     # ------------------------------------------------------------------
-    # Below the ~50-row driver window. The r2 sentinels yielded their
-    # slots to the eight new round-3 entries; the round-3 dedup rewrite
-    # keeps a canary above via ngram_jaccard_near_dups (plus
-    # doc_dedup_clusters and the simhash md5 gates in tier B), and the
-    # chain spine runs every round via entry() itself.
-    # corpus_token_cardinality's and doc_length_quantiles' exact
-    # computations run INSIDE their tier-A _bound gates, so they (and
-    # the rows-only approx twin, which must stay behind its oracled
-    # sibling) sit just below the fold.
+    # Round-4 rotation (VERDICT r3 "Next round" #4). The driver records
+    # exactly the first 50 entries per round; ordering below is:
+    #   tier A — the two r3-red rows post-fix (doc_chunk_packing oracle
+    #     dtype CAST, embedding_pca_project scalar schema), the three
+    #     queries whose only driver row is round 1, and the new round-4
+    #     mm_real_png gate;
+    #   tier B — regression canaries for this round's code churn
+    #     (dedup density escape, decontaminate_exact id types, cluster
+    #     self-loop contract, decode_image_real PNG dispatch);
+    #   tier C — every remaining entry whose newest driver row is
+    #     round 2, so recency rotates forward. Everything with an r3
+    #     row sits below the fold (they are the freshest already).
+    # After this round every oracled query has a driver row from
+    # round 2 or later, most from round 3/4.
+    # ------------------------------------------------------------------
+    # -- tier A ---------------------------------------------------------
+    "doc_chunk_packing",
+    "embedding_pca_project",
     "corpus_token_cardinality",
-    "corpus_token_cardinality_approx",
     "doc_length_quantiles",
+    "scalar_total",
+    "mm_real_png",
+    # -- tier B: churn canaries ----------------------------------------
+    "ngram_jaccard_near_dups",
+    "doc_exact_decontamination",
+    "doc_dedup_clusters",
+    "mm_real_decode",
+    # -- tier C: newest row is round 2 ---------------------------------
     "chain_crc_balances",
     "chain_classification_counts",
-    "mm_decode_stats",
-    "doc_fingerprint_dedup",
-    "stream_reassembly_join",
     "chain_current_trust",
     "chain_eth_transfer_stats",
     "chain_hub_transfers_per_day",
@@ -139,6 +84,7 @@ PRIORITY = (
     "chain_crc_minting",
     "chain_formatted_transfers",
     "chain_trust_reachability",
+    "mm_decode_stats",
     "mm_thumbnail_geometry",
     "mm_frame_sample",
     "mm_feature_vectors",
@@ -157,6 +103,14 @@ PRIORITY = (
     "event_sessionization",
     "asof_latest_purchase",
     "range_join_active_sessions",
+    "doc_fingerprint_dedup",
+    # ------------------------------------------------------------------
+    # Below the ~50-row driver window: everything verified in round 3
+    # (the freshest rows) plus the remaining r2-verified relational
+    # gates and the rows-only production hash-variants (weakest
+    # signal; each algorithm's correctness is carried by its
+    # md5-oracled twin above or in the r3 record).
+    # ------------------------------------------------------------------
     "gap_detection",
     "filtered_projection",
     "json_payload",
@@ -164,7 +118,52 @@ PRIORITY = (
     "rollup_revenue_hierarchy",
     "profile_orders",
     "salted_join_segment_totals",
-    "scalar_total",
+    "stream_reassembly_join",
+    "minhash_incremental_md5",
+    "embedding_pq_topk",
+    "embedding_ivfpq_topk",
+    "embedding_lsh_near_dups",
+    "embedding_kmeans_clusters",
+    "embedding_semantic_dedup",
+    "doc_unigram_stats",
+    "corpus_mixture_rebalance",
+    "doc_pii_scrub",
+    "corpus_token_cardinality_bound",
+    "doc_length_quantiles_approx_bound",
+    "mm_real_audio",
+    "mm_real_frames",
+    "embedding_knn_label_probe",
+    "corpus_prep_report",
+    "fuzzy_name_matches",
+    "snapshot_diff_orders",
+    "embedding_pca_covariance",
+    "doc_bpe_merges",
+    "doc_bpe_token_stats",
+    "doc_bpe_vocab",
+    "minhash_lsh_candidates_md5",
+    "simhash_near_dups_md5",
+    "doc_decontamination",
+    "embedding_topk_qcosine",
+    "embedding_topk_mips",
+    "embedding_lsh_topk",
+    "embedding_ivf_topk",
+    "doc_token_stats",
+    "doc_lang_id",
+    "doc_quality_score",
+    "doc_repetition_stats",
+    "doc_train_split",
+    "doc_top_terms",
+    "doc_rolling_fingerprint",
+    "corpus_mixture_report",
+    "embedding_cosine_near_dups",
+    "minhash_signatures_md5",
+    "simhash_signatures_md5",
+    "per_day_counts",
+    "double_entry_ledger",
+    "multi_join_revenue",
+    "topk_per_group",
+    "union_activity_timeline",
+    "corpus_token_cardinality_approx",
     "minhash_lsh_candidates",
     "minhash_incremental",
     "simhash_signatures",

@@ -19,83 +19,87 @@ def test_registry_iterates_in_priority_order():
     assert list(REGISTRY) == list(PRIORITY)
 
 
-# The 12 queries that had no driver row in rounds 1-2 (VERDICT r2
-# "What's missing" #1) — round 3 rotates them to the very front.
-NEVER_DRIVER_VERIFIED = (
-    "minhash_incremental_md5",
-    "embedding_pq_topk",
-    "embedding_ivfpq_topk",
-    "embedding_lsh_near_dups",
-    "embedding_kmeans_clusters",
-    "embedding_semantic_dedup",
-    "doc_unigram_stats",
+# Round-4 rotation (VERDICT r3 "Next round" #4): the two r3-red rows
+# post-fix, the three queries whose only driver row is round 1, and
+# the new round-4 PNG gate lead the window.
+TIER_A_R4 = (
     "doc_chunk_packing",
-    "corpus_mixture_rebalance",
-    "doc_pii_scrub",
-    "corpus_token_cardinality_bound",
-    "doc_length_quantiles_approx_bound",
+    "embedding_pca_project",
+    "corpus_token_cardinality",
+    "doc_length_quantiles",
+    "scalar_total",
+    "mm_real_png",
+)
+
+# Regression canaries for round-4 code churn: the Jaccard density
+# escape, decontaminate_exact id-type fix, connected-components
+# self-loop contract, and the decode_image_real PNG dispatch.
+CHURN_CANARIES_R4 = (
+    "ngram_jaccard_near_dups",
+    "doc_exact_decontamination",
+    "doc_dedup_clusters",
+    "mm_real_decode",
 )
 
 
-def test_never_verified_gates_lead():
-    assert list(REGISTRY)[:12] == list(NEVER_DRIVER_VERIFIED)
+def test_round4_tier_a_leads():
+    assert list(REGISTRY)[:6] == list(TIER_A_R4)
 
 
-def test_round3_window_covers_stale_evidence():
-    """Everything whose newest driver row predates round 2 — the 12
-    never-verified queries, this round's new gates, and the 31 queries
-    whose only row is round 1 — must sit inside the driver's ~50-row
-    recording window; the back is all round-2-verified."""
-    head = set(list(REGISTRY)[:50])
-    round3_new_gates = {
-        "mm_real_decode",
-        "mm_real_audio",
-        "mm_real_frames",
-        "doc_exact_decontamination",
-        "embedding_knn_label_probe",
-        "corpus_prep_report",
-        "fuzzy_name_matches",
-        "snapshot_diff_orders",
-        "embedding_pca_covariance",
-        "embedding_pca_project",
-        "doc_bpe_merges",
-        "doc_bpe_token_stats",
-        "doc_bpe_vocab",
-    }
-    # Excused from the window: the first three's exact computations run
-    # inside their in-window _bound gates (which compare exact vs
-    # sketch), and the rows-only approx twin must stay behind its
-    # oracled sibling; the four rows-only production twins yielded
-    # their slots to the round-3 PCA/BPE gates — a rows-only driver
-    # row is the weakest signal and each algorithm's correctness rides
-    # its in-window md5-oracled twin.
-    excused = {
-        "corpus_token_cardinality",
+def test_round4_window_refreshes_stale_evidence():
+    """The ~50-row driver window must hold: the tier-A rows (red-row
+    fixes + round-1-only evidence + the new PNG gate), the churn
+    canaries, and otherwise only entries whose NEWEST driver row is
+    round 2 (rotating their evidence forward). Everything with a green
+    round-3 row is the freshest already and sits below the fold —
+    except the canaries, whose code changed this round."""
+    names = list(REGISTRY)
+    head, tail = set(names[:50]), names[50:]
+    assert set(TIER_A_R4) <= head
+    assert set(CHURN_CANARIES_R4) <= head
+    # head slots beyond tier A + canaries go to r2-verified entries
+    for n in names[:50]:
+        if n in TIER_A_R4 or n in CHURN_CANARIES_R4:
+            continue
+        assert n in _R2_VERIFIED, f"{n} spends a window slot without need"
+    # every below-fold entry either has a green r3 row, keeps an r2
+    # row (at most one round stale), or is a rows-only production
+    # twin whose algorithm is oracle-covered elsewhere
+    rows_only_twins = {
         "corpus_token_cardinality_approx",
-        "doc_length_quantiles",
         "minhash_lsh_candidates",
         "minhash_incremental",
         "simhash_signatures",
         "simhash_near_dups",
-        # yielded its slot to doc_bpe_vocab (the last oracled gate
-        # with no driver row in any round): a trivial single-agg whose
-        # shape the r2-verified chain_total_minted row already covers
-        "scalar_total",
     }
-    stale_or_new = [
-        n
-        for n in REGISTRY
-        if n not in excused
-        and (
-            n in NEVER_DRIVER_VERIFIED
-            or n in round3_new_gates
-            or n not in _R2_VERIFIED
-        )
-    ]
-    assert all(n in head for n in stale_or_new), [n for n in stale_or_new if n not in head]
-    # the round-3 dedup rewrite keeps in-window coverage through
-    # doc_dedup_clusters (ngram_jaccard_pairs) + the simhash md5 gates
-    assert {"doc_dedup_clusters", "simhash_near_dups_md5"} <= head
+    for n in tail:
+        assert n in _R3_GREEN or n in _R2_VERIFIED or n in rows_only_twins, n
+
+
+# The 48 green rows of CORRECTNESS_r03.json (round-3 driver window
+# minus the two red rows fixed this round).
+_R3_GREEN = frozenset(
+    {
+        "minhash_incremental_md5", "embedding_pq_topk", "embedding_ivfpq_topk",
+        "embedding_lsh_near_dups", "embedding_kmeans_clusters",
+        "embedding_semantic_dedup", "doc_unigram_stats", "corpus_mixture_rebalance",
+        "doc_pii_scrub", "corpus_token_cardinality_bound",
+        "doc_length_quantiles_approx_bound", "mm_real_decode", "mm_real_audio",
+        "mm_real_frames", "doc_exact_decontamination", "embedding_knn_label_probe",
+        "corpus_prep_report", "fuzzy_name_matches", "snapshot_diff_orders",
+        "embedding_pca_covariance", "doc_bpe_merges", "doc_bpe_token_stats",
+        "doc_bpe_vocab", "minhash_lsh_candidates_md5", "simhash_near_dups_md5",
+        "doc_decontamination", "doc_dedup_clusters", "embedding_topk_qcosine",
+        "embedding_topk_mips", "embedding_lsh_topk", "embedding_ivf_topk",
+        "doc_token_stats", "doc_lang_id", "doc_quality_score",
+        "doc_repetition_stats", "doc_train_split", "doc_top_terms",
+        "doc_rolling_fingerprint", "corpus_mixture_report",
+        "embedding_cosine_near_dups", "minhash_signatures_md5",
+        "simhash_signatures_md5", "per_day_counts", "double_entry_ledger",
+        "multi_join_revenue", "topk_per_group", "union_activity_timeline",
+        "ngram_jaccard_near_dups",
+    }
+)
 
 
 # First 50 rows of CORRECTNESS_r02.json (the round-2 driver window).
