@@ -82,6 +82,9 @@ BENCH_QUERIES = (
     "snapshot_diff_orders",
     # real compressed decode: PNG inflate + defilter per blob
     "mm_real_png",
+    # corpus-level text prep: line-df boilerplate scrub, BM25 retrieval
+    "doc_boilerplate_scrub",
+    "doc_bm25_topk",
 )
 
 

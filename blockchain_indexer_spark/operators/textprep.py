@@ -1,0 +1,262 @@
+"""Corpus-level text preparation: boilerplate removal and BM25
+retrieval — the two text-pipeline stages between raw scrape and
+training mixture that the per-document heuristics (functions/text.py)
+cannot express, because both need CORPUS statistics (line document
+frequency; term document frequency).
+
+No reference counterpart (the reference indexes chain events, not
+text; cited parity surface is the LLM-pipeline mandate) — designed
+Spark-first:
+
+- ``strip_boilerplate``: CCNet-style repeated-paragraph scrub. One
+  line-keyed shuffle builds the per-group line document frequency;
+  lines over the df threshold are dropped from every document and the
+  text is rebuilt in original line order. Cost is O(corpus lines) and
+  two shuffles (line df, doc rebuild) — no broadcast assumption: the
+  boiler-line set joins back by (group, line) key, so a 100 TB corpus
+  with terabytes of boilerplate still streams.
+- ``bm25_topk``: query-set retrieval over an inverted-index join
+  (term-keyed shuffle, exactly the posting-list shape of
+  dedup.ngram_jaccard_pairs), scored with a deterministic
+  integer-scaled BM25 so per-document scores are ORDER-FREE integer
+  sums — see the function doc for the exactness engineering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    lines_col: str = "lines",
+    group_col: str | None = "source",
+    min_docs: int = 2,
+    min_frac: float = 0.05,
+) -> DataFrame:
+    """Remove repeated-line boilerplate (headers, footers, nav bars,
+    cookie banners) from every document — the CCNet paragraph-hash
+    scrub as a corpus operator.
+
+    A line is boilerplate within its group (``group_col``, e.g. the
+    crawl source; None = whole corpus) when it appears in at least
+    ``max(min_docs, ceil(min_frac × group_size))`` DISTINCT documents
+    of the group. ``lines_col`` is an ``array<string>`` column (use
+    functions.text.doc_lines for newline-delimited text, or any
+    paragraph/sentence splitter — the unit of repetition is the
+    caller's choice).
+
+    Returns (id, group, n_lines, n_boiler_lines, clean_text) with
+    clean_text the surviving lines joined by '\\n' in original order.
+    Empty-array and NULL-array documents survive with empty
+    clean_text.
+
+    Scale: line df is ONE groupBy keyed on (group, line-hash) with
+    map-side combine; the boiler verdict joins back on the same key
+    (shuffle-shuffle, no broadcast of the boiler set — on a dirty
+    crawl it is huge); the rebuild is one doc-keyed aggregation
+    ordered by line position. Dropping df-capped arrays or hashing
+    lines to 8-byte keys are the standard compressions if line text
+    dominates shuffle volume; line-hash join keys keep full lines out
+    of the df shuffle here already (xxhash64, collision-safe at
+    corpus scale for a drop-decision).
+    """
+    grp = F.col(group_col) if group_col is not None else F.lit("")
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        grp.alias("_grp"),
+        F.coalesce(F.col(lines_col), F.array()).alias("_lines"),
+    )
+    pos = base.select(
+        "_id", "_grp", F.posexplode_outer("_lines").alias("_pos", "_line")
+    )
+    # distinct (doc, line) first: a line repeated WITHIN one document
+    # counts once toward its document frequency
+    df_counts = (
+        pos.filter(F.col("_line").isNotNull())
+        .select("_grp", "_id", F.xxhash64("_line").alias("_lh"))
+        .distinct()
+        .groupBy("_grp", "_lh")
+        .agg(F.count("*").alias("_df"))
+    )
+    group_sizes = base.groupBy("_grp").agg(F.countDistinct("_id").alias("_gn"))
+    boiler = (
+        df_counts.join(group_sizes, "_grp")
+        .filter(
+            F.col("_df")
+            >= F.greatest(F.lit(min_docs), F.ceil(F.lit(min_frac) * F.col("_gn")))
+        )
+        .select("_grp", "_lh")
+    )
+    flagged = (
+        pos.withColumn("_lh", F.xxhash64("_line"))
+        .join(boiler.withColumn("_boiler", F.lit(True)), ["_grp", "_lh"], "left")
+        .withColumn("_boiler", F.coalesce("_boiler", F.lit(False)))
+    )
+    rebuilt = flagged.groupBy("_id", "_grp").agg(
+        F.count(F.col("_line")).alias("n_lines"),
+        F.sum(F.when(F.col("_boiler"), 1).otherwise(0)).cast("bigint").alias(
+            "n_boiler_lines"
+        ),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("_boiler") & F.col("_line").isNotNull(),
+                            F.struct("_pos", "_line"),
+                        )
+                    )
+                ),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    return rebuilt.select(
+        F.col("_id").alias(id_col),
+        F.col("_grp").alias(group_col or "group"),
+        "n_lines",
+        "n_boiler_lines",
+        "clean_text",
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "toks",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+    use_log_idf: bool = False,
+) -> DataFrame:
+    """Exact, engine-deterministic BM25 scores for every (query, doc)
+    pair sharing at least one term. ``docs`` carries a pre-split
+    ``array<string>`` token column; ``queries`` is (query_id, term)
+    rows.
+
+    Determinism engineering (what makes this gate-able where a
+    textbook implementation is not):
+
+    - k1 = 6/5 and b = 3/4 are kept RATIONAL, and avgdl enters as the
+      exact pair (S, N) = (corpus tokens, corpus docs), so each
+      term's score is a ratio of exact BIGINT products:
+
+          tf_part = 22·S·tf / (10·S·tf + 3·S + 9·dl·N)
+          idf_r   = (2N − 2df + 1) / (2df + 1)       (log-free idf)
+
+    - each term contributes CAST(floor(1e9 · num/den) AS BIGINT) —
+      one IEEE division and one multiply, bit-identical across
+      engines — and the per-document score is the SUM of those
+      integers: order-free, so Spark's nondeterministic aggregation
+      order cannot flip a hash. (A float sum would be
+      order-dependent; the ln-based idf would differ by ulps across
+      libm implementations. The standard ln idf ranks nearly
+      identically — both damp high-df terms monotonically — and is
+      available as ``use_log_idf=True`` for production, covered by
+      tests rather than the oracle.)
+
+    Returns (query_id, doc_id, n_hit_terms, score_nano) where
+    score_nano is the 1e9-scaled integer score. Integer products stay
+    under 2^63 while S·tf·df < ~4e17 — beyond that (multi-TB corpora)
+    flip use_log_idf=True whose double math has no overflow.
+
+    Scale: tf is one (doc, term) groupBy; df one term-keyed count;
+    the retrieval is an inverted-index equi-join on term (only docs
+    CONTAINING a query term are touched — never a doc × query cross
+    product), then one (query, doc) aggregation.
+    """
+    base = docs.select(
+        F.col(id_col).alias("_doc"), F.coalesce(F.col(tokens_col), F.array()).alias("_t")
+    )
+    tok = base.select("_doc", F.explode("_t").alias("_term"))
+    tf = tok.groupBy("_doc", "_term").agg(F.count("*").alias("_tf"))
+    dl = tok.groupBy("_doc").agg(F.count("*").alias("_dl"))
+    corpus = base.agg(
+        F.count("*").alias("_N"),
+        F.sum(F.size("_t")).cast("bigint").alias("_S"),
+    )
+    df_t = tf.groupBy("_term").agg(F.count("*").alias("_df"))
+    q = queries.select(
+        F.col(query_id_col).alias("_q"), F.col(term_col).alias("_term")
+    ).distinct()
+    hits = (
+        q.join(tf, "_term")
+        .join(df_t, "_term")
+        .join(dl, "_doc")
+        .crossJoin(F.broadcast(corpus))
+    )
+    if use_log_idf:
+        # production scoring: standard Robertson idf + double BM25 —
+        # no overflow ceiling, but ln/float-sum determinism is
+        # per-engine, so this path is tests-covered, never the oracle
+        avgdl = F.col("_S").cast("double") / F.col("_N").cast("double")
+        tf_part = (F.col("_tf") * 2.2) / (
+            F.col("_tf") + 1.2 * (0.25 + 0.75 * F.col("_dl") / avgdl)
+        )
+        idf = F.log(
+            (F.col("_N") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+        )
+        term_score = F.floor(F.lit(1e9) * tf_part * idf).cast("bigint")
+    else:
+        num = (
+            F.lit(22)
+            * F.col("_S")
+            * F.col("_tf")
+            * (2 * F.col("_N") - 2 * F.col("_df") + 1)
+        ).cast("bigint")
+        den = (
+            (
+                10 * F.col("_S") * F.col("_tf")
+                + 3 * F.col("_S")
+                + 9 * F.col("_dl") * F.col("_N")
+            )
+            * (2 * F.col("_df") + 1)
+        ).cast("bigint")
+        term_score = F.floor(
+            F.lit(1e9) * (num.cast("double") / den.cast("double"))
+        ).cast("bigint")
+    return (
+        hits.withColumn("_s", term_score)
+        .groupBy("_q", "_doc")
+        .agg(
+            F.count("*").alias("n_hit_terms"),
+            F.sum("_s").alias("score_nano"),
+        )
+        .select(
+            F.col("_q").alias(query_id_col),
+            F.col("_doc").alias(id_col),
+            "n_hit_terms",
+            "score_nano",
+        )
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    tokens_col: str = "toks",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+) -> DataFrame:
+    """Top-k BM25 retrieval: rank the scored candidates per query
+    (score desc, doc id asc tie-break — fully deterministic) and keep
+    k. One window over the (query, doc) score frame, partitioned by
+    query: ranking cost is per-query candidate count, never corpus
+    size."""
+    from pyspark.sql import Window
+
+    scored = bm25_scores(docs, queries, id_col, tokens_col, query_id_col, term_col)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score_nano").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "n_hit_terms", "score_nano")
+    )

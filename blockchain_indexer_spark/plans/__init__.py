@@ -57,6 +57,8 @@ PRIORITY = (
     "doc_length_quantiles",
     "scalar_total",
     "mm_real_png",
+    "doc_boilerplate_scrub",
+    "doc_bm25_topk",
     # -- tier B: churn canaries ----------------------------------------
     "ngram_jaccard_near_dups",
     "doc_exact_decontamination",

@@ -2322,3 +2322,172 @@ def doc_bpe_vocab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return bpe_vocab(d, "text", _bpe_merges_cached(spark, sf_dir, 8))
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level text preparation (operators/textprep.py): CCNet-style
+# boilerplate removal and deterministic BM25 retrieval. The testdata
+# documents carry no newlines, so the GATE derives the repetition unit
+# as 8-token windows ("paragraphs") identically in both engines; the
+# operator itself takes any array<string> lines column (doc_lines for
+# real newline text).
+# ---------------------------------------------------------------------------
+
+_TOKS_SQL = (
+    r"list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'),"
+    r" x -> x <> '')"
+)
+
+
+@register(
+    "doc_boilerplate_scrub",
+    oracle=rf"""
+    WITH d0 AS (
+      SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents
+    ),
+    d AS (
+      SELECT doc_id, source,
+             CASE WHEN toks IS NULL OR len(toks) = 0 THEN []
+                  ELSE list_transform(
+                         range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT)),
+                         i -> array_to_string(toks[i * 8 + 1 : i * 8 + 8], ' '))
+             END AS lines
+      FROM d0
+    ),
+    pos AS (
+      SELECT doc_id, source, u.i, lines[u.i] AS line
+      FROM d, LATERAL unnest(range(1, len(lines) + 1)) u(i)
+    ),
+    df AS (
+      SELECT source, line, COUNT(DISTINCT doc_id) AS ldf
+      FROM pos GROUP BY 1, 2
+    ),
+    gsize AS (SELECT source, COUNT(DISTINCT doc_id) AS gn FROM d GROUP BY 1),
+    flagged AS (
+      SELECT p.doc_id, p.source, p.i, p.line,
+             df.ldf >= GREATEST(2, CAST(ceil(0.05 * g.gn) AS BIGINT)) AS boiler
+      FROM pos p JOIN df USING (source, line) JOIN gsize g USING (source)
+    ),
+    agg AS (
+      SELECT doc_id, source,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boiler_lines,
+             md5(COALESCE(string_agg(CASE WHEN NOT boiler THEN line END,
+                                     chr(10) ORDER BY i), '')) AS clean_md5
+      FROM flagged GROUP BY 1, 2
+    )
+    SELECT d.doc_id, d.source,
+           COALESCE(a.n_lines, 0) AS n_lines,
+           COALESCE(a.n_boiler_lines, 0) AS n_boiler_lines,
+           COALESCE(a.clean_md5, md5('')) AS clean_md5
+    FROM d LEFT JOIN agg a USING (doc_id, source)
+    """,
+    doc="CCNet-style repeated-paragraph boilerplate scrub "
+    "(operators.textprep.strip_boilerplate): a line is boilerplate "
+    "within its source when >= max(2, 5% of source docs) DISTINCT "
+    "documents contain it; surviving lines are rejoined in original "
+    "order. The gate compares line counts AND md5(clean_text) — the "
+    "rebuild must preserve exact content and ordering. Scale: one "
+    "line-keyed df shuffle (xxhash64 line keys internally), one "
+    "(group, line)-keyed verdict join (no broadcast of the boiler "
+    "set), one doc-keyed ordered rebuild.",
+    survey_refs=("LLM-text",),
+)
+def doc_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.functions.text import tokens
+    from blockchain_indexer_spark.operators.textprep import strip_boilerplate
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_win = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    lines = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_win - 1),
+            lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    with_lines = d.select("doc_id", "source", lines.alias("lines"))
+    out = strip_boilerplate(
+        with_lines, "doc_id", "lines", "source", min_docs=2, min_frac=0.05
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        "n_lines",
+        "n_boiler_lines",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+    )
+
+
+@register(
+    "doc_bm25_topk",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id, COALESCE({_TOKS_SQL}, []) AS toks FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+    corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(len(toks)) AS BIGINT) AS s FROM d),
+    dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    q AS (
+      SELECT doc_id AS query_id, unnest(list_sort(list_distinct(toks))[1:4]) AS term
+      FROM d WHERE doc_id % 83 = 0 AND len(toks) >= 4
+    ),
+    hits AS (
+      SELECT q.query_id, tf.doc_id, tf.tf, dft.df, dl.dl, c.n, c.s
+      FROM q JOIN tf USING (term) JOIN dft USING (term)
+             JOIN dl ON dl.doc_id = tf.doc_id
+             CROSS JOIN corpus c
+    ),
+    scored AS (
+      SELECT query_id, doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+             CAST(SUM(CAST(floor(1e9 * (
+               CAST(CAST(22 * s * tf * (2 * n - 2 * df + 1) AS BIGINT) AS DOUBLE)
+               / CAST(CAST((10 * s * tf + 3 * s + 9 * dl * n) * (2 * df + 1)
+                           AS BIGINT) AS DOUBLE)
+             )) AS BIGINT)) AS BIGINT) AS score_nano
+      FROM hits GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, CAST(rn AS BIGINT) AS rank, n_hit_terms, score_nano
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score_nano DESC, doc_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+    doc="BM25 top-5 retrieval (operators.textprep.bm25_topk) for a "
+    "query set derived from every 83rd document (its 4 "
+    "lexicographically-first distinct tokens — list_distinct order is "
+    "engine-dependent, sorted order is not). Scoring is the "
+    "integer-scaled log-free BM25: each term contributes "
+    "floor(1e9 * ratio-of-exact-BIGINT-products), so per-doc scores "
+    "are ORDER-FREE integer sums and rank ties break on doc_id — "
+    "bit-identical across engines (the ln-idf production variant is "
+    "tests-covered; ln differs by ulps across libms). Scale: "
+    "inverted-index term join, never doc x query; one window per "
+    "query partition for the top-k.",
+    survey_refs=("LLM-text", "W1"),
+)
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.functions.text import tokens
+    from blockchain_indexer_spark.operators.textprep import bm25_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", F.coalesce(tokens("text"), F.array().cast("array<string>")).alias("toks")
+    )
+    queries = (
+        base.filter((F.col("doc_id") % 83 == 0) & (F.size("toks") >= 4))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice(F.array_sort(F.array_distinct("toks")), 1, 4)).alias(
+                "term"
+            ),
+        )
+    )
+    return bm25_topk(base, queries, k=5, tokens_col="toks")

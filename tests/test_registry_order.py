@@ -29,6 +29,8 @@ TIER_A_R4 = (
     "doc_length_quantiles",
     "scalar_total",
     "mm_real_png",
+    "doc_boilerplate_scrub",
+    "doc_bm25_topk",
 )
 
 # Regression canaries for round-4 code churn: the Jaccard density
@@ -43,7 +45,7 @@ CHURN_CANARIES_R4 = (
 
 
 def test_round4_tier_a_leads():
-    assert list(REGISTRY)[:6] == list(TIER_A_R4)
+    assert list(REGISTRY)[: len(TIER_A_R4)] == list(TIER_A_R4)
 
 
 def test_round4_window_refreshes_stale_evidence():
