@@ -72,6 +72,30 @@ def test_cosine_near_dups_match_brute_force(spark, sf_dir):
         assert abs(row["c"] - c) == 0.0
 
 
+def test_cosine_near_dups_blocking_invariant(spark, sf_dir):
+    """The blocked matmul must emit exactly the same pair set for any
+    block size — including cross-block pairs whose larger id hashes
+    into the earlier block (the ordering-normalization path)."""
+    from blockchain_indexer_spark.operators.dedup import cosine_near_dup_pairs
+    from blockchain_indexer_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(150)
+    want = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in cosine_near_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.3, block_size=1_000_000
+        ).collect()
+    }
+    for bs in (7, 40):
+        got = {
+            (r["vec_a"], r["vec_b"]): r["cosine"]
+            for r in cosine_near_dup_pairs(
+                emb, "vec_id", "embedding", threshold=0.3, block_size=bs
+            ).collect()
+        }
+        assert got == want, bs
+
+
 def test_simhash_candidates_complete_for_small_hamming(spark):
     from blockchain_indexer_spark.operators.dedup import simhash64, simhash_candidates
     from pyspark.sql import functions as F
