@@ -82,3 +82,25 @@ from blockchain_indexer_spark.plans import chain
 t("chain_spine_1M", lambda: len(chain.compute_pipeline_tables(spark, SF)))
 t("chain_views_1M", lambda: len(chain._derived_views(spark, SF)))
 print("STRESS done", flush=True)
+
+from blockchain_indexer_spark.operators.dedup import cosine_near_dup_pairs
+
+t("exact_cosine_100k_t095", lambda: cosine_near_dup_pairs(
+    emb, "vec_id", "embedding", threshold=0.95).count())
+
+from blockchain_indexer_spark.functions.text import tokens
+from blockchain_indexer_spark.operators.textprep import bm25_topk, strip_boilerplate
+
+_toks = docs.select("doc_id", "source", F.coalesce(tokens("text"), F.array().cast("array<string>")).alias("toks"))
+_win = F.when(
+    F.size("toks") > 0,
+    F.transform(F.sequence(F.lit(0), (F.ceil(F.size("toks") / F.lit(8.0)).cast("int")) - 1),
+                lambda i: F.array_join(F.slice(F.col("toks"), i * 8 + 1, 8), " ")),
+).otherwise(F.array().cast("array<string>"))
+t("boilerplate_100k", lambda: strip_boilerplate(
+    _toks.select("doc_id", "source", _win.alias("lines"))).count())
+
+_q = (_toks.filter((F.col("doc_id") % 1000 == 0) & (F.size("toks") >= 4))
+      .select(F.col("doc_id").alias("query_id"),
+              F.explode(F.slice(F.array_sort(F.array_distinct("toks")), 1, 4)).alias("term")))
+t("bm25_topk_100k_q100", lambda: bm25_topk(_toks, _q, k=5, tokens_col="toks").count())
