@@ -85,6 +85,7 @@ BENCH_QUERIES = (
     # corpus-level text prep: line-df boilerplate scrub, BM25 retrieval
     "doc_boilerplate_scrub",
     "doc_bm25_topk",
+    "doc_token_budget_sample",
 )
 
 

@@ -94,3 +94,43 @@ def quota_sample(
         df.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("sample_rank") <= cap)
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+) -> DataFrame:
+    """Deterministic per-group TOKEN-budget sample: walk each group in
+    md5(id) order and keep documents until the group's cumulative
+    token count reaches ``budget`` — "give me ~10B tokens per source",
+    the unit a training-mixture spec is actually written in (documents
+    per source, quota_sample's unit, skews toward short-document
+    sources).
+
+    Boundary rule: a document is kept iff the cumulative token count
+    BEFORE it is under the budget — so the budget may be overshot by
+    at most one document (the standard take-while-crossing contract;
+    an undershoot-only rule would starve a group whose first hash-
+    ordered document alone exceeds the budget). Zero-token documents
+    inside the kept prefix are kept (they cost nothing).
+
+    Appends ``cum_before`` (exact tokens before this doc in hash
+    order). Stable across runs/partitionings/engines — same argument
+    as quota_sample; the one shuffle is the group-keyed window sort.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    cum_before = F.coalesce(
+        F.sum(F.col(tokens_col)).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    ).cast("bigint")
+    return (
+        df.withColumn("cum_before", cum_before)
+        .filter(F.col("cum_before") < budget)
+    )

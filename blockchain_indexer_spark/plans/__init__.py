@@ -59,6 +59,7 @@ PRIORITY = (
     "mm_real_png",
     "doc_boilerplate_scrub",
     "doc_bm25_topk",
+    "doc_token_budget_sample",
     # -- tier B: churn canaries ----------------------------------------
     "ngram_jaccard_near_dups",
     "doc_exact_decontamination",

@@ -2491,3 +2491,44 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return bm25_topk(base, queries, k=5, tokens_col="toks")
+
+
+@register(
+    "doc_token_budget_sample",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, cum_before
+    FROM c WHERE cum_before < 600
+    """,
+    doc="Per-source TOKEN-budget sampling (operators.sampling."
+    "token_budget_sample): documents taken in md5(doc_id) order until "
+    "each source has ~600 tokens — the unit a training-mixture spec "
+    "is written in, where a per-document quota would skew toward "
+    "short-document sources. Take-while-crossing boundary (kept iff "
+    "cumulative tokens BEFORE it are under budget, so at most one "
+    "overshooting doc). One group-keyed window sort; integer token "
+    "sums are engine-exact. The windowed SUM is CAST to BIGINT in the "
+    "oracle — DuckDB types it HUGEINT, which lands in pandas as "
+    "float64 and hash-diverges from Spark's int64 (the "
+    "doc_chunk_packing r3 lesson, applied at authoring time).",
+    survey_refs=("LLM-sample", "W2"),
+)
+def doc_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.sampling import token_budget_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", "source", token_count("text").alias("n_tokens"))
+    return token_budget_sample(base, "source", "doc_id", "n_tokens", budget=600)

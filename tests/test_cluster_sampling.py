@@ -176,3 +176,33 @@ def test_star_components_converge_on_long_chain_fast(spark):
     # propagation at the same round budget must NOT converge
     with pytest.raises(RuntimeError):
         connected_components(chain, max_iter=20)
+
+
+def test_token_budget_sample_boundary_and_determinism(spark):
+    """Take-while-crossing: the doc that crosses the budget is kept,
+    everything after is dropped; zero-token docs inside the prefix
+    ride free; assignment is stable across partitionings."""
+    from blockchain_indexer_spark.operators.sampling import token_budget_sample
+
+    rows = [(i, "s", 40) for i in range(10)] + [(100, "s", 0), (200, "t", 999)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n long")
+    out = token_budget_sample(df, "source", "doc_id", "n", budget=100).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # group s: docs in md5-hash order, cumulative 40s → kept while
+    # cum_before < 100 → exactly 3 forty-token docs (0, 40, 80), plus
+    # the zero-token doc wherever it lands inside the kept prefix
+    s_nonzero = [r for r in by_src["s"] if r["n"] > 0]
+    assert len(s_nonzero) == 3
+    assert max(r["cum_before"] for r in by_src["s"]) < 100
+    # group t: its single doc overshoots the budget alone but is kept
+    # (cum_before = 0 < 100) — the no-starvation rule
+    assert [r["doc_id"] for r in by_src["t"]] == [200]
+    # determinism across partition layouts
+    again = token_budget_sample(
+        df.repartition(7), "source", "doc_id", "n", budget=100
+    ).collect()
+    assert sorted((r["doc_id"], r["cum_before"]) for r in again) == sorted(
+        (r["doc_id"], r["cum_before"]) for r in out
+    )

@@ -31,6 +31,7 @@ TIER_A_R4 = (
     "mm_real_png",
     "doc_boilerplate_scrub",
     "doc_bm25_topk",
+    "doc_token_budget_sample",
 )
 
 # Regression canaries for round-4 code churn: the Jaccard density
