@@ -86,6 +86,7 @@ BENCH_QUERIES = (
     "doc_boilerplate_scrub",
     "doc_bm25_topk",
     "doc_token_budget_sample",
+    "mm_image_ahash",
 )
 
 

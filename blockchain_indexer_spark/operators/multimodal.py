@@ -840,3 +840,78 @@ def sample_frames(
             )
 
     return src.mapInPandas(batches, _FRAME_SCHEMA)
+
+
+_AHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("ahash", LongType()),
+        StructField("n_bright", IntegerType()),
+    ]
+)
+
+
+def image_ahash(with_blobs: DataFrame, id_col: str = "doc_id", grid: int = 4) -> DataFrame:
+    """Perceptual average-hash over REAL decoded pixels — the bridge
+    between the multimodal decode path and the dedup operators: near-
+    duplicate IMAGES (rescaled, re-encoded, lightly edited) collide on
+    this hash the way near-duplicate texts collide on SimHash.
+
+    The image is partitioned into a grid×grid cell lattice (row r →
+    cell (grid·r)//h — exact integer partition for any geometry, no
+    resampling kernel) and each cell's bit is 1 iff its mean luminance
+    (R+G+B sum) exceeds the image mean. The comparison is done in
+    cross-multiplied INTEGERS — cell_sum·total_count >
+    total_sum·cell_count — so the hash is bit-exact across engines and
+    a closed-form oracle can recompute it pixel-by-pixel (unlike the
+    DCT-based pHash, whose float cosines are not oracle-able; pHash
+    plugs in at this same seam with the same output shape).
+
+    Returns (id, width, height, ahash, n_bright); ahash packs cell
+    (cr, cc) at bit cr·grid+cc. Cluster the hashes with exact groupBy
+    (exact dupes) or simhash-style band blocking (hamming near-dups —
+    operators.dedup.simhash_candidates' pigeonhole argument applies
+    verbatim to any fixed-width hash, grid²=16 bits here).
+    """
+    import numpy as np
+
+    src = with_blobs.filter(F.col("blob").isNotNull()).select(id_col, "blob")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "width", "height", "ahash", "n_bright")}
+            for did, b in zip(pdf[id_col], pdf["blob"]):
+                head = bytes(b[:8])
+                if head[:2] == b"BM":
+                    w, h, px = decode_bmp(bytes(b))
+                elif head == b"\x89PNG\r\n\x1a\n":
+                    w, h, px = decode_png(bytes(b))
+                else:
+                    raise NotImplementedError("ahash needs a decodable image (BMP/PNG)")
+                lum = px.astype(np.int64).sum(axis=2)  # R+G+B per pixel
+                cr = (grid * np.arange(h)) // h
+                cc = (grid * np.arange(w)) // w
+                cell = (cr[:, None] * grid + cc[None, :]).ravel()
+                sums = np.bincount(cell, weights=lum.ravel(), minlength=grid * grid)
+                cnts = np.bincount(cell, minlength=grid * grid)
+                total_sum, total_cnt = int(lum.sum()), w * h
+                bits = (sums * total_cnt) > (total_sum * cnts)
+                ahash = int(sum(1 << i for i in np.nonzero(bits)[0]))
+                out["doc_id"].append(did)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["ahash"].append(ahash)
+                out["n_bright"].append(int(bits.sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "ahash": pd.Series(out["ahash"], dtype="int64"),
+                    "n_bright": pd.Series(out["n_bright"], dtype="int32"),
+                }
+            )
+
+    return src.mapInPandas(batches, _AHASH_SCHEMA)

@@ -60,6 +60,7 @@ PRIORITY = (
     "doc_boilerplate_scrub",
     "doc_bm25_topk",
     "doc_token_budget_sample",
+    "mm_image_ahash",
     # -- tier B: churn canaries ----------------------------------------
     "ngram_jaccard_near_dups",
     "doc_exact_decontamination",

@@ -320,3 +320,58 @@ def mm_feature_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id", F.posexplode("feature").alias("bin", "weight")
     ).select("doc_id", F.col("bin").cast("bigint").alias("bin"), "weight")
+
+
+@register(
+    "mm_image_ahash",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 9 AS h FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h,
+             (4 * r.x) // h * 4 + (4 * c.x) // w AS cell,
+             (doc_id + 3 * r.x + 7 * c.x) % 256
+               + (2 * doc_id + 5 * r.x + 11 * c.x) % 256
+               + (3 * doc_id + r.x + 13 * c.x) % 256 AS lum
+      FROM d, UNNEST(range(0, h)) AS r(x), UNNEST(range(0, w)) AS c(x)
+    ),
+    cells AS (
+      SELECT doc_id, w, h, cell,
+             CAST(SUM(lum) AS BIGINT) AS csum,
+             CAST(COUNT(*) AS BIGINT) AS ccnt
+      FROM px GROUP BY 1, 2, 3, 4
+    ),
+    tot AS (
+      SELECT doc_id, CAST(SUM(csum) AS BIGINT) AS tsum,
+             CAST(SUM(ccnt) AS BIGINT) AS tcnt
+      FROM cells GROUP BY 1
+    ),
+    bits AS (
+      SELECT c.doc_id, c.w, c.h,
+             CASE WHEN c.csum * t.tcnt > t.tsum * c.ccnt
+                  THEN CAST(1 AS BIGINT) << c.cell ELSE 0 END AS bit
+      FROM cells c JOIN tot t USING (doc_id)
+    )
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(SUM(bit) AS BIGINT) AS ahash,
+           CAST(SUM(CASE WHEN bit > 0 THEN 1 ELSE 0 END) AS INT) AS n_bright
+    FROM bits GROUP BY 1, 2, 3
+    """,
+    doc="Perceptual average-hash over REAL decoded PNG pixels "
+    "(operators.multimodal.image_ahash): inflate + defilter each blob, "
+    "partition into a 4x4 cell lattice by exact integer division, and "
+    "set each cell's bit iff cell_sum*total_count > total_sum*"
+    "cell_count — cross-multiplied integers, no float mean, so the "
+    "16-bit hash is bit-exact and the oracle recomputes it from the "
+    "closed-form gradient pixel arithmetic. The multimodal twin of "
+    "SimHash: near-duplicate images collide here; cluster with exact "
+    "groupBy or simhash-style band blocking. DCT pHash plugs in at "
+    "the same seam (float cosines, tests-not-oracle).",
+    survey_refs=("LLM-multimodal", "LLM-dedup"),
+)
+def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.multimodal import image_ahash
+
+    blobs = attach_png_blob(load_table(spark, sf_dir, "documents"))
+    return image_ahash(blobs)

@@ -389,3 +389,29 @@ def test_real_frames_spark_path(spark):
             assert r["mean_b"] == float((i + 11 * fi) % 256)
             assert r["mean_g"] == float((3 * i + 7 * fi + 1) % 256)
             assert r["mean_r"] == float((5 * i + 13 * fi + 2) % 256)
+
+
+def test_image_ahash_structure(spark):
+    """Constant image → no cell strictly brighter than the mean →
+    hash 0; a hard left/right split lights exactly the right-column
+    cells; PNG and BMP encodings of the same pixels hash identically."""
+    import numpy as np
+
+    from blockchain_indexer_spark.operators.multimodal import image_ahash
+
+    flat = np.full((8, 8, 3), 77, dtype=np.uint8)
+    split = np.zeros((8, 8, 3), dtype=np.uint8)
+    split[:, 4:, :] = 255
+    rows = [
+        (1, _mk_png(flat, [0, 1, 2, 3, 4])),
+        (2, _mk_png(split, [0, 2])),
+        (3, _mk_bmp(8, 8, split)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {r["doc_id"]: r for r in image_ahash(df).collect()}
+    assert got[1]["ahash"] == 0 and got[1]["n_bright"] == 0
+    # right half bright: cells (cr, cc) with cc in {2, 3} → bits
+    # cr*4+cc for cr in 0..3
+    want = sum(1 << (cr * 4 + cc) for cr in range(4) for cc in (2, 3))
+    assert got[2]["ahash"] == want and got[2]["n_bright"] == 8
+    assert got[3]["ahash"] == got[2]["ahash"]  # codec-independent

@@ -32,6 +32,7 @@ TIER_A_R4 = (
     "doc_boilerplate_scrub",
     "doc_bm25_topk",
     "doc_token_budget_sample",
+    "mm_image_ahash",
 )
 
 # Regression canaries for round-4 code churn: the Jaccard density
