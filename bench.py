@@ -87,6 +87,7 @@ BENCH_QUERIES = (
     "doc_bm25_topk",
     "doc_token_budget_sample",
     "mm_image_ahash",
+    "graph_supplier_pagerank",
 )
 
 

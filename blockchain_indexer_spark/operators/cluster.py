@@ -268,3 +268,87 @@ def khop_reachability(
     for c in counts[1:]:
         out = out.join(c, "a")
     return out.withColumnRenamed("a", src)
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Integer-deterministic PageRank: importance ranking over a
+    directed edge list — the iterative graph aggregation pattern
+    (contrib join + dst-keyed sum per round, same shuffle shape as
+    connected_components).
+
+    Determinism engineering: ranks live as 1e12-SCALED INTEGERS and
+    every division is an integer floor (r div outdeg; the damping and
+    teleport terms use rational damping_num/damping_den) — so the
+    dst-keyed contribution SUM is an order-free integer sum and the
+    result is bit-identical across runs, partitionings and engines
+    (an unrolled-CTE DuckDB oracle reproduces it exactly, the
+    kmeans/BPE recipe). The per-division floor loses < 1 unit in 1e12
+    per edge vs. real-valued PageRank — far below any ranking
+    decision — and buys exactness no float formulation can offer.
+
+    Variant notes (documented contract): dangling vertices (no
+    out-edges) absorb their mass (no redistribution term), and
+    parallel edges are collapsed (DISTINCT) before degree counting.
+
+    Scale: per round ONE join keyed on src (rank + degree ride
+    together) and ONE groupBy on dst; rounds localCheckpoint
+    (iterative lineage). State is O(vertices); at 100 TB the edge
+    frame partitions by src and the rank frame co-partitions — the
+    standard Pregel-style layout.
+    """
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    vertices = (
+        e.select(F.col("_s").alias("id"))
+        .unionByName(e.select(F.col("_d").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = vertices.count()
+    if n == 0:
+        return vertices.select(
+            "id", F.lit(0).cast("bigint").alias("rank_scaled"),
+            F.lit(0.0).alias("rank"),
+        )
+    deg = e.groupBy("_s").agg(F.count("*").alias("_deg"))
+    base = ((damping_den - damping_num) * scale) // (damping_den * n)
+    r = vertices.select("id", F.lit(scale // n).cast("bigint").alias("_r"))
+    for _ in range(iters):
+        contrib = (
+            e.join(r.withColumnRenamed("id", "_s"), "_s")
+            .join(deg, "_s")
+            .select(F.col("_d").alias("id"), F.expr("_r div _deg").alias("_c"))
+            .groupBy("id")
+            .agg(F.sum("_c").cast("bigint").alias("_sum"))
+        )
+        r = (
+            vertices.join(contrib, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_num} * coalesce(_sum, 0L)) div {damping_den}"
+                    )
+                ).cast("bigint").alias("_r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return r.select(
+        "id",
+        F.col("_r").alias("rank_scaled"),
+        (F.col("_r").cast("double") / F.lit(float(scale))).alias("rank"),
+    )

@@ -61,6 +61,7 @@ PRIORITY = (
     "doc_bm25_topk",
     "doc_token_budget_sample",
     "mm_image_ahash",
+    "graph_supplier_pagerank",
     # -- tier B: churn canaries ----------------------------------------
     "ngram_jaccard_near_dups",
     "doc_exact_decontamination",

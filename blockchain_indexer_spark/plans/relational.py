@@ -1056,3 +1056,78 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("o_totalprice")),
     )
     return snapshot_diff(before, after, ["o_orderkey"])
+
+
+@register(
+    "graph_supplier_pagerank",
+    oracle=r"""
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1),
+    r0 AS (SELECT id, CAST(1000000000000 // n.n AS BIGINT) AS r FROM v CROSS JOIN n),
+    c1 AS (
+      SELECT e.dst AS id, CAST(SUM(r0.r // deg.d) AS BIGINT) AS s
+      FROM e JOIN r0 ON r0.id = e.src JOIN deg ON deg.src = e.src
+      GROUP BY 1
+    ),
+    r1 AS (
+      SELECT v.id,
+             CAST((15000000000000 // (100 * n.n))
+                  + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS r
+      FROM v CROSS JOIN n LEFT JOIN c1 ON c1.id = v.id
+    ),
+    c2 AS (
+      SELECT e.dst AS id, CAST(SUM(r1.r // deg.d) AS BIGINT) AS s
+      FROM e JOIN r1 ON r1.id = e.src JOIN deg ON deg.src = e.src
+      GROUP BY 1
+    ),
+    r2 AS (
+      SELECT v.id,
+             CAST((15000000000000 // (100 * n.n))
+                  + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS r
+      FROM v CROSS JOIN n LEFT JOIN c2 ON c2.id = v.id
+    ),
+    c3 AS (
+      SELECT e.dst AS id, CAST(SUM(r2.r // deg.d) AS BIGINT) AS s
+      FROM e JOIN r2 ON r2.id = e.src JOIN deg ON deg.src = e.src
+      GROUP BY 1
+    ),
+    r3 AS (
+      SELECT v.id,
+             CAST((15000000000000 // (100 * n.n))
+                  + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS r
+      FROM v CROSS JOIN n LEFT JOIN c3 ON c3.id = v.id
+    )
+    SELECT id, r AS rank_scaled, CAST(r AS DOUBLE) / 1000000000000 AS rank
+    FROM r3
+    """,
+    doc="Integer-deterministic PageRank (operators.cluster.pagerank) "
+    "over the customer->supplier order-flow bipartite graph (edges = "
+    "distinct (o_custkey, l_suppkey) pairs from orders x lineitem; "
+    "supplier ids offset by 1e6 to keep the id spaces disjoint). "
+    "Ranks are 1e12-scaled integers and every division is an integer "
+    "floor, so the dst-keyed contribution sums are order-free and the "
+    "3-iteration result is bit-identical across engines — the oracle "
+    "unrolls the loop into per-iteration CTEs (the kmeans/BPE "
+    "recipe). Dangling-mass absorption and DISTINCT parallel edges "
+    "are the documented variant. Per round: one src-keyed join + one "
+    "dst-keyed sum — the Pregel shuffle shape.",
+    survey_refs=("LLM-dedup", "J5"),
+)
+def graph_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.cluster import pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+        )
+    )
+    return pagerank(edges, iters=3)

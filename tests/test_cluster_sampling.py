@@ -206,3 +206,47 @@ def test_token_budget_sample_boundary_and_determinism(spark):
     assert sorted((r["doc_id"], r["cum_before"]) for r in again) == sorted(
         (r["doc_id"], r["cum_before"]) for r in out
     )
+
+
+def _pagerank_ref(edges, iters=3, d_num=85, d_den=100, scale=10**12):
+    """Pure-Python reference of the integer PageRank contract."""
+    e = sorted(set(edges))
+    vs = sorted({u for u, _ in e} | {v for _, v in e})
+    n = len(vs)
+    deg = {}
+    for u, _ in e:
+        deg[u] = deg.get(u, 0) + 1
+    base = ((d_den - d_num) * scale) // (d_den * n)
+    r = {v: scale // n for v in vs}
+    for _ in range(iters):
+        s = {v: 0 for v in vs}
+        for u, v in e:
+            s[v] += r[u] // deg[u]
+        r = {v: base + (d_num * s[v]) // d_den for v in vs}
+    return r
+
+
+def test_pagerank_matches_reference_and_is_deterministic(spark):
+    from blockchain_indexer_spark.operators.cluster import pagerank
+
+    edges = [(1, 2), (1, 3), (2, 3), (4, 1), (4, 3), (2, 3)]  # dup edge collapsed
+    df = spark.createDataFrame(edges, "src long, dst long")
+    want = _pagerank_ref(edges)
+    got = {r["id"]: r["rank_scaled"] for r in pagerank(df).collect()}
+    assert got == want
+    # sink vertex 3 accumulates the most rank; dangling mass absorbs
+    assert max(got, key=got.get) == 3
+    # bit-identical across partition layouts
+    again = {r["id"]: r["rank_scaled"] for r in pagerank(df.repartition(5)).collect()}
+    assert again == got
+    # rank column is the exact scaled division
+    rows = {r["id"]: r["rank"] for r in pagerank(df).collect()}
+    assert rows[3] == got[3] / 1e12
+
+
+def test_pagerank_zero_iters_is_uniform(spark):
+    from blockchain_indexer_spark.operators.cluster import pagerank
+
+    df = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    got = {r["id"]: r["rank_scaled"] for r in pagerank(df, iters=0).collect()}
+    assert got == {1: 10**12 // 2, 2: 10**12 // 2}

@@ -33,6 +33,7 @@ TIER_A_R4 = (
     "doc_bm25_topk",
     "doc_token_budget_sample",
     "mm_image_ahash",
+    "graph_supplier_pagerank",
 )
 
 # Regression canaries for round-4 code churn: the Jaccard density
