@@ -915,3 +915,64 @@ def image_ahash(with_blobs: DataFrame, id_col: str = "doc_id", grid: int = 4) ->
             )
 
     return src.mapInPandas(batches, _AHASH_SCHEMA)
+
+
+_PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def image_phash(
+    with_blobs: DataFrame, id_col: str = "doc_id", hash_size: int = 8
+) -> DataFrame:
+    """DCT perceptual hash (pHash) — the production sibling of
+    ``image_ahash`` at the same seam: decode, resample to 32×32
+    (nearest-neighbor, deterministic), 2-D DCT-II, keep the top-left
+    ``hash_size``² low-frequency block (DC dropped), set each bit by
+    comparison against the block's median. More robust than the
+    average hash to local edits and contrast shifts; float cosines
+    make it per-engine deterministic but NOT oracle-able across
+    engines (tests cover it; ahash carries the oracle gate).
+    Returns (id, phash) with ``hash_size``²−1 meaningful bits.
+    """
+    import numpy as np
+
+    n = 32
+    # DCT-II basis, orthonormal — built once per executor batch
+    k = np.arange(n)
+    basis = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    basis[0] /= np.sqrt(2.0)
+    src = with_blobs.filter(F.col("blob").isNotNull()).select(id_col, "blob")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for did, b in zip(pdf[id_col], pdf["blob"]):
+                head = bytes(b[:8])
+                if head[:2] == b"BM":
+                    w, h, px = decode_bmp(bytes(b))
+                elif head == b"\x89PNG\r\n\x1a\n":
+                    w, h, px = decode_png(bytes(b))
+                else:
+                    raise NotImplementedError("phash needs a decodable image (BMP/PNG)")
+                lum = px.astype(np.float64).mean(axis=2)
+                ri = (np.arange(n) * h) // n
+                ci = (np.arange(n) * w) // n
+                grid = lum[ri][:, ci]
+                coef = basis @ grid @ basis.T
+                block = coef[:hash_size, :hash_size].ravel()[1:]  # drop DC
+                med = np.median(block)
+                bits = block > med
+                hashes.append(int(sum(1 << i for i in np.nonzero(bits)[0])))
+                ids.append(did)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "phash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(batches, _PHASH_SCHEMA)

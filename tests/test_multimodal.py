@@ -415,3 +415,34 @@ def test_image_ahash_structure(spark):
     want = sum(1 << (cr * 4 + cc) for cr in range(4) for cc in (2, 3))
     assert got[2]["ahash"] == want and got[2]["n_bright"] == 8
     assert got[3]["ahash"] == got[2]["ahash"]  # codec-independent
+
+
+def test_image_phash_robust_to_small_edits(spark):
+    """pHash must keep near-identical images close in hamming distance
+    and structurally different ones far — the property that makes it
+    the production sibling of the oracle-gated average hash."""
+    import numpy as np
+
+    from blockchain_indexer_spark.operators.multimodal import image_phash
+
+    rng = np.random.RandomState(4)
+    base = rng.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    tweaked = base.copy()
+    tweaked[3, 5] = 255 - tweaked[3, 5]  # one-pixel edit
+    other = rng.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    rows = [
+        (1, _mk_png(base, [0, 1, 2, 3, 4])),
+        (2, _mk_png(tweaked, [2, 4])),       # one-pixel edit of base
+        (3, _mk_bmp(16, 16, other)),
+        (4, _mk_bmp(16, 16, base)),          # identical pixels, BMP codec
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {r["doc_id"]: r["phash"] for r in image_phash(df).collect()}
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(got[1], got[2]) <= 8       # small edit → close
+    assert ham(got[1], got[3]) >= 16      # different image → far
+    assert got[4] == got[1]  # same pixels, different codec
+    assert got[4] != got[3]
