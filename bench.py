@@ -88,6 +88,9 @@ BENCH_QUERIES = (
     "doc_token_budget_sample",
     "mm_image_ahash",
     "graph_supplier_pagerank",
+    # bigram-LM quality filter + count-min heavy hitters
+    "doc_bigram_fluency",
+    "corpus_cms_heavy_hitters",
 )
 
 

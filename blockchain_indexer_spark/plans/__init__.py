@@ -62,6 +62,8 @@ PRIORITY = (
     "doc_token_budget_sample",
     "mm_image_ahash",
     "graph_supplier_pagerank",
+    "doc_bigram_fluency",
+    "corpus_cms_heavy_hitters",
     # -- tier B: churn canaries ----------------------------------------
     "ngram_jaccard_near_dups",
     "doc_exact_decontamination",
@@ -107,8 +109,6 @@ PRIORITY = (
     "sliding_window_stats",
     "event_sessionization",
     "asof_latest_purchase",
-    "range_join_active_sessions",
-    "doc_fingerprint_dedup",
     # ------------------------------------------------------------------
     # Below the ~50-row driver window: everything verified in round 3
     # (the freshest rows) plus the remaining r2-verified relational
@@ -116,6 +116,8 @@ PRIORITY = (
     # signal; each algorithm's correctness is carried by its
     # md5-oracled twin above or in the r3 record).
     # ------------------------------------------------------------------
+    "range_join_active_sessions",
+    "doc_fingerprint_dedup",
     "gap_detection",
     "filtered_projection",
     "json_payload",

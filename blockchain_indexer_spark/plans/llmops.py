@@ -2532,3 +2532,126 @@ def doc_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     base = d.select("doc_id", "source", token_count("text").alias("n_tokens"))
     return token_budget_sample(base, "source", "doc_id", "n_tokens", budget=600)
+
+
+@register(
+    "doc_bigram_fluency",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id, COALESCE({_TOKS_SQL}, []) AS toks FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM d, UNNEST(range(1, len(toks))) AS r(i)
+    ),
+    tbg AS (SELECT w1, w2 FROM bg WHERE doc_id % 2 = 0),
+    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM tbg GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM tbg GROUP BY 1),
+    v AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v
+          FROM (SELECT unnest(toks) AS t FROM d WHERE doc_id % 2 = 0)),
+    scored AS (
+      SELECT bg.doc_id,
+             CAST(floor(1e12 * (CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE)
+                                / CAST(COALESCE(c1.c1, 0) + v.v AS DOUBLE)))
+                  AS BIGINT) AS p_nano,
+             CASE WHEN c2.c2 IS NULL THEN 1 ELSE 0 END AS oov
+      FROM bg LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1) CROSS JOIN v
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(oov) AS BIGINT) AS n_oov,
+             CAST(SUM(p_nano) AS BIGINT) AS p_sum
+      FROM scored GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+           COALESCE(agg.n_oov, 0) AS n_oov,
+           CASE WHEN agg.n_bigrams > 0 THEN agg.p_sum // agg.n_bigrams
+                ELSE 0 END AS fluency_nano
+    FROM d LEFT JOIN agg USING (doc_id)
+    """,
+    doc="Bigram-LM fluency scoring (operators.lm.bigram_fluency) — the "
+    "CCNet-style quality filter: an add-one-smoothed bigram LM is "
+    "trained on the even-doc_id half of the corpus (the stand-in for "
+    "a trusted reference corpus) and EVERY document is scored by its "
+    "mean smoothed conditional probability plus its unseen-bigram "
+    "count. Integer-deterministic by the BM25 pattern: each bigram's "
+    "p=(c2+1)/(c1+V) is one IEEE division scaled floor(1e12*p) into "
+    "a BIGINT before any SUM, so scores hash-match DuckDB exactly; "
+    "the float log-perplexity twin (operators.lm."
+    "bigram_log_perplexity) is the production path. Token-keyed "
+    "joins; both count tables are post-aggregation so AQE broadcasts "
+    "them at moderate scale and skew-splits beyond.",
+    survey_refs=("LLM-text",),
+)
+def doc_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.functions.text import tokens
+    from blockchain_indexer_spark.operators.lm import bigram_fluency
+
+    d = load_table(spark, sf_dir, "documents")
+    base = spread(d, "doc_id").select(
+        "doc_id",
+        F.coalesce(tokens("text"), F.array().cast("array<string>")).alias("toks"),
+    )
+    train = base.filter(F.col("doc_id") % 2 == 0)
+    return bigram_fluency(base, train)
+
+
+@register(
+    "corpus_cms_heavy_hitters",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT unnest({_TOKS_SQL}) AS token FROM documents
+    ),
+    exact AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count
+      FROM tok GROUP BY 1
+    ),
+    top AS (
+      SELECT token, exact_count,
+             CAST(row_number() OVER (ORDER BY exact_count DESC, token)
+                  AS BIGINT) AS rank
+      FROM exact
+      ORDER BY exact_count DESC, token LIMIT 20
+    ),
+    cells AS (
+      SELECT r.x AS row,
+             CAST(('0x' || substr(md5(r.x || ':' || token), 1, 15)) AS BIGINT)
+               % 1024 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tok, UNNEST(range(0, 4)) AS r(x)
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT t.token,
+             CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS cms_count
+      FROM (SELECT token, r.x AS row,
+                   CAST(('0x' || substr(md5(r.x || ':' || token), 1, 15)) AS BIGINT)
+                     % 1024 AS bucket
+            FROM top, UNNEST(range(0, 4)) AS r(x)) t
+      LEFT JOIN cells c USING (row, bucket)
+      GROUP BY 1
+    )
+    SELECT top.token, top.rank, top.exact_count, est.cms_count,
+           est.cms_count - top.exact_count AS cms_overcount
+    FROM top JOIN est USING (token)
+    """,
+    doc="Count-min-sketch heavy hitters (operators.sketch): 4x1024 "
+    "integer cells built with ONE map-side-combined groupBy over the "
+    "token stream (the exchange carries at most depth*width rows per "
+    "partition, independent of corpus size), point estimates by "
+    "broadcasting the finished cells — the mergeable-sketch posture "
+    "of the HLL/KLL gates extended to FREQUENCY queries. The gate "
+    "returns the exact top-20 tokens (the exact twin) beside their "
+    "sketch estimates; bucket hashing is the md5-prefix idiom, so "
+    "cells, minima and overcounts are oracle-checked hash-exactly, "
+    "and cms_overcount >= 0 is the structural one-sided guarantee.",
+    survey_refs=("LLM-text", "A7"),
+)
+def corpus_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.functions.text import tokens
+    from blockchain_indexer_spark.operators.sketch import cms_heavy_hitters
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = spread(d, "doc_id").select(F.explode(tokens("text")).alias("token"))
+    return cms_heavy_hitters(tok, "token", k=20, depth=4, width=1024)

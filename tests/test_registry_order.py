@@ -46,6 +46,14 @@ CHURN_CANARIES_R4 = (
     "mm_real_decode",
 )
 
+# Operators added mid-round-4 after the rotation landed: never
+# driver-verified, so they take window slots ahead of r2-verified
+# entries (which keep their round-2 evidence below the fold).
+NEW_GATES_R4 = (
+    "doc_bigram_fluency",
+    "corpus_cms_heavy_hitters",
+)
+
 
 def test_round4_tier_a_leads():
     assert list(REGISTRY)[: len(TIER_A_R4)] == list(TIER_A_R4)
@@ -64,7 +72,7 @@ def test_round4_window_refreshes_stale_evidence():
     assert set(CHURN_CANARIES_R4) <= head
     # head slots beyond tier A + canaries go to r2-verified entries
     for n in names[:50]:
-        if n in TIER_A_R4 or n in CHURN_CANARIES_R4:
+        if n in TIER_A_R4 or n in CHURN_CANARIES_R4 or n in NEW_GATES_R4:
             continue
         assert n in _R2_VERIFIED, f"{n} spends a window slot without need"
     # every below-fold entry either has a green r3 row, keeps an r2
