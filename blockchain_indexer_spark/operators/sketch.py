@@ -9,10 +9,12 @@ size, mergeable across partitions/batches by cell-wise addition, so a
 streaming ingest can maintain it incrementally (the same posture as
 the HLL cardinality and KLL quantile gates: sketch + exact twin).
 
-Engine-portable hashing: bucket_r(x) = md5-prefix-bigint("r:" + x) mod
-width — the repo's md5 idiom (functions/hex.py:61), reproducible in a
-DuckDB oracle, so the WHOLE sketch (cells, point estimates, the min
-over rows) is oracle-checked hash-exactly, not just property-tested.
+Hashing follows the repo's twin convention (operators/dedup.py):
+``hash_fn="md5_60"`` — bucket_r(x) = md5-prefix-bigint("r:" + x) mod
+width (functions/hex.py:61), reproducible in a DuckDB oracle, so the
+WHOLE sketch (cells, point estimates, the min over rows) is
+oracle-checked hash-exactly, not just property-tested; the default
+``"xxhash64"`` is the production path — same plan, ~3× cheaper hash.
 
 Scale shape: cell building is one groupBy over the (depth ×
 occurrences) exploded stream — map-side combine reduces every
@@ -30,15 +32,29 @@ from pyspark.sql import functions as F
 from blockchain_indexer_spark.functions.hex import md5_prefix_bigint
 
 
-def _bucket(col, row: int, width: int):
-    """Row-r bucket of an item: md5-prefix("r:" + item) mod width —
-    15 hex chars keeps the intermediate inside signed-bigint on both
-    engines (the md5_prefix_bigint contract)."""
-    return md5_prefix_bigint(F.concat(F.lit(f"{row}:"), col), 15) % width
+def _bucket(col, row: int, width: int, hash_fn: str):
+    """Row-r bucket of an item, non-negative mod width.
+
+    ``hash_fn="md5_60"`` — md5-prefix("r:" + item), 15 hex chars keeps
+    the intermediate inside signed-bigint on both engines
+    (the md5_prefix_bigint contract): the ORACLE-portable twin.
+    ``hash_fn="xxhash64"`` — the production path (~3× cheaper per
+    occurrence; the sketch hashes every occurrence depth times, so the
+    hash IS the dominant build cost). Same twin convention as
+    minhash/simhash (operators/dedup.py)."""
+    if hash_fn == "md5_60":
+        return md5_prefix_bigint(F.concat(F.lit(f"{row}:"), col), 15) % width
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(F.lit(row), col), F.lit(width)).cast("bigint")
+    raise ValueError(f"unknown hash_fn {hash_fn!r}; expected 'md5_60' or 'xxhash64'")
 
 
 def cms_build(
-    items: DataFrame, item_col: str, depth: int = 4, width: int = 1024
+    items: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Build the sketch over an item stream (one row per OCCURRENCE).
 
@@ -48,7 +64,7 @@ def cms_build(
     pairs = F.array(
         *[
             F.struct(
-                F.lit(r).alias("row"), _bucket(F.col(item_col), r, width).alias("bucket")
+                F.lit(r).alias("row"), _bucket(F.col(item_col), r, width, hash_fn).alias("bucket")
             )
             for r in range(depth)
         ]
@@ -66,6 +82,7 @@ def cms_estimate(
     item_col: str,
     depth: int = 4,
     width: int = 1024,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Point-estimate the frequency of every DISTINCT item in
     ``probes``: min over the depth rows of the item's bucket count
@@ -77,7 +94,7 @@ def cms_estimate(
     pairs = F.array(
         *[
             F.struct(
-                F.lit(r).alias("row"), _bucket(F.col(item_col), r, width).alias("bucket")
+                F.lit(r).alias("row"), _bucket(F.col(item_col), r, width, hash_fn).alias("bucket")
             )
             for r in range(depth)
         ]
@@ -93,7 +110,12 @@ def cms_estimate(
 
 
 def cms_heavy_hitters(
-    items: DataFrame, item_col: str, k: int = 20, depth: int = 4, width: int = 1024
+    items: DataFrame,
+    item_col: str,
+    k: int = 20,
+    depth: int = 4,
+    width: int = 1024,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Exact-twin heavy-hitter gate: the exact top-k items (count desc,
     item asc — total order) side-by-side with their sketch estimates.
@@ -121,8 +143,8 @@ def cms_heavy_hitters(
             ),
         )
     )
-    cells = cms_build(items, item_col, depth, width)
-    est = cms_estimate(cells, top.select(item_col), item_col, depth, width)
+    cells = cms_build(items, item_col, depth, width, hash_fn)
+    est = cms_estimate(cells, top.select(item_col), item_col, depth, width, hash_fn)
     return (
         top.join(est, [item_col])
         .select(

@@ -2654,4 +2654,6 @@ def corpus_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     tok = spread(d, "doc_id").select(F.explode(tokens("text")).alias("token"))
-    return cms_heavy_hitters(tok, "token", k=20, depth=4, width=1024)
+    # md5_60 = the oracle-portable twin; production callers default to
+    # xxhash64 (~3x cheaper — the hash dominates the build cost)
+    return cms_heavy_hitters(tok, "token", k=20, depth=4, width=1024, hash_fn="md5_60")

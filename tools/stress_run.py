@@ -104,3 +104,19 @@ _q = (_toks.filter((F.col("doc_id") % 1000 == 0) & (F.size("toks") >= 4))
       .select(F.col("doc_id").alias("query_id"),
               F.explode(F.slice(F.array_sort(F.array_distinct("toks")), 1, 4)).alias("term")))
 t("bm25_topk_100k_q100", lambda: bm25_topk(_toks, _q, k=5, tokens_col="toks").count())
+
+from blockchain_indexer_spark.operators.lm import bigram_fluency
+_lm_base = docs.select(
+    "doc_id", F.coalesce(tokens("text"), F.array().cast("array<string>")).alias("toks")
+)
+# noop-write, not count(): Catalyst eliminates the final left join
+# (unique-key right side, no referenced columns) under count()
+t("bigram_fluency_100k", lambda: bigram_fluency(
+    _lm_base, _lm_base.filter(F.col("doc_id") % 2 == 0)
+).write.format("noop").mode("overwrite").save() or 100_000)
+
+from blockchain_indexer_spark.operators.sketch import cms_heavy_hitters
+_cms_tok = docs.select(F.explode(tokens("text")).alias("token"))
+t("cms_heavy_hitters_100k", lambda: cms_heavy_hitters(
+    _cms_tok, "token", k=20
+).write.format("noop").mode("overwrite").save() or 20)
