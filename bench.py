@@ -91,6 +91,8 @@ BENCH_QUERIES = (
     # bigram-LM quality filter + count-min heavy hitters
     "doc_bigram_fluency",
     "corpus_cms_heavy_hitters",
+    # real compressed decode #2: variable-width LZW + palette map
+    "mm_real_gif",
 )
 
 

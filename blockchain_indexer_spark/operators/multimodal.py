@@ -227,6 +227,8 @@ def decode_image_real(with_blobs: DataFrame, id_col: str = "doc_id") -> DataFram
                     w, height, px = decode_bmp(bytes(b))
                 elif head == b"\x89PNG\r\n\x1a\n":
                     w, height, px = decode_png(bytes(b))
+                elif head[:6] in (b"GIF87a", b"GIF89a"):
+                    w, height, px = decode_gif(bytes(b))
                 elif _HAVE_PIL:  # pragma: no cover — JPEG/etc. seam
                     import io
 
@@ -441,6 +443,235 @@ def decode_png(buf: bytes):
         prev = cur
     px = out.reshape(h, w, bpp)[:, :, :3]
     return w, h, px[:, :, ::-1]  # RGB → BGR, decode_bmp's convention
+
+
+def _gif_lzw_encode(indices, min_code_size: int = 8) -> bytes:
+    """GIF-variant LZW over a flat index sequence: variable-width codes
+    (min_code_size+1 … 12 bits), CLEAR emitted first, EOI last,
+    LSB-first bit packing. Dictionary resets via CLEAR when full
+    (4096) — the images here never reach it, but the path is real."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(1 << min_code_size)}
+
+    table = fresh()
+    next_code, width = eoi + 1, min_code_size + 1
+    emit(clear, width)
+    cur = b""
+    for v in indices:
+        nxt = cur + bytes([int(v)])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur], width)
+        table[nxt] = next_code
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        cur = nxt[-1:]
+        if next_code == 4096:
+            emit(clear, width)
+            table, next_code, width = fresh(), eoi + 1, min_code_size + 1
+    if cur:
+        emit(table[cur], width)
+        # the decoder conjectures a table entry for EVERY received
+        # data code, including this final one the encoder never uses —
+        # mirror that phantom add so the EOI width stays bit-aligned
+        # when the final code lands exactly on a 2^width boundary
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def attach_gif_blob(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL LZW-compressed image payload per document: a
+    GIF89a with a 256-entry global color table, whose geometry, pixel
+    INDICES and palette all derive deterministically from the id —
+
+        width  = 8 + id % 29     height = 8 + id % 17
+        index(r,c) = (id + 3r + 7c) % 256
+        palette[i] = (R, G, B) = ((7i+3) % 256, (5i+1) % 256, (3i+2) % 256)
+
+    so a DuckDB oracle recomputes every decoded channel mean from
+    arithmetic alone, while the decoder must run genuine variable-width
+    LZW (images are large enough that the code width grows 9 → 10 → 11
+    bits mid-stream) and walk the block structure: a comment extension
+    and a graphic-control extension are planted before the image
+    descriptor, so a parser that assumes the image data at a fixed
+    offset reads garbage. The second real COMPRESSED codec at this
+    seam (PNG/DEFLATE is the first) — reference parity note: the
+    reference has no media decode at all; this family is the
+    training-data-pipeline extension.
+    """
+    import struct
+
+    import numpy as np
+
+    pal = bytes(
+        b
+        for i in range(256)
+        for b in ((7 * i + 3) % 256, (5 * i + 1) % 256, (3 * i + 2) % 256)
+    )
+
+    @F.pandas_udf("binary")
+    def _gif(ids: pd.Series) -> pd.Series:
+        def mk(doc_id: int) -> bytes:
+            w, h = 8 + doc_id % 29, 8 + doc_id % 17
+            r = np.arange(h, dtype=np.int64)[:, None]
+            c = np.arange(w, dtype=np.int64)[None, :]
+            idx = ((doc_id + 3 * r + 7 * c) % 256).astype(np.uint8)
+            lzw = _gif_lzw_encode(idx.ravel())
+            sub = b"".join(
+                bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+                for i in range(0, len(lzw), 255)
+            )
+            return (
+                b"GIF89a"
+                + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT, 8bpp, 256 colors
+                + pal
+                + b"\x21\xfe\x08decoyGIF\x00"  # comment extension (skip me)
+                + b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control ext
+                + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # image desc
+                + b"\x08"  # LZW min code size
+                + sub
+                + b"\x00\x3b"  # block terminator + trailer
+            )
+
+        return ids.map(mk)
+
+    return spread(documents.select(id_col), id_col).withColumn(
+        "blob", _gif(id_col)
+    ).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("image/gif").alias("mime"),
+            F.length(F.col("blob")).alias("nbytes"),
+            F.lit("gif-lzw8-v1").alias("codec"),
+        ),
+    )
+
+
+def decode_gif(buf: bytes):
+    """Pure-Python/numpy GIF decode → (width, height, pixels[H,W,3] in
+    BGR order, decode_bmp's convention): header + logical screen
+    descriptor, global color table, extension-block walk (skipped by
+    structure, not offset), then variable-width LZW decompression
+    (CLEAR/EOI, 9→12-bit growth, deferred-clear tolerant) and palette
+    mapping. Local color tables, interlacing and multi-frame GIFs
+    raise — the honest seam where PIL plugs in for exotic variants.
+    """
+    import struct
+
+    import numpy as np
+
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", buf[6:13])
+    pos = 13
+    pal = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        pal = np.frombuffer(buf[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(buf):
+        b0 = buf[pos]
+        if b0 == 0x21:  # extension: label + data sub-blocks
+            pos += 2
+            while buf[pos] != 0:
+                pos += 1 + buf[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            break
+        elif b0 == 0x3B:
+            raise ValueError("GIF trailer before any image data")
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    left, top, w, h, ipacked = struct.unpack("<HHHHB", buf[pos + 1 : pos + 10])
+    pos += 10
+    if ipacked & 0x80:
+        raise NotImplementedError("GIF local color tables not supported")
+    if ipacked & 0x40:
+        raise NotImplementedError("interlaced GIF not supported")
+    if pal is None:
+        raise NotImplementedError("GIF without a global color table")
+    mcs = buf[pos]
+    pos += 1
+    data = bytearray()
+    while True:
+        if pos >= len(buf):
+            raise ValueError("truncated GIF: unterminated image data sub-blocks")
+        n = buf[pos]
+        if n == 0:
+            break
+        if pos + 1 + n > len(buf):
+            raise ValueError("truncated GIF: short image data sub-block")
+        data.extend(buf[pos + 1 : pos + 1 + n])
+        pos += 1 + n
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    singles = [bytes([i]) for i in range(1 << mcs)]
+    table = list(singles) + [b"", b""]
+    width_bits = mcs + 1
+    acc = nbits = bitpos = 0
+    prev = None
+    out = bytearray()
+    while True:
+        while nbits < width_bits:
+            if bitpos >= len(data):
+                raise ValueError("GIF LZW stream ended without EOI")
+            acc |= data[bitpos] << nbits
+            bitpos += 1
+            nbits += 8
+        code = acc & ((1 << width_bits) - 1)
+        acc >>= width_bits
+        nbits -= width_bits
+        if code == clear:
+            table = list(singles) + [b"", b""]
+            width_bits = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt GIF LZW code")
+        out.extend(entry)
+        prev = entry
+        # the decoder's table lags the encoder's by ONE entry (the
+        # encoder adds an entry for the code it just emitted; the
+        # decoder only learns it from the NEXT code), so the read
+        # width bumps one entry early to stay bit-aligned
+        if len(table) + 1 == (1 << width_bits) and width_bits < 12:
+            width_bits += 1
+    if len(out) != w * h:
+        raise ValueError("GIF pixel count mismatch")
+    idx = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w)
+    px = pal[idx]  # (h, w, 3) RGB
+    return w, h, px[:, :, ::-1]  # RGB → BGR
 
 
 def attach_wav_blob(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -64,6 +64,7 @@ PRIORITY = (
     "graph_supplier_pagerank",
     "doc_bigram_fluency",
     "corpus_cms_heavy_hitters",
+    "mm_real_gif",
     # -- tier B: churn canaries ----------------------------------------
     "ngram_jaccard_near_dups",
     "doc_exact_decontamination",
@@ -108,7 +109,6 @@ PRIORITY = (
     "tumbling_window_stats",
     "sliding_window_stats",
     "event_sessionization",
-    "asof_latest_purchase",
     # ------------------------------------------------------------------
     # Below the ~50-row driver window: everything verified in round 3
     # (the freshest rows) plus the remaining r2-verified relational
@@ -116,6 +116,7 @@ PRIORITY = (
     # signal; each algorithm's correctness is carried by its
     # md5-oracled twin above or in the r3 record).
     # ------------------------------------------------------------------
+    "asof_latest_purchase",
     "range_join_active_sessions",
     "doc_fingerprint_dedup",
     "gap_detection",

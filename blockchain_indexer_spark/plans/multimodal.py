@@ -375,3 +375,42 @@ def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = attach_png_blob(load_table(spark, sf_dir, "documents"))
     return image_ahash(blobs)
+
+
+@register(
+    "mm_real_gif",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 8 + doc_id % 29 AS w, 8 + doc_id % 17 AS h FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, (doc_id + 3 * r.x + 7 * c.x) % 256 AS i
+      FROM d, UNNEST(range(0, h)) AS r(x), UNNEST(range(0, w)) AS c(x)
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(SUM((3 * i + 2) % 256) AS DOUBLE) / (w * h) AS mean_b,
+           CAST(SUM((5 * i + 1) % 256) AS DOUBLE) / (w * h) AS mean_g,
+           CAST(SUM((7 * i + 3) % 256) AS DOUBLE) / (w * h) AS mean_r
+    FROM px GROUP BY doc_id, w, h
+    """,
+    doc="REAL LZW decode: each document gets a genuine GIF89a "
+    "(variable-width LZW image data that grows 9 -> 10 -> 11 bits "
+    "mid-stream, 256-entry global color table, comment + graphic-"
+    "control extensions planted before the image descriptor) whose "
+    "palette INDICES are closed-form in doc_id, and decode_gif "
+    "(operators/multimodal.py) decompresses and palette-maps it in "
+    "pure Python/numpy. The second real COMPRESSED codec at the "
+    "decode seam (PNG/DEFLATE is the first): wrong code-width timing, "
+    "bad CLEAR handling or offset-assuming block walks all shift the "
+    "channel means. Channel means are exact-integer sums / one IEEE "
+    "division in both engines.",
+    survey_refs=("LLM-multimodal",),
+)
+def mm_real_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.multimodal import attach_gif_blob
+
+    blobs = attach_gif_blob(load_table(spark, sf_dir, "documents"))
+    return decode_image_real(blobs)

@@ -52,6 +52,7 @@ CHURN_CANARIES_R4 = (
 NEW_GATES_R4 = (
     "doc_bigram_fluency",
     "corpus_cms_heavy_hitters",
+    "mm_real_gif",
 )
 
 
