@@ -93,6 +93,8 @@ BENCH_QUERIES = (
     "corpus_cms_heavy_hitters",
     # real compressed decode #2: variable-width LZW + palette map
     "mm_real_gif",
+    # distributed classifier training (2-epoch batch perceptron)
+    "corpus_perceptron_weights",
 )
 
 

@@ -65,6 +65,8 @@ PRIORITY = (
     "doc_bigram_fluency",
     "corpus_cms_heavy_hitters",
     "mm_real_gif",
+    "corpus_perceptron_weights",
+    "doc_perceptron_margin",
     # -- tier B: churn canaries ----------------------------------------
     "ngram_jaccard_near_dups",
     "doc_exact_decontamination",
@@ -101,8 +103,6 @@ PRIORITY = (
     "pricing_summary",
     "broadcast_join_agg",
     "dedup_first_seen",
-    "completeness_gate",
-    "anti_join_inactive",
     "semi_join_parts",
     "latest_event_per_user",
     "version_disambiguation",
@@ -119,6 +119,8 @@ PRIORITY = (
     "asof_latest_purchase",
     "range_join_active_sessions",
     "doc_fingerprint_dedup",
+    "completeness_gate",
+    "anti_join_inactive",
     "gap_detection",
     "filtered_projection",
     "json_payload",

@@ -2657,3 +2657,110 @@ def corpus_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5_60 = the oracle-portable twin; production callers default to
     # xxhash64 (~3x cheaper — the hash dominates the build cost)
     return cms_heavy_hitters(tok, "token", k=20, depth=4, width=1024, hash_fn="md5_60")
+
+
+_PERCEPTRON_CTES = rf"""
+    WITH d AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+             COALESCE({_TOKS_SQL}, []) AS toks
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, y,
+             CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 256 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT doc_id, y, unnest(toks) AS t FROM d)
+      GROUP BY 1, 2, 3
+    ),
+    w1 AS (
+      -- epoch 1 from w=0: margin 0 everywhere, every doc misclassified,
+      -- so the update is the full class-difference count vector
+      SELECT bucket, CAST(SUM(y * cnt) AS BIGINT) AS weight
+      FROM f GROUP BY 1
+    ),
+    m2 AS (
+      SELECT f.doc_id, f.y,
+             CAST(SUM(f.cnt * COALESCE(w1.weight, 0)) AS BIGINT) AS m
+      FROM f LEFT JOIN w1 USING (bucket) GROUP BY 1, 2
+    ),
+    d2 AS (
+      SELECT bucket, CAST(SUM(y * cnt) AS BIGINT) AS dlt
+      FROM f
+      WHERE doc_id IN (SELECT doc_id FROM m2 WHERE y * m <= 0)
+      GROUP BY 1
+    ),
+    w2 AS (
+      SELECT b.bucket,
+             CAST(COALESCE(w1.weight, 0) + COALESCE(d2.dlt, 0) AS BIGINT) AS weight
+      FROM (SELECT unnest(range(0, 256)) AS bucket) b
+      LEFT JOIN w1 USING (bucket) LEFT JOIN d2 USING (bucket)
+    )
+"""
+
+
+@register(
+    "corpus_perceptron_weights",
+    oracle=_PERCEPTRON_CTES
+    + """
+    SELECT bucket, weight FROM w2
+    """,
+    doc="Distributed linear-classifier TRAINING (operators.linear."
+    "perceptron_train): a batch perceptron over md5-hashed "
+    "bag-of-words counts (256 buckets), 2 full epochs from zero "
+    "weights, labels y=+1 for lang='en'. The integer-deterministic "
+    "twin of a fastText-style quality/domain filter — every margin, "
+    "misclassification set and weight update is exact int64, so the "
+    "DuckDB oracle replays training as an unrolled per-epoch CTE "
+    "(the BPE-merge oracle pattern) and the final weight table "
+    "hash-matches. Scale: O(epochs) passes over a checkpointed "
+    "feature frame; the weight table stays 256 rows and broadcasts.",
+    survey_refs=("LLM-text",),
+)
+def corpus_perceptron_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.functions.text import tokens
+    from blockchain_indexer_spark.operators.linear import hashed_features, perceptron_train
+
+    d = load_table(spark, sf_dir, "documents")
+    base = spread(d, "doc_id").select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(-1)).cast("long").alias("y"),
+        F.coalesce(tokens("text"), F.array().cast("array<string>")).alias("toks"),
+    )
+    feats = hashed_features(base, n_buckets=256, hash_fn="md5_60")
+    return perceptron_train(feats, epochs=2, n_buckets=256)
+
+
+@register(
+    "doc_perceptron_margin",
+    oracle=_PERCEPTRON_CTES
+    + """
+    SELECT f.doc_id, f.y,
+           CAST(SUM(f.cnt * COALESCE(w2.weight, 0)) AS BIGINT) AS margin,
+           f.y * CAST(SUM(f.cnt * COALESCE(w2.weight, 0)) AS BIGINT) > 0 AS correct
+    FROM f LEFT JOIN w2 USING (bucket)
+    GROUP BY 1, 2
+    """,
+    doc="Scoring every document under the trained perceptron "
+    "(operators.linear.perceptron_score): integer margin via one "
+    "bucket-keyed join against the broadcast 256-row weight table + "
+    "one doc-keyed sum — the filter-application pass of the quality-"
+    "classifier pipeline, exact int64 end to end.",
+    survey_refs=("LLM-text",),
+)
+def doc_perceptron_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.functions.text import tokens
+    from blockchain_indexer_spark.operators.linear import (
+        hashed_features,
+        perceptron_score,
+        perceptron_train,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    base = spread(d, "doc_id").select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(-1)).cast("long").alias("y"),
+        F.coalesce(tokens("text"), F.array().cast("array<string>")).alias("toks"),
+    )
+    feats = hashed_features(base, n_buckets=256, hash_fn="md5_60").localCheckpoint(eager=True)
+    w = perceptron_train(feats, epochs=2, n_buckets=256)
+    return perceptron_score(feats, w)

@@ -53,6 +53,8 @@ NEW_GATES_R4 = (
     "doc_bigram_fluency",
     "corpus_cms_heavy_hitters",
     "mm_real_gif",
+    "corpus_perceptron_weights",
+    "doc_perceptron_margin",
 )
 
 

@@ -120,3 +120,13 @@ _cms_tok = docs.select(F.explode(tokens("text")).alias("token"))
 t("cms_heavy_hitters_100k", lambda: cms_heavy_hitters(
     _cms_tok, "token", k=20
 ).write.format("noop").mode("overwrite").save() or 20)
+
+from blockchain_indexer_spark.operators.linear import hashed_features, perceptron_train
+_pc_base = docs.select(
+    "doc_id",
+    F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(-1)).cast("long").alias("y"),
+    F.coalesce(tokens("text"), F.array().cast("array<string>")).alias("toks"),
+)
+t("perceptron_train_100k_e2", lambda: perceptron_train(
+    hashed_features(_pc_base, n_buckets=256), epochs=2, n_buckets=256
+).write.format("noop").mode("overwrite").save() or 256)
