@@ -95,6 +95,8 @@ BENCH_QUERIES = (
     "mm_real_gif",
     # distributed classifier training (2-epoch batch perceptron)
     "corpus_perceptron_weights",
+    # shuffle-free within-doc repeated-paragraph dedup
+    "doc_intra_dedup",
 )
 
 

@@ -260,3 +260,33 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "rank", "n_hit_terms", "score_nano")
     )
+
+
+def dedup_doc_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    lines_col: str = "lines",
+) -> DataFrame:
+    """INTRA-document line/paragraph dedup — the within-doc half of
+    repeated-text removal (strip_boilerplate is the cross-doc half;
+    pipelines like Dolma run both): every repeated line keeps its
+    FIRST occurrence, later copies drop, original order otherwise
+    preserved.
+
+    Returns (id, n_lines, n_unique_lines, clean_text) with clean_text
+    the surviving lines joined by '\\n'. NULL/empty line arrays
+    survive with 0 counts and empty text.
+
+    Scale: a pure JVM projection — ``array_distinct`` preserves
+    first-occurrence order, so the whole operator is shuffle-FREE and
+    pipelines into whatever scan or exchange surrounds it; cost is
+    O(total line bytes) with no data movement at any corpus size.
+    """
+    lines = F.coalesce(F.col(lines_col), F.array())
+    uniq = F.array_distinct(lines)
+    return docs.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(uniq).cast("long").alias("n_unique_lines"),
+        F.array_join(uniq, "\n").alias("clean_text"),
+    )

@@ -67,6 +67,7 @@ PRIORITY = (
     "mm_real_gif",
     "corpus_perceptron_weights",
     "doc_perceptron_margin",
+    "doc_intra_dedup",
     # -- tier B: churn canaries ----------------------------------------
     "ngram_jaccard_near_dups",
     "doc_exact_decontamination",
@@ -103,7 +104,6 @@ PRIORITY = (
     "pricing_summary",
     "broadcast_join_agg",
     "dedup_first_seen",
-    "semi_join_parts",
     "latest_event_per_user",
     "version_disambiguation",
     "tumbling_window_stats",
@@ -121,6 +121,7 @@ PRIORITY = (
     "doc_fingerprint_dedup",
     "completeness_gate",
     "anti_join_inactive",
+    "semi_join_parts",
     "gap_detection",
     "filtered_projection",
     "json_payload",

@@ -2764,3 +2764,73 @@ def doc_perceptron_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = hashed_features(base, n_buckets=256, hash_fn="md5_60").localCheckpoint(eager=True)
     w = perceptron_train(feats, epochs=2, n_buckets=256)
     return perceptron_score(feats, w)
+
+
+@register(
+    "doc_intra_dedup",
+    oracle=rf"""
+    WITH d0 AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    d AS (
+      SELECT doc_id,
+             CASE WHEN toks IS NULL OR len(toks) = 0 THEN []
+                  ELSE list_transform(
+                         range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT)),
+                         i -> array_to_string(toks[i * 8 + 1 : i * 8 + 8], ' '))
+             END AS lines
+      FROM d0
+    ),
+    pos AS (
+      SELECT doc_id, u.i, lines[u.i] AS line
+      FROM d, LATERAL unnest(range(1, len(lines) + 1)) u(i)
+    ),
+    firsts AS (
+      SELECT doc_id, line, MIN(i) AS fi FROM pos GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_unique_lines,
+             md5(string_agg(line, chr(10) ORDER BY fi)) AS clean_md5
+      FROM firsts GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(len(d.lines) AS BIGINT) AS n_lines,
+           COALESCE(a.n_unique_lines, 0) AS n_unique_lines,
+           COALESCE(a.clean_md5, md5('')) AS clean_md5
+    FROM d LEFT JOIN agg a USING (doc_id)
+    """,
+    doc="INTRA-document repeated-paragraph dedup (operators.textprep."
+    "dedup_doc_lines) over 8-token windows: each repeated window "
+    "keeps its first occurrence, order otherwise preserved — the "
+    "within-doc half of repeated-text removal (doc_boilerplate_scrub "
+    "is the cross-doc half; production pipelines run both). The "
+    "Spark side is one shuffle-FREE JVM projection (array_distinct "
+    "preserves first-occurrence order); the oracle rebuilds the same "
+    "text via MIN(position) per line. clean_md5 pins the rebuilt "
+    "text byte-for-byte.",
+    survey_refs=("LLM-text",),
+)
+def doc_intra_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.functions.text import tokens
+    from blockchain_indexer_spark.operators.textprep import dedup_doc_lines
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_win = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    lines = F.when(
+        toks.isNull() | (F.size(toks) == 0), F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_win - 1),
+            lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+        )
+    )
+    base = spread(d, "doc_id").select("doc_id", lines.alias("lines"))
+    out = dedup_doc_lines(base)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_unique_lines",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    )

@@ -55,6 +55,7 @@ NEW_GATES_R4 = (
     "mm_real_gif",
     "corpus_perceptron_weights",
     "doc_perceptron_margin",
+    "doc_intra_dedup",
 )
 
 

@@ -143,3 +143,31 @@ def test_bm25_log_idf_variant_ranks_sensibly(spark):
         for r in bm25_scores(docs, queries, use_log_idf=True).collect()
     }
     assert got[(1, 0)] > max(v for (q, _), v in got.items() if q == 2)
+
+
+def test_intra_dedup_keeps_first_occurrence_order(spark):
+    from blockchain_indexer_spark.operators.textprep import dedup_doc_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, ["b", "a", "b", "c", "a", "b"]),
+            (2, []),
+            (3, None),
+            (4, ["x"]),
+        ],
+        "doc_id long, lines array<string>",
+    )
+    out = {r["doc_id"]: r for r in dedup_doc_lines(docs).collect()}
+    assert out[1]["clean_text"] == "b\na\nc"  # first occurrences, in order
+    assert (out[1]["n_lines"], out[1]["n_unique_lines"]) == (6, 3)
+    for d in (2, 3):
+        assert (out[d]["n_lines"], out[d]["n_unique_lines"], out[d]["clean_text"]) == (0, 0, "")
+    assert out[4]["clean_text"] == "x"
+
+
+def test_intra_dedup_is_shuffle_free(spark):
+    from blockchain_indexer_spark.operators.textprep import dedup_doc_lines
+
+    docs = spark.createDataFrame([(1, ["a", "a"])], "doc_id long, lines array<string>")
+    plan = dedup_doc_lines(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
