@@ -97,6 +97,10 @@ BENCH_QUERIES = (
     "corpus_perceptron_weights",
     # shuffle-free within-doc repeated-paragraph dedup
     "doc_intra_dedup",
+    # one-exchange deterministic training-order shuffle
+    "doc_shard_plan",
+    # mutual-kNN graph + degree-oriented triangle counting
+    "embedding_knn_triangles",
 )
 
 

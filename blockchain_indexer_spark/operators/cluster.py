@@ -27,7 +27,7 @@ grows a plan tree per round and re-analysis cost compounds (SCALE.md).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -351,4 +351,123 @@ def pagerank(
         "id",
         F.col("_r").alias("rank_scaled"),
         (F.col("_r").cast("double") / F.lit(float(scale))).alias("rank"),
+    )
+
+
+def cluster_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+    left: str = "doc_a",
+    right: str = "doc_b",
+) -> DataFrame:
+    """Quality-aware dedup verdict: like ``dedup_survivors``, but each
+    cluster keeps its BEST-scoring member (ties -> smallest id) instead
+    of its smallest id — the production dedup policy ("keep the longest
+    / highest-quality copy", Gopher/RefinedWeb style) rather than the
+    arbitrary-but-stable one.
+
+    Returns (id, cluster, score, keep). Cost shape on top of the
+    closure: one left join to label rows and one window argmax
+    partitioned by cluster — the same key the components groupBy
+    already hashed on, so the added exchange is cluster-keyed and
+    skew-bounded by the largest dup cluster (near-dup clusters are
+    small by construction; a degenerate giant cluster is a data bug the
+    profiler surfaces, not a plan hazard).
+    """
+    comp = connected_components(pairs, left, right)
+    labeled = (
+        df.select(F.col(id_col).alias("id"), F.col(score_col).alias("score"))
+        .join(comp, "id", "left")
+        .withColumn("cluster", F.coalesce("cluster", F.col("id")))
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc_nulls_last("score"), F.asc("id")
+    )
+    return labeled.withColumn(
+        "keep", F.row_number().over(w) == F.lit(1)
+    ).select("id", "cluster", "score", "keep")
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-vertex triangle participation and local clustering
+    coefficient over an undirected graph — the structural diagnostic
+    for similarity graphs (a near-dup or mutual-kNN edge set with high
+    triangle density has coherent clusters; a low-coherence one is
+    hash noise).
+
+    Degree-ordered orientation (each undirected edge directed from its
+    lower-(degree, id) endpoint) is what makes this safe at graph
+    scale: every wedge is enumerated at its lowest-rank vertex, whose
+    out-degree is O(sqrt(m)), so the wedge self-join emits O(m^{3/2})
+    candidates TOTAL regardless of skew (Schank-Wagner / Cohen's
+    MapReduce formulation) — a celebrity vertex of degree d costs its
+    neighbors' low-side wedges, never d^2. Each triangle is counted
+    exactly once (its two lowest-rank edges form the wedge; the
+    closing edge is oriented consistently), then credited to all three
+    vertices by a 3-way explode.
+
+    Returns (id, degree, n_tri, clustering) for vertices in >= 1
+    triangle; clustering = 2*n_tri / (degree*(degree-1)), exact-double
+    reproducible because both factors are exact integers.
+
+    Self-loops are dropped (a self-loop is not a triangle edge);
+    duplicate / reversed input edges collapse via the canonical
+    (least, greatest) distinct.
+    """
+    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    und = e0.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    ).distinct()
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("_db"))
+    j = und.join(da, "a").join(db, "b")
+    a_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = j.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("x"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("y"),
+        F.when(a_first, F.col("_db")).otherwise(F.col("_da")).alias("_dy"),
+    )
+    e1 = oriented.select("x", "y", F.col("_dy").alias("_ry"))
+    e2 = oriented.select(
+        F.col("x").alias("_x2"), F.col("y").alias("z"), F.col("_dy").alias("_rz")
+    )
+    wedges = e1.join(
+        e2,
+        (F.col("x") == F.col("_x2"))
+        & (
+            (F.col("_ry") < F.col("_rz"))
+            | ((F.col("_ry") == F.col("_rz")) & (F.col("y") < F.col("z")))
+        ),
+    ).select("x", "y", "z")
+    closing = oriented.select(F.col("x").alias("y"), F.col("y").alias("z"))
+    tri = wedges.join(closing, ["y", "z"])
+    per = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").cast("bigint").alias("n_tri"))
+    )
+    return per.join(deg, "id").select(
+        "id",
+        F.col("deg").cast("bigint").alias("degree"),
+        "n_tri",
+        (
+            (F.lit(2.0) * F.col("n_tri"))
+            / (F.col("deg") * (F.col("deg") - F.lit(1)))
+        ).alias("clustering"),
     )

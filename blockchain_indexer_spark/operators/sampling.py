@@ -134,3 +134,44 @@ def token_budget_sample(
         df.withColumn("cum_before", cum_before)
         .filter(F.col("cum_before") < budget)
     )
+
+
+def shard_plan(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int = 8,
+    salt: str = "shard",
+) -> DataFrame:
+    """Deterministic global training-order shuffle, as a (shard, pos)
+    placement plan.
+
+    Pretraining consumes the corpus in a reproducible pseudo-random
+    order, materialized as S shard files each internally ordered — the
+    data loader then streams shards round-robin. A true global sort of
+    100 TB is one giant range exchange; instead, order by the uniform
+    permutation md5(salt:id) and make it distributed by sharding on
+    that same hash: shard = h mod S routes rows in ONE hash exchange,
+    and each shard sorts locally under the window — reading shards in
+    (shard, pos) order IS the full md5 permutation, because shard is a
+    function of h. Changing ``salt`` yields an independent epoch
+    permutation with no data movement beyond the same single shuffle.
+
+    Appends ``shard`` and 1-based ``pos``. Engine-reproducible: the
+    oracle replays the identical md5 arithmetic (hash_bucket docstring);
+    hash ties (different ids, equal 32-bit prefix) break by id.
+    """
+    from blockchain_indexer_spark.functions.hex import md5_prefix_bigint
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1: {n_shards}")
+    h = md5_prefix_bigint(
+        F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")), 8
+    )
+    with_h = df.withColumn("_h", h).withColumn(
+        "shard", (F.col("_h") % n_shards).cast("bigint")
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("_h"), F.col(id_col))
+    return (
+        with_h.withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .drop("_h")
+    )

@@ -891,3 +891,41 @@ def ivf_pq_topk(
             F.col("l2_dist").cast("bigint").alias("l2_dist"),
         )
     )
+
+
+def mutual_knn_graph(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    scale: int = 1000,
+) -> DataFrame:
+    """Undirected mutual-kNN graph over an embedding table: edge
+    (src, dst) iff each vector is among the other's k nearest by
+    quantized cosine — the standard graph substrate for semantic
+    clustering, diversity analysis, and graph-based dedup (mutuality
+    prunes the asymmetric hub edges a raw kNN digraph is full of).
+
+    Returns (src, dst) with src < dst, one row per undirected edge.
+
+    Scale shape: neighbor retrieval is the pluggable stage — the flat
+    scan here is the exact oracle baseline (O(n^2) like
+    cosine_near_dup_pairs, kept out of pipeline defaults); at index
+    scale swap brute_force_topk for ivf_topk — the mutualization
+    self-join (one hash join on the directed edge set, O(n*k) rows)
+    and everything downstream are unchanged.
+    """
+    topk = brute_force_topk(
+        emb, emb, id_col, vec_col, k=k, metric="quantized_cosine", scale=scale
+    )
+    d = topk.select("query_id", "neighbor_id")
+    rev = d.select(
+        F.col("neighbor_id").alias("query_id"), F.col("query_id").alias("neighbor_id")
+    )
+    return (
+        d.join(rev, ["query_id", "neighbor_id"])
+        .filter(F.col("query_id") < F.col("neighbor_id"))
+        .select(
+            F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+        )
+    )

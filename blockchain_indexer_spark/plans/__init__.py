@@ -68,6 +68,9 @@ PRIORITY = (
     "corpus_perceptron_weights",
     "doc_perceptron_margin",
     "doc_intra_dedup",
+    "doc_cluster_best",
+    "doc_shard_plan",
+    "embedding_knn_triangles",
     # -- tier B: churn canaries ----------------------------------------
     "ngram_jaccard_near_dups",
     "doc_exact_decontamination",

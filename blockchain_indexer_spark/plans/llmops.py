@@ -845,10 +845,13 @@ def embedding_topk_qcosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "doc_dedup_clusters",
-    oracle=r"""
-    WITH RECURSIVE toks AS (
+# Shared oracle prefix: the 3-gram Jaccard >= 0.2 near-dup pair set
+# resolved to duplicate clusters by a recursive-CTE transitive closure
+# (independent fixpoint check of the ITERATIVE Spark connected
+# components). Used by doc_dedup_clusters (min-id survivor policy) and
+# doc_cluster_best (quality-argmax survivor policy). Must be preceded
+# by "WITH RECURSIVE " and followed by the policy's final SELECT.
+_JACC_CC_CTES = r"""toks AS (
       SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS t FROM documents
     ),
     sh AS (
@@ -883,7 +886,14 @@ def embedding_topk_qcosine(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION
       SELECT e.b, reach.r FROM edges e JOIN reach ON e.a = reach.id
     ),
-    comp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+    comp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)"""
+
+
+@register(
+    "doc_dedup_clusters",
+    oracle="WITH RECURSIVE "
+    + _JACC_CC_CTES
+    + """
     SELECT d.doc_id,
            COALESCE(c.cluster, d.doc_id) AS cluster,
            COALESCE(c.cluster, d.doc_id) = d.doc_id AS keep
@@ -2833,4 +2843,149 @@ def doc_intra_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lines",
         "n_unique_lines",
         F.md5(F.col("clean_text")).alias("clean_md5"),
+    )
+
+
+@register(
+    "doc_cluster_best",
+    oracle="WITH RECURSIVE "
+    + _JACC_CC_CTES
+    + """,
+    labeled AS (
+      SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster,
+             d.n_chars AS score
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    )
+    SELECT doc_id, cluster, score,
+           ROW_NUMBER() OVER (PARTITION BY cluster
+                              ORDER BY score DESC NULLS LAST, doc_id) = 1
+             AS keep
+    FROM labeled
+    """,
+    doc="Quality-aware dedup verdict (operators.cluster."
+    "cluster_representatives): same transitive-closure clusters as "
+    "doc_dedup_clusters, but each cluster keeps its LONGEST member "
+    "(n_chars argmax, ties to the smallest id) — the production "
+    "'keep the best copy' policy (Gopher/RefinedWeb style) rather "
+    "than the arbitrary-but-stable min-id one. The oracle replays "
+    "the recursive-CTE closure plus a window argmax.",
+    survey_refs=("LLM-dedup", "W1"),
+)
+def doc_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.cluster import cluster_representatives
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", k=3, threshold=0.2, max_doc_freq=100
+    ).select("doc_a", "doc_b")
+    return cluster_representatives(d, pairs, "doc_id", "n_chars").select(
+        F.col("id").alias("doc_id"), "cluster", "score", "keep"
+    )
+
+
+@register(
+    "doc_shard_plan",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(h % 8 AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+                AS BIGINT) AS pos
+    FROM h
+    """,
+    doc="Deterministic global training-order shuffle "
+    "(operators.sampling.shard_plan): every document placed at "
+    "(shard, pos) by the uniform md5 permutation — reading shards in "
+    "(shard, pos) order IS the full permutation because the shard is "
+    "a function of the same hash. ONE hash exchange + per-shard local "
+    "sort replaces the global range-exchange a naive ORDER BY "
+    "md5(id) would cost on 100 TB; a new salt is a fresh epoch "
+    "permutation at the same price. Oracle replays the md5 bucket "
+    "arithmetic (hash_bucket idiom).",
+    survey_refs=("LLM-sample", "W1"),
+)
+def doc_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.sampling import shard_plan
+
+    d = load_table(spark, sf_dir, "documents")
+    return shard_plan(d.select("doc_id"), "doc_id", n_shards=8).select(
+        "doc_id", "shard", "pos"
+    )
+
+
+@register(
+    "embedding_knn_triangles",
+    oracle="""
+    WITH vq0 AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    vq AS (SELECT * FROM vq0 WHERE list_sum(list_transform(v, x -> x * x)) > 0),
+    scored AS (
+      SELECT a.vec_id AS q, b.vec_id AS n,
+             CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> CAST(a.v[i] * b.v[i] AS DOUBLE)))
+                  / sqrt(CAST(list_sum(list_transform(a.v, x -> CAST(x * x AS DOUBLE))) AS DOUBLE)
+                         * CAST(list_sum(list_transform(b.v, x -> CAST(x * x AS DOUBLE))) AS DOUBLE))
+                  AS DOUBLE) AS score
+      FROM vq a JOIN vq b ON a.vec_id != b.vec_id
+    ),
+    topk AS (
+      SELECT q, n FROM (SELECT *, row_number() OVER (PARTITION BY q
+                                                     ORDER BY score DESC, n) AS rn
+                        FROM scored)
+      WHERE rn <= 5
+    ),
+    mut AS (
+      SELECT t1.q AS a, t1.n AS b
+      FROM topk t1 JOIN topk t2 ON t1.q = t2.n AND t1.n = t2.q
+      WHERE t1.q < t1.n
+    ),
+    deg AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT a AS id FROM mut UNION ALL SELECT b FROM mut
+      ) GROUP BY id
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM mut e1
+      JOIN mut e2 ON e2.a = e1.b
+      JOIN mut e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    cnt AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+        SELECT x AS id FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY id
+    )
+    SELECT c.id AS vec_id, d.degree, c.n_tri,
+           (2.0 * c.n_tri) / (d.degree * (d.degree - 1)) AS clustering
+    FROM cnt c JOIN deg d ON d.id = c.id
+    """,
+    doc="Per-vertex triangle count + local clustering coefficient of "
+    "the mutual-5-NN quantized-cosine graph (operators.similarity."
+    "mutual_knn_graph -> operators.cluster.triangle_counts) — the "
+    "structural coherence diagnostic for an embedding corpus. The "
+    "Spark side counts by degree-ordered orientation (wedge join "
+    "bounded O(m^1.5), skew-safe); the oracle re-enumerates "
+    "triangles by the id-ordered 3-way join — a DIFFERENT "
+    "enumeration whose per-vertex counts must agree exactly. Both "
+    "coefficient factors are exact integers, so the one double "
+    "division is engine-identical.",
+    survey_refs=("LLM-sim", "J6"),
+)
+def embedding_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.cluster import triangle_counts
+    from blockchain_indexer_spark.operators.similarity import mutual_knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = mutual_knn_graph(emb, "vec_id", "embedding", k=5)
+    return triangle_counts(g, "src", "dst").select(
+        F.col("id").alias("vec_id"), "degree", "n_tri", "clustering"
     )

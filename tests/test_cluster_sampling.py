@@ -250,3 +250,106 @@ def test_pagerank_zero_iters_is_uniform(spark):
     df = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
     got = {r["id"]: r["rank_scaled"] for r in pagerank(df, iters=0).collect()}
     assert got == {1: 10**12 // 2, 2: 10**12 // 2}
+
+
+def test_cluster_representatives_keeps_best_scored(spark):
+    from blockchain_indexer_spark.operators.cluster import cluster_representatives
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (4, 7), (5, None)],
+        "doc_id long, quality int",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    out = {
+        r["id"]: (r["cluster"], r["score"], r["keep"])
+        for r in cluster_representatives(docs, pairs, "doc_id", "quality").collect()
+    }
+    # cluster {1,2,3}: best score 99 tied between 2 and 3 -> smallest id 2
+    assert out[2] == (1, 99, True)
+    assert out[1] == (1, 10, False)
+    assert out[3] == (1, 99, False)
+    # singletons keep themselves, even with a NULL score
+    assert out[4] == (4, 7, True)
+    assert out[5] == (5, None, True)
+
+
+def test_triangle_counts_known_graph(spark):
+    from blockchain_indexer_spark.operators.cluster import triangle_counts
+
+    # K4 on {1,2,3,4} plus a pendant vertex 5 and a detached edge (6,7);
+    # reversed/duplicate/self-loop input rows must collapse.
+    edges = [
+        (1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (4, 5), (6, 7), (6, 6),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = {r["id"]: r for r in triangle_counts(df).collect()}
+    # K4: each vertex is in C(3,2) = 3 triangles; 5/6/7 in none
+    assert set(rows) == {1, 2, 3, 4}
+    for v in (1, 2, 3):
+        assert rows[v]["n_tri"] == 3 and rows[v]["degree"] == 3
+        assert rows[v]["clustering"] == 1.0
+    # vertex 4 also touches the pendant edge: degree 4, still 3 triangles
+    assert rows[4]["n_tri"] == 3 and rows[4]["degree"] == 4
+    assert rows[4]["clustering"] == 2.0 * 3 / (4 * 3)
+    # partition-layout invariant
+    again = {r["id"]: r["n_tri"] for r in triangle_counts(df.repartition(7)).collect()}
+    assert again == {v: rows[v]["n_tri"] for v in rows}
+
+
+def test_triangle_counts_skewed_hub(spark):
+    from blockchain_indexer_spark.operators.cluster import triangle_counts
+
+    # star hub 0 with 30 leaves (no triangles) plus one closed pair:
+    # degree-ordered orientation must not credit the hub quadratically
+    edges = [(0, i) for i in range(1, 31)] + [(1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = {r["id"]: r["n_tri"] for r in triangle_counts(df).collect()}
+    assert rows == {0: 1, 1: 1, 2: 1}
+
+
+def test_shard_plan_is_the_md5_permutation(spark):
+    from blockchain_indexer_spark.operators.sampling import shard_plan
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    out = shard_plan(df, "doc_id", n_shards=4).collect()
+    # every row placed exactly once; positions are 1..n per shard
+    assert len(out) == 200
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for rows in by_shard.values():
+        assert sorted(r["pos"] for r in rows) == list(range(1, len(rows) + 1))
+    # reading shards in (shard, pos) order IS the md5-permutation order
+    import hashlib
+
+    def h(i: int) -> int:
+        return int(hashlib.md5(f"shard:{i}".encode()).hexdigest()[:8], 16)
+
+    for shard, rows in by_shard.items():
+        got = [r["doc_id"] for r in sorted(rows, key=lambda r: r["pos"])]
+        want = sorted((i for i in range(200) if h(i) % 4 == shard), key=lambda i: (h(i), i))
+        assert got == want
+    # stable under partition layout; a different salt is a different permutation
+    again = {(r["doc_id"]): (r["shard"], r["pos"]) for r in shard_plan(df.repartition(9), "doc_id", n_shards=4).collect()}
+    assert again == {r["doc_id"]: (r["shard"], r["pos"]) for r in out}
+    other = {r["doc_id"]: (r["shard"], r["pos"]) for r in shard_plan(df, "doc_id", n_shards=4, salt="epoch1").collect()}
+    assert other != again
+
+
+def test_mutual_knn_graph_requires_both_directions(spark):
+    from blockchain_indexer_spark.operators.similarity import mutual_knn_graph
+
+    # 2-D toy corpus: two tight groups; with k=1, vectors pair up
+    # mutually within groups; the outlier's nearest is not reciprocated
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.99, 0.01]),
+        (3, [0.0, 1.0]),
+        (4, [0.01, 0.99]),
+        (5, [0.7, 0.7]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["src"], r["dst"]) for r in mutual_knn_graph(df, k=1).collect()}
+    assert got == {(1, 2), (3, 4)}

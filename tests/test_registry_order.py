@@ -56,6 +56,9 @@ NEW_GATES_R4 = (
     "corpus_perceptron_weights",
     "doc_perceptron_margin",
     "doc_intra_dedup",
+    "doc_cluster_best",
+    "doc_shard_plan",
+    "embedding_knn_triangles",
 )
 
 
