@@ -101,6 +101,10 @@ BENCH_QUERIES = (
     "doc_shard_plan",
     # mutual-kNN graph + degree-oriented triangle counting
     "embedding_knn_triangles",
+    # cross-doc repeated-window detection (two uniform-key shuffles)
+    "doc_cross_repeat_spans",
+    # MOSS winnowing sketch (shuffle-free Arrow mapInPandas)
+    "doc_winnowing",
 )
 
 

@@ -1042,3 +1042,179 @@ def _simhash_vote_udf(n_bits: int):
         return pd.Series(out.view(np.int64))
 
     return _vote
+
+
+def cross_repeat_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Cross-document exact repeated-span detection — the corpus-level
+    counterpart of within-doc line dedup (textprep.dedup_doc_lines) and
+    the window-granular sibling of whole-doc fingerprint dedup: every
+    k-token sliding window is hashed (md5_bigint60 of the space-joined
+    window), and a window is REPEATED when its hash occurs in >= 2
+    distinct documents (Lee et al.'s exact-substring criterion, at
+    token-window granularity: boilerplate, licenses, templated spans).
+
+    Returns one row per input document: (id, n_windows, n_repeated,
+    repeat_frac) where counts are over DISTINCT windows within the doc
+    and repeat_frac = n_repeated / n_windows (0.0 for docs with < k
+    tokens). High repeat_frac marks a document assembled from corpus
+    boilerplate even when no single whole-doc near-dup exists.
+
+    Scale shape: window construction is a shuffle-free JVM projection
+    (transform over a token-index sequence); the corpus then pays two
+    aggregations keyed on the 60-bit window hash — uniform keys, so
+    both shuffles are skew-free, and the shared-hash frame carries one
+    bigint column. Nothing is quadratic in corpus size: cost is
+    O(total windows), i.e. O(total tokens).
+    """
+    toks = tokens(text_col)
+    wins = F.when(
+        toks.isNull() | (F.size(toks) < k), F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - k + 1),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        )
+    )
+    base = spread(df, id_col).select(
+        F.col(id_col).alias("id"), wins.alias("_wins")
+    )
+    w = (
+        base.select("id", F.explode("_wins").alias("_w"))
+        .select("id", md5_bigint60(F.col("_w")).alias("_h"))
+        .distinct()
+    )
+    shared = (
+        w.groupBy("_h")
+        .agg(F.count("*").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("_h")
+    )
+    per = (
+        w.join(shared.withColumn("_s", F.lit(1)), "_h", "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_windows"),
+            F.count("_s").cast("bigint").alias("n_repeated"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_windows", F.lit(0)).cast("bigint").alias("n_windows"),
+            F.coalesce("n_repeated", F.lit(0)).cast("bigint").alias("n_repeated"),
+            F.when(F.coalesce("n_windows", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(F.col("n_repeated").cast("double") / F.col("n_windows"))
+            .alias("repeat_frac"),
+        )
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    w: int = 4,
+    base: int = 131,
+    mod: int = 2_147_483_647,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): over the normalized text's
+    k-char-gram polynomial hashes, every window of ``w`` consecutive
+    gram hashes selects its minimum (ties -> RIGHTMOST, the paper's
+    robust-winnowing rule), and the distinct selected positions form
+    the document sketch. Guarantee: any substring match of length
+    >= k + w - 1 contributes at least one common selected hash, with
+    expected density 2/(w+1) — the principled subset the full
+    rolling_fingerprint stream doesn't give you.
+
+    Returns (id, n_grams, n_selected, fp_md5): fp_md5 is md5 over the
+    comma-joined selected hashes in position order — a compact,
+    engine-reproducible digest of the sketch (join two corpora on the
+    selected-hash sets for plagiarism-style overlap detection).
+
+    Implementation: shuffle-free Arrow ``mapInPandas`` — gram hashes
+    in k vectorized int64 numpy passes (shift-accumulate, every
+    intermediate < 2^39 so the modular arithmetic is exact), window
+    minima + rightmost argmin via stride tricks, then
+    consecutive-duplicate dropping (the rightmost-min pick position is
+    provably non-decreasing in the window index — a later window
+    picking an EARLIER position would contradict the earlier window's
+    minimality over a superset — so distinct == drop consecutive
+    dups). A first cut as pure array higher-order functions was
+    ~8x slower: Spark evaluates collection lambdas interpreted
+    (outside whole-stage codegen) and re-evaluates the shared gram
+    subtree per reference. NULL text degrades to the empty document
+    (0 grams, md5('') digest); 0 < n_grams < w degrades to one
+    whole-stream window. The DuckDB oracle recomputes everything with
+    list ops — an independent formulation of the same integers.
+    """
+    import hashlib
+    import re
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    id_field = next(f for f in df.schema.fields if f.name == id_col)
+    schema = StructType(
+        [
+            StructField("id", id_field.dataType, id_field.nullable),
+            StructField("n_grams", LongType()),
+            StructField("n_selected", LongType()),
+            StructField("fp_md5", StringType()),
+        ]
+    )
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def _one(text) -> tuple[int, int, str]:
+        norm = ws.sub(" ", text.lower()).strip(" ") if isinstance(text, str) else ""
+        codes = np.array([ord(c) for c in norm], dtype=np.int64)
+        n = len(codes) - k + 1
+        if n <= 0:
+            return 0, 0, hashlib.md5(b"").hexdigest()
+        # k shift-accumulate passes: h = ((h*base + c) mod p) per char
+        # column; max intermediate = (mod-1)*base + 0x10FFFF < 2^39
+        h = np.zeros(n, dtype=np.int64)
+        for j in range(k):
+            h = (h * base + codes[j : j + n]) % mod
+        if n < w:
+            wins = h[np.newaxis, :]
+            starts = np.array([0])
+        else:
+            wins = np.lib.stride_tricks.sliding_window_view(h, w)
+            starts = np.arange(n - w + 1)
+        mins = wins.min(axis=1)
+        # rightmost argmin: first match in the column-reversed windows
+        rev_off = np.argmax(wins[:, ::-1] == mins[:, np.newaxis], axis=1)
+        pos = starts + (wins.shape[1] - 1) - rev_off
+        keep = np.empty(len(pos), dtype=bool)
+        keep[0] = True
+        np.not_equal(pos[1:], pos[:-1], out=keep[1:])
+        sel = h[pos[keep]]
+        fp = hashlib.md5(",".join(str(x) for x in sel).encode()).hexdigest()
+        return n, len(sel), fp
+
+    def batches(it):
+        for pdf in it:
+            res = [_one(t) for t in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].values,
+                    "n_grams": np.array([r[0] for r in res], dtype=np.int64),
+                    "n_selected": np.array([r[1] for r in res], dtype=np.int64),
+                    "fp_md5": [r[2] for r in res],
+                }
+            )
+
+    return spread(df, id_col).select(id_col, text_col).mapInPandas(batches, schema)

@@ -71,6 +71,8 @@ PRIORITY = (
     "doc_cluster_best",
     "doc_shard_plan",
     "embedding_knn_triangles",
+    "doc_cross_repeat_spans",
+    "doc_winnowing",
     # -- tier B: churn canaries ----------------------------------------
     "ngram_jaccard_near_dups",
     "doc_exact_decontamination",

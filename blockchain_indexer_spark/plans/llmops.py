@@ -2989,3 +2989,118 @@ def embedding_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(g, "src", "dst").select(
         F.col("id").alias("vec_id"), "degree", "n_tri", "clustering"
     )
+
+
+@register(
+    "doc_cross_repeat_spans",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS t FROM documents
+    ),
+    w AS (
+      SELECT DISTINCT doc_id,
+             CAST(('0x' || substr(md5(array_to_string(list_slice(t, i, i + 7), ' ')), 1, 15))
+                  AS BIGINT) AS h
+      FROM toks, UNNEST(range(1, len(t) - 6)) AS r(i)
+      WHERE len(t) >= 8
+    ),
+    shared AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) >= 2),
+    per AS (
+      SELECT w.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_windows,
+             CAST(COUNT(s.h) AS BIGINT) AS n_repeated
+      FROM w LEFT JOIN shared s ON s.h = w.h
+      GROUP BY w.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_windows, 0) AS BIGINT) AS n_windows,
+           CAST(COALESCE(p.n_repeated, 0) AS BIGINT) AS n_repeated,
+           CASE WHEN COALESCE(p.n_windows, 0) = 0 THEN 0.0
+                ELSE CAST(p.n_repeated AS DOUBLE) / p.n_windows
+           END AS repeat_frac
+    FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+    """,
+    doc="Cross-document exact repeated-span detection (operators."
+    "dedup.cross_repeat_spans): every 8-token sliding window hashed "
+    "(md5_bigint60), windows present in >= 2 distinct documents are "
+    "corpus boilerplate; per doc, the distinct/shared window counts "
+    "and shared fraction — Lee et al.'s exact-substring dedup "
+    "criterion at token-window granularity, complementing whole-doc "
+    "fingerprints (too coarse) and needle decontamination (needs a "
+    "known needle set). Cost is O(total tokens): shuffle-free window "
+    "construction, two uniform-key hash aggregations.",
+    survey_refs=("LLM-dedup", "LLM-text"),
+)
+def doc_cross_repeat_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.dedup import cross_repeat_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return cross_repeat_spans(d, "doc_id", "text", k=8).select(
+        F.col("id").alias("doc_id"), "n_windows", "n_repeated", "repeat_frac"
+    )
+
+
+@register(
+    "doc_winnowing",
+    oracle=r"""
+    WITH cs AS (
+      SELECT doc_id,
+             COALESCE(trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')), '') AS norm
+      FROM documents
+    ),
+    gr AS (
+      SELECT doc_id,
+             CASE WHEN length(norm) < 16 THEN CAST([] AS BIGINT[])
+                  ELSE list_transform(range(1, length(norm) - 14),
+                         i -> list_reduce(
+                                list_transform(list_slice(string_split_regex(norm, ''), i, i + 15),
+                                               c -> CAST(ord(c) AS BIGINT)),
+                                (a, b) -> (a * 131 + b) % 2147483647))
+             END AS g
+      FROM cs
+    ),
+    win AS (
+      SELECT doc_id, g, len(g) AS n,
+             greatest(len(g) - 3, least(len(g), 1)) AS n_win
+      FROM gr
+    ),
+    pk AS (
+      SELECT doc_id, g, n,
+             CASE WHEN n_win < 1 THEN CAST([] AS BIGINT[])
+                  ELSE list_transform(range(1, n_win + 1),
+                         j -> CAST(j + len(list_slice(g, j, j + 3))
+                                   - list_position(list_reverse(list_slice(g, j, j + 3)),
+                                                   list_min(list_slice(g, j, j + 3)))
+                              AS BIGINT))
+             END AS picks
+      FROM win
+    ),
+    sl AS (
+      SELECT doc_id, g, n,
+             list_filter(picks, (p, idx) -> idx = 1 OR p <> picks[idx - 1]) AS sel
+      FROM pk
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_grams,
+           CAST(len(sel) AS BIGINT) AS n_selected,
+           md5(array_to_string(list_transform(sel, p -> CAST(g[p] AS VARCHAR)), ',')) AS fp_md5
+    FROM sl
+    """,
+    doc="Winnowing fingerprint sketch (operators.dedup."
+    "winnow_fingerprints; Schleimer/Wilkerson/Aiken MOSS): rightmost "
+    "minimum of every 4-window over the 16-char-gram polynomial "
+    "hashes, consecutive-duplicate-dropped (pick positions are "
+    "provably non-decreasing). fp_md5 digests the selected hashes in "
+    "position order, so the driver hash pins the exact sketch. One "
+    "shuffle-free JVM projection; the oracle mirrors it "
+    "list-op-for-list-op including the sub-window degradation for "
+    "0 < n_grams < 4.",
+    survey_refs=("LLM-dedup", "LLM-text"),
+)
+def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.dedup import winnow_fingerprints
+
+    d = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(d, "doc_id", "text", k=16, w=4).select(
+        F.col("id").alias("doc_id"), "n_grams", "n_selected", "fp_md5"
+    )

@@ -432,3 +432,134 @@ def test_edit_distance_join_rejects_unsupported_bound(spark):
     df = spark.createDataFrame([(1, "x")], "id long, name string")
     with pytest.raises(NotImplementedError):
         edit_distance_join(df, df, "name", "name", max_dist=2)
+
+
+def test_cross_repeat_spans_flags_shared_windows(spark):
+    from blockchain_indexer_spark.operators.dedup import cross_repeat_spans
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    docs = [
+        (1, shared + " one two three"),
+        (2, "prefix words here " + shared),
+        (3, "totally different content with many unique tokens inside it"),
+        (4, "short doc"),  # < k tokens -> no windows
+        (5, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["id"]: r for r in cross_repeat_spans(df, "doc_id", "text", k=8).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    # the shared 8-token span is exactly one window in each of docs 1-2
+    assert out[1]["n_repeated"] == 1 and out[2]["n_repeated"] == 1
+    assert out[1]["n_windows"] == 4  # 11 tokens -> 4 windows
+    assert out[3]["n_repeated"] == 0 and out[3]["n_windows"] == 2  # 9 tokens
+    assert out[4] ["n_windows"] == 0 and out[4]["repeat_frac"] == 0.0
+    assert out[5]["n_windows"] == 0 and out[5]["repeat_frac"] == 0.0
+    assert out[1]["repeat_frac"] == 1.0 / 4
+
+
+def test_cross_repeat_spans_within_doc_repeat_not_cross(spark):
+    from blockchain_indexer_spark.operators.dedup import cross_repeat_spans
+
+    # a window repeated twice WITHIN one doc but in no other doc is not
+    # cross-repeated (distinct doc count is 1)
+    span = "a b c d e f g h"
+    df = spark.createDataFrame(
+        [(1, span + " " + span), (2, "i j k l m n o p q r")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in cross_repeat_spans(df, "doc_id", "text", k=8).collect()}
+    assert out[1]["n_repeated"] == 0
+    # 16 tokens -> 9 sliding windows, but window at offset 0 == offset 8
+    # (distinct-window count collapses the duplicate)
+    assert out[1]["n_windows"] == 8
+
+
+def _winnow_ref(text, k=16, w=4, base=131, mod=2_147_483_647):
+    import hashlib
+    import re
+
+    norm = re.sub(r"[ \t\n\x0b\f\r]+", " ", text.lower()).strip(" ") if text else ""
+    codes = [ord(c) for c in norm]
+    n = len(codes) - k + 1
+    if n <= 0:
+        return 0, 0, hashlib.md5(b"").hexdigest()
+    grams = []
+    for i in range(n):
+        h = 0
+        for c in codes[i : i + k]:
+            h = (h * base + c) % mod
+        grams.append(h)
+    picks = []
+    n_win = max(n - w + 1, 1)
+    for j in range(n_win):
+        win = grams[j : j + w]
+        m = min(win)
+        # rightmost minimum
+        pos = j + max(i for i, x in enumerate(win) if x == m)
+        if not picks or picks[-1] != pos:
+            picks.append(pos)
+    sel = [grams[p] for p in picks]
+    fp = hashlib.md5(",".join(str(x) for x in sel).encode()).hexdigest()
+    return n, len(sel), fp
+
+
+def test_winnow_fingerprints_matches_reference(spark):
+    from blockchain_indexer_spark.operators.dedup import winnow_fingerprints
+
+    docs = [
+        (1, "The quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "Pack   my\nbox with\tfive dozen liquor jugs"),
+        (3, "tiny"),  # < k chars -> empty sketch
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["id"]: r for r in winnow_fingerprints(df, "doc_id", "text").collect()}
+    for i, text in docs:
+        n, ns, fp = _winnow_ref(text)
+        assert (out[i]["n_grams"], out[i]["n_selected"], out[i]["fp_md5"]) == (n, ns, fp), i
+    # density sanity: roughly 2/(w+1) of grams selected
+    assert 0 < out[1]["n_selected"] < out[1]["n_grams"]
+
+
+def test_winnow_guarantee_shared_substring_shares_a_hash(spark):
+    from blockchain_indexer_spark.operators.dedup import winnow_fingerprints
+
+    # any shared substring of length >= k + w - 1 (19 chars) must
+    # contribute at least one common selected gram hash
+    shared = "zqxjkvbnmwpltrfgds"  # 18 chars + 1 = use 25-char run
+    shared = "zqxjkvbnmwpltrfgdsaeiouyh"
+    df = spark.createDataFrame(
+        [(1, "left context " + shared + " right side"),
+         (2, "other start " + shared + " different tail")],
+        "doc_id long, text string",
+    )
+    # re-derive the selected hash SETS via the reference and intersect
+    t1 = "left context " + shared + " right side"
+    t2 = "other start " + shared + " different tail"
+
+    def sel_hashes(text, k=16, w=4):
+        import re
+        norm = re.sub(r"[ \t\n\x0b\f\r]+", " ", text.lower()).strip(" ")
+        codes = [ord(c) for c in norm]
+        n = len(codes) - k + 1
+        grams = []
+        for i in range(n):
+            h = 0
+            for c in codes[i : i + k]:
+                h = (h * 131 + c) % 2_147_483_647
+            grams.append(h)
+        picks = []
+        for j in range(max(n - w + 1, 1)):
+            win = grams[j : j + w]
+            m = min(win)
+            pos = j + max(q for q, x in enumerate(win) if x == m)
+            if not picks or picks[-1] != pos:
+                picks.append(pos)
+        return {grams[p] for p in picks}
+
+    assert sel_hashes(t1) & sel_hashes(t2)
+    # and the Spark sketch digests are deterministic across layouts
+    a = {r["id"]: r["fp_md5"] for r in winnow_fingerprints(df, "doc_id", "text").collect()}
+    b = {r["id"]: r["fp_md5"] for r in winnow_fingerprints(df.repartition(3), "doc_id", "text").collect()}
+    assert a == b

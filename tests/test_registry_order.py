@@ -59,6 +59,8 @@ NEW_GATES_R4 = (
     "doc_cluster_best",
     "doc_shard_plan",
     "embedding_knn_triangles",
+    "doc_cross_repeat_spans",
+    "doc_winnowing",
 )
 
 
