@@ -105,6 +105,8 @@ BENCH_QUERIES = (
     "doc_cross_repeat_spans",
     # MOSS winnowing sketch (shuffle-free Arrow mapInPandas)
     "doc_winnowing",
+    # asymmetric containment near-dups (capped postings + exact verify)
+    "ngram_containment_near_dups",
 )
 
 

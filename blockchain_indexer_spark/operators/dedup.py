@@ -1218,3 +1218,84 @@ def winnow_fingerprints(
             )
 
     return spread(df, id_col).select(id_col, text_col).mapInPandas(batches, schema)
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int = 100,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT near-dup pairs: the quote/embed
+    detector Jaccard structurally misses. A short document pasted into
+    a 10x longer one has jaccard ~ |A|/|B| -> 0 but containment
+    C(A,B) = |A∩B| / |A| -> 1, so threshold-on-jaccard dedup keeps
+    both copies (Broder's resemblance-vs-containment distinction).
+    Returns (doc_a, doc_b, n_common, cont_a, cont_b) with doc_a <
+    doc_b, for pairs whose LARGER directional containment clears
+    ``threshold``; cont_x = n_common / |x's distinct shingles|.
+
+    Plan: candidate pairs from df-capped postings (the inverted-index
+    combos idiom of ngram_jaccard_pairs: one groupBy(shingle) + in-
+    array combination explode, shuffles keyed on uniform hashes), then
+    ONE exact full-intersection join bounded to candidate documents by
+    a semi-join — n_common and both containments are exact for every
+    emitted pair. Loss model (shared with the capped Jaccard path and
+    mirrored by the oracle): pairs whose entire intersection is
+    over-cap stop-shingles produce no candidate. No O(n^2) stage at
+    any corpus size; the combos explode is bounded by max_doc_freq^2
+    per shingle.
+    """
+    from pyspark.sql import Window as _W
+
+    sh = shingles if shingles is not None else _distinct_shingles(df, id_col, text_col, k)
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("n_shingles"))
+    sh_df = sh.withColumn("_df", F.count("*").over(_W.partitionBy("shingle")))
+    under = sh_df.filter(F.col("_df") <= max_doc_freq).drop("_df")
+    posting = under.groupBy("shingle").agg(F.collect_list("_id").alias("ids"))
+    combos = F.filter(
+        F.flatten(
+            F.transform(
+                "ids",
+                lambda x: F.transform(
+                    "ids", lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b"))
+                ),
+            )
+        ),
+        lambda s: s["doc_a"] < s["doc_b"],
+    )
+    cand = (
+        posting.select(F.explode(combos).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds the doc semi-join + pair join
+    )
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("_id")))
+        .distinct()
+    )
+    sh_c = sh.join(cand_docs, "_id", "left_semi")
+    a = sh_c.select(F.col("_id").alias("doc_a"), "shingle")
+    b = sh_c.select(F.col("_id").alias("doc_b"), "shingle")
+    common = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    cont_a = F.col("n_common").cast("double") / F.col("n_a").cast("double")
+    cont_b = F.col("n_common").cast("double") / F.col("n_b").cast("double")
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("cont_a", cont_a)
+        .withColumn("cont_b", cont_b)
+        .filter(F.greatest("cont_a", "cont_b") >= F.lit(threshold))
+        .select("doc_a", "doc_b", "n_common", "cont_a", "cont_b")
+    )

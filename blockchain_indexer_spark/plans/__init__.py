@@ -73,6 +73,7 @@ PRIORITY = (
     "embedding_knn_triangles",
     "doc_cross_repeat_spans",
     "doc_winnowing",
+    "ngram_containment_near_dups",
     # -- tier B: churn canaries ----------------------------------------
     "ngram_jaccard_near_dups",
     "doc_exact_decontamination",

@@ -3104,3 +3104,59 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(d, "doc_id", "text", k=16, w=4).select(
         F.col("id").alias("doc_id"), "n_grams", "n_selected", "fp_md5"
     )
+
+
+@register(
+    "ngram_containment_near_dups",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+      WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    kept AS (
+      SELECT sh.* FROM sh
+      JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100) f
+        USING (shingle)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    common AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b, c.n_common,
+           CAST(c.n_common AS DOUBLE) / sa.n_sh AS cont_a,
+           CAST(c.n_common AS DOUBLE) / sb.n_sh AS cont_b
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE greatest(CAST(c.n_common AS DOUBLE) / sa.n_sh,
+                   CAST(c.n_common AS DOUBLE) / sb.n_sh) >= 0.5
+    """,
+    doc="Asymmetric containment near-dups (operators.dedup."
+    "ngram_containment_pairs): pairs where either direction of "
+    "Broder containment |A∩B|/|A| clears 0.5 — the quote/embed "
+    "detector a jaccard threshold structurally misses when sizes are "
+    "skewed. Candidates from df-capped postings, then ONE exact "
+    "full-intersection join bounded by a candidate-doc semi-join; "
+    "the oracle mirrors both the arithmetic and the stop-shingle "
+    "candidate loss model.",
+    survey_refs=("LLM-dedup",),
+)
+def ngram_containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.dedup import ngram_containment_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_containment_pairs(
+        d, "doc_id", "text", k=3, threshold=0.5, max_doc_freq=100
+    )

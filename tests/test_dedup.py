@@ -563,3 +563,28 @@ def test_winnow_guarantee_shared_substring_shares_a_hash(spark):
     a = {r["id"]: r["fp_md5"] for r in winnow_fingerprints(df, "doc_id", "text").collect()}
     b = {r["id"]: r["fp_md5"] for r in winnow_fingerprints(df.repartition(3), "doc_id", "text").collect()}
     assert a == b
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    from blockchain_indexer_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    small = "one two three four five six"
+    big = small + " " + " ".join(f"tok{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, small), (2, big), (3, "apple pear plum grape kiwi fig date")],
+        "doc_id long, text string",
+    )
+    pairs = ngram_containment_pairs(df, "doc_id", "text", k=3, threshold=0.5).collect()
+    got = {(r["doc_a"], r["doc_b"]): r for r in pairs}
+    assert (1, 2) in got
+    r = got[(1, 2)]
+    # all 4 of doc 1's 3-shingles appear in doc 2
+    assert r["n_common"] == 4 and r["cont_a"] == 1.0 and r["cont_b"] < 0.15
+    # jaccard at the usual 0.2 threshold does NOT flag the pair
+    j = ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.2).collect()
+    assert all((p["doc_a"], p["doc_b"]) != (1, 2) for p in j)
+    # doc 3 shares nothing
+    assert all(3 not in (a, b) for (a, b) in got)

@@ -61,6 +61,7 @@ NEW_GATES_R4 = (
     "embedding_knn_triangles",
     "doc_cross_repeat_spans",
     "doc_winnowing",
+    "ngram_containment_near_dups",
 )
 
 
