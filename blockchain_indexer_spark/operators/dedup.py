@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -217,8 +218,6 @@ def ngram_jaccard_pairs(
         # big to broadcast — which is exactly the dense-corpus case
         # where performance matters (measured at 20× stress: window
         # 45 s, anti-join 61 s, collect-then-filter 85 s).
-        from pyspark.sql import Window as _W
-
         if density_escape is not None:
             # Density probe: Σ df² over under-cap shingles == the
             # number of candidate-pair structs the posting-combos
@@ -277,123 +276,21 @@ def ngram_jaccard_pairs(
                     .agg(F.count("*").alias("n_common"))
                 )
                 return _jaccard_tail(common, sizes, threshold)
-        sh_df = sh.withColumn("_df", F.count("*").over(_W.partitionBy("shingle")))
-        under = sh_df.filter(F.col("_df") <= max_doc_freq).drop("_df")
-        # over-cap (stop) rows, per doc: the ONLY shingles the exact
-        # verify below still needs to intersect — the capped postings
-        # already yield the exact under-cap intersection
-        over = sh_df.filter(F.col("_df") > max_doc_freq).drop("_df")
-        posting = under.groupBy("shingle").agg(F.collect_list("_id").alias("ids"))
-        combos = F.filter(
-            F.flatten(
-                F.transform(
-                    "ids",
-                    lambda x: F.transform(
-                        "ids", lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b"))
-                    ),
-                )
-            ),
-            lambda s: s["doc_a"] < s["doc_b"],
+
+        def _jaccard_ub_keep(c, n_a, n_b, slack):
+            return (c + slack).cast("double") / (n_a + n_b - c - slack).cast(
+                "double"
+            ) >= F.lit(threshold)
+
+        common = _capped_exact_common(
+            sh,
+            sizes,
+            max_doc_freq,
+            _jaccard_ub_keep,
+            # reuse the density probe's Σ df² when it ran; None → the
+            # helper probes it itself (deterministic escape-off config)
+            pair_work=(pair_work or 0) if density_escape is not None else None,
         )
-        capped = posting.localCheckpoint(
-            eager=True  # feeds both the pair counts and per-doc capped sizes
-        )
-        pair_c = (
-            capped.select(F.explode(combos).alias("p"))
-            .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-            .agg(F.count("*").alias("_c"))
-        )
-        # Bounded exact verification: _c counts only CAPPED common
-        # shingles; the true intersection adds at most
-        # min(stop_a, stop_b) stop-shingles (stop_x = doc x's shingles
-        # over the cap). Pairs whose UPPER-BOUND jaccard cannot reach
-        # the threshold are pruned WITHOUT touching the shingle frame
-        # again — on corpora where candidates are dense (bench: 1.1M
-        # candidate pairs from 5k docs) this cuts the exact re-join
-        # from all candidates to the near-threshold few, while the
-        # reported n_common/jaccard stay exactly true.
-        ncap = (
-            capped.select(F.explode("ids").alias("_id"))
-            .groupBy("_id")
-            .agg(F.count("*").alias("n_capped"))
-        )
-        stats = (
-            sizes.join(ncap, "_id", "left")
-            .select(
-                "_id",
-                "n_shingles",
-                (F.col("n_shingles") - F.coalesce("n_capped", F.lit(0))).alias("n_stop"),
-            )
-        )
-        st_a = stats.select(
-            F.col("_id").alias("doc_a"),
-            F.col("n_shingles").alias("n_a"),
-            F.col("n_stop").alias("_stop_a"),
-        )
-        st_b = stats.select(
-            F.col("_id").alias("doc_b"),
-            F.col("n_shingles").alias("n_b"),
-            F.col("n_stop").alias("_stop_b"),
-        )
-        slack = F.least("_stop_a", "_stop_b")
-        ub_num = (F.col("_c") + slack).cast("double")
-        ub = ub_num / (F.col("n_a") + F.col("n_b") - F.col("_c") - slack).cast("double")
-        plausible = (
-            # no broadcast HINT anywhere in this branch: the candidate
-            # frame is data-dependent (near O(n²) on a dense near-dup
-            # corpus) and even per-doc stats outgrow the driver on a
-            # billion-doc corpus — AQE auto-broadcasts whichever side
-            # is actually small at runtime
-            pair_c.join(st_a, "doc_a")
-            .join(st_b, "doc_b")
-            .filter(ub >= F.lit(threshold))
-            .select("doc_a", "doc_b", "_c", slack.alias("_slack"))
-            # feeds three branches (slack-0 shortcut, verify pairs,
-            # candidate-doc semi-join) — materialize the combos
-            # explode + groupBy once
-            .localCheckpoint(eager=True)
-        )
-        # _slack == 0 means at least one doc of the pair has NO shingle
-        # over the df-cap, so every common shingle was counted in the
-        # capped postings: _c IS the exact intersection by construction
-        # and the pair needs no re-join against the shingle frame. Only
-        # near-threshold pairs where BOTH docs carry stop-shingles can
-        # have an undercounted _c — typically a small residue even on
-        # dense corpora, which is what keeps the exact verify cheap.
-        exact_pairs = plausible.filter(F.col("_slack") == 0).select(
-            "doc_a", "doc_b", F.col("_c").alias("n_common")
-        )
-        cand = plausible.filter(F.col("_slack") > 0).select("doc_a", "doc_b", "_c")
-        cand_docs = (
-            cand.select(F.col("doc_a").alias("_id"))
-            .unionByName(cand.select(F.col("doc_b").alias("_id")))
-            .distinct()
-        )
-        # The verify intersects STOP shingles only: _c is already the
-        # exact under-cap intersection (capped postings cover every
-        # under-cap shingle), so true n_common = _c + |stop_a ∩ stop_b|.
-        # Joining the full shingle sets here would redo work the
-        # postings already did — on corpora where stop-shingles are a
-        # thin heavy-hitter tail this cuts the verify join by ~n/stop.
-        sh_cand = over.join(cand_docs, "_id", "left_semi")
-        a = sh_cand.select(F.col("_id").alias("doc_a"), "shingle")
-        b = sh_cand.select(F.col("_id").alias("doc_b"), "shingle")
-        stop_common = (
-            cand.select("doc_a", "doc_b")
-            .join(a, "doc_a")
-            .join(b, ["doc_b", "shingle"])
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count("*").alias("_stop_common"))
-        )
-        verified = (
-            cand.join(stop_common, ["doc_a", "doc_b"], "left")
-            .select(
-                "doc_a",
-                "doc_b",
-                (F.col("_c") + F.coalesce("_stop_common", F.lit(0))).alias("n_common"),
-            )
-        )
-        common = exact_pairs.unionByName(verified)
     else:
         # Uncapped: a stop-shingle's posting list can be arbitrarily
         # long, so pair generation must stay a self-join (array
@@ -426,6 +323,194 @@ def _jaccard_tail(common: DataFrame, sizes: DataFrame, threshold: float) -> Data
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")
     )
+
+
+#: Above this many posting-combo rows the capped path's reused
+#: intermediates (postings, pruned pairs) are materialized DISK_ONLY
+#: instead of localCheckpoint: checkpoint blocks are non-evictable
+#: storage memory, and on a dense corpus the multi-GB posting frame
+#: competes with the join/agg execution memory of every concurrent
+#: task — measured flaky broadcast-build OOMs AND a 62s-vs-40s
+#: slowdown from GC pressure at the 100k-doc stress scale on a 16g
+#: local[32] driver. Below the threshold the in-memory checkpoint is
+#: ~1s faster per query (sf0.1 measured: 4.6s vs 5.7s jaccard), so
+#: small corpora keep it.
+_DISK_MATERIALIZE_MIN_PAIR_WORK = 20_000_000
+
+
+def _materialize(df: DataFrame, pair_work: int) -> DataFrame:
+    """Eagerly materialize a reused intermediate of the capped path.
+    DISK_ONLY persist + count above the pair-work threshold (leaves
+    the unified region to execution), eager localCheckpoint below it.
+    Recompute-on-block-loss under persist is safe here: every caller
+    frame is deterministic as a SET (collect_list array order varies,
+    but the downstream pair set and counts are order-independent)."""
+    if pair_work > _DISK_MATERIALIZE_MIN_PAIR_WORK:
+        df = df.persist(StorageLevel.DISK_ONLY)
+        df.count()
+        return df
+    return df.localCheckpoint(eager=True)
+
+
+def _capped_exact_common(
+    sh: DataFrame,
+    sizes: DataFrame,
+    max_doc_freq: int,
+    ub_keep,
+    pair_work: int | None = None,
+) -> DataFrame:
+    """EXACT pairwise intersection counts (doc_a, doc_b, n_common) from
+    df-capped postings — the shared engine of ngram_jaccard_pairs and
+    ngram_containment_pairs. ``ub_keep(c, n_a, n_b, slack)`` is a
+    Column predicate: keep pairs whose upper-bound similarity (exact
+    under-cap intersection ``c`` plus at most ``slack`` stop-shingles)
+    could still clear the caller's threshold; pruned pairs never touch
+    the shingle frame again.
+
+    ``pair_work`` — Σ df² over under-cap shingles (the combo volume
+    the posting explode will materialize); pass it if already probed
+    (the Jaccard density escape computes it), else it is probed here
+    with one partially-aggregated pass. It sizes the materialization
+    strategy for the two reused intermediates (_materialize).
+
+    Candidate loss model (caller documents it): pairs whose ENTIRE
+    intersection is over-cap stop-shingles produce no candidate. Every
+    emitted n_common is the true full intersection: capped postings
+    yield the exact under-cap part, and only near-threshold pairs
+    where BOTH docs carry stop-shingles pay a stop-shingle-only
+    verify join.
+    """
+    from pyspark.sql import Window as _W
+
+    if pair_work is None:
+        pair_work = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_d"))
+            .agg(
+                F.sum(
+                    F.when(
+                        F.col("_d") <= max_doc_freq, F.col("_d") * F.col("_d")
+                    ).otherwise(F.lit(0))
+                )
+            )
+            .first()[0]
+            or 0
+        )
+
+    sh_df = sh.withColumn("_df", F.count("*").over(_W.partitionBy("shingle")))
+    under = sh_df.filter(F.col("_df") <= max_doc_freq).drop("_df")
+    # over-cap (stop) rows, per doc: the ONLY shingles the exact
+    # verify below still needs to intersect — the capped postings
+    # already yield the exact under-cap intersection
+    over = sh_df.filter(F.col("_df") > max_doc_freq).drop("_df")
+    posting = under.groupBy("shingle").agg(F.collect_list("_id").alias("ids"))
+    combos = F.filter(
+        F.flatten(
+            F.transform(
+                "ids",
+                lambda x: F.transform(
+                    "ids", lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b"))
+                ),
+            )
+        ),
+        lambda s: s["doc_a"] < s["doc_b"],
+    )
+    # feeds both the pair counts and per-doc capped sizes
+    capped = _materialize(posting, pair_work)
+    pair_c = (
+        capped.select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count("*").alias("_c"))
+    )
+    # Bounded exact verification: _c counts only CAPPED common
+    # shingles; the true intersection adds at most
+    # min(stop_a, stop_b) stop-shingles (stop_x = doc x's shingles
+    # over the cap). Pairs whose UPPER-BOUND similarity cannot reach
+    # the threshold are pruned WITHOUT touching the shingle frame
+    # again — on corpora where candidates are dense (bench: 1.1M
+    # candidate pairs from 5k docs) this cuts the exact re-join
+    # from all candidates to the near-threshold few, while the
+    # reported n_common stays exactly true.
+    ncap = (
+        capped.select(F.explode("ids").alias("_id"))
+        .groupBy("_id")
+        .agg(F.count("*").alias("n_capped"))
+    )
+    stats = (
+        sizes.join(ncap, "_id", "left")
+        .select(
+            "_id",
+            "n_shingles",
+            (F.col("n_shingles") - F.coalesce("n_capped", F.lit(0))).alias("n_stop"),
+        )
+    )
+    st_a = stats.select(
+        F.col("_id").alias("doc_a"),
+        F.col("n_shingles").alias("n_a"),
+        F.col("n_stop").alias("_stop_a"),
+    )
+    st_b = stats.select(
+        F.col("_id").alias("doc_b"),
+        F.col("n_shingles").alias("n_b"),
+        F.col("n_stop").alias("_stop_b"),
+    )
+    slack = F.least("_stop_a", "_stop_b")
+    plausible = (
+        # no broadcast HINT anywhere in this path: the candidate
+        # frame is data-dependent (near O(n²) on a dense near-dup
+        # corpus) and even per-doc stats outgrow the driver on a
+        # billion-doc corpus — AQE auto-broadcasts whichever side
+        # is actually small at runtime
+        pair_c.join(st_a, "doc_a")
+        .join(st_b, "doc_b")
+        .filter(ub_keep(F.col("_c"), F.col("n_a"), F.col("n_b"), slack))
+        .select("doc_a", "doc_b", "_c", slack.alias("_slack"))
+    )
+    # feeds three branches (slack-0 shortcut, verify pairs,
+    # candidate-doc semi-join) — materialize the combos explode +
+    # groupBy once
+    plausible = _materialize(plausible, pair_work)
+    # _slack == 0 means at least one doc of the pair has NO shingle
+    # over the df-cap, so every common shingle was counted in the
+    # capped postings: _c IS the exact intersection by construction
+    # and the pair needs no re-join against the shingle frame. Only
+    # near-threshold pairs where BOTH docs carry stop-shingles can
+    # have an undercounted _c — typically a small residue even on
+    # dense corpora, which is what keeps the exact verify cheap.
+    exact_pairs = plausible.filter(F.col("_slack") == 0).select(
+        "doc_a", "doc_b", F.col("_c").alias("n_common")
+    )
+    cand = plausible.filter(F.col("_slack") > 0).select("doc_a", "doc_b", "_c")
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("_id")))
+        .distinct()
+    )
+    # The verify intersects STOP shingles only: _c is already the
+    # exact under-cap intersection (capped postings cover every
+    # under-cap shingle), so true n_common = _c + |stop_a ∩ stop_b|.
+    # Joining the full shingle sets here would redo work the
+    # postings already did — on corpora where stop-shingles are a
+    # thin heavy-hitter tail this cuts the verify join by ~n/stop.
+    sh_cand = over.join(cand_docs, "_id", "left_semi")
+    a = sh_cand.select(F.col("_id").alias("doc_a"), "shingle")
+    b = sh_cand.select(F.col("_id").alias("doc_b"), "shingle")
+    stop_common = (
+        cand.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("_stop_common"))
+    )
+    verified = (
+        cand.join(stop_common, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("_c") + F.coalesce("_stop_common", F.lit(0))).alias("n_common"),
+        )
+    )
+    return exact_pairs.unionByName(verified)
 
 
 def minhash_signatures(
@@ -1066,26 +1151,36 @@ def cross_repeat_spans(
 
     Scale shape: window construction is a shuffle-free JVM projection
     (transform over a token-index sequence); the corpus then pays two
-    aggregations keyed on the 60-bit window hash — uniform keys, so
+    aggregations keyed on the 64-bit window hash — uniform keys, so
     both shuffles are skew-free, and the shared-hash frame carries one
     bigint column. Nothing is quadratic in corpus size: cost is
     O(total windows), i.e. O(total tokens).
+
+    The window hash is xxhash64 (native JVM, one pass over the window
+    string): the output columns are pure COUNTS over hash-equality
+    classes, so any collision-free hash yields identical results and
+    the DuckDB oracle groups the raw window STRINGS — engine-neutral
+    and strictly stronger than mirroring a particular hash. (A first
+    cut md5→hex→conv'd each window and re-evaluated the tokenize
+    subtree per HOF lambda reference — interpreted collection lambdas
+    sit outside whole-stage codegen and get no common-subexpression
+    reuse — measured 183.8s vs 24.9s on the 100k-doc stress corpus.)
     """
-    toks = tokens(text_col)
+    base = spread(df, id_col).select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("_t")
+    )
+    t = F.col("_t")
     wins = F.when(
-        toks.isNull() | (F.size(toks) < k), F.array().cast("array<string>")
+        t.isNull() | (F.size(t) < k), F.array().cast("array<string>")
     ).otherwise(
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - k + 1),
-            lambda i: F.array_join(F.slice(toks, i, k), " "),
+            F.sequence(F.lit(1), F.size(t) - k + 1),
+            lambda i: F.array_join(F.slice(t, i, k), " "),
         )
     )
-    base = spread(df, id_col).select(
-        F.col(id_col).alias("id"), wins.alias("_wins")
-    )
     w = (
-        base.select("id", F.explode("_wins").alias("_w"))
-        .select("id", md5_bigint60(F.col("_w")).alias("_h"))
+        base.select("id", F.explode(wins).alias("_w"))
+        .select("id", F.xxhash64("_w").alias("_h"))
         .distinct()
     )
     shared = (
@@ -1238,55 +1333,35 @@ def ngram_containment_pairs(
     doc_b, for pairs whose LARGER directional containment clears
     ``threshold``; cont_x = n_common / |x's distinct shingles|.
 
-    Plan: candidate pairs from df-capped postings (the inverted-index
-    combos idiom of ngram_jaccard_pairs: one groupBy(shingle) + in-
-    array combination explode, shuffles keyed on uniform hashes), then
-    ONE exact full-intersection join bounded to candidate documents by
-    a semi-join — n_common and both containments are exact for every
+    Plan: the shared _capped_exact_common engine of the Jaccard path —
+    candidate pairs from df-capped postings (one groupBy(shingle) +
+    in-array combination explode, shuffles keyed on uniform hashes)
+    whose groupBy(pair) count IS the exact under-cap intersection,
+    an upper-bound prune on max(cont_a, cont_b) =
+    (under-cap common + stop slack) / min(|A|, |B|), then a
+    stop-shingle-only verify join for the surviving near-threshold
+    pairs — n_common and both containments are exact for every
     emitted pair. Loss model (shared with the capped Jaccard path and
     mirrored by the oracle): pairs whose entire intersection is
     over-cap stop-shingles produce no candidate. No O(n^2) stage at
     any corpus size; the combos explode is bounded by max_doc_freq^2
-    per shingle.
+    per shingle. (A MinHash-LSH density escape would be WRONG here:
+    LSH bands recall by JACCARD, and the size-skewed pairs this
+    operator exists for — short doc quoted inside a long one — have
+    jaccard → 0 precisely when containment → 1, so banding would
+    drop exactly the pairs of interest. The deterministic capped path
+    is the only semantics-preserving plan.)
     """
-    from pyspark.sql import Window as _W
-
     sh = shingles if shingles is not None else _distinct_shingles(df, id_col, text_col, k)
     sizes = sh.groupBy("_id").agg(F.count("*").alias("n_shingles"))
-    sh_df = sh.withColumn("_df", F.count("*").over(_W.partitionBy("shingle")))
-    under = sh_df.filter(F.col("_df") <= max_doc_freq).drop("_df")
-    posting = under.groupBy("shingle").agg(F.collect_list("_id").alias("ids"))
-    combos = F.filter(
-        F.flatten(
-            F.transform(
-                "ids",
-                lambda x: F.transform(
-                    "ids", lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b"))
-                ),
-            )
-        ),
-        lambda s: s["doc_a"] < s["doc_b"],
-    )
-    cand = (
-        posting.select(F.explode(combos).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-        .localCheckpoint(eager=True)  # feeds the doc semi-join + pair join
-    )
-    cand_docs = (
-        cand.select(F.col("doc_a").alias("_id"))
-        .unionByName(cand.select(F.col("doc_b").alias("_id")))
-        .distinct()
-    )
-    sh_c = sh.join(cand_docs, "_id", "left_semi")
-    a = sh_c.select(F.col("_id").alias("doc_a"), "shingle")
-    b = sh_c.select(F.col("_id").alias("doc_b"), "shingle")
-    common = (
-        cand.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
+
+    def _containment_ub_keep(c, n_a, n_b, slack):
+        # max directional containment = n_common / min(|A|, |B|)
+        return (c + slack).cast("double") / F.least(n_a, n_b).cast(
+            "double"
+        ) >= F.lit(threshold)
+
+    common = _capped_exact_common(sh, sizes, max_doc_freq, _containment_ub_keep)
     sa = sizes.select(F.col("_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col("_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
     cont_a = F.col("n_common").cast("double") / F.col("n_a").cast("double")

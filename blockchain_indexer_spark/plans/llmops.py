@@ -2999,8 +2999,7 @@ def embedding_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     w AS (
       SELECT DISTINCT doc_id,
-             CAST(('0x' || substr(md5(array_to_string(list_slice(t, i, i + 7), ' ')), 1, 15))
-                  AS BIGINT) AS h
+             array_to_string(list_slice(t, i, i + 7), ' ') AS h
       FROM toks, UNNEST(range(1, len(t) - 6)) AS r(i)
       WHERE len(t) >= 8
     ),
@@ -3022,7 +3021,8 @@ def embedding_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Cross-document exact repeated-span detection (operators."
     "dedup.cross_repeat_spans): every 8-token sliding window hashed "
-    "(md5_bigint60), windows present in >= 2 distinct documents are "
+    "(xxhash64; oracle groups raw window strings — counts are "
+    "hash-agnostic), windows present in >= 2 distinct documents are "
     "corpus boilerplate; per doc, the distinct/shared window counts "
     "and shared fraction — Lee et al.'s exact-substring dedup "
     "criterion at token-window granularity, complementing whole-doc "

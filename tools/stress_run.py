@@ -130,3 +130,41 @@ _pc_base = docs.select(
 t("perceptron_train_100k_e2", lambda: perceptron_train(
     hashed_features(_pc_base, n_buckets=256), epochs=2, n_buckets=256
 ).write.format("noop").mode("overwrite").save() or 256)
+
+# ---- round-4 additions: span/sketch/graph/placement operators -------
+from blockchain_indexer_spark.operators.dedup import (
+    cross_repeat_spans, winnow_fingerprints, ngram_containment_pairs,
+)
+
+t("cross_repeat_spans_100k", lambda: cross_repeat_spans(
+    docs, "doc_id", "text", k=8
+).write.format("noop").mode("overwrite").save() or 100_000)
+
+t("winnow_fingerprints_100k", lambda: winnow_fingerprints(
+    docs, "doc_id", "text"
+).write.format("noop").mode("overwrite").save() or 100_000)
+
+t("containment_100k", lambda: ngram_containment_pairs(
+    docs, "doc_id", "text", k=3, threshold=0.5, max_doc_freq=200, shingles=sh
+).count())
+
+from blockchain_indexer_spark.operators.sampling import shard_plan
+t("shard_plan_100k", lambda: shard_plan(
+    docs.select("doc_id"), "doc_id", n_shards=64
+).write.format("noop").mode("overwrite").save() or 100_000)
+
+# graph ops over the MinHash candidate edge set (the realistic input:
+# a similarity graph, not an all-pairs one)
+from blockchain_indexer_spark.operators.cluster import (
+    cluster_representatives, triangle_counts,
+)
+_cand = minhash_lsh_candidates(docs, "doc_id", "text", shingles=sh).select(
+    "doc_a", "doc_b"
+).localCheckpoint(eager=True)
+t("triangles_minhash_graph_100k", lambda: triangle_counts(
+    _cand, "doc_a", "doc_b"
+).count())
+t("cluster_best_100k", lambda: cluster_representatives(
+    docs.select("doc_id", F.length("text").alias("quality")),
+    _cand, "doc_id", "quality",
+).count())
