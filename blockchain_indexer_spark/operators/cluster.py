@@ -423,9 +423,17 @@ def triangle_counts(
     e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
         F.col("a") != F.col("b")
     )
-    und = e0.select(
-        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
-    ).distinct()
+    # The canonical edge list feeds degree (twice), the orientation
+    # join and the closing-edge probe — six consumers in total. Without
+    # materialization each one replays the FULL upstream lineage (for a
+    # mutual-kNN input that is six brute-force kNN passes over the
+    # corpus); the edge list itself is O(m), tiny next to the corpus,
+    # so pin it once.
+    und = (
+        e0.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     deg = (
         und.select(F.col("a").alias("id"))
         .unionAll(und.select(F.col("b").alias("id")))
@@ -438,11 +446,13 @@ def triangle_counts(
     a_first = (F.col("_da") < F.col("_db")) | (
         (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
     )
+    # Consumed three ways (both wedge legs + the closing-edge probe);
+    # still O(m) rows — pin it so the degree joins run once.
     oriented = j.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("x"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("y"),
         F.when(a_first, F.col("_db")).otherwise(F.col("_da")).alias("_dy"),
-    )
+    ).localCheckpoint(eager=True)
     e1 = oriented.select("x", "y", F.col("_dy").alias("_ry"))
     e2 = oriented.select(
         F.col("x").alias("_x2"), F.col("y").alias("z"), F.col("_dy").alias("_rz")
