@@ -107,6 +107,11 @@ BENCH_QUERIES = (
     "doc_winnowing",
     # asymmetric containment near-dups (capped postings + exact verify)
     "ngram_containment_near_dups",
+    # corpus monitors: DSIR bucket-ratio weights, exact KS drift,
+    # source-pair content Jaccard
+    "doc_dsir_weights",
+    "corpus_source_ks_drift",
+    "corpus_source_pair_jaccard",
 )
 
 

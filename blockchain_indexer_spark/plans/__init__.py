@@ -74,6 +74,9 @@ PRIORITY = (
     "doc_cross_repeat_spans",
     "doc_winnowing",
     "ngram_containment_near_dups",
+    "doc_dsir_weights",
+    "corpus_source_ks_drift",
+    "corpus_source_pair_jaccard",
     # -- tier B: churn canaries ----------------------------------------
     "ngram_jaccard_near_dups",
     "doc_exact_decontamination",

@@ -3160,3 +3160,177 @@ def ngram_containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_containment_pairs(
         d, "doc_id", "text", k=3, threshold=0.5, max_doc_freq=100
     )
+
+
+@register(
+    "doc_dsir_weights",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    b AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 1024 AS b
+      FROM tok
+    ),
+    ct AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM b WHERE lang = 'en' GROUP BY 1),
+    cc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cc FROM b GROUP BY 1),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM b WHERE lang = 'en'),
+    nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM b),
+    ratio AS (
+      SELECT g.b,
+             CAST(floor(1e9 * ((CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE)
+                                  * CAST(nc.nc + 1024 AS DOUBLE))
+                               / (CAST(COALESCE(cc.cc, 0) + 1 AS DOUBLE)
+                                  * CAST(nt.nt + 1024 AS DOUBLE))))
+                  AS BIGINT) AS ratio_nano
+      FROM (SELECT CAST(r AS BIGINT) AS b FROM range(0, 1024) t(r)) g
+      LEFT JOIN ct USING (b) LEFT JOIN cc USING (b)
+      CROSS JOIN nt CROSS JOIN nc
+    ),
+    per AS (
+      SELECT b.doc_id, b.b, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM b GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT per.doc_id,
+             CAST(SUM(per.cnt) AS BIGINT) AS n_tokens,
+             CAST(SUM(per.cnt * ratio.ratio_nano) AS BIGINT) AS wsum
+      FROM per JOIN ratio USING (b)
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(agg.n_tokens, 0) AS n_tokens,
+           CASE WHEN agg.n_tokens > 0 THEN agg.wsum // agg.n_tokens
+                ELSE 0 END AS weight_nano
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+    doc="DSIR importance weights (operators.drift.importance_weights; "
+    "Xie et al. 2023): per-document mean target/corpus likelihood "
+    "ratio over 1024 hashed-unigram buckets, target = the lang='en' "
+    "slice. Integer-deterministic by the house pattern: exact BIGINT "
+    "bucket counts, ONE double multiply/divide tree per bucket "
+    "(identical association in both engines), floor(1e9*r) before "
+    "any SUM. Two bucket-histogram passes (map-side combined to "
+    "<= 1024 rows each) + a broadcast ratio join — no corpus-wide "
+    "shuffle beyond (id, bucket, count). importance_weights_log is "
+    "the float log-space production twin.",
+    survey_refs=("LLM-sample", "LLM-text"),
+)
+def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.drift import importance_weights
+
+    d = load_table(spark, sf_dir, "documents")
+    return importance_weights(
+        d, d.filter(F.col("lang") == "en"), "doc_id", "text", n_buckets=1024
+    )
+
+
+@register(
+    "corpus_source_ks_drift",
+    oracle=r"""
+    WITH base AS (
+      SELECT source, n_chars FROM documents
+      WHERE source IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    counts AS (
+      SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS c
+      FROM base GROUP BY 1, 2
+    ),
+    totals AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ng FROM counts GROUP BY 1),
+    nall AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts),
+    grid AS (SELECT DISTINCT n_chars FROM counts),
+    dense AS (
+      SELECT t.source, g.n_chars, COALESCE(c.c, 0) AS c
+      FROM totals t CROSS JOIN grid g
+      LEFT JOIN counts c ON c.source = t.source AND c.n_chars = g.n_chars
+    ),
+    allc AS (
+      SELECT n_chars, CAST(SUM(c) AS BIGINT) AS call FROM counts GROUP BY 1
+    ),
+    allcum AS (
+      SELECT n_chars,
+             CAST(SUM(call) OVER (ORDER BY n_chars) AS BIGINT) AS cum_all
+      FROM allc
+    ),
+    cum AS (
+      SELECT d.source, d.n_chars,
+             CAST(SUM(d.c) OVER (PARTITION BY d.source ORDER BY d.n_chars) AS BIGINT)
+               AS cum_g,
+             a.cum_all
+      FROM dense d JOIN allcum a USING (n_chars)
+    ),
+    per AS (
+      SELECT c.source, t.ng, (n.n - t.ng) AS nr,
+             abs(c.cum_g * (n.n - t.ng) - (c.cum_all - c.cum_g) * t.ng) AS d
+      FROM cum c JOIN totals t USING (source) CROSS JOIN nall n
+    )
+    SELECT source, CAST(ng AS BIGINT) AS n_group, CAST(nr AS BIGINT) AS n_rest,
+           CAST(MAX(d) AS BIGINT) AS ks_num,
+           CAST(floor(1e9 * (CAST(MAX(d) AS DOUBLE)
+                             / CAST(ng * nr AS DOUBLE))) AS BIGINT) AS ks_nano
+    FROM per GROUP BY source, ng, nr
+    """,
+    doc="Per-source distribution-drift monitor (operators.drift."
+    "ks_drift): EXACT two-sample Kolmogorov-Smirnov statistic of each "
+    "source's n_chars distribution vs the rest of the corpus. The KS "
+    "distance is maximized as an exact integer over the common "
+    "denominator n_g*n_rest (no float CDF subtraction), then ONE "
+    "IEEE divide floor-quantized to nano units. Everything after the "
+    "(group, value) count agg is bounded by |groups| x |distinct "
+    "values| — corpus-size independent. Exact-integer path is valid "
+    "while n_g*n_rest < 2^63 (~3e9 rows); beyond that the same plan "
+    "runs with double cumulative terms.",
+    survey_refs=("LLM-text", "A4"),
+)
+def corpus_source_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.drift import ks_drift
+
+    d = load_table(spark, sf_dir, "documents")
+    return ks_drift(d, "source", "n_chars")
+
+
+@register(
+    "corpus_source_pair_jaccard",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT source, {_TOKS_SQL} AS t FROM documents
+      WHERE source IS NOT NULL
+    ),
+    sh AS (
+      SELECT DISTINCT source,
+             CAST(('0x' || substr(md5(array_to_string(list_slice(t, i, i + 2), ' ')), 1, 15))
+                  AS BIGINT) AS h
+      FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+      WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.source AS group_a, b.source AS group_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT p.group_a, p.group_b, sa.n AS n_a, sb.n AS n_b, p.n_common,
+           CAST(floor(1e9 * (CAST(p.n_common AS DOUBLE)
+                             / CAST(sa.n + sb.n - p.n_common AS DOUBLE)))
+                AS BIGINT) AS jaccard_nano
+    FROM pairs p
+    JOIN sizes sa ON sa.source = p.group_a
+    JOIN sizes sb ON sb.source = p.group_b
+    """,
+    doc="Corpus-level source-pair content overlap (operators.drift."
+    "group_pair_jaccard): exact Jaccard between every pair of "
+    "sources' distinct 3-token shingle sets (md5-hashed, the "
+    "engine-portable contract) — the mirror-site detector; the "
+    "per-document twin is dedup.jaccard_near_dups. One distinct-"
+    "(source, shingle) pass; pair fan-out is per-shingle "
+    "|sources-on-shingle| choose 2, never corpus^2; jaccard_nano is "
+    "one IEEE divide over exact integers, floor-quantized.",
+    survey_refs=("LLM-dedup",),
+)
+def corpus_source_pair_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.drift import group_pair_jaccard
+
+    d = load_table(spark, sf_dir, "documents")
+    return group_pair_jaccard(d, "source", "text", k=3)

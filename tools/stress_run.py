@@ -168,3 +168,11 @@ t("cluster_best_100k", lambda: cluster_representatives(
     docs.select("doc_id", F.length("text").alias("quality")),
     _cand, "doc_id", "quality",
 ).count())
+
+from blockchain_indexer_spark.operators.drift import (
+    group_pair_jaccard, importance_weights, ks_drift,
+)
+tgt = docs.filter(F.col("lang") == "en")
+t("dsir_weights_100k_b1024", lambda: importance_weights(docs, tgt).count())
+t("ks_drift_100k", lambda: ks_drift(docs, "source", "n_chars").count())
+t("pair_jaccard_100k", lambda: group_pair_jaccard(docs, "source", "text", k=3).count())
