@@ -93,6 +93,8 @@ BENCH_QUERIES = (
     "corpus_cms_heavy_hitters",
     # real compressed decode #2: variable-width LZW + palette map
     "mm_real_gif",
+    # real compressed decode #3: baseline JPEG entropy layer + IDCT
+    "mm_real_jpeg",
     # distributed classifier training (2-epoch batch perceptron)
     "corpus_perceptron_weights",
     # shuffle-free within-doc repeated-paragraph dedup

@@ -229,7 +229,24 @@ def decode_image_real(with_blobs: DataFrame, id_col: str = "doc_id") -> DataFram
                     w, height, px = decode_png(bytes(b))
                 elif head[:6] in (b"GIF87a", b"GIF89a"):
                     w, height, px = decode_gif(bytes(b))
-                elif _HAVE_PIL:  # pragma: no cover — JPEG/etc. seam
+                elif head[:2] == b"\xff\xd8":
+                    from blockchain_indexer_spark.operators.jpeg import (
+                        decode_jpeg_gray,
+                    )
+
+                    try:
+                        w, height, gray = decode_jpeg_gray(bytes(b))
+                        px = np.repeat(gray[:, :, None], 3, axis=2)
+                    except NotImplementedError:
+                        # color / progressive: the documented PIL seam
+                        if not _HAVE_PIL:
+                            raise
+                        import io
+
+                        img = Image.open(io.BytesIO(bytes(b))).convert("RGB")
+                        px = np.asarray(img)[:, :, ::-1]
+                        w, height = img.width, img.height
+                elif _HAVE_PIL:  # pragma: no cover — TIFF/etc. seam
                     import io
 
                     img = Image.open(io.BytesIO(bytes(b))).convert("RGB")
@@ -237,7 +254,8 @@ def decode_image_real(with_blobs: DataFrame, id_col: str = "doc_id") -> DataFram
                     w, height = img.width, img.height
                 else:
                     raise NotImplementedError(
-                        "unrecognized image format (BMP/PNG in-repo; others need PIL)"
+                        "unrecognized image format "
+                        "(BMP/PNG/GIF/JPEG-gray in-repo; others need PIL)"
                     )
                 means = px.reshape(-1, 3).mean(axis=0)
                 rows["doc_id"].append(did)
@@ -565,6 +583,42 @@ def attach_gif_blob(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
             F.lit("image/gif").alias("mime"),
             F.length(F.col("blob")).alias("nbytes"),
             F.lit("gif-lzw8-v1").alias("codec"),
+        ),
+    )
+
+
+def attach_jpeg_blob(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL baseline JPEG payload per document (grayscale
+    DCT pipeline — the third compressed in-repo format after PNG's
+    DEFLATE and GIF's LZW). Geometry and block grays are closed-form
+    in the id (operators.jpeg.synth_jpeg_blob):
+
+        width = 8*(1 + id%4)   height = 8*(1 + id%3)
+        v(bx, by) = (7*id + 13*bx + 3*by) % 256
+
+    Solid 8x8 blocks + all-ones quantization make the lossy format
+    decode EXACTLY (DC-only FDCT is integer), while the stream is
+    fully real: canonical Huffman with per-block DC prediction diffs,
+    EOB coding, restart markers every 3 MCUs (predictor reset), 0xFF
+    byte stuffing, planted APP0/COM segments. A decoder that skips
+    restart handling, mis-resets the DC predictor, or mis-unstuffs
+    shifts every downstream block's value — which the oracle's
+    closed-form means catch.
+    """
+    from blockchain_indexer_spark.operators.jpeg import synth_jpeg_blob
+
+    @F.pandas_udf("binary")
+    def _jpeg(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_jpeg_blob(int(i)))
+
+    return spread(documents.select(id_col), id_col).withColumn(
+        "blob", _jpeg(id_col)
+    ).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("image/jpeg").alias("mime"),
+            F.length(F.col("blob")).alias("nbytes"),
+            F.lit("jpeg-gray8-baseline-v1").alias("codec"),
         ),
     )
 

@@ -77,6 +77,7 @@ PRIORITY = (
     "doc_dsir_weights",
     "corpus_source_ks_drift",
     "corpus_source_pair_jaccard",
+    "mm_real_jpeg",
     # -- tier B: churn canaries ----------------------------------------
     "ngram_jaccard_near_dups",
     "doc_exact_decontamination",

@@ -22,6 +22,7 @@ from blockchain_indexer_spark.operators.multimodal import (
     attach_avi_blob,
     attach_blob,
     attach_bmp_blob,
+    attach_jpeg_blob,
     attach_png_blob,
     attach_wav_blob,
     decode_audio_real,
@@ -126,6 +127,45 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mm_real_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = attach_png_blob(load_table(spark, sf_dir, "documents"))
+    return decode_image_real(blobs)
+
+
+@register(
+    "mm_real_jpeg",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 1 + doc_id % 4 AS nbx, 1 + doc_id % 3 AS nby FROM documents
+    ),
+    blk AS (
+      SELECT doc_id, nbx, nby,
+             (7 * doc_id + 13 * bx.x + 3 * by.x) % 256 AS v
+      FROM d, UNNEST(range(0, nbx)) AS bx(x), UNNEST(range(0, nby)) AS by(x)
+    )
+    SELECT doc_id,
+           CAST(8 * nbx AS INT) AS width,
+           CAST(8 * nby AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(SUM(v) AS DOUBLE) / (nbx * nby) AS mean_b,
+           CAST(SUM(v) AS DOUBLE) / (nbx * nby) AS mean_g,
+           CAST(SUM(v) AS DOUBLE) / (nbx * nby) AS mean_r
+    FROM blk GROUP BY doc_id, nbx, nby
+    """,
+    doc="REAL baseline-JPEG decode (operators.jpeg.decode_jpeg_gray): "
+    "each document gets a genuine ITU-T.81 baseline grayscale stream "
+    "— canonical Huffman with DC prediction diffs, EOB coding, "
+    "restart markers every 3 MCUs with predictor reset, 0xFF byte "
+    "stuffing, planted APP0/COM segments — whose solid 8x8 blocks "
+    "with an all-ones quantization table make the LOSSY format "
+    "decode bit-exactly (DC-only FDCT of a constant block is an "
+    "integer). Gray replicates to b/g/r per decode_image_real's "
+    "contract; block-uniform pixels mean the per-pixel mean equals "
+    "the per-block mean, so integer block sums with ONE IEEE "
+    "division compare exactly. Color/progressive JPEG stays behind "
+    "the PIL seam (NotImplementedError guard).",
+    survey_refs=("LLM-multimodal",),
+)
+def mm_real_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blobs = attach_jpeg_blob(load_table(spark, sf_dir, "documents"))
     return decode_image_real(blobs)
 
 

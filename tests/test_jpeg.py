@@ -1,0 +1,150 @@
+"""Baseline JPEG codec semantics (operators/jpeg.py): entropy layer
+(canonical Huffman, DC prediction, stuffing, restarts), DCT exactness
+on DC-only blocks, AC path vs a direct-summation IDCT reference, and
+the honest color/progressive guards."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from blockchain_indexer_spark.operators.jpeg import (
+    _A,
+    BitReader,
+    BitWriter,
+    decode_jpeg_gray,
+    encode_jpeg_gray,
+    synth_jpeg_blob,
+)
+
+
+def _expected_pixels(doc_id: int) -> np.ndarray:
+    nbx, nby = 1 + doc_id % 4, 1 + doc_id % 3
+    bx = np.arange(nbx)[None, :]
+    by = np.arange(nby)[:, None]
+    v = (7 * doc_id + 13 * bx + 3 * by) % 256
+    return np.kron(v, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+
+
+def test_synth_roundtrip_is_exact():
+    for doc_id in (0, 1, 5, 11, 97, 1234, 99999):
+        w, h, px = decode_jpeg_gray(synth_jpeg_blob(doc_id))
+        assert (w, h) == (8 * (1 + doc_id % 4), 8 * (1 + doc_id % 3))
+        assert np.array_equal(px, _expected_pixels(doc_id))
+
+
+def test_ac_coefficients_match_direct_summation_idct():
+    blocks = np.full((1, 2, 8, 8), 128, dtype=np.uint8)
+    blocks[0, 0, 0, :] = [120, 130, 140, 125, 135, 128, 122, 138]
+    blocks[0, 1, :, 0] = [100, 110, 90, 140, 128, 135, 120, 128]
+    _, _, px = decode_jpeg_gray(encode_jpeg_gray(blocks))
+    for bi in range(2):
+        spatial = blocks[0, bi].astype(np.float64) - 128.0
+        q = np.round(_A @ spatial @ _A.T)
+        ref = np.zeros((8, 8))
+        for x in range(8):
+            for y in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                        s += (
+                            cu * cv * q[u, v]
+                            * np.cos((2 * x + 1) * u * np.pi / 16)
+                            * np.cos((2 * y + 1) * v * np.pi / 16)
+                        )
+                ref[x, y] = s / 4
+        ref = np.clip(np.round(ref + 128), 0, 255).astype(np.uint8)
+        assert np.array_equal(px[:, bi * 8 : bi * 8 + 8], ref)
+
+
+def test_restart_markers_do_not_change_pixels():
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 256, size=(3, 4), dtype=np.int64)
+    solid = np.broadcast_to(
+        vals[:, :, None, None], (3, 4, 8, 8)
+    ).astype(np.uint8)
+    plain = decode_jpeg_gray(encode_jpeg_gray(np.ascontiguousarray(solid)))[2]
+    with_rst = decode_jpeg_gray(
+        encode_jpeg_gray(np.ascontiguousarray(solid), restart_interval=2)
+    )[2]
+    assert np.array_equal(plain, with_rst)
+    # the DRI stream really contains RST markers
+    buf = encode_jpeg_gray(np.ascontiguousarray(solid), restart_interval=2)
+    assert any(
+        buf[i] == 0xFF and 0xD0 <= buf[i + 1] <= 0xD7 for i in range(2, len(buf) - 3)
+    )
+
+
+def test_out_of_sequence_restart_is_rejected():
+    solid = np.full((1, 5, 8, 8), 99, dtype=np.uint8)
+    buf = bytearray(encode_jpeg_gray(solid, restart_interval=2))
+    # corrupt the first RST index (D0 -> D5)
+    for i in range(2, len(buf) - 3):
+        if buf[i] == 0xFF and buf[i + 1] == 0xD0:
+            buf[i + 1] = 0xD5
+            break
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg_gray(bytes(buf))
+
+
+def test_bit_layer_stuffs_and_unstuffs_ff_bytes():
+    bw = BitWriter()
+    bw.write(0xFF, 8)
+    bw.write(0xFF, 8)
+    bw.write(0b101, 3)
+    bw.pad_align()
+    raw = bytes(bw.out)
+    assert raw == b"\xff\x00\xff\x00\xbf"  # each 0xFF data byte stuffed
+    br = BitReader(raw, 0)
+    assert br.read_bits(8) == 0xFF
+    assert br.read_bits(8) == 0xFF
+    assert br.read_bits(3) == 0b101
+
+
+def test_planted_com_and_app0_are_skipped():
+    buf = synth_jpeg_blob(3)
+    assert b"synthetic fixture" in buf  # COM really present
+    assert b"JFIF" in buf
+    # decoding already proves they're skipped; also ensure the decoder
+    # doesn't depend on them: strip COM and re-decode
+    i = buf.index(b"\xff\xfe")
+    (ln,) = struct.unpack(">H", buf[i + 2 : i + 4])
+    stripped = buf[:i] + buf[i + 2 + ln :]
+    assert np.array_equal(decode_jpeg_gray(stripped)[2], decode_jpeg_gray(buf)[2])
+
+
+def test_color_jpeg_raises_not_implemented():
+    buf = bytearray(synth_jpeg_blob(1))
+    i = bytes(buf).index(b"\xff\xc0")
+    # SOF0 body: len(2) precision(1) h(2) w(2) nf(1) — forge nf=3
+    buf[i + 9] = 3
+    with pytest.raises(NotImplementedError, match="color"):
+        decode_jpeg_gray(bytes(buf))
+
+
+def test_progressive_frame_raises_not_implemented():
+    buf = bytearray(synth_jpeg_blob(1))
+    i = bytes(buf).index(b"\xff\xc0")
+    buf[i + 1] = 0xC2  # SOF2 progressive
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_jpeg_gray(bytes(buf))
+
+
+def test_decode_image_real_dispatches_jpeg(spark, sf_dir):
+    from blockchain_indexer_spark.operators.multimodal import (
+        attach_jpeg_blob,
+        decode_image_real,
+    )
+    from blockchain_indexer_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    out = decode_image_real(attach_jpeg_blob(docs)).collect()
+    assert len(out) == 20
+    for r in out:
+        expect = _expected_pixels(r["doc_id"])
+        assert (r["width"], r["height"]) == (expect.shape[1], expect.shape[0])
+        assert r["mean_b"] == r["mean_g"] == r["mean_r"] == expect.mean()
