@@ -114,6 +114,9 @@ BENCH_QUERIES = (
     "doc_dsir_weights",
     "corpus_source_ks_drift",
     "corpus_source_pair_jaccard",
+    # content-defined chunking + contrastive hard-negative mining
+    "doc_cdc_chunks",
+    "embedding_hard_negatives",
 )
 
 

@@ -133,3 +133,95 @@ def rebalance_mixture(
         .filter(F.col("bucket") * F.col("n_group") < F.col("_target") * REBALANCE_PPM)
         .select(id_col, group_col, "n_group", "bucket")
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 4,
+    divisor: int = 16,
+) -> DataFrame:
+    """Content-defined chunking (basic Rabin CDC) at token
+    granularity: cut the token stream AFTER position i whenever the
+    hash of the trailing ``window``-token context is ``== 0 mod
+    divisor`` — so chunk boundaries follow CONTENT, not offsets, and
+    an insertion near a document's head shifts only the chunk it
+    lands in (fixed-size chunking reshuffles everything downstream,
+    the storage-dedup motivation for CDC; FastCDC's min/max bounds
+    are a gear-hash variant of the same seam rule).
+
+    Returns one row per chunk: (id_col, chunk_idx, n_tokens,
+    chunk_hash) where chunk_hash is the engine-portable
+    md5-prefix-bigint of the space-joined chunk tokens — groupBy
+    chunk_hash downstream finds content-equal chunks across the
+    corpus regardless of position. Documents shorter than ``window``
+    tokens are a single chunk; empty/NULL text emits no rows.
+    Expected chunk length ~= divisor tokens.
+
+    Plan: explode to (id, pos, token), per-position trailing-window
+    hash as a JVM expression over a collected window frame, boundary
+    flags, then a cumulative-count window keyed on the id — ONE
+    uniform-key shuffle (documents, not corpus, are the partition
+    unit; a window within one document never crosses executors). The
+    per-position md5 is the oracle-portable hash; production callers
+    swap xxhash64 at the same seam (the minhash/simhash/cms pattern).
+    """
+    from blockchain_indexer_spark.functions.hex import md5_prefix_bigint
+    from blockchain_indexer_spark.functions.text import tokens
+
+    toks = (
+        df.select(id_col, tokens(text_col).alias("_toks"))
+        .filter(F.size("_toks") > 0)
+        .select(id_col, F.posexplode("_toks").alias("_pos", "_tok"))
+    )
+    w_ctx = (
+        Window.partitionBy(id_col)
+        .orderBy("_pos")
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    w_last = Window.partitionBy(id_col)
+    w_cum = (
+        Window.partitionBy(id_col)
+        .orderBy("_pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = (
+        toks.withColumn("_ctx", F.collect_list("_tok").over(w_ctx))
+        .withColumn("_n", F.max("_pos").over(w_last) + F.lit(1))
+        .withColumn(
+            "_cut",
+            (
+                (F.size("_ctx") == window)
+                & (F.col("_pos") < F.col("_n") - 1)  # never cut after last
+                & (
+                    md5_prefix_bigint(F.array_join("_ctx", " "), 15)
+                    % F.lit(divisor)
+                    == 0
+                )
+            ).cast("long"),
+        )
+        .withColumn(
+            "chunk_idx",
+            F.coalesce(F.sum("_cut").over(w_cum), F.lit(0)).cast("long"),
+        )
+    )
+    return (
+        flagged.groupBy(id_col, "chunk_idx")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
+                    lambda s: s["_tok"],
+                ),
+                " ",
+            ).alias("_chunk_text"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            "n_tokens",
+            md5_prefix_bigint(F.col("_chunk_text"), 15).alias("chunk_hash"),
+        )
+    )

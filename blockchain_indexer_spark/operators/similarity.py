@@ -929,3 +929,77 @@ def mutual_knn_graph(
             F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
         )
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    stride: int = 37,
+    scale: int = 1000,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every probe
+    vector, the k nearest neighbors whose label DIFFERS from the
+    probe's — the most-confusable wrong answers, the negatives that
+    actually move a contrastive/triplet loss (random negatives are
+    mostly trivial at scale; hardest-negative selection is the
+    standard retrieval-training recipe, e.g. DPR/ANCE).
+
+    Ranking is quantized cosine (exact integer dot/norms, one IEEE
+    sqrt+divide — engine-reproducible, see brute_force_topk), ties
+    broken by neighbor id; the label filter is applied BEFORE
+    ranking, so the result is the exact different-label top-k, not a
+    post-filtered same-label top-k' (which could surface fewer than
+    k, or wrong, negatives when a label cluster is dense).
+
+    Probes are every ``stride``-th id. Returns (query_id, query_label,
+    rank, neighbor_id, neighbor_label, score).
+
+    Scale shape: identical to the flat scans — probes broadcast
+    through one corpus pass, O(corpus x probes) map-side work, no
+    corpus shuffle; swap the scan for ivf_topk with a label-partition
+    twist at index scale (the ranking stage is unchanged).
+    """
+    q = (
+        emb.filter(F.col(id_col) % stride == 0)
+        .withColumn("_qv", quantize(vec_col, scale))
+        .filter(norm_sq(F.col("_qv")) > 0)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(label_col).alias("query_label"),
+            "_qv",
+        )
+    )
+    c = (
+        spread(emb, id_col)
+        .withColumn("_cv", quantize(vec_col, scale))
+        .filter(norm_sq(F.col("_cv")) > 0)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("neighbor_label"),
+            "_cv",
+        )
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("query_id") != F.col("neighbor_id"))
+            & ~F.col("neighbor_label").eqNullSafe(F.col("query_label")),
+        )
+        .withColumn(
+            "score",
+            dot(F.col("_qv"), F.col("_cv"))
+            / F.sqrt(norm_sq(F.col("_qv")) * norm_sq(F.col("_cv"))),
+        )
+        .select("query_id", "query_label", "neighbor_id", "neighbor_label", "score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "query_label", "rank", "neighbor_id", "neighbor_label", "score"
+        )
+    )

@@ -78,6 +78,8 @@ PRIORITY = (
     "corpus_source_ks_drift",
     "corpus_source_pair_jaccard",
     "mm_real_jpeg",
+    "doc_cdc_chunks",
+    "embedding_hard_negatives",
     # -- tier B: churn canaries ----------------------------------------
     "ngram_jaccard_near_dups",
     "doc_exact_decontamination",

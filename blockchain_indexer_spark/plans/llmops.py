@@ -3334,3 +3334,103 @@ def corpus_source_pair_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return group_pair_jaccard(d, "source", "text", k=3)
+
+
+@register(
+    "doc_cdc_chunks",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, CAST(r.i AS BIGINT) AS pos, t[r.i + 1] AS tok,
+             CAST(len(t) AS BIGINT) AS n, t
+      FROM toks, UNNEST(range(0, len(t))) AS r(i)
+      WHERE len(t) > 0
+    ),
+    flags AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN pos >= 3 AND pos < n - 1
+                   AND CAST(('0x' || substr(md5(
+                         array_to_string(list_slice(t, pos - 2, pos + 1), ' ')
+                       ), 1, 15)) AS BIGINT) % 16 = 0
+                  THEN 1 ELSE 0 END AS cut
+      FROM pos
+    ),
+    chunked AS (
+      SELECT doc_id, pos, tok,
+             COALESCE(SUM(cut) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS chunk_idx
+      FROM flags
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(('0x' || substr(md5(string_agg(tok, ' ' ORDER BY pos)), 1, 15))
+                AS BIGINT) AS chunk_hash
+    FROM chunked GROUP BY doc_id, chunk_idx
+    """,
+    doc="Content-defined chunking (operators.packing.cdc_chunks; "
+    "basic Rabin CDC at token granularity): cut after any position "
+    "whose trailing 4-token window hashes to 0 mod 16, so boundaries "
+    "follow content and survive insertions — the storage-dedup seam "
+    "rule, vs doc_chunk_packing's fixed 512-token offsets. One "
+    "uniform doc-keyed shuffle (explode + window cumsum); per-chunk "
+    "md5-prefix hash makes cross-corpus content-equal chunks a "
+    "groupBy downstream. Expected chunk ~16 tokens; docs shorter "
+    "than the window are one chunk.",
+    survey_refs=("LLM-dedup", "W2"),
+)
+def doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.packing import cdc_chunks
+
+    d = load_table(spark, sf_dir, "documents")
+    return cdc_chunks(d, "doc_id", "text", window=4, divisor=16)
+
+
+@register(
+    "embedding_hard_negatives",
+    oracle="""
+    WITH q0 AS (
+      SELECT vec_id AS query_id, label AS query_label,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM embeddings WHERE vec_id % 37 = 0
+    ),
+    q AS (SELECT * FROM q0 WHERE list_sum(list_transform(qv, x -> x * x)) > 0),
+    c0 AS (
+      SELECT vec_id AS neighbor_id, label AS neighbor_label,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS cv
+      FROM embeddings
+    ),
+    c AS (SELECT * FROM c0 WHERE list_sum(list_transform(cv, x -> x * x)) > 0),
+    scored AS (
+      SELECT q.query_id, q.query_label, c.neighbor_id, c.neighbor_label,
+             CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] * cv[i] AS DOUBLE)))
+                  / sqrt(CAST(list_sum(list_transform(qv, x -> CAST(x * x AS DOUBLE))) AS DOUBLE)
+                         * CAST(list_sum(list_transform(cv, x -> CAST(x * x AS DOUBLE))) AS DOUBLE))
+                  AS DOUBLE) AS score
+      FROM q JOIN c ON q.query_id != c.neighbor_id
+                   AND c.neighbor_label IS DISTINCT FROM q.query_label
+    )
+    SELECT query_id, CAST(query_label AS INT) AS query_label,
+           CAST(rn AS BIGINT) AS rank, neighbor_id,
+           CAST(neighbor_label AS INT) AS neighbor_label, score
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+    doc="Hard-negative mining for contrastive training (operators."
+    "similarity.hard_negatives; the DPR/ANCE recipe): for every 37th "
+    "vector, the 5 nearest quantized-cosine neighbors whose label "
+    "DIFFERS — most-confusable wrong answers, label-filtered BEFORE "
+    "ranking so the different-label top-k is exact. Same broadcast "
+    "flat-scan shape as the other embedding gates; the NULL-label "
+    "contract is IS DISTINCT FROM on both engines.",
+    survey_refs=("LLM-sim", "LLM-sample"),
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.similarity import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, "vec_id", "embedding", "label", k=5, stride=37)

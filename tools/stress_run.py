@@ -176,3 +176,6 @@ tgt = docs.filter(F.col("lang") == "en")
 t("dsir_weights_100k_b1024", lambda: importance_weights(docs, tgt).count())
 t("ks_drift_100k", lambda: ks_drift(docs, "source", "n_chars").count())
 t("pair_jaccard_100k", lambda: group_pair_jaccard(docs, "source", "text", k=3).count())
+
+from blockchain_indexer_spark.operators.packing import cdc_chunks
+t("cdc_chunks_100k", lambda: cdc_chunks(docs).count())
