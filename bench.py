@@ -117,6 +117,10 @@ BENCH_QUERIES = (
     # content-defined chunking + contrastive hard-negative mining
     "doc_cdc_chunks",
     "embedding_hard_negatives",
+    # ordered-sequence event analytics + hybrid retrieval fusion
+    "event_funnel_conversion",
+    "event_cohort_retention",
+    "doc_hybrid_rrf",
 )
 
 

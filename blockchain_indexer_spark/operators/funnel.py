@@ -1,0 +1,141 @@
+"""Ordered-sequence analytics over event streams: funnel conversion
+and cohort retention.
+
+The two classic product-analytics operators an event-indexing engine
+is asked for (the reference's events surface stops at per-day counts
+and sessionization — SURVEY.md SS2 T10/A4; these extend the same
+events table to ORDERED behavior):
+
+- ``funnel_conversion`` — per user, greedy-earliest sequential step
+  matching: the earliest step-1 event, then the earliest step-2 event
+  STRICTLY AFTER it, and so on. "view -> click -> purchase" with the
+  steps in order — a GROUP BY over event types cannot express the
+  ordering constraint; this is the canonical funnel semantics.
+- ``cohort_retention`` — users bucketed by first-activity day (their
+  cohort), then for every (cohort, day-offset) the count of cohort
+  members active that day, as a retention fraction.
+
+Determinism: all time comparisons are integer epoch MICROSECONDS
+(unix_micros / epoch_us — exact on both engines, the
+event_sessionization contract); days are integer us // 86_400e6 (no
+timezone arithmetic at all); the one retention fraction is a single
+IEEE divide of exact integers, floor-quantized to nano units (the
+house pattern).
+
+Scale shapes (100 TB):
+- funnel: one filtered user-keyed min-agg per step plus an equi-join
+  back — k steps = k narrow aggregations over type-pruned scans
+  (predicate pushdown keeps each pass to its step's rows), every
+  shuffle keyed on the uniform user id.
+- cohort: one distinct (user, day) projection, one per-user min, one
+  (cohort, offset) count-distinct — all uniform-key shuffles; output
+  is bounded by |cohorts| x |offsets|, corpus-size independent.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_US_PER_DAY = 86_400_000_000
+_NANO = 1_000_000_000.0
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Greedy-earliest funnel matching.
+
+    Returns one row per user who completed at least step 1:
+    (user_col, steps_completed, t1_us, t2_us, ... tN_us) where t_i_us
+    is the epoch-microsecond timestamp of the matched step-i event
+    (NULL once the funnel stalls). Greedy-earliest is the standard
+    funnel semantics: matching the EARLIEST eligible event at each
+    stage maximizes the number of users who can complete the suffix
+    (any later choice only shrinks the remaining window).
+
+    Ties inside one microsecond resolve to the same t value (min is
+    over us), so the result is engine-stable without a row tiebreak.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    e = events.select(
+        F.col(user_col).alias("_u"),
+        F.unix_micros(F.col(ts_col)).alias("_us"),
+        F.col(type_col).alias("_t"),
+    )
+    cur = (
+        e.filter(F.col("_t") == steps[0])
+        .groupBy("_u")
+        .agg(F.min("_us").alias("t1_us"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            e.filter(F.col("_t") == step)
+            .join(cur.select("_u", F.col(f"t{i-1}_us").alias("_prev")), "_u")
+            .filter(F.col("_us") > F.col("_prev"))
+            .groupBy("_u")
+            .agg(F.min("_us").alias(f"t{i}_us"))
+        )
+        cur = cur.join(nxt, "_u", "left")
+    completed = sum(
+        F.col(f"t{i}_us").isNotNull().cast("long") for i in range(1, len(steps) + 1)
+    )
+    return cur.select(
+        F.col("_u").alias(user_col),
+        completed.cast("long").alias("steps_completed"),
+        *[F.col(f"t{i}_us") for i in range(1, len(steps) + 1)],
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Day-granularity cohort retention.
+
+    cohort_day = the integer epoch day (us // 86_400e6) of a user's
+    first event; for every (cohort_day, day_offset >= 0) with at
+    least one active user, returns
+
+        (cohort_day, day_offset, cohort_size, n_active,
+         retention_nano = floor(1e9 * n_active / cohort_size))
+
+    day_offset 0 rows satisfy n_active == cohort_size by construction
+    (every member is active on their first day). NULL users/timestamps
+    are ignored.
+    """
+    days = (
+        events.select(user_col, F.unix_micros(F.col(ts_col)).alias("_us"))
+        .filter(F.col(user_col).isNotNull() & F.col("_us").isNotNull())
+        .select(user_col, F.expr(f"_us div {_US_PER_DAY}").alias("_day"))
+        .distinct()
+    )
+    cohorts = days.groupBy(user_col).agg(F.min("_day").alias("cohort_day"))
+    sizes = cohorts.groupBy("cohort_day").agg(
+        F.count("*").cast("long").alias("cohort_size")
+    )
+    active = (
+        days.join(cohorts, user_col)
+        .groupBy("cohort_day", (F.col("_day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.count("*").cast("long").alias("n_active"))
+    )
+    return active.join(sizes, "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        "cohort_size",
+        "n_active",
+        F.floor(
+            F.lit(_NANO)
+            * (F.col("n_active").cast("double") / F.col("cohort_size").cast("double"))
+        )
+        .cast("long")
+        .alias("retention_nano"),
+    )

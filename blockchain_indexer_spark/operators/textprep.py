@@ -290,3 +290,70 @@ def dedup_doc_lines(
         F.size(uniq).cast("long").alias("n_unique_lines"),
         F.array_join(uniq, "\n").alias("clean_text"),
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of any
+    number of ranked lists — the standard score-free way to combine
+    heterogeneous retrievers (BM25 + embedding ANN, the hybrid-search
+    recipe): each list contributes 1/(k0 + rank) per (query, doc),
+    fused by sum over lists; a doc absent from a list contributes 0.
+
+    RRF works in RANK space, so incomparable scores (integer BM25
+    nanos vs cosine doubles) never mix — only their orderings do.
+    Each contribution is floor(1e9 / (k0 + rank)) — ONE IEEE divide of
+    exact-in-double integers, quantized BEFORE the sum, so fused
+    scores are order-free integer sums and the final ranking is
+    engine-reproducible with doc-id tie-breaks (the house
+    determinism pattern).
+
+    Returns (query_col, doc_col, n_lists, rrf_nano, fused_rank) with
+    fused_rank <= k.
+
+    Scale: each input is already a top-k' list (per-query bounded);
+    the union + groupBy shuffles O(queries x k' x lists) rows —
+    retrieval-output-sized, never corpus-sized.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = [
+        r.select(
+            F.col(query_col).alias("_q"),
+            F.col(doc_col).alias("_d"),
+            F.floor(
+                F.lit(1_000_000_000.0)
+                / (F.lit(float(k0)) + F.col(rank_col).cast("double"))
+            )
+            .cast("long")
+            .alias("_s"),
+        )
+        for r in rankings
+    ]
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionAll(p)
+    from pyspark.sql import Window
+
+    fused = allp.groupBy("_q", "_d").agg(
+        F.count("*").cast("long").alias("n_lists"),
+        F.sum("_s").cast("long").alias("rrf_nano"),
+    )
+    w = Window.partitionBy("_q").orderBy(F.col("rrf_nano").desc(), F.col("_d"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("fused_rank") <= k)
+        .select(
+            F.col("_q").alias(query_col),
+            F.col("_d").alias(doc_col),
+            "n_lists",
+            "rrf_nano",
+            "fused_rank",
+        )
+    )

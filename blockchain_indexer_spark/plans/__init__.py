@@ -80,6 +80,9 @@ PRIORITY = (
     "mm_real_jpeg",
     "doc_cdc_chunks",
     "embedding_hard_negatives",
+    "event_funnel_conversion",
+    "event_cohort_retention",
+    "doc_hybrid_rrf",
     # -- tier B: churn canaries ----------------------------------------
     "ngram_jaccard_near_dups",
     "doc_exact_decontamination",

@@ -3434,3 +3434,128 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return hard_negatives(emb, "vec_id", "embedding", "label", k=5, stride=37)
+
+
+@register(
+    "doc_hybrid_rrf",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id, COALESCE({_TOKS_SQL}, []) AS toks FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+    corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(len(toks)) AS BIGINT) AS s FROM d),
+    dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    q AS (
+      SELECT doc_id AS query_id, unnest(list_sort(list_distinct(toks))[1:4]) AS term
+      FROM d WHERE doc_id % 83 = 0 AND len(toks) >= 4
+    ),
+    hits AS (
+      SELECT q.query_id, tf.doc_id, tf.tf, dft.df, dl.dl, c.n, c.s
+      FROM q JOIN tf USING (term) JOIN dft USING (term)
+             JOIN dl ON dl.doc_id = tf.doc_id
+             CROSS JOIN corpus c
+    ),
+    lex_scored AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(CAST(floor(1e9 * (
+               CAST(CAST(22 * s * tf * (2 * n - 2 * df + 1) AS BIGINT) AS DOUBLE)
+               / CAST(CAST((10 * s * tf + 3 * s + 9 * dl * n) * (2 * df + 1)
+                           AS BIGINT) AS DOUBLE)
+             )) AS BIGINT)) AS BIGINT) AS score_nano
+      FROM hits GROUP BY 1, 2
+    ),
+    lex AS (
+      SELECT query_id, doc_id, rn FROM
+        (SELECT *, row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score_nano DESC, doc_id) AS rn
+         FROM lex_scored)
+      WHERE rn <= 5
+    ),
+    qids AS (SELECT DISTINCT query_id FROM q),
+    ev0 AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    ev AS (SELECT * FROM ev0 WHERE list_sum(list_transform(v, x -> x * x)) > 0),
+    eq AS (SELECT ev.vec_id AS query_id, ev.v AS qv
+           FROM ev JOIN qids ON ev.vec_id = qids.query_id),
+    sem_scored AS (
+      SELECT eq.query_id, ev.vec_id AS doc_id,
+             CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] * v[i] AS DOUBLE)))
+                  / sqrt(CAST(list_sum(list_transform(qv, x -> CAST(x * x AS DOUBLE))) AS DOUBLE)
+                         * CAST(list_sum(list_transform(v, x -> CAST(x * x AS DOUBLE))) AS DOUBLE))
+                  AS DOUBLE) AS score
+      FROM eq JOIN ev ON eq.query_id != ev.vec_id
+    ),
+    sem AS (
+      SELECT query_id, doc_id, rn FROM
+        (SELECT *, row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS rn
+         FROM sem_scored)
+      WHERE rn <= 5
+    ),
+    contrib AS (
+      SELECT query_id, doc_id,
+             CAST(floor(1e9 / (60 + CAST(rn AS DOUBLE))) AS BIGINT) AS s
+      FROM lex
+      UNION ALL
+      SELECT query_id, doc_id,
+             CAST(floor(1e9 / (60 + CAST(rn AS DOUBLE))) AS BIGINT) AS s
+      FROM sem
+    ),
+    fused AS (
+      SELECT query_id, doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_lists,
+             CAST(SUM(s) AS BIGINT) AS rrf_nano
+      FROM contrib GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, n_lists, rrf_nano, CAST(rn AS BIGINT) AS fused_rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY rrf_nano DESC, doc_id) AS rn
+          FROM fused)
+    WHERE rn <= 5
+    """,
+    doc="Hybrid retrieval via reciprocal-rank fusion (operators."
+    "textprep.rrf_fuse; Cormack et al. 2009): BM25 top-5 (lexical) "
+    "fused with quantized-cosine top-5 (semantic) for the same query "
+    "set, each contributing floor(1e9/(60+rank)) — rank-space "
+    "fusion, so integer BM25 nanos and cosine doubles never mix; "
+    "fused scores are order-free integer sums with doc-id "
+    "tie-breaks. The union+groupBy is retrieval-output-sized, never "
+    "corpus-sized.",
+    survey_refs=("LLM-text", "LLM-sim", "W1"),
+)
+def doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.functions.text import tokens
+    from blockchain_indexer_spark.operators.similarity import brute_force_topk
+    from blockchain_indexer_spark.operators.textprep import bm25_topk, rrf_fuse
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.coalesce(tokens("text"), F.array().cast("array<string>")).alias("toks"),
+    )
+    queries = (
+        base.filter((F.col("doc_id") % 83 == 0) & (F.size("toks") >= 4))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice(F.array_sort(F.array_distinct("toks")), 1, 4)).alias(
+                "term"
+            ),
+        )
+    )
+    lex = bm25_topk(base, queries, k=5).select("query_id", "doc_id", "rank")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = queries.select("query_id").distinct()
+    eq = emb.join(
+        F.broadcast(qids), emb["vec_id"] == qids["query_id"], "semi"
+    )
+    sem = brute_force_topk(
+        emb, eq, "vec_id", "embedding", k=5, metric="quantized_cosine"
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse([lex, sem], k0=60, k=5)

@@ -1131,3 +1131,73 @@ def graph_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pagerank(edges, iters=3)
+
+
+@register(
+    "event_funnel_conversion",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+    s1 AS (SELECT user_id, MIN(us) AS t1_us FROM e
+           WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (SELECT e.user_id, MIN(us) AS t2_us FROM e JOIN s1 USING (user_id)
+           WHERE event_type = 'click' AND us > t1_us GROUP BY 1),
+    s3 AS (SELECT e.user_id, MIN(us) AS t3_us FROM e JOIN s2 USING (user_id)
+           WHERE event_type = 'purchase' AND us > t2_us GROUP BY 1)
+    SELECT s1.user_id,
+           CAST(1 + (CASE WHEN t2_us IS NULL THEN 0 ELSE 1 END)
+                  + (CASE WHEN t3_us IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS steps_completed,
+           t1_us, t2_us, t3_us
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    """,
+    doc="Funnel conversion (operators.funnel.funnel_conversion): "
+    "greedy-earliest sequential matching of view -> click -> purchase "
+    "per user — the earliest step-1 event, then the earliest step-2 "
+    "event STRICTLY AFTER it, etc.; a GROUP BY over types cannot "
+    "express the ordering constraint. k steps = k type-pruned "
+    "user-keyed min-aggs + equi-joins (uniform key, filters pushed "
+    "to the scan); timestamps compared as integer epoch micros.",
+    survey_refs=("T10", "A4"),
+)
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.funnel import funnel_conversion
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_conversion(ev, ["view", "click", "purchase"])
+
+
+@register(
+    "event_cohort_retention",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    c AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY 1),
+    sizes AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_size
+              FROM c GROUP BY 1),
+    a AS (
+      SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
+             CAST(COUNT(*) AS BIGINT) AS n_active
+      FROM d JOIN c USING (user_id) GROUP BY 1, 2
+    )
+    SELECT a.cohort_day, a.day_offset, s.cohort_size, a.n_active,
+           CAST(floor(1e9 * (CAST(a.n_active AS DOUBLE)
+                             / CAST(s.cohort_size AS DOUBLE)))
+                AS BIGINT) AS retention_nano
+    FROM a JOIN sizes s USING (cohort_day)
+    """,
+    doc="Cohort retention (operators.funnel.cohort_retention): users "
+    "bucketed by integer epoch day of first activity; per (cohort, "
+    "day-offset) the active-member count and retention fraction "
+    "(floor-quantized single IEEE divide). Days are us // 86_400e6 — "
+    "no timezone arithmetic; output bounded by |cohorts| x |offsets|, "
+    "corpus-size independent after the distinct (user, day) "
+    "projection.",
+    survey_refs=("A4", "P7"),
+)
+def event_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.funnel import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev)

@@ -179,3 +179,8 @@ t("pair_jaccard_100k", lambda: group_pair_jaccard(docs, "source", "text", k=3).c
 
 from blockchain_indexer_spark.operators.packing import cdc_chunks
 t("cdc_chunks_100k", lambda: cdc_chunks(docs).count())
+
+from blockchain_indexer_spark.operators.funnel import cohort_retention, funnel_conversion
+ev = load_table(spark, SF, "events")
+t("funnel_1M", lambda: funnel_conversion(ev, ["view", "click", "purchase"]).count())
+t("cohort_1M", lambda: cohort_retention(ev).count())
