@@ -121,6 +121,8 @@ BENCH_QUERIES = (
     "event_funnel_conversion",
     "event_cohort_retention",
     "doc_hybrid_rrf",
+    # histogram-trick distributed split finding
+    "corpus_quality_stump",
 )
 
 

@@ -83,6 +83,7 @@ PRIORITY = (
     "event_funnel_conversion",
     "event_cohort_retention",
     "doc_hybrid_rrf",
+    "corpus_quality_stump",
     # -- tier B: churn canaries ----------------------------------------
     "ngram_jaccard_near_dups",
     "doc_exact_decontamination",

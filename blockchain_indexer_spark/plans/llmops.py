@@ -3559,3 +3559,90 @@ def doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, eq, "vec_id", "embedding", k=5, metric="quantized_cosine"
     ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
     return rrf_fuse([lex, sem], k0=60, k=5)
+
+
+@register(
+    "corpus_quality_stump",
+    oracle=rf"""
+    WITH base AS (
+      SELECT CAST(len(COALESCE({_TOKS_SQL}, [])) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(COALESCE({_TOKS_SQL}, []))) AS BIGINT)
+               AS n_distinct,
+             n_chars,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents WHERE lang IS NOT NULL
+    ),
+    long_form AS (
+      SELECT 'n_chars' AS feature, CAST(n_chars AS DOUBLE) AS v, y
+      FROM base WHERE n_chars IS NOT NULL
+      UNION ALL
+      SELECT 'n_distinct', CAST(n_distinct AS DOUBLE), y FROM base
+      UNION ALL
+      SELECT 'n_tokens', CAST(n_tokens AS DOUBLE), y FROM base
+    ),
+    counts AS (
+      SELECT feature, v, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS p
+      FROM long_form GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT feature, v,
+             CAST(SUM(n) OVER (PARTITION BY feature ORDER BY v) AS BIGINT) AS nl,
+             CAST(SUM(p) OVER (PARTITION BY feature ORDER BY v) AS BIGINT) AS pl,
+             CAST(SUM(n) OVER (PARTITION BY feature) AS BIGINT) AS nt,
+             CAST(SUM(p) OVER (PARTITION BY feature) AS BIGINT) AS pt
+      FROM counts
+    ),
+    scored AS (
+      SELECT feature, v AS threshold, nl AS n_left, pl AS pos_left,
+             nt - nl AS n_right, pt - pl AS pos_right,
+             CAST(floor(1e9 * (2.0 * (
+               CAST(pl * (nl - pl) AS DOUBLE) / CAST(nl AS DOUBLE)
+               + CAST((pt - pl) * ((nt - nl) - (pt - pl)) AS DOUBLE)
+                 / CAST(nt - nl AS DOUBLE)
+             ))) AS BIGINT) AS score_nano
+      FROM cum WHERE nl < nt
+    ),
+    per_feat AS (
+      SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY feature
+                                                  ORDER BY score_nano, threshold)
+                            AS rf
+                     FROM scored) WHERE rf = 1
+    )
+    SELECT feature, threshold, n_left, pos_left, n_right, pos_right, score_nano,
+           CAST(row_number() OVER (ORDER BY score_nano, feature, threshold)
+                AS BIGINT) AS rank,
+           2 * pos_left > n_left AS predict_left,
+           2 * pos_right > n_right AS predict_right
+    FROM per_feat
+    """,
+    doc="Distributed decision-stump training (operators.tree."
+    "best_stump): exact minimum-Gini split per feature over "
+    "{{n_chars, n_tokens, n_distinct}} predicting lang='en' — the "
+    "XGBoost histogram trick: per-(feature, value) label counts "
+    "aggregated once (map-side combinable), then a cumulative window "
+    "evaluates EVERY candidate threshold in O(distinct values), "
+    "corpus-size independent after the agg. The weighted-Gini score "
+    "is one double expression over exact BIGINT counts "
+    "floor-quantized before the argmin (exact while "
+    "pL*(nL-pL)*nR < 2^53 — the documented precision bound); ranks "
+    "tie-break (score, feature, threshold). The supervised sibling "
+    "of the batch perceptron.",
+    survey_refs=("LLM-text", "W1"),
+)
+def corpus_quality_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.functions.text import token_count, tokens
+    from blockchain_indexer_spark.operators.tree import best_stump
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    feats = d.select(
+        "n_chars",
+        # NULL text counts 0 tokens, matching the oracle's
+        # len(COALESCE(toks, [])) (token_count(NULL) is NULL)
+        F.coalesce(token_count("text"), F.lit(0)).alias("n_tokens"),
+        F.size(F.array_distinct(F.coalesce(tokens("text"), F.array().cast("array<string>"))))
+        .cast("long")
+        .alias("n_distinct"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    return best_stump(feats, ["n_chars", "n_distinct", "n_tokens"], "is_en")
