@@ -123,6 +123,9 @@ BENCH_QUERIES = (
     "doc_hybrid_rrf",
     # histogram-trick distributed split finding
     "corpus_quality_stump",
+    # recency-decayed engagement + Markov transition matrix
+    "event_decayed_engagement",
+    "event_type_transitions",
 )
 
 

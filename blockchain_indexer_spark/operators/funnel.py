@@ -139,3 +139,130 @@ def cohort_retention(
         .cast("long")
         .alias("retention_nano"),
     )
+
+
+def time_decayed_scores(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    half_life_days: int = 7,
+    as_of_us: int | None = None,
+) -> DataFrame:
+    """Per-user exponentially time-decayed engagement score — the
+    recency-weighted rollup behind trending/engagement rankings:
+    every event contributes value * 0.5^(age / half_life), so
+    yesterday outweighs last month without a hard cutoff window.
+
+    Determinism without libm pow: ages are INTEGER half-life periods
+    (age_us div (half_life * 86_400e6)), so the decay factor is
+    EXACTLY 2^-k = 1.0 / (1 << k) — a power of two; multiplying the
+    (exact 2-decimal) value by it is exact rescaling with NO rounding,
+    and the only rounding is the one floor(1e6 * term) quantization
+    before the order-free integer SUM (the house pattern). Terms
+    older than 62 periods underflow the micro quantum and contribute
+    an exact 0 (1 << k would overflow int64 past 62).
+
+    ``as_of_us`` defaults to the table's max timestamp (one scalar
+    agg — deterministic from the data, unlike now()). Returns
+    (user_col, n_events, last_seen_us, decayed_micro). NULL
+    users/timestamps are ignored; NULL values count 0.
+
+    Scale: one narrow projection + one user-keyed agg; the as-of
+    scalar is the only driver round-trip.
+    """
+    e = events.select(
+        F.col(user_col).alias("_u"),
+        F.unix_micros(F.col(ts_col)).alias("_us"),
+        F.coalesce(
+            F.col(value_col).cast("decimal(18,2)").cast("double"), F.lit(0.0)
+        ).alias("_v"),
+    ).filter(F.col("_u").isNotNull() & F.col("_us").isNotNull())
+    if as_of_us is None:
+        as_of_us = e.agg(F.max("_us")).collect()[0][0]
+        if as_of_us is None:
+            return e.select(
+                F.col("_u").alias(user_col),
+                F.lit(0).cast("long").alias("n_events"),
+                F.lit(None).cast("long").alias("last_seen_us"),
+                F.lit(0).cast("long").alias("decayed_micro"),
+            ).limit(0)
+    period_us = half_life_days * _US_PER_DAY
+    e = e.withColumn("_age", F.expr(f"({int(as_of_us)} - _us) div {period_us}"))
+    # shiftleft's DataFrame API takes a literal bit count; the SQL form
+    # accepts an expression
+    decay = F.when(
+        F.col("_age") <= 62,
+        F.lit(1.0)
+        / F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_age AS INT))").cast("double"),
+    ).otherwise(F.lit(0.0))
+    term = F.floor(F.lit(1_000_000.0) * (F.col("_v") * decay)).cast("long")
+    return (
+        e.withColumn("_t", term)
+        .groupBy("_u")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.max("_us").alias("last_seen_us"),
+            F.sum("_t").cast("long").alias("decayed_micro"),
+        )
+        .select(
+            F.col("_u").alias(user_col), "n_events", "last_seen_us", "decayed_micro"
+        )
+    )
+
+
+def transition_counts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix of event types: for every
+    consecutive event pair WITHIN a user (ordered by timestamp, then
+    ``order_col`` for same-microsecond ties), count (from_type,
+    to_type) transitions — the behavioral-structure rollup funnel
+    analysis assumes and sessionization feeds.
+
+    Returns (from_type, to_type, n_transitions, n_users,
+    prob_nano = floor(1e9 * n_transitions / total_from)) where
+    total_from sums over the from_type row — exact integer counts,
+    one IEEE divide, floor-quantized.
+
+    Scale: one user-keyed window (lag) on a narrow projection — the
+    same single-exchange shape as event_sessionization — then a
+    (from, to) agg bounded by |types|^2.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy("_us", order_col)
+    pairs = (
+        events.select(
+            user_col,
+            F.col(order_col),
+            F.unix_micros(F.col(ts_col)).alias("_us"),
+            F.col(type_col).alias("to_type"),
+        )
+        .filter(F.col(user_col).isNotNull() & F.col("_us").isNotNull())
+        .withColumn("from_type", F.lag("to_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("long").alias("n_transitions"),
+        F.countDistinct(user_col).cast("long").alias("n_users"),
+    )
+    totals = counts.groupBy("from_type").agg(
+        F.sum("n_transitions").cast("long").alias("_tf")
+    )
+    return counts.join(totals, "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        "n_users",
+        F.floor(
+            F.lit(_NANO)
+            * (F.col("n_transitions").cast("double") / F.col("_tf").cast("double"))
+        )
+        .cast("long")
+        .alias("prob_nano"),
+    )

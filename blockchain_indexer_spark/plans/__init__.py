@@ -84,6 +84,8 @@ PRIORITY = (
     "event_cohort_retention",
     "doc_hybrid_rrf",
     "corpus_quality_stump",
+    "event_decayed_engagement",
+    "event_type_transitions",
     # -- tier B: churn canaries ----------------------------------------
     "ngram_jaccard_near_dups",
     "doc_exact_decontamination",

@@ -1201,3 +1201,83 @@ def event_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return cohort_retention(ev)
+
+
+@register(
+    "event_decayed_engagement",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             COALESCE(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), 0.0) AS v
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    ref AS (SELECT MAX(us) AS a FROM e),
+    terms AS (
+      SELECT user_id, us,
+             CAST(floor(1e6 * (v * (
+               CASE WHEN (a - us) // 604800000000 <= 62
+                    THEN 1.0 / CAST(CAST(1 AS BIGINT) << ((a - us) // 604800000000)
+                                    AS DOUBLE)
+                    ELSE 0.0 END
+             ))) AS BIGINT) AS t
+      FROM e CROSS JOIN ref
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(us) AS BIGINT) AS last_seen_us,
+           CAST(SUM(t) AS BIGINT) AS decayed_micro
+    FROM terms GROUP BY 1
+    """,
+    doc="Per-user exponentially time-decayed engagement score "
+    "(operators.funnel.time_decayed_scores; half-life 7 days, as-of "
+    "= the table's max timestamp): recency-weighted value rollup "
+    "behind trending rankings. Determinism WITHOUT libm pow: integer "
+    "half-life periods make the decay factor exactly 2^-k = "
+    "1.0/(1<<k), value*2^-k is exact rescaling, and the single "
+    "floor(1e6*term) quantization precedes the order-free integer "
+    "SUM. One narrow user-keyed agg.",
+    survey_refs=("A4", "T10"),
+)
+def event_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.funnel import time_decayed_scores
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_decayed_scores(ev, half_life_days=7)
+
+
+@register(
+    "event_type_transitions",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_type AS to_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id) AS from_type
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    c AS (
+      SELECT from_type, to_type,
+             CAST(COUNT(*) AS BIGINT) AS n_transitions,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2
+    ),
+    t AS (SELECT from_type, CAST(SUM(n_transitions) AS BIGINT) AS tf
+          FROM c GROUP BY 1)
+    SELECT c.from_type, c.to_type, c.n_transitions, c.n_users,
+           CAST(floor(1e9 * (CAST(c.n_transitions AS DOUBLE)
+                             / CAST(t.tf AS DOUBLE))) AS BIGINT) AS prob_nano
+    FROM c JOIN t USING (from_type)
+    """,
+    doc="First-order Markov transition matrix of event types "
+    "(operators.funnel.transition_counts): consecutive within-user "
+    "event pairs (ts order, event_id tiebreak) counted into a "
+    "|types|^2-bounded matrix with row-normalized probabilities "
+    "(exact counts, one floor-quantized IEEE divide) — the "
+    "behavioral-structure rollup funnel analysis assumes. Same "
+    "single user-keyed exchange as event_sessionization.",
+    survey_refs=("T10", "W2"),
+)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.funnel import transition_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return transition_counts(ev)
