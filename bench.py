@@ -126,6 +126,8 @@ BENCH_QUERIES = (
     # recency-decayed engagement + Markov transition matrix
     "event_decayed_engagement",
     "event_type_transitions",
+    # semi-supervised label spread over the mutual-kNN graph
+    "embedding_label_propagation",
 )
 
 

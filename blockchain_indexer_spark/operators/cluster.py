@@ -481,3 +481,76 @@ def triangle_counts(
             / (F.col("deg") * (F.col("deg") - F.lit(1)))
         ).alias("clustering"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    id_col: str = "id",
+    label_col: str = "label",
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 2,
+) -> DataFrame:
+    """Semi-supervised label propagation over an undirected graph
+    (Zhu/Ghahramani 2002, the hard-label variant): seed nodes keep
+    their label (clamped); every other node takes, each synchronous
+    round, the MAJORITY label among its currently-labeled neighbors
+    (ties to the smallest label; no labeled neighbor -> stays
+    unlabeled). The cheap way to stretch a small labeled set over an
+    unlabeled corpus along a similarity graph (mutual-kNN here) —
+    the transductive sibling of the kNN label probe.
+
+    Determinism: the vote is exact integer counts with a total-order
+    tie-break (count desc, label asc), so every round — and therefore
+    the fixed ``iters``-round result — is engine-reproducible; the
+    oracle unrolls the rounds as CTEs (the BPE unrolled-oracle
+    pattern).
+
+    Returns (id_col, label_col, is_seed) for every node labeled after
+    ``iters`` rounds. NULL-labeled seed rows are ignored.
+
+    Scale: per round one edge-keyed join against the current label
+    frame plus one (node, label) count agg — all uniform-key
+    shuffles, O(edges) rows; rounds are a small constant. Each
+    round's frame is localCheckpointed (iterative lineage, the CC
+    pattern above).
+    """
+    und = edges.select(
+        F.col(src).alias("_a"), F.col(dst).alias("_b")
+    ).filter(F.col("_a") != F.col("_b"))
+    adj = und.unionAll(
+        und.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
+    ).distinct()
+    seed = (
+        seeds.select(
+            F.col(id_col).alias("_id"), F.col(label_col).alias("_l")
+        )
+        .filter(F.col("_l").isNotNull())
+        .distinct()
+    )
+    labels = seed.localCheckpoint(eager=True)
+    w = Window.partitionBy("_id").orderBy(F.desc("_n"), F.asc("_l"))
+    for _ in range(iters):
+        votes = (
+            adj.join(
+                labels.select(F.col("_id").alias("_b"), "_l"), "_b"
+            )
+            .select(F.col("_a").alias("_id"), "_l")
+            .groupBy("_id", "_l")
+            .agg(F.count("*").alias("_n"))
+        )
+        derived = (
+            votes.join(seed.select("_id"), "_id", "anti")  # seeds clamp
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("_id", "_l")
+        )
+        labels = seed.unionAll(derived).localCheckpoint(eager=True)
+    return labels.join(
+        seed.select("_id", F.lit(True).alias("is_seed")), "_id", "left"
+    ).select(
+        F.col("_id").alias(id_col),
+        F.col("_l").alias(label_col),
+        F.coalesce(F.col("is_seed"), F.lit(False)).alias("is_seed"),
+    )

@@ -86,6 +86,7 @@ PRIORITY = (
     "corpus_quality_stump",
     "event_decayed_engagement",
     "event_type_transitions",
+    "embedding_label_propagation",
     # -- tier B: churn canaries ----------------------------------------
     "ngram_jaccard_near_dups",
     "doc_exact_decontamination",

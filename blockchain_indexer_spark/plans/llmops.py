@@ -3646,3 +3646,84 @@ def corpus_quality_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").alias("is_en"),
     )
     return best_stump(feats, ["n_chars", "n_distinct", "n_tokens"], "is_en")
+
+
+@register(
+    "embedding_label_propagation",
+    oracle="""
+    WITH vq0 AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    vq AS (SELECT * FROM vq0 WHERE list_sum(list_transform(v, x -> x * x)) > 0),
+    scored AS (
+      SELECT a.vec_id AS q, b.vec_id AS n,
+             CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> CAST(a.v[i] * b.v[i] AS DOUBLE)))
+                  / sqrt(CAST(list_sum(list_transform(a.v, x -> CAST(x * x AS DOUBLE))) AS DOUBLE)
+                         * CAST(list_sum(list_transform(b.v, x -> CAST(x * x AS DOUBLE))) AS DOUBLE))
+                  AS DOUBLE) AS score
+      FROM vq a JOIN vq b ON a.vec_id != b.vec_id
+    ),
+    topk AS (
+      SELECT q, n FROM (SELECT *, row_number() OVER (PARTITION BY q
+                                                     ORDER BY score DESC, n) AS rn
+                        FROM scored)
+      WHERE rn <= 5
+    ),
+    mut AS (
+      SELECT t1.q AS a, t1.n AS b
+      FROM topk t1 JOIN topk t2 ON t1.q = t2.n AND t1.n = t2.q
+      WHERE t1.q < t1.n
+    ),
+    adj AS (SELECT a, b FROM mut UNION SELECT b, a FROM mut),
+    seed AS (SELECT vec_id AS id, label AS l FROM embeddings
+             WHERE vec_id % 5 = 0 AND label IS NOT NULL),
+    v1 AS (
+      SELECT adj.a AS id, s.l, CAST(COUNT(*) AS BIGINT) AS n
+      FROM adj JOIN seed s ON s.id = adj.b GROUP BY 1, 2
+    ),
+    d1 AS (
+      SELECT id, l FROM (
+        SELECT *, row_number() OVER (PARTITION BY id ORDER BY n DESC, l) AS rk
+        FROM v1 WHERE id NOT IN (SELECT id FROM seed)
+      ) WHERE rk = 1
+    ),
+    l1 AS (SELECT * FROM seed UNION ALL SELECT * FROM d1),
+    v2 AS (
+      SELECT adj.a AS id, s.l, CAST(COUNT(*) AS BIGINT) AS n
+      FROM adj JOIN l1 s ON s.id = adj.b GROUP BY 1, 2
+    ),
+    d2 AS (
+      SELECT id, l FROM (
+        SELECT *, row_number() OVER (PARTITION BY id ORDER BY n DESC, l) AS rk
+        FROM v2 WHERE id NOT IN (SELECT id FROM seed)
+      ) WHERE rk = 1
+    ),
+    l2 AS (SELECT * FROM seed UNION ALL SELECT * FROM d2)
+    SELECT l2.id AS vec_id, CAST(l2.l AS INT) AS label,
+           l2.id IN (SELECT id FROM seed) AS is_seed
+    FROM l2
+    """,
+    doc="Semi-supervised label propagation (operators.cluster."
+    "label_propagation; Zhu/Ghahramani hard-label variant) over the "
+    "mutual-5NN quantized-cosine graph: every 5th vector keeps its "
+    "label (clamped seed), everyone else takes the exact-integer "
+    "majority of its labeled neighbors each synchronous round (ties "
+    "to the smallest label), 2 rounds — stretching a 20% labeled set "
+    "across the corpus along the similarity graph. The oracle "
+    "unrolls both rounds as CTEs (the BPE unrolled-oracle pattern). "
+    "Per round: one edge-keyed join + one (node, label) count agg, "
+    "uniform keys, frames localCheckpointed.",
+    survey_refs=("LLM-sim", "J9"),
+)
+def embedding_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.cluster import label_propagation
+    from blockchain_indexer_spark.operators.similarity import mutual_knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = mutual_knn_graph(emb, "vec_id", "embedding", k=5)
+    seeds = emb.filter(F.col("vec_id") % 5 == 0).select("vec_id", "label")
+    return label_propagation(
+        g, seeds, id_col="vec_id", label_col="label", iters=2
+    )
