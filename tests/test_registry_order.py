@@ -62,6 +62,21 @@ NEW_GATES_R4 = (
     "doc_cross_repeat_spans",
     "doc_winnowing",
     "ngram_containment_near_dups",
+    # second wave (same round): corpus monitors, codecs, event
+    # analytics, graph/tree learners — never driver-verified either
+    "doc_dsir_weights",
+    "corpus_source_ks_drift",
+    "corpus_source_pair_jaccard",
+    "mm_real_jpeg",
+    "doc_cdc_chunks",
+    "embedding_hard_negatives",
+    "event_funnel_conversion",
+    "event_cohort_retention",
+    "doc_hybrid_rrf",
+    "corpus_quality_stump",
+    "event_decayed_engagement",
+    "event_type_transitions",
+    "embedding_label_propagation",
 )
 
 
