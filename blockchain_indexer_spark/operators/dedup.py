@@ -1234,6 +1234,10 @@ def winnow_fingerprints(
     comma-joined selected hashes in position order — a compact,
     engine-reproducible digest of the sketch (join two corpora on the
     selected-hash sets for plagiarism-style overlap detection).
+    Documents too short for a single k-gram (NULL/empty included)
+    sketch to (0, 0, NULL) — NULL, not md5(''), because an absent
+    sketch must not equi-join with other absent sketches, and the
+    SQL oracle's array_to_string([]) is NULL (NULL-corpus sweep r4).
 
     Implementation: shuffle-free Arrow ``mapInPandas`` — gram hashes
     in k vectorized int64 numpy passes (shift-accumulate, every
@@ -1277,7 +1281,7 @@ def winnow_fingerprints(
         codes = np.array([ord(c) for c in norm], dtype=np.int64)
         n = len(codes) - k + 1
         if n <= 0:
-            return 0, 0, hashlib.md5(b"").hexdigest()
+            return 0, 0, None
         # k shift-accumulate passes: h = ((h*base + c) mod p) per char
         # column; max intermediate = (mod-1)*base + 0x10FFFF < 2^39
         h = np.zeros(n, dtype=np.int64)

@@ -482,7 +482,7 @@ def _winnow_ref(text, k=16, w=4, base=131, mod=2_147_483_647):
     codes = [ord(c) for c in norm]
     n = len(codes) - k + 1
     if n <= 0:
-        return 0, 0, hashlib.md5(b"").hexdigest()
+        return 0, 0, None
     grams = []
     for i in range(n):
         h = 0
