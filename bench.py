@@ -128,6 +128,8 @@ BENCH_QUERIES = (
     "event_type_transitions",
     # semi-supervised label spread over the mutual-kNN graph
     "embedding_label_propagation",
+    # per-source distinctive vocabulary (log-odds keyword core)
+    "corpus_source_distinctive_terms",
 )
 
 

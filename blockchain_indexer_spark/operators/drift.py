@@ -412,3 +412,83 @@ def group_pair_jaccard(
             .alias("jaccard_nano"),
         )
     )
+
+
+def distinctive_terms(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    k: int = 5,
+    min_count: int = 3,
+) -> DataFrame:
+    """Per-group distinctive vocabulary: the k terms most
+    over-represented in each group relative to the whole corpus, by
+    the add-one-smoothed frequency ratio
+
+        r(term, g) = p_g(term) / p_corpus(term)
+                   = ((c_g+1)/(n_g+V)) / ((c_c+1)/(n_c+V))
+
+    — the per-TERM twin of importance_ratios' per-bucket score, and
+    the monotone core of log-odds keyword extraction ("what does
+    source X talk about that the corpus doesn't"). Computed as one
+    double multiply/divide tree over exact BIGINT counts,
+    floor(1e9*r) BEFORE the ranking window, ties (ratio desc, term
+    asc) — engine-reproducible. Terms below ``min_count`` occurrences
+    in the group are dropped (hapax noise).
+
+    Returns (group_col, term, n_group, n_corpus, ratio_nano, rank),
+    rank <= k per group.
+
+    Scale: one tokenize pass into a (group, term) count agg
+    (map-side combinable); the corpus term table joins on the
+    uniform term key; the ranking window partitions by group over
+    group-vocabulary-sized frames.
+    """
+    tok = (
+        spread(df.select(group_col, text_col))
+        .filter(F.col(group_col).isNotNull())
+        .select(group_col, F.explode(tokens(text_col)).alias("_term"))
+    )
+    # ONE tokenize pass: corpus term counts and per-group totals both
+    # roll up from the (group, term) agg instead of re-scanning tok
+    cg = tok.groupBy(group_col, "_term").agg(
+        F.count("*").cast("long").alias("_cg")
+    ).localCheckpoint(eager=True)
+    cc = cg.groupBy("_term").agg(F.sum("_cg").cast("long").alias("_cc"))
+    ng = cg.groupBy(group_col).agg(F.sum("_cg").cast("long").alias("_ng"))
+    totals = cc.agg(
+        F.sum("_cc").cast("long").alias("_nc"),
+        F.count("*").cast("long").alias("_v"),
+    ).collect()[0]
+    nc, v = int(totals["_nc"]), int(totals["_v"])
+    scored = (
+        cg.filter(F.col("_cg") >= min_count)
+        .join(cc, "_term")
+        .join(F.broadcast(ng), group_col)
+        .select(
+            group_col,
+            F.col("_term").alias("term"),
+            F.col("_cg").alias("n_group"),
+            F.col("_cc").alias("n_corpus"),
+            F.floor(
+                F.lit(_NANO)
+                * (
+                    (
+                        (F.col("_cg") + F.lit(1)).cast("double")
+                        * F.lit(float(nc + v))
+                    )
+                    / (
+                        (F.col("_cc") + F.lit(1)).cast("double")
+                        * (F.col("_ng") + F.lit(v)).cast("double")
+                    )
+                )
+            )
+            .cast("long")
+            .alias("ratio_nano"),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("ratio_nano"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

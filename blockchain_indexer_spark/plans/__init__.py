@@ -87,6 +87,7 @@ PRIORITY = (
     "event_decayed_engagement",
     "event_type_transitions",
     "embedding_label_propagation",
+    "corpus_source_distinctive_terms",
     # -- tier B: churn canaries ----------------------------------------
     "ngram_jaccard_near_dups",
     "doc_exact_decontamination",

@@ -3727,3 +3727,50 @@ def embedding_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(
         g, seeds, id_col="vec_id", label_col="label", iters=2
     )
+
+
+@register(
+    "corpus_source_distinctive_terms",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT source, unnest({_TOKS_SQL}) AS term FROM documents
+      WHERE source IS NOT NULL
+    ),
+    cg AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cg
+           FROM tok GROUP BY 1, 2),
+    cc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cc FROM tok GROUP BY 1),
+    ng AS (SELECT source, CAST(SUM(cg) AS BIGINT) AS ng FROM cg GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cc) AS BIGINT) AS nc,
+                   CAST(COUNT(*) AS BIGINT) AS v FROM cc),
+    scored AS (
+      SELECT cg.source, cg.term, cg.cg AS n_group, cc.cc AS n_corpus,
+             CAST(floor(1e9 * ((CAST(cg.cg + 1 AS DOUBLE)
+                                  * CAST(t.nc + t.v AS DOUBLE))
+                               / (CAST(cc.cc + 1 AS DOUBLE)
+                                  * CAST(ng.ng + t.v AS DOUBLE))))
+                  AS BIGINT) AS ratio_nano
+      FROM cg JOIN cc USING (term) JOIN ng USING (source) CROSS JOIN tot t
+      WHERE cg.cg >= 3
+    )
+    SELECT source, term, n_group, n_corpus, ratio_nano,
+           CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                       ORDER BY ratio_nano DESC, term) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+    doc="Per-source distinctive vocabulary (operators.drift."
+    "distinctive_terms): the 5 terms most over-represented in each "
+    "source vs the whole corpus by add-one-smoothed frequency ratio "
+    "— the per-TERM twin of the DSIR bucket score and the monotone "
+    "core of log-odds keyword extraction. One tokenize pass into "
+    "map-side-combined (source, term) counts; ratio is one double "
+    "multiply/divide tree over exact BIGINTs floor-quantized before "
+    "the per-source ranking window; >= 3 occurrences (hapax noise).",
+    survey_refs=("LLM-text", "W1"),
+)
+def corpus_source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.drift import distinctive_terms
+
+    d = load_table(spark, sf_dir, "documents")
+    return distinctive_terms(d, "source", "text", k=5, min_count=3)

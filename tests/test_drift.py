@@ -114,3 +114,23 @@ def test_group_pair_jaccard_short_and_null_texts_ignored(spark):
     df = spark.createDataFrame(rows, "source string, text string")
     out = group_pair_jaccard(df, "source", "text", k=3).collect()
     assert out == []
+
+
+def test_distinctive_terms_surfaces_group_specific_vocabulary(spark):
+    from blockchain_indexer_spark.operators.drift import distinctive_terms
+
+    rows = (
+        [(i, "common words plus zebra zebra zebra", "A") for i in range(3)]
+        + [(10 + i, "common words plus yak yak yak", "B") for i in range(3)]
+        + [(20, None, "A"), (21, "common words", None)]  # NULL text / group
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = distinctive_terms(df, "source", "text", k=2, min_count=3).collect()
+    top = {r["source"]: [] for r in out}
+    for r in sorted(out, key=lambda r: (r["source"], r["rank"])):
+        top[r["source"]].append(r["term"])
+    assert top["A"][0] == "zebra" and top["B"][0] == "yak"
+    # shared vocabulary never outranks the group-specific term
+    assert "common" not in (top["A"][0], top["B"][0])
+    # min_count: every reported term has >= 3 in-group occurrences
+    assert all(r["n_group"] >= 3 for r in out)
