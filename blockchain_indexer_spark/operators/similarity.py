@@ -125,14 +125,16 @@ def knn_label_probe(
 
     Returns (query_id, true_label, predicted_label, n_votes, correct).
 
-    Scale shape: the probe set rides broadcast through the flat scan
-    (O(corpus × probes) map-side work, no corpus shuffle); the vote is
-    a k-row-per-probe aggregation. Swap brute_force_topk for ivf_topk
-    at IVF scale — the vote stage is unchanged.
+    Scale shape: probe-vs-corpus ranking rides the blocked int64
+    matmul scan (all_pairs_topk_cosine with a probe frame —
+    bit-identical to the expression flat scan, ~10× on the 100-probe
+    100k-corpus stress row); the vote is a k-row-per-probe
+    aggregation. Swap the scan for ivf_topk at IVF scale — the vote
+    stage is unchanged.
     """
-    topk = brute_force_topk(
-        emb, emb.filter(F.col(id_col) % stride == 0), id_col, vec_col,
-        k=k, metric="quantized_cosine", scale=scale,
+    topk = all_pairs_topk_cosine(
+        emb, id_col, vec_col, k=k, scale=scale,
+        queries=emb.filter(F.col(id_col) % stride == 0),
     )
     neighbor_labels = emb.select(
         F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_nl")
@@ -1011,27 +1013,32 @@ def all_pairs_topk_cosine(
     k: int = 5,
     scale: int = 1000,
     block_size: int = 2048,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact corpus-vs-corpus top-k by quantized cosine — the
-    all-pairs twin of brute_force_topk(emb, emb), returning the same
+    """Exact top-k by quantized cosine via blocked int64 matmuls —
+    the BLAS twin of brute_force_topk, returning the same
     (query_id, rank, neighbor_id, score) under the same total order
-    (score desc, neighbor_id asc), self-pairs excluded.
+    (score desc, neighbor_id asc), self-pairs excluded. ``queries``
+    defaults to the corpus itself (the all-pairs / mutual-kNN case);
+    pass a probe frame for query-vs-corpus ranking.
 
     Same BLAS-not-nested-loop shape as dedup.cosine_near_dup_pairs:
-    vectors hash into ⌈n/block_size⌉ packed blocks, every block pair
-    is ONE numpy int64 matmul emitting each query's LOCAL top-k
-    (global top-k is a subset of the per-block top-k under a total
-    order), then one window keeps the global k among the
-    O(k·n/block_size) survivors per query. Exactness is op-for-op:
-    integer dot/norms are exact in int64→float64, and the one float
-    sequence — dot / sqrt(norm_a·norm_b), product in double FIRST —
-    matches the zip_with expression path bit-for-bit, so every gate
-    downstream (kNN triangles, label propagation) stays oracle-green.
+    vectors hash into ⌈n/block_size⌉ packed blocks, every (query
+    block, corpus block) pair is ONE numpy int64 matmul emitting each
+    query's LOCAL top-k (global top-k is a subset of the per-block
+    top-k under a total order), then one window keeps the global k
+    among the O(k·n/block_size) survivors per query. Exactness is
+    op-for-op: integer dot/norms are exact in int64→float64, and the
+    one float sequence — dot / sqrt(norm_a·norm_b), product in double
+    FIRST — matches the zip_with expression path bit-for-bit, so
+    every gate downstream (kNN triangles, label propagation, label
+    probe) stays oracle-green.
 
-    Use this when queries ≈ corpus (the O(n²·d) regime where the
-    interpreted-HOF expression scan dominates — measured ~8× on the
-    5k-vector mutual-kNN graph); brute_force_topk stays the right
-    call for small probe sets, where broadcasting beats packing.
+    Use this in the big-cross regime (|queries|·|corpus| ≳ 10⁶ pair
+    scores, where the interpreted-HOF expression scan dominates —
+    measured ~8× on the 5k-vector mutual-kNN graph and ~10× on the
+    100-probe × 100k-corpus stress probe); brute_force_topk stays the
+    right call for small probe sets, where broadcasting beats packing.
     """
     import numpy as np
     from pyspark.sql.types import (
@@ -1041,29 +1048,39 @@ def all_pairs_topk_cosine(
         StructType,
     )
 
-    q = (
-        spread(emb, id_col)
-        .select(F.col(id_col).alias("_id"), quantize(vec_col, scale).alias("_v"))
-        .filter(norm_sq(F.col("_v")) > 0)
-    )
-    n = q.count()  # bounded scalar action sizing the blocking
+    def _prep(df: DataFrame) -> DataFrame:
+        return (
+            spread(df, id_col)
+            .select(F.col(id_col).alias("_id"), quantize(vec_col, scale).alias("_v"))
+            .filter(norm_sq(F.col("_v")) > 0)
+        )
+
+    c = _prep(emb)
+    n = c.count()  # bounded scalar action sizing the blocking
     if n == 0:
-        return q.select(
+        return c.select(
             F.col("_id").alias("query_id"),
             F.lit(0).cast("bigint").alias("rank"),
             F.col("_id").alias("neighbor_id"),
             F.lit(0.0).alias("score"),
         ).limit(0)
     nblocks = max(1, -(-n // block_size))
-    packed = (
-        q.withColumn("_blk", F.pmod(F.xxhash64("_id"), F.lit(nblocks)).cast("int"))
-        .groupBy("_blk")
-        .agg(F.collect_list(F.struct("_id", "_v")).alias("_rows"))
-        .localCheckpoint(eager=True)  # query AND corpus side of the join
-    )
+
+    def _pack(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn(
+                "_blk", F.pmod(F.xxhash64("_id"), F.lit(nblocks)).cast("int")
+            )
+            .groupBy("_blk")
+            .agg(F.collect_list(F.struct("_id", "_v")).alias("_rows"))
+            .localCheckpoint(eager=True)
+        )
+
+    packed_c = _pack(c)
+    packed_q = packed_c if queries is None else _pack(_prep(queries))
     pairs = (
-        packed.alias("A")
-        .join(packed.alias("B"))
+        packed_q.alias("A")
+        .join(packed_c.alias("B"))
         .select(
             F.col("A._rows").alias("ra"),
             F.col("B._rows").alias("rb"),
