@@ -130,6 +130,8 @@ BENCH_QUERIES = (
     "embedding_label_propagation",
     # per-source distinctive vocabulary (log-odds keyword core)
     "corpus_source_distinctive_terms",
+    # time-bounded funnel (24 h per-step window)
+    "event_funnel_windowed",
 )
 
 

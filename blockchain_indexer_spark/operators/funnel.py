@@ -49,6 +49,7 @@ def funnel_conversion(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    max_step_gap_us: int | None = None,
 ) -> DataFrame:
     """Greedy-earliest funnel matching.
 
@@ -58,7 +59,11 @@ def funnel_conversion(
     (NULL once the funnel stalls). Greedy-earliest is the standard
     funnel semantics: matching the EARLIEST eligible event at each
     stage maximizes the number of users who can complete the suffix
-    (any later choice only shrinks the remaining window).
+    (any later choice only shrinks the remaining window) — and it
+    stays optimal under ``max_step_gap_us``, the time-bounded variant
+    (step i must land within the gap after step i-1; "clicked within
+    a day of viewing"): an earlier match only widens every later
+    step's window.
 
     Ties inside one microsecond resolve to the same t value (min is
     over us), so the result is engine-stable without a row tiebreak.
@@ -76,10 +81,15 @@ def funnel_conversion(
         .agg(F.min("_us").alias("t1_us"))
     )
     for i, step in enumerate(steps[1:], start=2):
+        gap_ok = (
+            F.lit(True)
+            if max_step_gap_us is None
+            else (F.col("_us") <= F.col("_prev") + F.lit(int(max_step_gap_us)))
+        )
         nxt = (
             e.filter(F.col("_t") == step)
             .join(cur.select("_u", F.col(f"t{i-1}_us").alias("_prev")), "_u")
-            .filter(F.col("_us") > F.col("_prev"))
+            .filter((F.col("_us") > F.col("_prev")) & gap_ok)
             .groupBy("_u")
             .agg(F.min("_us").alias(f"t{i}_us"))
         )

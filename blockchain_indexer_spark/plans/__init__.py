@@ -88,6 +88,7 @@ PRIORITY = (
     "event_type_transitions",
     "embedding_label_propagation",
     "corpus_source_distinctive_terms",
+    "event_funnel_windowed",
     # -- tier B: churn canaries ----------------------------------------
     "ngram_jaccard_near_dups",
     "doc_exact_decontamination",

@@ -1281,3 +1281,39 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return transition_counts(ev)
+
+
+@register(
+    "event_funnel_windowed",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+    s1 AS (SELECT user_id, MIN(us) AS t1_us FROM e
+           WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (SELECT e.user_id, MIN(us) AS t2_us FROM e JOIN s1 USING (user_id)
+           WHERE event_type = 'click' AND us > t1_us
+             AND us <= t1_us + 86400000000 GROUP BY 1),
+    s3 AS (SELECT e.user_id, MIN(us) AS t3_us FROM e JOIN s2 USING (user_id)
+           WHERE event_type = 'purchase' AND us > t2_us
+             AND us <= t2_us + 86400000000 GROUP BY 1)
+    SELECT s1.user_id,
+           CAST(1 + (CASE WHEN t2_us IS NULL THEN 0 ELSE 1 END)
+                  + (CASE WHEN t3_us IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS steps_completed,
+           t1_us, t2_us, t3_us
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    """,
+    doc="Time-bounded funnel (operators.funnel.funnel_conversion with "
+    "max_step_gap_us=1 day): each step must land within 24 h of the "
+    "previous one — the production funnel semantics ('clicked within "
+    "a day of viewing'); greedy-earliest stays optimal because an "
+    "earlier match only widens every later step's window. Same "
+    "k-type-pruned user-keyed agg plan as the unbounded twin.",
+    survey_refs=("T10", "A4"),
+)
+def event_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.funnel import funnel_conversion
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_conversion(
+        ev, ["view", "click", "purchase"], max_step_gap_us=86_400_000_000
+    )

@@ -95,3 +95,30 @@ def test_rrf_fuse_combines_and_breaks_ties_by_doc(spark):
     assert out[11]["fused_rank"] == 1 and out[10]["fused_rank"] == 2
     # docs 12 and 13 tie in list count; 13 has the better rank
     assert out[13]["fused_rank"] == 3 and out[12]["fused_rank"] == 4
+
+
+def test_windowed_funnel_enforces_per_step_gap(spark):
+    # user 1: click 30 min after view (inside a 1 h window);
+    # user 2: click 2 h after view (outside) -> funnel stalls at 1
+    rows = [
+        (1, 0, "view"), (1, 30, "click"),
+        (2, 0, "view"), (2, 120, "click"),
+    ]
+    out = {r["user_id"]: r for r in funnel_conversion(
+        _ev(spark, rows), ["view", "click"],
+        max_step_gap_us=3_600_000_000).collect()}
+    assert out[1]["steps_completed"] == 2
+    assert out[2]["steps_completed"] == 1 and out[2]["t2_us"] is None
+
+
+def test_windowed_funnel_greedy_earliest_still_optimal(spark):
+    # two views: matching the EARLIER view leaves the click outside
+    # the window, but greedy then catches the click from the later...
+    # no — step 1 is fixed to the earliest view; the click at 90 min
+    # is outside its 1 h window even though a later view is closer.
+    # This pins the documented greedy-from-earliest semantics.
+    rows = [(1, 0, "view"), (1, 50, "view"), (1, 90, "click")]
+    out = funnel_conversion(
+        _ev(spark, rows), ["view", "click"], max_step_gap_us=3_600_000_000
+    ).collect()[0]
+    assert out["steps_completed"] == 1

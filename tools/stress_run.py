@@ -184,3 +184,7 @@ from blockchain_indexer_spark.operators.funnel import cohort_retention, funnel_c
 ev = load_table(spark, SF, "events")
 t("funnel_1M", lambda: funnel_conversion(ev, ["view", "click", "purchase"]).count())
 t("cohort_1M", lambda: cohort_retention(ev).count())
+
+from blockchain_indexer_spark.operators.funnel import time_decayed_scores, transition_counts
+t("decayed_1M", lambda: time_decayed_scores(ev).count())
+t("transitions_1M", lambda: transition_counts(ev).count())
