@@ -132,6 +132,8 @@ BENCH_QUERIES = (
     "corpus_source_distinctive_terms",
     # time-bounded funnel (24 h per-step window)
     "event_funnel_windowed",
+    # ANN index recall monitor (IVF vs exact scan)
+    "embedding_ann_recall",
 )
 
 

@@ -1132,3 +1132,58 @@ def all_pairs_topk_cosine(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "score")
     )
+
+
+def topk_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Per-query recall of an approximate top-k result against the
+    exact one — the index-quality monitor every ANN deployment needs
+    ("measure, don't guess": is IVF's 4-of-16 probe recall still
+    acceptable after the last ingest?). Takes any two ranked frames
+    carrying (query_col, neighbor_col) — IVF/LSH/PQ vs the exact
+    scan, or two index generations against each other.
+
+    Returns (query_col, n_hits, n_exact, recall_nano) per query in
+    the EXACT frame: n_hits = |approx ∩ exact| (a semi-join — rank
+    disagreements don't matter, membership does), n_exact the
+    denominator (== k when the corpus has k true neighbors; smaller
+    on tiny/degenerate corpora, so recall stays honest instead of
+    capped by construction), recall_nano the one floor-quantized
+    IEEE divide. Queries missing entirely from ``approx`` score 0.
+
+    Scale: two retrieval-output-sized frames, one equi-join + one
+    agg on the query key — negligible next to either retrieval.
+    """
+    a = approx.select(
+        F.col(query_col).alias("_q"), F.col(neighbor_col).alias("_n")
+    ).distinct()
+    e = exact.select(
+        F.col(query_col).alias("_q"), F.col(neighbor_col).alias("_n")
+    ).distinct()
+    hits = (
+        e.join(a, ["_q", "_n"], "semi")
+        .groupBy("_q")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    totals = e.groupBy("_q").agg(F.count("*").cast("long").alias("n_exact"))
+    return (
+        totals.join(hits, "_q", "left")
+        .select(
+            F.col("_q").alias(query_col),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            "n_exact",
+            F.floor(
+                F.lit(1_000_000_000.0)
+                * (
+                    F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                    / F.col("n_exact").cast("double")
+                )
+            )
+            .cast("long")
+            .alias("recall_nano"),
+        )
+    )

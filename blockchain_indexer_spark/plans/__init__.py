@@ -89,6 +89,7 @@ PRIORITY = (
     "embedding_label_propagation",
     "corpus_source_distinctive_terms",
     "event_funnel_windowed",
+    "embedding_ann_recall",
     # -- tier B: churn canaries ----------------------------------------
     "ngram_jaccard_near_dups",
     "doc_exact_decontamination",

@@ -3774,3 +3774,109 @@ def corpus_source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFra
 
     d = load_table(spark, sf_dir, "documents")
     return distinctive_terms(d, "source", "text", k=5, min_count=3)
+
+
+@register(
+    "embedding_ann_recall",
+    oracle=f"""
+    WITH {_QV},
+    samp AS (
+      SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS rn
+      FROM vq ORDER BY vec_id LIMIT 256
+    ),
+    cents AS (
+      SELECT CAST(rn // 16 AS INT) AS cell, v,
+             list_sum(list_transform(v, x -> CAST(x * x AS DOUBLE))) AS csq
+      FROM samp WHERE rn % 16 = 0
+    ),
+    assign AS (
+      SELECT vq.vec_id, c.cell,
+             c.csq - 2 * list_sum(list_transform(range(1, len(vq.v) + 1),
+                                                 i -> CAST(vq.v[i] * c.v[i] AS DOUBLE))) AS d
+      FROM vq CROSS JOIN cents c
+    ),
+    corpus_cell AS (
+      SELECT vec_id, cell
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM assign)
+      WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cell
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM assign WHERE vec_id % 50 = 0)
+      WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT p.query_id, cc.vec_id AS neighbor_id
+      FROM probes p JOIN corpus_cell cc ON p.cell = cc.cell
+      WHERE p.query_id != cc.vec_id
+    ),
+    ivf_scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+                                          i -> CAST(a.v[i] * b.v[i] AS DOUBLE))) AS DOUBLE) AS score
+      FROM cand
+      JOIN vq a ON a.vec_id = cand.query_id
+      JOIN vq b ON b.vec_id = cand.neighbor_id
+    ),
+    ivf AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, neighbor_id) AS rn
+            FROM ivf_scored)
+      WHERE rn <= 5
+    ),
+    ex_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+                                          i -> CAST(q.v[i] * c.v[i] AS DOUBLE))) AS DOUBLE) AS score
+      FROM vq q JOIN vq c ON q.vec_id != c.vec_id
+      WHERE q.vec_id % 50 = 0
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, neighbor_id) AS rn
+            FROM ex_scored)
+      WHERE rn <= 5
+    ),
+    hits AS (
+      SELECT e.query_id, CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hits
+      FROM exact e LEFT JOIN ivf i
+        ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+      GROUP BY 1
+    ),
+    totals AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM exact GROUP BY 1
+    )
+    SELECT t.query_id, COALESCE(h.n_hits, 0) AS n_hits, t.n_exact,
+           CAST(floor(1e9 * (CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+                             / CAST(t.n_exact AS DOUBLE))) AS BIGINT) AS recall_nano
+    FROM totals t LEFT JOIN hits h USING (query_id)
+    """,
+    doc="ANN index-quality monitor (operators.similarity.topk_recall): "
+    "per-query recall@5 of the IVF index (4-of-16 probes, the "
+    "embedding_ivf_topk configuration) against the exact "
+    "quantized-dot scan — 'measure, don't guess' for the index "
+    "itself, re-runnable after every ingest. Membership semi-join "
+    "over two retrieval-output-sized frames; denominator is the true "
+    "exact-neighbor count so recall is honest on degenerate corpora; "
+    "one floor-quantized IEEE divide.",
+    survey_refs=("LLM-sim",),
+)
+def embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        topk_recall,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    approx = ivf_topk(
+        emb, queries, "vec_id", "embedding", k=5, n_cells=16, n_probe=4, iters=0
+    )
+    exact = brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+    return topk_recall(approx, exact)

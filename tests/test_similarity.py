@@ -195,3 +195,24 @@ def test_knn_label_probe_drops_zero_norm_probes(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
     got = knn_label_probe(emb, "vec_id", "embedding", "label", k=1, stride=1).collect()
     assert sorted(r["query_id"] for r in got) == [1, 2]
+
+
+def test_topk_recall_membership_semantics(spark):
+    from blockchain_indexer_spark.operators.similarity import topk_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (1, 13), (2, 20), (2, 21)],
+        "query_id long, neighbor_id long",
+    )
+    # query 1: approx finds 3 of 4 (rank order irrelevant), plus a
+    # spurious neighbor that must not count; query 2: total miss;
+    # query 3 exists only in approx -> absent from output
+    approx = spark.createDataFrame(
+        [(1, 12), (1, 10), (1, 11), (1, 99), (2, 98), (3, 30)],
+        "query_id long, neighbor_id long",
+    )
+    out = {r["query_id"]: r for r in topk_recall(approx, exact).collect()}
+    assert set(out) == {1, 2}
+    assert (out[1]["n_hits"], out[1]["n_exact"]) == (3, 4)
+    assert out[1]["recall_nano"] == 750_000_000
+    assert (out[2]["n_hits"], out[2]["recall_nano"]) == (0, 0)
