@@ -77,6 +77,9 @@ NEW_GATES_R4 = (
     "event_decayed_engagement",
     "event_type_transitions",
     "embedding_label_propagation",
+    "corpus_source_distinctive_terms",
+    "event_funnel_windowed",
+    "embedding_ann_recall",
 )
 
 
