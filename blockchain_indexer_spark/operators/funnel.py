@@ -198,7 +198,14 @@ def time_decayed_scores(
                 F.lit(0).cast("long").alias("decayed_micro"),
             ).limit(0)
     period_us = half_life_days * _US_PER_DAY
-    e = e.withColumn("_age", F.expr(f"({int(as_of_us)} - _us) div {period_us}"))
+    # clamp at 0: with an explicit as_of_us older than some events,
+    # a negative age would reach shiftleft as a negative bit count
+    # (Java shifts by count mod 64 — silently wrong); events after
+    # the as-of instant count at full weight instead
+    e = e.withColumn(
+        "_age",
+        F.greatest(F.expr(f"({int(as_of_us)} - _us) div {period_us}"), F.lit(0)),
+    )
     # shiftleft's DataFrame API takes a literal bit count; the SQL form
     # accepts an expression
     decay = F.when(

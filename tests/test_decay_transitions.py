@@ -71,3 +71,15 @@ def test_transition_counts_and_row_normalization(spark):
     assert out[("view", "click")]["prob_nano"] == 666_666_666
     assert out[("view", "view")]["prob_nano"] == 333_333_333
     assert out[("click", "view")]["prob_nano"] == 1_000_000_000
+
+
+def test_decay_explicit_past_as_of_clamps_future_events_to_full_weight(spark):
+    import datetime as dt
+
+    rows = [(1, 0, "view", 4.0), (1, 10 * DAY_MIN, "view", 4.0)]
+    as_of = int((T0 + dt.timedelta(minutes=5)).timestamp() * 1_000_000)
+    out = time_decayed_scores(
+        _ev(spark, rows), half_life_days=7, as_of_us=as_of
+    ).collect()[0]
+    # both events at age 0 (the later one clamped) -> full weight each
+    assert out["decayed_micro"] == 8_000_000
