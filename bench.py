@@ -134,6 +134,9 @@ BENCH_QUERIES = (
     "event_funnel_windowed",
     # ANN index recall monitor (IVF vs exact scan)
     "embedding_ann_recall",
+    # volume-trend OLS + CUSUM change-point monitors
+    "event_volume_trend",
+    "event_cusum_changepoint",
 )
 
 

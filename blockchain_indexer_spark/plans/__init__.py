@@ -90,6 +90,8 @@ PRIORITY = (
     "corpus_source_distinctive_terms",
     "event_funnel_windowed",
     "embedding_ann_recall",
+    "event_volume_trend",
+    "event_cusum_changepoint",
     # -- tier B: churn canaries ----------------------------------------
     "ngram_jaccard_near_dups",
     "doc_exact_decontamination",

@@ -1317,3 +1317,100 @@ def event_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_conversion(
         ev, ["view", "click", "purchase"], max_step_gap_us=86_400_000_000
     )
+
+
+@register(
+    "event_volume_trend",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    xd AS (
+      SELECT event_type, y,
+             CAST(day - MIN(day) OVER (PARTITION BY event_type) AS BIGINT) AS x
+      FROM d
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM xd GROUP BY 1
+    )
+    SELECT event_type, n AS n_days, sy AS total,
+           CAST(floor(1e9 * (CAST(n * sxy - sx * sy AS DOUBLE)
+                             / CAST(n * sxx - sx * sx AS DOUBLE)))
+                AS BIGINT) AS slope_nano,
+           CAST(floor(1e9 * (CAST(sy * sxx - sx * sxy AS DOUBLE)
+                             / CAST(n * sxx - sx * sx AS DOUBLE)))
+                AS BIGINT) AS intercept_nano
+    FROM s WHERE n * sxx - sx * sx > 0
+    """,
+    doc="Exact per-type OLS trend of daily event volume (operators."
+    "trend.group_trend): closed-form least squares from exact BIGINT "
+    "sufficient statistics (x = day offset from the group's first "
+    "day, keeping products small), slope and intercept each ONE "
+    "floor-quantized IEEE divide. A (group, day) count agg bounded "
+    "by |groups| x |days| — the 'is volume drifting' monitor.",
+    survey_refs=("A4", "W1"),
+)
+def event_volume_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.trend import group_trend
+
+    ev = load_table(spark, sf_dir, "events")
+    return group_trend(ev, "event_type")
+
+
+@register(
+    "event_cusum_changepoint",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, day, y,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nd,
+             CAST(SUM(y) OVER (PARTITION BY event_type) AS BIGINT) AS tot,
+             CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT)
+               AS cum,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+                  AS BIGINT) AS rk
+      FROM d
+    ),
+    s AS (
+      SELECT event_type, day, nd, tot,
+             nd * cum - rk * tot AS sc
+      FROM c WHERE nd >= 2
+    )
+    SELECT event_type, CAST(nd AS BIGINT) AS n_days, CAST(tot AS BIGINT) AS total,
+           CAST(day AS BIGINT) AS change_day, CAST(sc AS BIGINT) AS cusum_scaled,
+           CAST(floor(1e9 * (CAST(abs(sc) AS DOUBLE)
+                             / CAST(nd * tot AS DOUBLE))) AS BIGINT) AS cusum_nano
+    FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY abs(sc) DESC, day) AS b
+          FROM s)
+    WHERE b = 1
+    """,
+    doc="CUSUM change-point per event type (operators.trend."
+    "cusum_changepoint): the observed day where cumulative deviation "
+    "of daily counts from the group mean peaks — the 'WHEN did "
+    "volume shift' monitor. The statistic is kept INTEGER "
+    "(n_days*cum - rank*total = n_days*S_d) so the argmax needs no "
+    "float; ties to the earliest day; one floor-quantized divide "
+    "normalizes the reported magnitude. Post-agg windows over a "
+    "|groups| x |days| frame.",
+    survey_refs=("A4", "W2"),
+)
+def event_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.trend import cusum_changepoint
+
+    ev = load_table(spark, sf_dir, "events")
+    return cusum_changepoint(ev, "event_type")

@@ -80,6 +80,8 @@ NEW_GATES_R4 = (
     "corpus_source_distinctive_terms",
     "event_funnel_windowed",
     "embedding_ann_recall",
+    "event_volume_trend",
+    "event_cusum_changepoint",
 )
 
 
