@@ -137,6 +137,8 @@ BENCH_QUERIES = (
     # volume-trend OLS + CUSUM change-point monitors
     "event_volume_trend",
     "event_cusum_changepoint",
+    # last-touch + linear multi-touch conversion attribution
+    "event_conversion_attribution",
 )
 
 

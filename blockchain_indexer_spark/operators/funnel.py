@@ -36,7 +36,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _US_PER_DAY = 86_400_000_000
@@ -282,4 +282,92 @@ def transition_counts(
         )
         .cast("long")
         .alias("prob_nano"),
+    )
+
+
+def conversion_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: Sequence[str] = ("view", "click"),
+    window_us: int = _US_PER_DAY,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Marketing-style conversion attribution: for every conversion
+    event, every touch event by the same user STRICTLY BEFORE it and
+    within the lookback window, with both standard credit models in
+    one frame:
+
+    - ``is_last_touch`` — the single most recent touch (ties inside
+      one microsecond break to the larger touch id — total order, so
+      the winner is engine-reproducible, unlike an unordered as-of
+      tie);
+    - ``credit_ppm = 1_000_000 div n_touches`` — linear multi-touch
+      credit, integer-divided so credits are exact and order-free
+      (a conversion's credits sum to <= 1e6 with the remainder
+      dropped, the documented floor semantics).
+
+    Returns (conversion_id, user_col, conv_us, touch_id, touch_type,
+    touch_us, gap_us, n_touches, is_last_touch, credit_ppm).
+    Conversions with NO touch in window emit nothing (count them via
+    an anti-join on conversion_id downstream).
+
+    Scale: the candidate join is the bucketed point-in-interval range
+    join (operators.range_join — window-sized buckets, span <= 2, so
+    each touch replicates O(1) times); ranking and counting run per
+    conversion over lookback-bounded frames.
+    """
+    from blockchain_indexer_spark.operators.range_join import interval_point_join
+
+    conv = (
+        events.filter(F.col(type_col) == conversion_type)
+        .select(
+            F.col(id_col).alias("conversion_id"),
+            F.col(user_col).alias("_cu"),
+            F.unix_micros(F.col(ts_col)).alias("conv_us"),
+        )
+        .filter(F.col("_cu").isNotNull() & F.col("conv_us").isNotNull())
+        .withColumn("_w_start", F.col("conv_us") - F.lit(int(window_us)))
+        .withColumn("_w_end", F.col("conv_us") - F.lit(1))
+    )
+    touch = (
+        events.filter(F.col(type_col).isin(list(touch_types)))
+        .select(
+            F.col(id_col).alias("touch_id"),
+            F.col(user_col).alias("_cu"),
+            F.col(type_col).alias("touch_type"),
+            F.unix_micros(F.col(ts_col)).alias("touch_us"),
+        )
+        .filter(F.col("_cu").isNotNull() & F.col("touch_us").isNotNull())
+    )
+    cand = interval_point_join(
+        touch,
+        conv,
+        point_col="touch_us",
+        start_col="_w_start",
+        end_col="_w_end",
+        bucket_width=int(window_us),
+        on="_cu",
+    )
+    w_rank = Window.partitionBy("conversion_id").orderBy(
+        F.desc("touch_us"), F.desc("touch_id")
+    )
+    w_all = Window.partitionBy("conversion_id")
+    return (
+        cand.withColumn("n_touches", F.count("*").over(w_all).cast("long"))
+        .withColumn("_rk", F.row_number().over(w_rank))
+        .select(
+            "conversion_id",
+            F.col("_cu").alias(user_col),
+            "conv_us",
+            "touch_id",
+            "touch_type",
+            "touch_us",
+            (F.col("conv_us") - F.col("touch_us")).cast("long").alias("gap_us"),
+            "n_touches",
+            (F.col("_rk") == 1).alias("is_last_touch"),
+            F.expr("1000000 div n_touches").cast("long").alias("credit_ppm"),
+        )
     )

@@ -92,6 +92,7 @@ PRIORITY = (
     "embedding_ann_recall",
     "event_volume_trend",
     "event_cusum_changepoint",
+    "event_conversion_attribution",
     # -- tier B: churn canaries ----------------------------------------
     "ngram_jaccard_near_dups",
     "doc_exact_decontamination",

@@ -1414,3 +1414,55 @@ def event_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return cusum_changepoint(ev, "event_type")
+
+
+@register(
+    "event_conversion_attribution",
+    oracle="""
+    WITH conv AS (
+      SELECT event_id AS conversion_id, user_id, epoch_us(ts) AS conv_us
+      FROM events WHERE event_type = 'purchase'
+        AND user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    touch AS (
+      SELECT event_id AS touch_id, user_id, event_type AS touch_type,
+             epoch_us(ts) AS touch_us
+      FROM events WHERE event_type IN ('view', 'click')
+        AND user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    cand AS (
+      SELECT c.conversion_id, c.user_id, c.conv_us,
+             t.touch_id, t.touch_type, t.touch_us
+      FROM conv c JOIN touch t ON c.user_id = t.user_id
+        AND t.touch_us >= c.conv_us - 86400000000
+        AND t.touch_us <= c.conv_us - 1
+    )
+    SELECT conversion_id, user_id, conv_us, touch_id, touch_type, touch_us,
+           CAST(conv_us - touch_us AS BIGINT) AS gap_us,
+           CAST(COUNT(*) OVER (PARTITION BY conversion_id) AS BIGINT)
+             AS n_touches,
+           row_number() OVER (PARTITION BY conversion_id
+                              ORDER BY touch_us DESC, touch_id DESC) = 1
+             AS is_last_touch,
+           CAST(1000000 // COUNT(*) OVER (PARTITION BY conversion_id)
+                AS BIGINT) AS credit_ppm
+    FROM cand
+    """,
+    doc="Conversion attribution (operators.funnel."
+    "conversion_attribution): every (purchase, preceding touch) pair "
+    "within a 24 h lookback, carrying BOTH standard credit models — "
+    "last-touch (most recent touch, microsecond ties to the larger "
+    "touch id: total order, engine-reproducible) and linear "
+    "multi-touch (1e6 div n_touches, exact integer credits). The "
+    "candidate join is the bucketed point-in-interval range join "
+    "(window-sized buckets, span <= 2, O(1) replication per touch); "
+    "ranking runs per conversion over lookback-bounded frames.",
+    survey_refs=("T10", "J5", "W1"),
+)
+def event_conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.funnel import conversion_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    return conversion_attribution(
+        ev, "purchase", ("view", "click"), window_us=86_400_000_000
+    )

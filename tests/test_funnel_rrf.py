@@ -122,3 +122,31 @@ def test_windowed_funnel_greedy_earliest_still_optimal(spark):
         _ev(spark, rows), ["view", "click"], max_step_gap_us=3_600_000_000
     ).collect()[0]
     assert out["steps_completed"] == 1
+
+
+def test_conversion_attribution_last_touch_and_linear_credit(spark):
+    import datetime as dt
+
+    from blockchain_indexer_spark.operators.funnel import conversion_attribution
+
+    rows = [
+        # user 1: view@0, click@40, purchase@60; view@-2000 outside 1 h
+        (0, 1, -2000, "view"), (1, 1, 0, "view"), (2, 1, 40, "click"),
+        (3, 1, 60, "purchase"),
+        # user 2: purchase with no touches -> no rows
+        (4, 2, 0, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u, T0 + dt.timedelta(minutes=m), t) for i, u, m, t in rows],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    out = conversion_attribution(
+        df, "purchase", ("view", "click"), window_us=3_600_000_000
+    ).collect()
+    assert {r["conversion_id"] for r in out} == {3}
+    by_touch = {r["touch_id"]: r for r in out}
+    assert set(by_touch) == {1, 2}  # the -2000 view is outside the window
+    assert by_touch[2]["is_last_touch"] is True  # click@40 most recent
+    assert by_touch[1]["is_last_touch"] is False
+    assert all(r["n_touches"] == 2 and r["credit_ppm"] == 500_000 for r in out)
+    assert by_touch[2]["gap_us"] == 20 * 60 * 1_000_000

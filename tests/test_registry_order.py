@@ -82,6 +82,7 @@ NEW_GATES_R4 = (
     "embedding_ann_recall",
     "event_volume_trend",
     "event_cusum_changepoint",
+    "event_conversion_attribution",
 )
 
 
