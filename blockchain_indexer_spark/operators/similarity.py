@@ -1108,20 +1108,39 @@ def all_pairs_topk_cosine(
                 s = dots / np.sqrt(nq[:, None] * nc[None, :])
                 s[qi[:, None] == ci[None, :]] = -np.inf  # self-pairs out
                 kk = min(k, s.shape[1])
-                for row in range(s.shape[0]):
-                    sr = s[row]
-                    # total order (score desc, neighbor_id asc):
-                    # lexsort's LAST key is primary
-                    order = np.lexsort((ci, -sr))[:kk]
-                    keep = order[np.isfinite(sr[order])]
-                    out_q.extend([int(qi[row])] * len(keep))
-                    out_n.extend(int(ci[j]) for j in keep)
-                    out_s.extend(float(sr[j]) for j in keep)
+                # EXACT top-k without a full-row sort (a per-row
+                # O(nc log nc) argsort dominated the 100k stress run
+                # ~10:1 over the matmul): argpartition gives the k-th
+                # score value, the >= threshold mask keeps every
+                # boundary TIE (argpartition alone splits ties
+                # arbitrarily), and ONE flattened lexsort orders the
+                # ~n·k survivors by (row, score desc, id asc).
+                part = np.argpartition(-s, kk - 1, axis=1)[:, :kk]
+                thresh = np.take_along_axis(s, part, 1).min(axis=1)
+                rows, cols = np.nonzero(s >= thresh[:, None])
+                sc = s[rows, cols]
+                ids = ci[cols]
+                order = np.lexsort((ids, -sc, rows))
+                rows, sc, ids = rows[order], sc[order], ids[order]
+                boundary = np.r_[True, rows[1:] != rows[:-1]]
+                starts = np.maximum.accumulate(
+                    np.where(boundary, np.arange(len(rows)), 0)
+                )
+                keep = (np.arange(len(rows)) - starts < kk) & np.isfinite(sc)
+                out_q.append(qi[rows[keep]])
+                out_n.append(ids[keep])
+                out_s.append(sc[keep])
             yield pd.DataFrame(
                 {
-                    "query_id": pd.Series(out_q, dtype="int64"),
-                    "neighbor_id": pd.Series(out_n, dtype="int64"),
-                    "score": pd.Series(out_s, dtype="float64"),
+                    "query_id": pd.Series(
+                        np.concatenate(out_q) if out_q else [], dtype="int64"
+                    ),
+                    "neighbor_id": pd.Series(
+                        np.concatenate(out_n) if out_n else [], dtype="int64"
+                    ),
+                    "score": pd.Series(
+                        np.concatenate(out_s) if out_s else [], dtype="float64"
+                    ),
                 }
             )
 

@@ -188,3 +188,20 @@ t("cohort_1M", lambda: cohort_retention(ev).count())
 from blockchain_indexer_spark.operators.funnel import time_decayed_scores, transition_counts
 t("decayed_1M", lambda: time_decayed_scores(ev).count())
 t("transitions_1M", lambda: transition_counts(ev).count())
+
+from blockchain_indexer_spark.operators.drift import distinctive_terms
+t("distinctive_terms_100k", lambda: distinctive_terms(docs, "source", "text").count())
+from blockchain_indexer_spark.operators.funnel import conversion_attribution
+t("attribution_1M", lambda: conversion_attribution(ev).count())
+from blockchain_indexer_spark.operators.trend import cusum_changepoint, group_trend
+t("volume_trend_1M", lambda: group_trend(ev).count())
+t("cusum_1M", lambda: cusum_changepoint(ev).count())
+t("funnel_windowed_1M", lambda: funnel_conversion(
+    ev, ["view", "click", "purchase"], max_step_gap_us=86_400_000_000).count())
+from blockchain_indexer_spark.operators.cluster import label_propagation
+from blockchain_indexer_spark.operators.similarity import mutual_knn_graph
+def _lp():
+    g = mutual_knn_graph(emb, "vec_id", "embedding", k=5)
+    seeds = emb.filter(F.col("vec_id") % 5 == 0).select("vec_id", "label")
+    return label_propagation(g, seeds, id_col="vec_id", label_col="label", iters=2).count()
+t("label_prop_100k_mutual5nn", _lp)
