@@ -95,6 +95,8 @@ BENCH_QUERIES = (
     "mm_real_gif",
     # real compressed decode #3: baseline JPEG entropy layer + IDCT
     "mm_real_jpeg",
+    # color sibling: interleaved 4:4:4 YCbCr + JFIF color transform
+    "mm_real_jpeg_color",
     # distributed classifier training (2-epoch batch perceptron)
     "corpus_perceptron_weights",
     # shuffle-free within-doc repeated-paragraph dedup

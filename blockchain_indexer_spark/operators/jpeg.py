@@ -244,25 +244,74 @@ def _magnitude_bits(v: int, size: int) -> int:
 # ---------------------------------------------------------------- encoder
 
 
-def encode_jpeg_gray(
-    blocks: np.ndarray,
+def _encode_block(
+    bw: BitWriter,
+    zz: np.ndarray,
+    pred: int,
+    dc_enc: dict[int, tuple[int, int]],
+    ac_enc: dict[int, tuple[int, int]],
+) -> int:
+    """Entropy-code one zigzagged quantized block; returns the new DC
+    predictor."""
+    diff = int(zz[0]) - pred
+    size = _category(diff)
+    ln, code = dc_enc[size]
+    bw.write(code, ln)
+    if size:
+        bw.write(_magnitude_bits(diff, size), size)
+    # AC: run-length of zeros, then (run, size) symbol + bits
+    k = 1
+    while k < 64:
+        run = 0
+        while k < 64 and zz[k] == 0:
+            run += 1
+            k += 1
+        if k == 64:
+            ln, code = ac_enc[0x00]  # EOB
+            bw.write(code, ln)
+            break
+        while run >= 16:
+            ln, code = ac_enc[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        v = int(zz[k])
+        size = _category(v)
+        sym = (run << 4) | size
+        if sym not in ac_enc:
+            raise ValueError(f"AC symbol {sym:#x} not in fixture table")
+        ln, code = ac_enc[sym]
+        bw.write(code, ln)
+        bw.write(_magnitude_bits(v, size), size)
+        k += 1
+    return int(zz[0])
+
+
+def encode_jpeg(
+    components: list[np.ndarray],
     restart_interval: int = 0,
     quant: np.ndarray | None = None,
 ) -> bytes:
-    """Encode a grayscale image given as an array of spatial 8x8
-    blocks, shape (nby, nbx, 8, 8) uint8 — a REAL baseline stream:
-    FDCT + quantize + zigzag + DC-diff/AC-run Huffman coding with the
-    module tables, optional restart markers, planted APP0 + COM
-    segments. The AC symbols used must exist in AC_VALS (the fixture
-    path emits solid blocks -> EOB only)."""
-    nby, nbx = blocks.shape[:2]
+    """Encode a baseline stream from 1 (grayscale) or 3 (YCbCr,
+    4:4:4) component arrays, each of spatial 8x8 blocks shaped
+    (nby, nbx, 8, 8) uint8 with identical dims: FDCT + quantize +
+    zigzag + DC-diff/AC-run Huffman coding with the module tables,
+    INTERLEAVED MCUs (one block per component, per-component DC
+    predictors), optional restart markers (all predictors reset),
+    planted APP0 + COM segments. The AC symbols used must exist in
+    AC_VALS (the fixture path emits solid blocks -> EOB only)."""
+    nf = len(components)
+    if nf not in (1, 3):
+        raise ValueError("1 (gray) or 3 (YCbCr 4:4:4) components")
+    nby, nbx = components[0].shape[:2]
+    if any(c.shape != components[0].shape for c in components):
+        raise ValueError("all components must share block dims (4:4:4)")
     h, w = nby * 8, nbx * 8
     qt = np.ones((8, 8), dtype=np.int64) if quant is None else quant.astype(np.int64)
     dc_enc = _encode_table(DC_BITS, DC_VALS)
     ac_enc = _encode_table(AC_BITS, AC_VALS)
 
     bw = BitWriter()
-    pred = 0
+    preds = [0] * nf
     mcu = 0
     rst = 0
     for by in range(nby):
@@ -270,42 +319,13 @@ def encode_jpeg_gray(
             if restart_interval and mcu and mcu % restart_interval == 0:
                 bw.raw_marker(0xD0 + rst)
                 rst = (rst + 1) % 8
-                pred = 0
-            spatial = blocks[by, bx].astype(np.float64) - 128.0
-            coefs = _A @ spatial @ _A.T  # forward DCT (orthonormal)
-            q = np.round(coefs / qt).astype(np.int64)
-            zz = q.reshape(64)[ZIGZAG]
-            diff = int(zz[0]) - pred
-            pred = int(zz[0])
-            size = _category(diff)
-            ln, code = dc_enc[size]
-            bw.write(code, ln)
-            if size:
-                bw.write(_magnitude_bits(diff, size), size)
-            # AC: run-length of zeros, then (run, size) symbol + bits
-            k = 1
-            while k < 64:
-                run = 0
-                while k < 64 and zz[k] == 0:
-                    run += 1
-                    k += 1
-                if k == 64:
-                    ln, code = ac_enc[0x00]  # EOB
-                    bw.write(code, ln)
-                    break
-                while run >= 16:
-                    ln, code = ac_enc[0xF0]  # ZRL
-                    bw.write(code, ln)
-                    run -= 16
-                v = int(zz[k])
-                size = _category(v)
-                sym = (run << 4) | size
-                if sym not in ac_enc:
-                    raise ValueError(f"AC symbol {sym:#x} not in fixture table")
-                ln, code = ac_enc[sym]
-                bw.write(code, ln)
-                bw.write(_magnitude_bits(v, size), size)
-                k += 1
+                preds = [0] * nf
+            for ci, comp in enumerate(components):
+                spatial = comp[by, bx].astype(np.float64) - 128.0
+                coefs = _A @ spatial @ _A.T  # forward DCT (orthonormal)
+                q = np.round(coefs / qt).astype(np.int64)
+                zz = q.reshape(64)[ZIGZAG]
+                preds[ci] = _encode_block(bw, zz, preds[ci], dc_enc, ac_enc)
             mcu += 1
     bw.pad_align()
 
@@ -313,13 +333,22 @@ def encode_jpeg_gray(
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
     dqt = seg(0xDB, b"\x00" + bytes(int(qt.reshape(64)[ZIGZAG][i]) for i in range(64)))
-    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes((1, 0x11, 0)))
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, nf)
+        + b"".join(bytes((cid + 1, 0x11, 0)) for cid in range(nf)),
+    )
     dht = seg(
         0xC4,
         b"\x00" + bytes(DC_BITS) + bytes(DC_VALS)
         + b"\x10" + bytes(AC_BITS) + bytes(AC_VALS),
     )
-    sos = seg(0xDA, bytes((1, 1, 0x00)) + bytes((0, 63, 0)))
+    sos = seg(
+        0xDA,
+        bytes((nf,))
+        + b"".join(bytes((cid + 1, 0x00)) for cid in range(nf))
+        + bytes((0, 63, 0)),
+    )
     parts = [
         b"\xff\xd8",  # SOI
         seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
@@ -334,15 +363,31 @@ def encode_jpeg_gray(
     return b"".join(parts)
 
 
+def encode_jpeg_gray(
+    blocks: np.ndarray,
+    restart_interval: int = 0,
+    quant: np.ndarray | None = None,
+) -> bytes:
+    """Single-component convenience wrapper over ``encode_jpeg``."""
+    return encode_jpeg([blocks], restart_interval, quant)
+
+
 # ---------------------------------------------------------------- decoder
 
 
-def decode_jpeg_gray(buf: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode a baseline sequential GRAYSCALE JPEG.
+def decode_jpeg(buf: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode a baseline sequential JPEG: GRAYSCALE or 4:4:4 YCbCr
+    color (one 8x8 block per component per MCU, interleaved,
+    per-component DC predictors).
 
-    Returns (width, height, uint8 array of shape (height, width)).
-    Raises NotImplementedError for color scans / progressive frames
-    (PIL seam) and ValueError for malformed streams.
+    Returns (width, height, n_channels, pixels): shape (h, w) uint8
+    for grayscale, (h, w, 3) uint8 RGB for color. The YCbCr -> RGB
+    transform is the JFIF matrix evaluated in float64 on the decoded
+    integer planes with floor(x + 0.5) rounding — a closed-form
+    expression a SQL oracle mirrors exactly (np.round's half-to-even
+    vs SQL round's half-away would diverge on exact .5). Subsampled
+    (non-1x1) and progressive streams raise NotImplementedError (the
+    PIL seam); malformed streams raise ValueError.
     """
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -350,9 +395,10 @@ def decode_jpeg_gray(buf: bytes) -> tuple[int, int, np.ndarray]:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     w = h = 0
-    comp_qt = 0
+    frame_comps: list[tuple[int, int]] = []  # (component id, quant id)
+    scan_tabs: dict[int, tuple[int, int]] = {}  # comp id -> (dc, ac)
+    scan_order: list[int] = []
     restart_interval = 0
-    scan_dc_id = scan_ac_id = 0
 
     while pos < len(buf):
         if buf[pos] != 0xFF:
@@ -395,35 +441,53 @@ def decode_jpeg_gray(buf: bytes) -> tuple[int, int, np.ndarray]:
             precision, h, w, nf = struct.unpack(">BHHB", body[:6])
             if precision != 8:
                 raise NotImplementedError("only 8-bit precision supported")
-            if nf != 1:
+            if nf not in (1, 3):
                 raise NotImplementedError(
-                    "color JPEG not supported in-repo (PIL seam)"
+                    f"{nf}-component JPEG not supported in-repo (PIL seam)"
                 )
-            comp_qt = body[8]
+            if len(body) < 6 + 3 * nf:
+                raise ValueError("truncated SOF0 component list")
+            for ci in range(nf):
+                cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if sampling != 0x11:
+                    raise NotImplementedError(
+                        "subsampled (non-4:4:4) JPEG not supported "
+                        "in-repo (PIL seam)"
+                    )
+                frame_comps.append((cid, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError("non-baseline JPEG frame (PIL seam)")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
             ns = body[0]
-            if ns != 1:
-                raise NotImplementedError("multi-component scan (PIL seam)")
-            scan_dc_id, scan_ac_id = body[2] >> 4, body[2] & 0x0F
+            if ns != len(frame_comps):
+                raise NotImplementedError(
+                    "partial-component scan (PIL seam)"
+                )
+            frame_ids = {cid for cid, _ in frame_comps}
+            for ci in range(ns):
+                cid = body[1 + 2 * ci]
+                tt = body[2 + 2 * ci]
+                if cid not in frame_ids:
+                    raise ValueError(f"SOS references unknown component {cid}")
+                scan_tabs[cid] = (tt >> 4, tt & 0x0F)
+                scan_order.append(cid)
             break
         # APPn / COM / others: skipped
     else:
         raise ValueError("no SOS marker")
 
-    if not h or not w:
+    if not h or not w or not frame_comps:
         raise ValueError("SOS before SOF0")
-    qt = qtables[comp_qt]
-    dc_tab = htables[(0, scan_dc_id)]
-    ac_tab = htables[(1, scan_ac_id)]
+    comp_qt = {cid: qtables[tq] for cid, tq in frame_comps}
 
     nbx, nby = (w + 7) // 8, (h + 7) // 8
-    pixels = np.zeros((nby * 8, nbx * 8), dtype=np.uint8)
+    planes = {
+        cid: np.zeros((nby * 8, nbx * 8), dtype=np.uint8) for cid, _ in frame_comps
+    }
     br = BitReader(buf, pos)
-    pred = 0
+    preds = {cid: 0 for cid in scan_order}
     expected_rst = 0
     mcu = 0
     for by in range(nby):
@@ -433,34 +497,64 @@ def decode_jpeg_gray(buf: bytes) -> tuple[int, int, np.ndarray]:
                 if got != expected_rst:
                     raise ValueError("restart marker out of sequence")
                 expected_rst = (expected_rst + 1) % 8
-                pred = 0
-            zz = np.zeros(64, dtype=np.int64)
-            size = br.decode_symbol(dc_tab)
-            diff = _extend(br.read_bits(size), size) if size else 0
-            pred += diff
-            zz[0] = pred
-            k = 1
-            while k < 64:
-                rs = br.decode_symbol(ac_tab)
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += rs >> 4
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                s = rs & 0x0F
-                zz[k] = _extend(br.read_bits(s), s)
-                k += 1
-            coefs = np.zeros(64, dtype=np.int64)
-            coefs[ZIGZAG] = zz
-            spatial = idct_block(coefs.reshape(8, 8) * qt) + 128.0
-            pixels[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                np.round(spatial), 0, 255
-            ).astype(np.uint8)
+                preds = {cid: 0 for cid in scan_order}
+            for cid in scan_order:
+                dc_tab = htables[(0, scan_tabs[cid][0])]
+                ac_tab = htables[(1, scan_tabs[cid][1])]
+                zz = np.zeros(64, dtype=np.int64)
+                size = br.decode_symbol(dc_tab)
+                diff = _extend(br.read_bits(size), size) if size else 0
+                preds[cid] += diff
+                zz[0] = preds[cid]
+                k = 1
+                while k < 64:
+                    rs = br.decode_symbol(ac_tab)
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    if k > 63:
+                        raise ValueError("AC run past block end")
+                    sz = rs & 0x0F
+                    zz[k] = _extend(br.read_bits(sz), sz)
+                    k += 1
+                coefs = np.zeros(64, dtype=np.int64)
+                coefs[ZIGZAG] = zz
+                spatial = idct_block(coefs.reshape(8, 8) * comp_qt[cid]) + 128.0
+                planes[cid][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    np.round(spatial), 0, 255
+                ).astype(np.uint8)
             mcu += 1
-    return w, h, pixels[:h, :w]
+    cropped = [planes[cid][:h, :w] for cid, _ in frame_comps]
+    if len(cropped) == 1:
+        return w, h, 1, cropped[0]
+    # JFIF YCbCr -> RGB on the integer planes, floor(x+0.5) rounding
+    # (mirrorable in SQL; np.round half-to-even is not)
+    y = cropped[0].astype(np.float64)
+    cb = cropped[1].astype(np.float64) - 128.0
+    cr = cropped[2].astype(np.float64) - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    rgb = np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+    return w, h, 3, rgb
+
+
+def decode_jpeg_gray(buf: bytes) -> tuple[int, int, np.ndarray]:
+    """Grayscale-only convenience wrapper over ``decode_jpeg``; a
+    color stream raises NotImplementedError (callers wanting color
+    use decode_jpeg directly)."""
+    w, h, nch, px = decode_jpeg(buf)
+    if nch != 1:
+        raise NotImplementedError("color stream: use decode_jpeg")
+    return w, h, px
 
 
 # --------------------------------------------------------------- fixtures
@@ -485,3 +579,31 @@ def synth_jpeg_blob(doc_id: int) -> bytes:
         v[:, :, None, None].astype(np.uint8), (nby, nbx, 8, 8)
     )
     return encode_jpeg_gray(np.ascontiguousarray(blocks), restart_interval=3)
+
+def synth_jpeg_color_blob(doc_id: int) -> bytes:
+    """The fixture stream for mm_real_jpeg_color: a genuine baseline
+    4:4:4 YCbCr stream with solid 8x8 blocks closed-form in
+    (doc_id, bx, by) —
+
+        width = 8*(1 + id%3), height = 8*(1 + id%2)
+        Y(bx, by)  = (5*id + 11*bx + 3*by) % 256
+        Cb(bx, by) = (3*id + 7*bx + 5*by) % 256
+        Cr(bx, by) = (2*id + 5*bx + 7*by) % 256
+
+    so a DuckDB oracle reproduces the decoded RGB per block with the
+    same JFIF matrix + floor(x+0.5) + clip arithmetic, while the
+    decoder exercises the full interleaved color path: three blocks
+    per MCU, per-component DC predictors, restart every 2 MCUs
+    resetting all three, and the color transform."""
+    nbx, nby = 1 + doc_id % 3, 1 + doc_id % 2
+    bx = np.arange(nbx, dtype=np.int64)[None, :]
+    by = np.arange(nby, dtype=np.int64)[:, None]
+
+    def plane(a, b, c):
+        v = (a * doc_id + b * bx + c * by) % 256
+        return np.ascontiguousarray(
+            np.broadcast_to(v[:, :, None, None].astype(np.uint8), (nby, nbx, 8, 8))
+        )
+
+    comps = [plane(5, 11, 3), plane(3, 7, 5), plane(2, 5, 7)]
+    return encode_jpeg(comps, restart_interval=2)

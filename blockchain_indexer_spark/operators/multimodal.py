@@ -230,15 +230,17 @@ def decode_image_real(with_blobs: DataFrame, id_col: str = "doc_id") -> DataFram
                 elif head[:6] in (b"GIF87a", b"GIF89a"):
                     w, height, px = decode_gif(bytes(b))
                 elif head[:2] == b"\xff\xd8":
-                    from blockchain_indexer_spark.operators.jpeg import (
-                        decode_jpeg_gray,
-                    )
+                    from blockchain_indexer_spark.operators.jpeg import decode_jpeg
 
                     try:
-                        w, height, gray = decode_jpeg_gray(bytes(b))
-                        px = np.repeat(gray[:, :, None], 3, axis=2)
+                        w, height, nch, dec = decode_jpeg(bytes(b))
+                        px = (
+                            np.repeat(dec[:, :, None], 3, axis=2)
+                            if nch == 1
+                            else dec[:, :, ::-1]  # RGB -> BGR
+                        )
                     except NotImplementedError:
-                        # color / progressive: the documented PIL seam
+                        # subsampled / progressive: the documented PIL seam
                         if not _HAVE_PIL:
                             raise
                         import io
@@ -619,6 +621,32 @@ def attach_jpeg_blob(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
             F.lit("image/jpeg").alias("mime"),
             F.length(F.col("blob")).alias("nbytes"),
             F.lit("jpeg-gray8-baseline-v1").alias("codec"),
+        ),
+    )
+
+
+def attach_jpeg_color_blob(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Color sibling of attach_jpeg_blob: a genuine baseline 4:4:4
+    YCbCr stream per document (operators.jpeg.synth_jpeg_color_blob)
+    — three interleaved blocks per MCU with per-component DC
+    predictors, restart markers resetting all three, and the JFIF
+    YCbCr->RGB transform on decode. Solid blocks + all-ones
+    quantization keep the whole pipeline closed-form for the oracle
+    (floor(x+0.5) rounding in the color matrix, not half-to-even)."""
+    from blockchain_indexer_spark.operators.jpeg import synth_jpeg_color_blob
+
+    @F.pandas_udf("binary")
+    def _jpeg(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_jpeg_color_blob(int(i)))
+
+    return spread(documents.select(id_col), id_col).withColumn(
+        "blob", _jpeg(id_col)
+    ).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("image/jpeg").alias("mime"),
+            F.length(F.col("blob")).alias("nbytes"),
+            F.lit("jpeg-ycbcr444-baseline-v1").alias("codec"),
         ),
     )
 

@@ -93,6 +93,7 @@ PRIORITY = (
     "event_volume_trend",
     "event_cusum_changepoint",
     "event_conversion_attribution",
+    "mm_real_jpeg_color",
     # -- tier B: churn canaries ----------------------------------------
     "ngram_jaccard_near_dups",
     "doc_exact_decontamination",

@@ -454,3 +454,52 @@ def mm_real_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = attach_gif_blob(load_table(spark, sf_dir, "documents"))
     return decode_image_real(blobs)
+
+
+@register(
+    "mm_real_jpeg_color",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 1 + doc_id % 3 AS nbx, 1 + doc_id % 2 AS nby FROM documents
+    ),
+    blk AS (
+      SELECT doc_id, nbx, nby,
+             (5 * doc_id + 11 * bx.x + 3 * by.x) % 256 AS y,
+             (3 * doc_id + 7 * bx.x + 5 * by.x) % 256 AS cb,
+             (2 * doc_id + 5 * bx.x + 7 * by.x) % 256 AS cr
+      FROM d, UNNEST(range(0, nbx)) AS bx(x), UNNEST(range(0, nby)) AS by(x)
+    ),
+    rgb AS (
+      SELECT doc_id, nbx, nby,
+             greatest(0, least(255, floor(y + 1.402 * (cr - 128) + 0.5))) AS r,
+             greatest(0, least(255, floor(y - 0.344136 * (cb - 128)
+                                            - 0.714136 * (cr - 128) + 0.5))) AS g,
+             greatest(0, least(255, floor(y + 1.772 * (cb - 128) + 0.5))) AS b
+      FROM blk
+    )
+    SELECT doc_id,
+           CAST(8 * nbx AS INT) AS width,
+           CAST(8 * nby AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(SUM(b) AS DOUBLE) / (nbx * nby) AS mean_b,
+           CAST(SUM(g) AS DOUBLE) / (nbx * nby) AS mean_g,
+           CAST(SUM(r) AS DOUBLE) / (nbx * nby) AS mean_r
+    FROM rgb GROUP BY doc_id, nbx, nby
+    """,
+    doc="REAL baseline COLOR JPEG decode (operators.jpeg.decode_jpeg, "
+    "4:4:4 YCbCr): three interleaved blocks per MCU with "
+    "per-component DC predictors (restart markers reset all three), "
+    "then the JFIF YCbCr->RGB matrix evaluated in float64 with "
+    "floor(x+0.5) rounding — a closed-form expression the oracle "
+    "mirrors term-for-term (np.round's half-to-even would diverge "
+    "from SQL round on exact .5, so neither side uses it). Solid "
+    "blocks + all-ones quantization keep the lossy pipeline exact; "
+    "per-block integer RGB sums compare with one IEEE division. "
+    "Subsampled (non-1x1) streams keep the honest PIL-seam guard.",
+    survey_refs=("LLM-multimodal",),
+)
+def mm_real_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.multimodal import attach_jpeg_color_blob
+
+    blobs = attach_jpeg_color_blob(load_table(spark, sf_dir, "documents"))
+    return decode_image_real(blobs)

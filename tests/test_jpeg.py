@@ -117,12 +117,13 @@ def test_planted_com_and_app0_are_skipped():
     assert np.array_equal(decode_jpeg_gray(stripped)[2], decode_jpeg_gray(buf)[2])
 
 
-def test_color_jpeg_raises_not_implemented():
+def test_truncated_sof_component_list_is_rejected():
     buf = bytearray(synth_jpeg_blob(1))
     i = bytes(buf).index(b"\xff\xc0")
-    # SOF0 body: len(2) precision(1) h(2) w(2) nf(1) — forge nf=3
+    # SOF0 body: len(2) precision(1) h(2) w(2) nf(1) — forging nf=3 on
+    # a 1-component body leaves the component list truncated
     buf[i + 9] = 3
-    with pytest.raises(NotImplementedError, match="color"):
+    with pytest.raises(ValueError, match="truncated"):
         decode_jpeg_gray(bytes(buf))
 
 
@@ -148,3 +149,58 @@ def test_decode_image_real_dispatches_jpeg(spark, sf_dir):
         expect = _expected_pixels(r["doc_id"])
         assert (r["width"], r["height"]) == (expect.shape[1], expect.shape[0])
         assert r["mean_b"] == r["mean_g"] == r["mean_r"] == expect.mean()
+
+
+def test_color_roundtrip_matches_closed_form():
+    from blockchain_indexer_spark.operators.jpeg import (
+        decode_jpeg,
+        synth_jpeg_color_blob,
+    )
+
+    for doc_id in (0, 1, 5, 7, 97, 99999):
+        w, h, nch, px = decode_jpeg(synth_jpeg_color_blob(doc_id))
+        nbx, nby = 1 + doc_id % 3, 1 + doc_id % 2
+        assert (w, h, nch) == (8 * nbx, 8 * nby, 3)
+        bx = np.arange(nbx)[None, :]
+        by = np.arange(nby)[:, None]
+        y = (5 * doc_id + 11 * bx + 3 * by) % 256
+        cb = (3 * doc_id + 7 * bx + 5 * by) % 256
+        cr = (2 * doc_id + 5 * bx + 7 * by) % 256
+        r = np.clip(np.floor(y + 1.402 * (cr - 128) + 0.5), 0, 255)
+        g = np.clip(
+            np.floor(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5), 0, 255
+        )
+        b = np.clip(np.floor(y + 1.772 * (cb - 128) + 0.5), 0, 255)
+        expect = np.stack(
+            [np.kron(c, np.ones((8, 8))) for c in (r, g, b)], axis=2
+        ).astype(np.uint8)
+        assert np.array_equal(px, expect), doc_id
+
+
+def test_color_per_component_predictors_and_restarts():
+    from blockchain_indexer_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(3)
+    comps = [
+        np.broadcast_to(
+            rng.integers(0, 256, (2, 4, 1, 1), dtype=np.int64), (2, 4, 8, 8)
+        ).astype(np.uint8)
+        for _ in range(3)
+    ]
+    comps = [np.ascontiguousarray(c) for c in comps]
+    plain = decode_jpeg(encode_jpeg(comps))[3]
+    with_rst = decode_jpeg(encode_jpeg(comps, restart_interval=3))[3]
+    assert np.array_equal(plain, with_rst)
+
+
+def test_subsampled_color_raises_not_implemented():
+    from blockchain_indexer_spark.operators.jpeg import (
+        decode_jpeg,
+        synth_jpeg_color_blob,
+    )
+
+    buf = bytearray(synth_jpeg_color_blob(1))
+    i = bytes(buf).index(b"\xff\xc0")
+    buf[i + 11] = 0x22  # Y component claims 2x2 sampling
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        decode_jpeg(bytes(buf))

@@ -83,6 +83,7 @@ NEW_GATES_R4 = (
     "event_volume_trend",
     "event_cusum_changepoint",
     "event_conversion_attribution",
+    "mm_real_jpeg_color",
 )
 
 
