@@ -25,32 +25,82 @@ from blockchain_indexer_spark.plans import chain as _chain  # noqa: E402,F401
 from blockchain_indexer_spark.plans import multimodal as _multimodal  # noqa: E402,F401
 
 #: Driver-facing iteration order (highest verification value first).
-#:
-#: Round-3 rotation (VERDICT r2 "Next round" #1): the driver records
-#: exactly the first 50 entries per round. Round 2's window covered the
-#: 50 entries that now sit at the BACK; the front is now (a) the 12
-#: queries that have never had a driver row, (b) new round-3 gates,
-#: (c) the 31 queries whose only driver row is round 1, (d) a small
-#: chain/mm sentinel set, so after this round every registered query
-#: has a driver row from round 2 or round 3.
 PRIORITY = (
     # ------------------------------------------------------------------
-    # Round-4 rotation (VERDICT r3 "Next round" #4). The driver records
-    # exactly the first 50 entries per round; ordering below is:
-    #   tier A — the two r3-red rows post-fix (doc_chunk_packing oracle
-    #     dtype CAST, embedding_pca_project scalar schema), the three
-    #     queries whose only driver row is round 1, and the new round-4
-    #     mm_real_png gate;
-    #   tier B — regression canaries for this round's code churn
-    #     (dedup density escape, decontaminate_exact id types, cluster
-    #     self-loop contract, decode_image_real PNG dispatch);
-    #   tier C — every remaining entry whose newest driver row is
-    #     round 2, so recency rotates forward. Everything with an r3
-    #     row sits below the fold (they are the freshest already).
+    # Round-5 rotation (VERDICT r4 "Next round" #2). The driver records
+    # exactly the first 50 entries per round; the front is now:
+    #   tier NEW — gates added in round 5 (never driver-verified);
+    #   tier STALE-ORACLED — the 46 oracled queries whose newest driver
+    #     row is round 2 (the judge re-ran all of them green in the r4
+    #     session, but the driver's own record should rotate forward);
+    #   tier STALE-ROWS-ONLY — the rows-only production twins with
+    #     round-2 (or no) driver rows, weakest signal, so they fill
+    #     whatever front-50 slots remain after the tiers above.
+    # Everything with a round-3/4 driver row sits below the fold.
     # After this round every oracled query has a driver row from
-    # round 2 or later, most from round 3/4.
+    # round 3 or later (CI-enforced in tests/test_registry_order.py).
     # ------------------------------------------------------------------
-    # -- tier A ---------------------------------------------------------
+    # -- tier NEW: round-5 gates, never driver-verified ------------------
+    # (new gates are inserted here as they land; each displaces one
+    # rows-only entry from the front 50)
+    # -- tier STALE-ORACLED: newest driver row is round 2 ---------------
+    "chain_eth_transfer_stats",
+    "chain_hub_transfers_per_day",
+    "chain_safe_eth_transfers",
+    "chain_org_signups",
+    "chain_total_minted",
+    "chain_erc20_balances",
+    "chain_timeline_counts",
+    "chain_accepted_crc",
+    "chain_alive_accounts",
+    "chain_dead_accounts",
+    "chain_capacity_graph",
+    "chain_capacity_changes",
+    "chain_get_capacity",
+    "chain_signups_per_day",
+    "chain_balances_by_safe",
+    "chain_crc_minting",
+    "chain_formatted_transfers",
+    "chain_trust_reachability",
+    "mm_decode_stats",
+    "mm_thumbnail_geometry",
+    "mm_frame_sample",
+    "mm_feature_vectors",
+    "mm_feature_hist",
+    "doc_quota_sample",
+    "pricing_summary",
+    "broadcast_join_agg",
+    "dedup_first_seen",
+    "latest_event_per_user",
+    "version_disambiguation",
+    "tumbling_window_stats",
+    "sliding_window_stats",
+    "event_sessionization",
+    "asof_latest_purchase",
+    "range_join_active_sessions",
+    "doc_fingerprint_dedup",
+    "completeness_gate",
+    "anti_join_inactive",
+    "semi_join_parts",
+    "gap_detection",
+    "filtered_projection",
+    "json_payload",
+    "membership_collect",
+    "rollup_revenue_hierarchy",
+    "profile_orders",
+    "salted_join_segment_totals",
+    "stream_reassembly_join",
+    # -- tier STALE-ROWS-ONLY: no oracle, round-2 or no driver row ------
+    "minhash_incremental",
+    "corpus_token_cardinality_approx",
+    "minhash_lsh_candidates",
+    "simhash_signatures",
+    "simhash_near_dups",
+    # ------------------------------------------------------------------
+    # Below the ~50-row driver window: every entry here has a green
+    # round-3 or round-4 driver row (CORRECTNESS_r03/r04.json), the
+    # freshest evidence in the record.
+    # ------------------------------------------------------------------
     "doc_chunk_packing",
     "embedding_pca_project",
     "corpus_token_cardinality",
@@ -94,68 +144,13 @@ PRIORITY = (
     "event_cusum_changepoint",
     "event_conversion_attribution",
     "mm_real_jpeg_color",
-    # -- tier B: churn canaries ----------------------------------------
     "ngram_jaccard_near_dups",
     "doc_exact_decontamination",
     "doc_dedup_clusters",
     "mm_real_decode",
-    # -- tier C: newest row is round 2 ---------------------------------
     "chain_crc_balances",
     "chain_classification_counts",
     "chain_current_trust",
-    "chain_eth_transfer_stats",
-    "chain_hub_transfers_per_day",
-    "chain_safe_eth_transfers",
-    "chain_org_signups",
-    "chain_total_minted",
-    "chain_erc20_balances",
-    "chain_timeline_counts",
-    "chain_accepted_crc",
-    "chain_alive_accounts",
-    "chain_dead_accounts",
-    "chain_capacity_graph",
-    "chain_capacity_changes",
-    "chain_get_capacity",
-    "chain_signups_per_day",
-    "chain_balances_by_safe",
-    "chain_crc_minting",
-    "chain_formatted_transfers",
-    "chain_trust_reachability",
-    "mm_decode_stats",
-    "mm_thumbnail_geometry",
-    "mm_frame_sample",
-    "mm_feature_vectors",
-    "mm_feature_hist",
-    "doc_quota_sample",
-    "pricing_summary",
-    "broadcast_join_agg",
-    "dedup_first_seen",
-    "latest_event_per_user",
-    "version_disambiguation",
-    "tumbling_window_stats",
-    "sliding_window_stats",
-    "event_sessionization",
-    # ------------------------------------------------------------------
-    # Below the ~50-row driver window: everything verified in round 3
-    # (the freshest rows) plus the remaining r2-verified relational
-    # gates and the rows-only production hash-variants (weakest
-    # signal; each algorithm's correctness is carried by its
-    # md5-oracled twin above or in the r3 record).
-    # ------------------------------------------------------------------
-    "asof_latest_purchase",
-    "range_join_active_sessions",
-    "doc_fingerprint_dedup",
-    "completeness_gate",
-    "anti_join_inactive",
-    "semi_join_parts",
-    "gap_detection",
-    "filtered_projection",
-    "json_payload",
-    "membership_collect",
-    "rollup_revenue_hierarchy",
-    "profile_orders",
-    "salted_join_segment_totals",
-    "stream_reassembly_join",
     "minhash_incremental_md5",
     "embedding_pq_topk",
     "embedding_ivfpq_topk",
@@ -200,11 +195,6 @@ PRIORITY = (
     "multi_join_revenue",
     "topk_per_group",
     "union_activity_timeline",
-    "corpus_token_cardinality_approx",
-    "minhash_lsh_candidates",
-    "minhash_incremental",
-    "simhash_signatures",
-    "simhash_near_dups",
 )
 
 
