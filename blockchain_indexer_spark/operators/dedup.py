@@ -181,11 +181,14 @@ def ngram_jaccard_pairs(
 
     ``density_escape``: on an adversarially DENSE corpus (planted
     near-dup clusters, small Zipf vocab) the under-cap postings
-    amplify into far more candidate-pair combos than shingle rows —
-    Σ df² over under-cap shingles, 157M combos from 11.4M rows on the
-    measured 20× worst case (SCALE.md) — and the combos explode
-    dominates the runtime. When that amplification factor (probed
-    with one aggregate over the windowed shingle frame) exceeds
+    amplify into far more candidate-pair combos than posting rows —
+    Σ df² over under-cap shingles, 157M combos from 7.7M under-cap
+    rows on the measured 20× worst case (SCALE.md) — and the combos
+    explode dominates the runtime. The decision inputs come FREE from
+    the capped posting frame's materializing aggregate (no separate
+    probe job — the round-4 up-front probe was itself a measured 26%
+    regression on every non-degenerate corpus). When that
+    amplification factor (combos per under-cap posting row) exceeds
     ``density_escape``, candidate generation switches to MinHash-LSH
     (banding from ``_lsh_bands_for``: selective, ≥90% recall at
     threshold+0.2) and ONLY those candidates get a full exact
@@ -218,64 +221,56 @@ def ngram_jaccard_pairs(
         # big to broadcast — which is exactly the dense-corpus case
         # where performance matters (measured at 20× stress: window
         # 45 s, anti-join 61 s, collect-then-filter 85 s).
-        if density_escape is not None:
-            # Density probe: Σ df² over under-cap shingles == the
-            # number of candidate-pair structs the posting-combos
-            # explode will materialize. THAT is the degeneracy metric:
-            # a Zipf corpus with many near-cap shingles amplifies
-            # 11.4M shingle rows into 157M combo rows (measured, 20×
-            # stress) while its over-cap ROW fraction is only 0.32 —
-            # so the trigger is work amplification, not stop fraction.
-            # Probed with a partially-aggregated groupBy (map-side
-            # combine → one row per distinct shingle), far lighter
-            # than materializing the windowed row frame for it.
-            n_rows, pair_work = (
-                sh.groupBy("shingle")
-                .agg(F.count("*").alias("_d"))
-                .agg(
-                    F.sum("_d"),
-                    F.sum(
-                        F.when(
-                            F.col("_d") <= max_doc_freq, F.col("_d") * F.col("_d")
-                        ).otherwise(F.lit(0))
-                    ),
-                )
-                .first()
-            )
-            # Both conditions must hold: high amplification (dense
-            # corpus, scale-free) AND a large absolute combo volume
-            # (the amplification ratio alone cannot separate a small
-            # Zipf corpus the deterministic path handles in seconds —
-            # sf0.1: amp 10.7, 5.6M combos — from the degenerate case
-            # — 20× stress: amp 13.8, 157M combos).
-            if (
-                n_rows
-                and (pair_work or 0) / n_rows > density_escape
-                and (pair_work or 0) > _ESCAPE_MIN_PAIR_WORK
+        # Density escape (round-5 shape, VERDICT r4 item #3): the
+        # decision input — Σ df² over under-cap shingles == the number
+        # of candidate-pair structs the posting-combos explode will
+        # materialize — is now computed AS the posting frame's
+        # materializing aggregate inside _capped_exact_common, not as
+        # a separate up-front probe job. The round-4 unconditional
+        # probe (one extra shingle-keyed exchange + driver sync per
+        # engine call) cost 1.3 s of ngram_jaccard_near_dups' 5.0 s at
+        # sf0.1 — the measured r3→r4 regression — while the escape it
+        # served only ever triggers on degenerate corpora. The trade:
+        # a corpus that DOES escape has already built (and discards)
+        # the capped posting frame, an O(rows) window+groupBy that is
+        # a fraction of the ≥45 s explode the escape avoids there.
+        def _escape(under_rows: int, pair_work: int) -> DataFrame | None:
+            # Both conditions must hold: high work amplification
+            # (combos per under-cap posting row — a Zipf corpus with
+            # many near-cap shingles amplifies 7.7M under-cap rows
+            # into 157M combo rows, measured 20× stress) AND a large
+            # absolute combo volume (the ratio alone cannot separate
+            # a small Zipf corpus the deterministic path handles in
+            # seconds — sf0.1: amp ~11, 2.8M combos — from the
+            # degenerate case: 20× stress, amp ~20, 157M combos).
+            if not (
+                under_rows
+                and pair_work / under_rows > density_escape
+                and pair_work > _ESCAPE_MIN_PAIR_WORK
             ):
-                cand = minhash_lsh_candidates(
-                    df,
-                    id_col,
-                    text_col,
-                    k=k,
-                    bands=_lsh_bands_for(threshold),
-                    shingles=sh,
-                ).localCheckpoint(eager=True)  # feeds doc set + pair join
-                cand_docs = (
-                    cand.select(F.col("doc_a").alias("_id"))
-                    .unionByName(cand.select(F.col("doc_b").alias("_id")))
-                    .distinct()
-                )
-                sh_c = sh.join(cand_docs, "_id", "left_semi")
-                a = sh_c.select(F.col("_id").alias("doc_a"), "shingle")
-                b = sh_c.select(F.col("_id").alias("doc_b"), "shingle")
-                common = (
-                    cand.join(a, "doc_a")
-                    .join(b, ["doc_b", "shingle"])
-                    .groupBy("doc_a", "doc_b")
-                    .agg(F.count("*").alias("n_common"))
-                )
-                return _jaccard_tail(common, sizes, threshold)
+                return None
+            cand = minhash_lsh_candidates(
+                df,
+                id_col,
+                text_col,
+                k=k,
+                bands=_lsh_bands_for(threshold),
+                shingles=sh,
+            ).localCheckpoint(eager=True)  # feeds doc set + pair join
+            cand_docs = (
+                cand.select(F.col("doc_a").alias("_id"))
+                .unionByName(cand.select(F.col("doc_b").alias("_id")))
+                .distinct()
+            )
+            sh_c = sh.join(cand_docs, "_id", "left_semi")
+            a = sh_c.select(F.col("_id").alias("doc_a"), "shingle")
+            b = sh_c.select(F.col("_id").alias("doc_b"), "shingle")
+            return (
+                cand.join(a, "doc_a")
+                .join(b, ["doc_b", "shingle"])
+                .groupBy("doc_a", "doc_b")
+                .agg(F.count("*").alias("n_common"))
+            )
 
         def _jaccard_ub_keep(c, n_a, n_b, slack):
             return (c + slack).cast("double") / (n_a + n_b - c - slack).cast(
@@ -287,9 +282,7 @@ def ngram_jaccard_pairs(
             sizes,
             max_doc_freq,
             _jaccard_ub_keep,
-            # reuse the density probe's Σ df² when it ran; None → the
-            # helper probes it itself (deterministic escape-off config)
-            pair_work=(pair_work or 0) if density_escape is not None else None,
+            escape=_escape if density_escape is not None else None,
         )
     else:
         # Uncapped: a stop-shingle's posting list can be arbitrarily
@@ -325,30 +318,40 @@ def _jaccard_tail(common: DataFrame, sizes: DataFrame, threshold: float) -> Data
     )
 
 
-#: Above this many posting-combo rows the capped path's reused
-#: intermediates (postings, pruned pairs) are materialized DISK_ONLY
-#: instead of localCheckpoint: checkpoint blocks are non-evictable
-#: storage memory, and on a dense corpus the multi-GB posting frame
-#: competes with the join/agg execution memory of every concurrent
-#: task — measured flaky broadcast-build OOMs AND a 62s-vs-40s
-#: slowdown from GC pressure at the 100k-doc stress scale on a 16g
-#: local[32] driver. Below the threshold the in-memory checkpoint is
-#: ~1s faster per query (sf0.1 measured: 4.6s vs 5.7s jaccard), so
-#: small corpora keep it.
+#: Above this many posting-combo rows the pruned-pair intermediate is
+#: checkpointed DISK_ONLY: on a dense corpus the multi-GB frame held
+#: in memory blocks competed with the join/agg execution memory of
+#: every concurrent task — measured round 4: flaky broadcast-build
+#: OOMs and a 62s-vs-40s GC slowdown at the 100k-doc stress scale.
+#: Below the threshold the in-memory checkpoint is ~1s faster per
+#: query at sf0.1, so small corpora keep it. Unlike round 4 the
+#: number is FREE by the time it's needed: it falls out of the
+#: posting frame's post-checkpoint stats aggregate instead of a
+#: dedicated up-front probe job.
 _DISK_MATERIALIZE_MIN_PAIR_WORK = 20_000_000
 
+#: The POSTING frame must choose its storage level BEFORE pair_work
+#: exists (its checkpoint is what yields the stats), so its disk
+#: trigger is the shingle-frame row count — a narrow ~0.1 s count of
+#: already-checkpointed blocks, not a shuffle. Measured anchors: the
+#: 20× stress corpus (11.4M shingle rows → 7.7M-row posting, ~GBs of
+#: deserialized arrays whose in-memory checkpoint starved the 16g
+#: heap into broadcast-build OOMs) needs disk; sf0.1 (260k rows)
+#: keeps the ~1s-faster memory checkpoint.
+_DISK_MATERIALIZE_MIN_SH_ROWS = 2_000_000
 
-def _materialize(df: DataFrame, pair_work: int) -> DataFrame:
-    """Eagerly materialize a reused intermediate of the capped path.
-    DISK_ONLY persist + count above the pair-work threshold (leaves
-    the unified region to execution), eager localCheckpoint below it.
-    Recompute-on-block-loss under persist is safe here: every caller
-    frame is deterministic as a SET (collect_list array order varies,
-    but the downstream pair set and counts are order-independent)."""
+
+def _materialize(df: DataFrame, pair_work: int = 0) -> DataFrame:
+    """Eagerly materialize a reused intermediate of the capped path
+    via localCheckpoint — its blocks are released by the
+    ContextCleaner as soon as the plan's references die, where a
+    persist() would pin a CacheManager entry until an explicit
+    unpersist/clearCache (leaked across a long multi-query session;
+    `del q; gc.collect()` in bench.py cleans checkpoints, not cache
+    entries). DISK_ONLY storage above the pair-work threshold keeps
+    the dense-corpus frame out of the unified memory region."""
     if pair_work > _DISK_MATERIALIZE_MIN_PAIR_WORK:
-        df = df.persist(StorageLevel.DISK_ONLY)
-        df.count()
-        return df
+        return df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     return df.localCheckpoint(eager=True)
 
 
@@ -357,7 +360,7 @@ def _capped_exact_common(
     sizes: DataFrame,
     max_doc_freq: int,
     ub_keep,
-    pair_work: int | None = None,
+    escape=None,
 ) -> DataFrame:
     """EXACT pairwise intersection counts (doc_a, doc_b, n_common) from
     df-capped postings — the shared engine of ngram_jaccard_pairs and
@@ -367,11 +370,15 @@ def _capped_exact_common(
     could still clear the caller's threshold; pruned pairs never touch
     the shingle frame again.
 
-    ``pair_work`` — Σ df² over under-cap shingles (the combo volume
-    the posting explode will materialize); pass it if already probed
-    (the Jaccard density escape computes it), else it is probed here
-    with one partially-aggregated pass. It sizes the materialization
-    strategy for the two reused intermediates (_materialize).
+    ``escape`` — optional ``(under_rows, pair_work) -> DataFrame |
+    None`` callback, invoked once with the under-cap posting row count
+    and Σ df² over under-cap shingles (the combo volume the posting
+    explode would materialize). Both numbers are byproducts of the
+    posting frame's materializing aggregate — the same single job that
+    round 4 spent on persist+count, so the escape decision costs no
+    extra pass. A non-None return (an alternative (doc_a, doc_b,
+    n_common) frame, e.g. the Jaccard LSH detour) replaces the combos
+    explode entirely.
 
     Candidate loss model (caller documents it): pairs whose ENTIRE
     intersection is over-cap stop-shingles produce no candidate. Every
@@ -381,21 +388,6 @@ def _capped_exact_common(
     verify join.
     """
     from pyspark.sql import Window as _W
-
-    if pair_work is None:
-        pair_work = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("_d"))
-            .agg(
-                F.sum(
-                    F.when(
-                        F.col("_d") <= max_doc_freq, F.col("_d") * F.col("_d")
-                    ).otherwise(F.lit(0))
-                )
-            )
-            .first()[0]
-            or 0
-        )
 
     sh_df = sh.withColumn("_df", F.count("*").over(_W.partitionBy("shingle")))
     under = sh_df.filter(F.col("_df") <= max_doc_freq).drop("_df")
@@ -415,8 +407,28 @@ def _capped_exact_common(
         ),
         lambda s: s["doc_a"] < s["doc_b"],
     )
-    # feeds both the pair counts and per-doc capped sizes
-    capped = _materialize(posting, pair_work)
+    # Feeds both the pair counts and per-doc capped sizes. The stats
+    # pass runs AFTER the checkpoint as a narrow aggregate over the
+    # materialized blocks (one row per under-cap distinct shingle) —
+    # measured +0.07 s at sf0.1 versus round 4's dedicated up-front
+    # probe job (a full shingle-keyed exchange + driver sync, 1.3 s).
+    # Storage level for the posting itself keys on the shingle row
+    # count (narrow count of checkpointed blocks, see
+    # _DISK_MATERIALIZE_MIN_SH_ROWS).
+    if sh.count() > _DISK_MATERIALIZE_MIN_SH_ROWS:
+        capped = posting.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        )
+    else:
+        capped = posting.localCheckpoint(eager=True)
+    under_rows, pair_work = capped.agg(
+        F.sum(F.size("ids")).alias("_r"),
+        F.sum(F.size("ids").cast("bigint") * F.size("ids")).alias("_w"),
+    ).first()
+    if escape is not None:
+        esc = escape(int(under_rows or 0), int(pair_work or 0))
+        if esc is not None:
+            return esc  # the detour never reads the posting frame
     pair_c = (
         capped.select(F.explode(combos).alias("p"))
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
