@@ -104,6 +104,8 @@ BENCH_QUERIES = (
     "mm_real_jpeg",
     # color sibling: interleaved 4:4:4 YCbCr + JFIF color transform
     "mm_real_jpeg_color",
+    # chroma-subsampled 4:2:0: 2x2-luma MCUs + pinned floor upsample
+    "mm_real_jpeg_420",
     # distributed classifier training (2-epoch batch perceptron)
     "corpus_perceptron_weights",
     # shuffle-free within-doc repeated-paragraph dedup

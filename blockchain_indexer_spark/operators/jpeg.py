@@ -1,4 +1,4 @@
-"""Pure-Python/numpy baseline JPEG codec (grayscale).
+"""Pure-Python/numpy baseline JPEG codec.
 
 The third REAL compressed decode path (after PNG and GIF in
 operators/multimodal.py): a genuine ITU-T.81 baseline sequential
@@ -7,11 +7,14 @@ decode with byte unstuffing and restart-marker handling, dequantize,
 de-zigzag, float64 IDCT, level shift — plus the fixture encoder that
 synthesizes real JPEG streams whose decoded pixels are closed-form.
 
-Scope: 8-bit baseline GRAYSCALE (one component). Color scans raise
-NotImplementedError — the chroma upsample + YCbCr matrix introduces
-engine-specific rounding that has no cross-engine oracle, so color
-JPEG stays behind the PIL seam in decode_image_real (the same honest
-input-domain guard as non-24bpp BMP / non-PCM WAV).
+Scope: 8-bit baseline, GRAYSCALE, interleaved 4:4:4 color, and
+chroma-subsampled color with factors in {1, 2} (4:2:0 / 4:2:2) under
+a PINNED floor-replication upsample (decode_jpeg docstring) and the
+JFIF YCbCr matrix with floor(x+0.5) rounding — every rounding choice
+closed-form so the DuckDB oracles reproduce decoded pixels exactly.
+Progressive scans, >2 sampling factors and non-dividing ratios raise
+NotImplementedError and stay behind the PIL seam in decode_image_real
+(the same honest input-domain guard as non-24bpp BMP / non-PCM WAV).
 
 Exactness contract (what makes a LOSSY format oracle-gateable): the
 fixture encoder emits solid 8x8 blocks with an all-ones quantization
@@ -290,22 +293,40 @@ def encode_jpeg(
     components: list[np.ndarray],
     restart_interval: int = 0,
     quant: np.ndarray | None = None,
+    sampling: list[tuple[int, int]] | None = None,
 ) -> bytes:
-    """Encode a baseline stream from 1 (grayscale) or 3 (YCbCr,
-    4:4:4) component arrays, each of spatial 8x8 blocks shaped
-    (nby, nbx, 8, 8) uint8 with identical dims: FDCT + quantize +
-    zigzag + DC-diff/AC-run Huffman coding with the module tables,
-    INTERLEAVED MCUs (one block per component, per-component DC
-    predictors), optional restart markers (all predictors reset),
-    planted APP0 + COM segments. The AC symbols used must exist in
-    AC_VALS (the fixture path emits solid blocks -> EOB only)."""
+    """Encode a baseline stream from 1 (grayscale) or 3 (YCbCr)
+    component arrays of spatial 8x8 blocks: FDCT + quantize + zigzag
+    + DC-diff/AC-run Huffman coding with the module tables,
+    INTERLEAVED MCUs (per-component DC predictors), optional restart
+    markers (all predictors reset), planted APP0 + COM segments. The
+    AC symbols used must exist in AC_VALS (the fixture path emits
+    solid blocks -> EOB only).
+
+    ``sampling``: per-component (H, V) factors, default all (1, 1)
+    (grayscale / 4:4:4). For 4:2:0 pass [(2, 2), (1, 1), (1, 1)]:
+    with an MCU grid of (mby, mbx), component ci must be shaped
+    (mby * V_i, mbx * H_i, 8, 8) and each MCU interleaves its blocks
+    row-major (Y00 Y01 Y10 Y11 Cb Cr for 4:2:0, T.81 A.2.3)."""
     nf = len(components)
     if nf not in (1, 3):
-        raise ValueError("1 (gray) or 3 (YCbCr 4:4:4) components")
-    nby, nbx = components[0].shape[:2]
-    if any(c.shape != components[0].shape for c in components):
-        raise ValueError("all components must share block dims (4:4:4)")
-    h, w = nby * 8, nbx * 8
+        raise ValueError("1 (gray) or 3 (YCbCr) components")
+    if sampling is None:
+        sampling = [(1, 1)] * nf
+    if len(sampling) != nf:
+        raise ValueError("one (H, V) pair per component")
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    h0, v0 = sampling[0]
+    mby, mbx = components[0].shape[0] // v0, components[0].shape[1] // h0
+    for ci, comp in enumerate(components):
+        hi, vi = sampling[ci]
+        if comp.shape != (mby * vi, mbx * hi, 8, 8):
+            raise ValueError(
+                f"component {ci}: expected block dims "
+                f"{(mby * vi, mbx * hi, 8, 8)}, got {comp.shape}"
+            )
+    h, w = mby * vmax * 8, mbx * hmax * 8
     qt = np.ones((8, 8), dtype=np.int64) if quant is None else quant.astype(np.int64)
     dc_enc = _encode_table(DC_BITS, DC_VALS)
     ac_enc = _encode_table(AC_BITS, AC_VALS)
@@ -314,18 +335,24 @@ def encode_jpeg(
     preds = [0] * nf
     mcu = 0
     rst = 0
-    for by in range(nby):
-        for bx in range(nbx):
+    for by in range(mby):
+        for bx in range(mbx):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 bw.raw_marker(0xD0 + rst)
                 rst = (rst + 1) % 8
                 preds = [0] * nf
             for ci, comp in enumerate(components):
-                spatial = comp[by, bx].astype(np.float64) - 128.0
-                coefs = _A @ spatial @ _A.T  # forward DCT (orthonormal)
-                q = np.round(coefs / qt).astype(np.int64)
-                zz = q.reshape(64)[ZIGZAG]
-                preds[ci] = _encode_block(bw, zz, preds[ci], dc_enc, ac_enc)
+                hi, vi = sampling[ci]
+                for vy in range(vi):
+                    for vx in range(hi):
+                        spatial = (
+                            comp[by * vi + vy, bx * hi + vx].astype(np.float64)
+                            - 128.0
+                        )
+                        coefs = _A @ spatial @ _A.T  # forward DCT (orthonormal)
+                        q = np.round(coefs / qt).astype(np.int64)
+                        zz = q.reshape(64)[ZIGZAG]
+                        preds[ci] = _encode_block(bw, zz, preds[ci], dc_enc, ac_enc)
             mcu += 1
     bw.pad_align()
 
@@ -336,7 +363,10 @@ def encode_jpeg(
     sof = seg(
         0xC0,
         struct.pack(">BHHB", 8, h, w, nf)
-        + b"".join(bytes((cid + 1, 0x11, 0)) for cid in range(nf)),
+        + b"".join(
+            bytes((cid + 1, (sampling[cid][0] << 4) | sampling[cid][1], 0))
+            for cid in range(nf)
+        ),
     )
     dht = seg(
         0xC4,
@@ -376,18 +406,27 @@ def encode_jpeg_gray(
 
 
 def decode_jpeg(buf: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Decode a baseline sequential JPEG: GRAYSCALE or 4:4:4 YCbCr
-    color (one 8x8 block per component per MCU, interleaved,
-    per-component DC predictors).
+    """Decode a baseline sequential JPEG: GRAYSCALE, 4:4:4 or
+    chroma-subsampled (4:2:0 / 4:2:2) YCbCr color — interleaved MCUs
+    carrying H_i x V_i blocks per component in row-major order with
+    per-component DC predictors (T.81 A.2.3).
 
     Returns (width, height, n_channels, pixels): shape (h, w) uint8
-    for grayscale, (h, w, 3) uint8 RGB for color. The YCbCr -> RGB
-    transform is the JFIF matrix evaluated in float64 on the decoded
-    integer planes with floor(x + 0.5) rounding — a closed-form
-    expression a SQL oracle mirrors exactly (np.round's half-to-even
-    vs SQL round's half-away would diverge on exact .5). Subsampled
-    (non-1x1) and progressive streams raise NotImplementedError (the
-    PIL seam); malformed streams raise ValueError.
+    for grayscale, (h, w, 3) uint8 RGB for color. Subsampled chroma
+    planes are upsampled by PINNED floor-replication — output pixel
+    (x, y) reads chroma sample (x * H_i // Hmax, y * V_i // Vmax),
+    i.e. nearest-neighbor block replication, NOT libjpeg's triangular
+    interpolation. The convention is part of this codec's contract:
+    it is closed-form (a SQL oracle indexes the chroma grid with
+    integer division), and fancier filters differ only inside
+    gradient images, never on the solid-block fixtures. The
+    YCbCr -> RGB transform is the JFIF matrix evaluated in float64 on
+    the (upsampled) integer planes with floor(x + 0.5) rounding — a
+    closed-form expression a SQL oracle mirrors exactly (np.round's
+    half-to-even vs SQL round's half-away would diverge on exact .5).
+    Sampling factors outside {1, 2}, ratios that do not divide, and
+    progressive streams raise NotImplementedError (the PIL seam);
+    malformed streams raise ValueError.
     """
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -395,7 +434,7 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, int, np.ndarray]:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     w = h = 0
-    frame_comps: list[tuple[int, int]] = []  # (component id, quant id)
+    frame_comps: list[tuple[int, int, int, int]] = []  # (cid, tq, H, V)
     scan_tabs: dict[int, tuple[int, int]] = {}  # comp id -> (dc, ac)
     scan_order: list[int] = []
     restart_interval = 0
@@ -449,12 +488,20 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, int, np.ndarray]:
                 raise ValueError("truncated SOF0 component list")
             for ci in range(nf):
                 cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if sampling != 0x11:
+                hs, vs = sampling >> 4, sampling & 0x0F
+                if nf == 1 and sampling != 0x11:
+                    # single-component scans are non-interleaved per
+                    # T.81 (the MCU is one block regardless of H/V) —
+                    # a different walk this decoder does not implement
                     raise NotImplementedError(
-                        "subsampled (non-4:4:4) JPEG not supported "
+                        "sampled single-component scan (PIL seam)"
+                    )
+                if hs not in (1, 2) or vs not in (1, 2):
+                    raise NotImplementedError(
+                        f"sampling factor {hs}x{vs} not supported "
                         "in-repo (PIL seam)"
                     )
-                frame_comps.append((cid, tq))
+                frame_comps.append((cid, tq, hs, vs))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError("non-baseline JPEG frame (PIL seam)")
         elif marker == 0xDD:  # DRI
@@ -465,7 +512,7 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, int, np.ndarray]:
                 raise NotImplementedError(
                     "partial-component scan (PIL seam)"
                 )
-            frame_ids = {cid for cid, _ in frame_comps}
+            frame_ids = {cid for cid, _, _, _ in frame_comps}
             for ci in range(ns):
                 cid = body[1 + 2 * ci]
                 tt = body[2 + 2 * ci]
@@ -480,18 +527,28 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, int, np.ndarray]:
 
     if not h or not w or not frame_comps:
         raise ValueError("SOS before SOF0")
-    comp_qt = {cid: qtables[tq] for cid, tq in frame_comps}
+    comp_qt = {cid: qtables[tq] for cid, tq, _, _ in frame_comps}
+    comp_hv = {cid: (hs, vs) for cid, _, hs, vs in frame_comps}
+    hmax = max(hs for _, _, hs, _ in frame_comps)
+    vmax = max(vs for _, _, _, vs in frame_comps)
+    if any(hmax % hs or vmax % vs for _, _, hs, vs in frame_comps):
+        raise NotImplementedError(
+            "non-dividing sampling ratio (PIL seam)"
+        )
 
-    nbx, nby = (w + 7) // 8, (h + 7) // 8
+    # MCU grid covers the image at FULL resolution in hmax*8 x vmax*8
+    # tiles; each component stores its own (possibly smaller) plane.
+    mbx, mby = (w + 8 * hmax - 1) // (8 * hmax), (h + 8 * vmax - 1) // (8 * vmax)
     planes = {
-        cid: np.zeros((nby * 8, nbx * 8), dtype=np.uint8) for cid, _ in frame_comps
+        cid: np.zeros((mby * vs * 8, mbx * hs * 8), dtype=np.uint8)
+        for cid, _, hs, vs in frame_comps
     }
     br = BitReader(buf, pos)
     preds = {cid: 0 for cid in scan_order}
     expected_rst = 0
     mcu = 0
-    for by in range(nby):
-        for bx in range(nbx):
+    for by in range(mby):
+        for bx in range(mbx):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 got = br.sync_restart()
                 if got != expected_rst:
@@ -501,33 +558,44 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, int, np.ndarray]:
             for cid in scan_order:
                 dc_tab = htables[(0, scan_tabs[cid][0])]
                 ac_tab = htables[(1, scan_tabs[cid][1])]
-                zz = np.zeros(64, dtype=np.int64)
-                size = br.decode_symbol(dc_tab)
-                diff = _extend(br.read_bits(size), size) if size else 0
-                preds[cid] += diff
-                zz[0] = preds[cid]
-                k = 1
-                while k < 64:
-                    rs = br.decode_symbol(ac_tab)
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += rs >> 4
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    sz = rs & 0x0F
-                    zz[k] = _extend(br.read_bits(sz), sz)
-                    k += 1
-                coefs = np.zeros(64, dtype=np.int64)
-                coefs[ZIGZAG] = zz
-                spatial = idct_block(coefs.reshape(8, 8) * comp_qt[cid]) + 128.0
-                planes[cid][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                    np.round(spatial), 0, 255
-                ).astype(np.uint8)
+                hs, vs = comp_hv[cid]
+                for vy in range(vs):
+                    for vx in range(hs):
+                        zz = np.zeros(64, dtype=np.int64)
+                        size = br.decode_symbol(dc_tab)
+                        diff = _extend(br.read_bits(size), size) if size else 0
+                        preds[cid] += diff
+                        zz[0] = preds[cid]
+                        k = 1
+                        while k < 64:
+                            rs = br.decode_symbol(ac_tab)
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            sz = rs & 0x0F
+                            zz[k] = _extend(br.read_bits(sz), sz)
+                            k += 1
+                        coefs = np.zeros(64, dtype=np.int64)
+                        coefs[ZIGZAG] = zz
+                        spatial = idct_block(coefs.reshape(8, 8) * comp_qt[cid]) + 128.0
+                        py, px = (by * vs + vy) * 8, (bx * hs + vx) * 8
+                        planes[cid][py : py + 8, px : px + 8] = np.clip(
+                            np.round(spatial), 0, 255
+                        ).astype(np.uint8)
             mcu += 1
-    cropped = [planes[cid][:h, :w] for cid, _ in frame_comps]
+    # Floor-replication upsample of subsampled planes (see docstring:
+    # pinned convention), then crop every component to the image size.
+    cropped = []
+    for cid, _, hs, vs in frame_comps:
+        p = planes[cid]
+        if hs != hmax or vs != vmax:
+            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        cropped.append(p[:h, :w])
     if len(cropped) == 1:
         return w, h, 1, cropped[0]
     # JFIF YCbCr -> RGB on the integer planes, floor(x+0.5) rounding
@@ -607,3 +675,42 @@ def synth_jpeg_color_blob(doc_id: int) -> bytes:
 
     comps = [plane(5, 11, 3), plane(3, 7, 5), plane(2, 5, 7)]
     return encode_jpeg(comps, restart_interval=2)
+
+
+def synth_jpeg_420_blob(doc_id: int) -> bytes:
+    """The fixture stream for mm_real_jpeg_420: a genuine baseline
+    4:2:0 YCbCr stream — the subsampling real-world JPEGs
+    overwhelmingly use. MCU grid (nmx, nmy) = (1 + id%2, 1 + id%3),
+    image = 16*nmx x 16*nmy. Solid 8x8 luma blocks (bx in [0, 2*nmx),
+    by in [0, 2*nmy)) and ONE solid chroma block per MCU
+    (mx = bx // 2, my = by // 2):
+
+        Y(bx, by)  = (5*id + 7*bx + 11*by) % 256
+        Cb(mx, my) = (3*id + 5*mx + 7*my) % 256
+        Cr(mx, my) = (2*id + 7*mx + 3*my) % 256
+
+    Decoded under the pinned floor-replication upsample, every pixel
+    of luma block (bx, by) gets the chroma of MCU (bx//2, by//2), so
+    a DuckDB oracle enumerates the 64-pixel blocks by arithmetic and
+    applies the same JFIF matrix + floor(x+0.5) + clip. The decoder
+    meanwhile exercises the full 4:2:0 path: six blocks per MCU
+    (Y00 Y01 Y10 Y11 Cb Cr), per-component DC prediction where Y's
+    predictor chains across four blocks inside one MCU, restart every
+    2 MCUs resetting all three, and the subsampled-plane upsample."""
+    nmx, nmy = 1 + doc_id % 2, 1 + doc_id % 3
+    ybx = np.arange(2 * nmx, dtype=np.int64)[None, :]
+    yby = np.arange(2 * nmy, dtype=np.int64)[:, None]
+    mx = np.arange(nmx, dtype=np.int64)[None, :]
+    my = np.arange(nmy, dtype=np.int64)[:, None]
+
+    def blocks(v, nby_, nbx_):
+        return np.ascontiguousarray(
+            np.broadcast_to(v[:, :, None, None].astype(np.uint8), (nby_, nbx_, 8, 8))
+        )
+
+    y = blocks((5 * doc_id + 7 * ybx + 11 * yby) % 256, 2 * nmy, 2 * nmx)
+    cb = blocks((3 * doc_id + 5 * mx + 7 * my) % 256, nmy, nmx)
+    cr = blocks((2 * doc_id + 7 * mx + 3 * my) % 256, nmy, nmx)
+    return encode_jpeg(
+        [y, cb, cr], restart_interval=2, sampling=[(2, 2), (1, 1), (1, 1)]
+    )

@@ -651,6 +651,35 @@ def attach_jpeg_color_blob(documents: DataFrame, id_col: str = "doc_id") -> Data
     )
 
 
+def attach_jpeg_420_blob(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """4:2:0 sibling of attach_jpeg_color_blob — the chroma
+    subsampling real-world JPEGs overwhelmingly use. Each document
+    gets a genuine baseline stream with 2x2-luma MCUs (six blocks per
+    MCU: Y00 Y01 Y10 Y11 Cb Cr), per-component DC prediction where
+    the Y predictor chains across the four luma blocks inside one
+    MCU, restart markers resetting all three components, and the
+    pinned floor-replication chroma upsample on decode
+    (operators.jpeg.synth_jpeg_420_blob / decode_jpeg docstrings).
+    Solid blocks + all-ones quantization keep the decoded RGB
+    closed-form for the oracle."""
+    from blockchain_indexer_spark.operators.jpeg import synth_jpeg_420_blob
+
+    @F.pandas_udf("binary")
+    def _jpeg(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_jpeg_420_blob(int(i)))
+
+    return spread(documents.select(id_col), id_col).withColumn(
+        "blob", _jpeg(id_col)
+    ).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("image/jpeg").alias("mime"),
+            F.length(F.col("blob")).alias("nbytes"),
+            F.lit("jpeg-ycbcr420-baseline-v1").alias("codec"),
+        ),
+    )
+
+
 def decode_gif(buf: bytes):
     """Pure-Python/numpy GIF decode → (width, height, pixels[H,W,3] in
     BGR order, decode_bmp's convention): header + logical screen

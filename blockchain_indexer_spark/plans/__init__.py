@@ -43,6 +43,7 @@ PRIORITY = (
     # -- tier NEW: round-5 gates, never driver-verified ------------------
     # (new gates are inserted here as they land; each displaces one
     # rows-only entry from the front 50)
+    "mm_real_jpeg_420",
     # -- tier STALE-ORACLED: newest driver row is round 2 ---------------
     "chain_eth_transfer_stats",
     "chain_hub_transfers_per_day",

@@ -503,3 +503,54 @@ def mm_real_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = attach_jpeg_color_blob(load_table(spark, sf_dir, "documents"))
     return decode_image_real(blobs)
+
+
+@register(
+    "mm_real_jpeg_420",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 1 + doc_id % 2 AS nmx, 1 + doc_id % 3 AS nmy FROM documents
+    ),
+    blk AS (
+      SELECT doc_id, nmx, nmy,
+             (5 * doc_id + 7 * bx.x + 11 * by.x) % 256 AS y,
+             (3 * doc_id + 5 * (bx.x // 2) + 7 * (by.x // 2)) % 256 AS cb,
+             (2 * doc_id + 7 * (bx.x // 2) + 3 * (by.x // 2)) % 256 AS cr
+      FROM d, UNNEST(range(0, 2 * nmx)) AS bx(x), UNNEST(range(0, 2 * nmy)) AS by(x)
+    ),
+    rgb AS (
+      SELECT doc_id, nmx, nmy,
+             greatest(0, least(255, floor(y + 1.402 * (cr - 128) + 0.5))) AS r,
+             greatest(0, least(255, floor(y - 0.344136 * (cb - 128)
+                                            - 0.714136 * (cr - 128) + 0.5))) AS g,
+             greatest(0, least(255, floor(y + 1.772 * (cb - 128) + 0.5))) AS b
+      FROM blk
+    )
+    SELECT doc_id,
+           CAST(16 * nmx AS INT) AS width,
+           CAST(16 * nmy AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(SUM(b) AS DOUBLE) / (4 * nmx * nmy) AS mean_b,
+           CAST(SUM(g) AS DOUBLE) / (4 * nmx * nmy) AS mean_g,
+           CAST(SUM(r) AS DOUBLE) / (4 * nmx * nmy) AS mean_r
+    FROM rgb GROUP BY doc_id, nmx, nmy
+    """,
+    doc="REAL chroma-subsampled (4:2:0) baseline JPEG decode — the "
+    "subsampling real corpora actually contain (VERDICT r4 item #4). "
+    "Six blocks per MCU (Y00 Y01 Y10 Y11 Cb Cr) with the Y DC "
+    "predictor chaining across four luma blocks inside each MCU, "
+    "restart markers resetting all three components, then the PINNED "
+    "floor-replication chroma upsample (output pixel (x, y) reads "
+    "chroma sample (x//2, y//2) — closed-form, so the oracle indexes "
+    "the chroma grid with integer division; libjpeg's triangular "
+    "filter would not be oracle-gateable) and the JFIF matrix with "
+    "floor(x+0.5). Solid luma blocks + one solid chroma block per "
+    "MCU + all-ones quantization keep every decoded pixel exact; "
+    "per-block integer RGB sums compare with one IEEE division.",
+    survey_refs=("LLM-multimodal",),
+)
+def mm_real_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.multimodal import attach_jpeg_420_blob
+
+    blobs = attach_jpeg_420_blob(load_table(spark, sf_dir, "documents"))
+    return decode_image_real(blobs)

@@ -193,14 +193,117 @@ def test_color_per_component_predictors_and_restarts():
     assert np.array_equal(plain, with_rst)
 
 
-def test_subsampled_color_raises_not_implemented():
+def test_unsupported_sampling_factors_raise_not_implemented():
     from blockchain_indexer_spark.operators.jpeg import (
         decode_jpeg,
+        synth_jpeg_blob,
         synth_jpeg_color_blob,
     )
 
     buf = bytearray(synth_jpeg_color_blob(1))
     i = bytes(buf).index(b"\xff\xc0")
-    buf[i + 11] = 0x22  # Y component claims 2x2 sampling
-    with pytest.raises(NotImplementedError, match="subsampled"):
+    buf[i + 11] = 0x33  # Y component claims 3x3 sampling (outside {1,2})
+    with pytest.raises(NotImplementedError, match="sampling factor"):
         decode_jpeg(bytes(buf))
+    # single-component scans are non-interleaved per T.81: sampling
+    # factors there change the block walk this decoder does not do
+    buf = bytearray(synth_jpeg_blob(1))
+    i = bytes(buf).index(b"\xff\xc0")
+    buf[i + 11] = 0x22
+    with pytest.raises(NotImplementedError, match="single-component"):
+        decode_jpeg(bytes(buf))
+
+
+def test_420_roundtrip_matches_closed_form():
+    from blockchain_indexer_spark.operators.jpeg import (
+        decode_jpeg,
+        synth_jpeg_420_blob,
+    )
+
+    for doc_id in range(24):
+        nmx, nmy = 1 + doc_id % 2, 1 + doc_id % 3
+        w, h, nch, px = decode_jpeg(synth_jpeg_420_blob(doc_id))
+        assert (w, h, nch) == (16 * nmx, 16 * nmy, 3), doc_id
+        expect = np.zeros((h, w, 3), dtype=np.uint8)
+        for by in range(2 * nmy):
+            for bx in range(2 * nmx):
+                y = (5 * doc_id + 7 * bx + 11 * by) % 256
+                cb = (3 * doc_id + 5 * (bx // 2) + 7 * (by // 2)) % 256
+                cr = (2 * doc_id + 7 * (bx // 2) + 3 * (by // 2)) % 256
+                r = min(255, max(0, int(np.floor(y + 1.402 * (cr - 128) + 0.5))))
+                g = min(
+                    255,
+                    max(
+                        0,
+                        int(
+                            np.floor(
+                                y
+                                - 0.344136 * (cb - 128)
+                                - 0.714136 * (cr - 128)
+                                + 0.5
+                            )
+                        ),
+                    ),
+                )
+                b = min(255, max(0, int(np.floor(y + 1.772 * (cb - 128) + 0.5))))
+                expect[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (r, g, b)
+        assert np.array_equal(px, expect), doc_id
+
+
+def test_420_luma_predictor_chains_inside_mcu():
+    """Four luma blocks per MCU share ONE DC predictor chain; a decoder
+    that resets it per block (or walks blocks column-major) shifts
+    every later block's value. Random per-block solid values make the
+    diffs nonzero in all four intra-MCU positions."""
+    from blockchain_indexer_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    mby, mbx = 2, 3
+    y = np.ascontiguousarray(
+        np.broadcast_to(
+            rng.integers(0, 256, (2 * mby, 2 * mbx, 1, 1), dtype=np.int64),
+            (2 * mby, 2 * mbx, 8, 8),
+        ).astype(np.uint8)
+    )
+    cb = np.ascontiguousarray(
+        np.broadcast_to(
+            rng.integers(0, 256, (mby, mbx, 1, 1), dtype=np.int64), (mby, mbx, 8, 8)
+        ).astype(np.uint8)
+    )
+    cr = np.ascontiguousarray(
+        np.broadcast_to(
+            rng.integers(0, 256, (mby, mbx, 1, 1), dtype=np.int64), (mby, mbx, 8, 8)
+        ).astype(np.uint8)
+    )
+    sampling = [(2, 2), (1, 1), (1, 1)]
+    w, h, nch, px = decode_jpeg(encode_jpeg([y, cb, cr], sampling=sampling))
+    assert (w, h, nch) == (16 * mbx, 16 * mby, 3)
+    # luma recovers exactly: invert the JFIF matrix is unnecessary —
+    # check against an independently-computed expectation instead
+    expect_y = np.repeat(np.repeat(y[:, :, 0, 0], 8, axis=0), 8, axis=1)
+    expect_cb = np.repeat(np.repeat(cb[:, :, 0, 0], 16, axis=0), 16, axis=1)
+    expect_cr = np.repeat(np.repeat(cr[:, :, 0, 0], 16, axis=0), 16, axis=1)
+    yf = expect_y.astype(np.float64)
+    cbf = expect_cb.astype(np.float64) - 128.0
+    crf = expect_cr.astype(np.float64) - 128.0
+    expect = np.clip(
+        np.floor(
+            np.stack(
+                [
+                    yf + 1.402 * crf,
+                    yf - 0.344136 * cbf - 0.714136 * crf,
+                    yf + 1.772 * cbf,
+                ],
+                axis=2,
+            )
+            + 0.5
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    assert np.array_equal(px, expect)
+    # restarts reset all predictors mid-stream without changing pixels
+    with_rst = decode_jpeg(
+        encode_jpeg([y, cb, cr], sampling=sampling, restart_interval=2)
+    )[3]
+    assert np.array_equal(px, with_rst)
