@@ -140,3 +140,85 @@ def test_jdbc_retract_replay_identical(spark, tmp_path_factory, feed_df):  # noq
     pipe.process_batch(feed_df)  # replay from the feed
     assert _tx_rows(pipe) == before_tx
     assert _sorted(pipe.read_cache(CACHE_BALANCES), _BAL_COLS) == before_bal
+
+
+# ---------------------------------------------------------------------
+# pg-dialect contract (VERDICT r4 item #6): no live Postgres exists in
+# the sandbox, so the GENERATED SQL text is the tested surface — the
+# DDL the writer would issue on a jdbc:postgresql: target must carry
+# the reference's actual column types (0.0.64.sql:358-377): REAL
+# text[] for the array columns (not the generic-JDBC JSON-text
+# fallback) and UNBOUNDED numeric for decimals, with value_string as
+# text so >38-digit uint256 wei survive exactly.
+# ---------------------------------------------------------------------
+
+
+def test_pg_dialect_ddl_pins_text_array_and_unbounded_numeric(spark):
+    from blockchain_indexer_spark.streaming.runner import pg_create_table_sql
+
+    signup = spark.createDataFrame(
+        [(1, "0xsafe", ["0xowner1", "0xowner2"])],
+        "block_number long, safe_address string, owners array<string>",
+    )
+    ddl = pg_create_table_sql("crc_signup", signup.schema)
+    assert ddl == (
+        'CREATE TABLE "crc_signup" ("block_number" bigint, '
+        '"safe_address" text, "owners" text[])'
+    )
+
+    tx = spark.createDataFrame(
+        [
+            (
+                1,
+                "0xhash",
+                __import__("decimal").Decimal(10**37),
+                "1" + "0" * 38,  # 39 digits: exceeds every DECIMAL cap
+                ["Erc20Transfer"],
+            )
+        ],
+        "block_number long, hash string, value decimal(38,0), "
+        "value_string string, classification array<string>",
+    )
+    ddl = pg_create_table_sql("transaction", tx.schema)
+    assert ddl == (
+        'CREATE TABLE "transaction" ("block_number" bigint, '
+        '"hash" text, "value" numeric, "value_string" text, '
+        '"classification" text[])'
+    )
+    # the unbounded-numeric + text pair is the exactness contract:
+    # numeric has no precision cap, and the 39-digit value rides
+    # value_string verbatim (extract.py builds it losslessly)
+    assert '"value" numeric,' in ddl and "numeric(" not in ddl
+
+
+def test_pg_target_skips_json_array_fallback(spark, tmp_path):
+    """On a Postgres url the encode/decode seam must pass arrays
+    through untouched (the table has real text[] and Spark's
+    PostgresDialect writes ArrayType natively); a >38-digit
+    value_string survives both directions as plain text."""
+    from blockchain_indexer_spark.streaming.runner import IngestPipeline
+
+    pipe = IngestPipeline(
+        spark,
+        str(tmp_path / "pgdir"),
+        jdbc_url="jdbc:postgresql://db.invalid:5432/index",
+    )
+    big = "9" * 45
+    df = spark.createDataFrame(
+        [(1, ["0xa", "0xb"], big)],
+        "block_number long, owners array<string>, value_string string",
+    )
+    out = pipe._jdbc_encode("crc_signup", df)
+    assert dict(out.dtypes)["owners"] == "array<string>"  # NOT json text
+    row = pipe._jdbc_decode("crc_signup", out).collect()[0]
+    assert row["owners"] == ["0xa", "0xb"]
+    assert row["value_string"] == big
+
+    # generic (Derby) targets keep the documented JSON-text fallback
+    generic = IngestPipeline(
+        spark, str(tmp_path / "derbydir"), jdbc_url="jdbc:derby:memory:x"
+    )
+    enc = generic._jdbc_encode("crc_signup", df)
+    assert dict(enc.dtypes)["owners"] == "string"
+    dec = generic._jdbc_decode("crc_signup", enc).collect()[0]
+    assert dec["owners"] == ["0xa", "0xb"]
