@@ -342,16 +342,28 @@ _DISK_MATERIALIZE_MIN_SH_ROWS = 2_000_000
 
 
 def _materialize(df: DataFrame, pair_work: int = 0) -> DataFrame:
-    """Eagerly materialize a reused intermediate of the capped path
-    via localCheckpoint — its blocks are released by the
-    ContextCleaner as soon as the plan's references die, where a
-    persist() would pin a CacheManager entry until an explicit
-    unpersist/clearCache (leaked across a long multi-query session;
-    `del q; gc.collect()` in bench.py cleans checkpoints, not cache
-    entries). DISK_ONLY storage above the pair-work threshold keeps
-    the dense-corpus frame out of the unified memory region."""
+    """Eagerly materialize a reused intermediate of the capped path.
+
+    Small corpora (below the pair-work threshold): localCheckpoint —
+    its blocks are released by the ContextCleaner as soon as the
+    plan's references die, where a persist() would pin a CacheManager
+    entry until an explicit unpersist/clearCache (leaked across a
+    long multi-query session; `del q; gc.collect()` in bench.py
+    cleans checkpoints, not cache entries).
+
+    Dense corpora: persist(DISK_ONLY) + count — Spark SQL's
+    COMPRESSED COLUMNAR disk cache, several times smaller and cheaper
+    to rescan than a checkpoint's Java-serialized row blocks
+    (measured at the 20× stress scale: the DISK_ONLY localCheckpoint
+    variant ran containment at 50-55 s vs ~37 s columnar). The
+    CacheManager entry is accepted on this path: the threshold never
+    triggers in the bench/driver sessions (sf0.1 peaks at ~5.6 M
+    combos), and a cluster-scale job holds one entry for its own
+    lifetime."""
     if pair_work > _DISK_MATERIALIZE_MIN_PAIR_WORK:
-        return df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        df = df.persist(StorageLevel.DISK_ONLY)
+        df.count()
+        return df
     return df.localCheckpoint(eager=True)
 
 
@@ -408,17 +420,17 @@ def _capped_exact_common(
         lambda s: s["doc_a"] < s["doc_b"],
     )
     # Feeds both the pair counts and per-doc capped sizes. The stats
-    # pass runs AFTER the checkpoint as a narrow aggregate over the
-    # materialized blocks (one row per under-cap distinct shingle) —
-    # measured +0.07 s at sf0.1 versus round 4's dedicated up-front
-    # probe job (a full shingle-keyed exchange + driver sync, 1.3 s).
-    # Storage level for the posting itself keys on the shingle row
-    # count (narrow count of checkpointed blocks, see
-    # _DISK_MATERIALIZE_MIN_SH_ROWS).
+    # pass runs as/after the materializing action (one row per
+    # under-cap distinct shingle — a narrow aggregate, measured
+    # +0.07 s at sf0.1) versus round 4's dedicated up-front probe job
+    # (a full shingle-keyed exchange + driver sync, 1.3 s). Storage
+    # keys on the shingle row count (narrow ~0.1 s count of the
+    # already-checkpointed shingle frame): big corpora go straight to
+    # the columnar DISK_ONLY cache — the stats aggregate itself
+    # populates it in one pass — small ones keep the self-cleaning
+    # in-memory checkpoint (see _materialize's rationale).
     if sh.count() > _DISK_MATERIALIZE_MIN_SH_ROWS:
-        capped = posting.localCheckpoint(
-            eager=True, storageLevel=StorageLevel.DISK_ONLY
-        )
+        capped = posting.persist(StorageLevel.DISK_ONLY)
     else:
         capped = posting.localCheckpoint(eager=True)
     under_rows, pair_work = capped.agg(
@@ -1389,4 +1401,119 @@ def ngram_containment_pairs(
         .withColumn("cont_b", cont_b)
         .filter(F.greatest("cont_a", "cont_b") >= F.lit(threshold))
         .select("doc_a", "doc_b", "n_common", "cont_a", "cont_b")
+    )
+
+
+def minhash_calibration(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n_buckets: int = 8,
+    hash_fn: str = "xxhash64",
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Estimator-calibration monitor for the MinHash/LSH dedup stack:
+    for every LSH candidate pair, compare the SIGNATURE-estimated
+    jaccard (matching components / num_hashes — the unbiased MinHash
+    estimator) against the EXACT shingle jaccard, aggregated into
+    estimate buckets. The operational question it answers at corpus
+    scale: "is the sketch still calibrated on MY data?" — a skewed
+    shingle distribution or a bad seed family shows up as mean_true
+    diverging from mean_est inside a bucket, long before dedup recall
+    visibly degrades.
+
+    Returns one row per non-empty bucket: (bucket, n_pairs, mean_est,
+    mean_true) where bucket = matches * n_buckets div num_hashes
+    (bucket == n_buckets is the exact-1.0 estimate). Determinism: the
+    per-pair true jaccard is floored to 1e-9 grid as a BIGINT before
+    summing (float sums are aggregation-order-dependent; integer sums
+    are not), and each mean is ONE IEEE division of exact integer
+    sums — the bm25_scores convention. ``hash_fn="md5_60"`` runs the
+    engine-portable stack the DuckDB oracle reproduces cell-for-cell;
+    xxhash64 is the production twin at the same seam.
+
+    Scale: candidates come from banding (never all-pairs); the exact
+    intersection joins only shingles of candidate DOCS (semi-join),
+    so cost tracks the candidate set — the same bound as the LSH
+    near-dup path itself. Output is <= n_buckets + 1 rows.
+    """
+    sh = (
+        shingles
+        if shingles is not None
+        else _distinct_shingles(df, id_col, text_col, k, hash_shingles=hash_fn != "md5_60")
+    )
+    cand = minhash_lsh_candidates(
+        df, id_col, text_col, k, num_hashes, bands, shingles=sh, hash_fn=hash_fn
+    ).localCheckpoint(eager=True)  # feeds est join, doc set, exact join
+    sigs = minhash_signatures(
+        df, id_col, text_col, k, num_hashes, shingles=sh, hash_fn=hash_fn
+    )
+    sa = sigs.select(F.col("_id").alias("doc_a"), F.col("signature").alias("_sig_a"))
+    sb = sigs.select(F.col("_id").alias("doc_b"), F.col("signature").alias("_sig_b"))
+    matches = F.size(
+        F.filter(
+            F.zip_with("_sig_a", "_sig_b", lambda x, y: x == y), lambda m: m
+        )
+    ).cast("bigint")
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", matches.alias("matches"))
+    )
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("n_shingles"))
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("_id")))
+        .distinct()
+    )
+    sh_c = sh.join(cand_docs, "_id", "left_semi")
+    a = sh_c.select(F.col("_id").alias("doc_a"), "shingle")
+    b = sh_c.select(F.col("_id").alias("doc_b"), "shingle")
+    common = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    na = sizes.select(F.col("_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    nb = sizes.select(F.col("_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    union_sz = F.col("n_a") + F.col("n_b") - F.col("n_common")
+    true_nano = F.floor(
+        F.lit(1e9) * F.col("n_common").cast("double") / union_sz.cast("double")
+    ).cast("bigint")
+    pairs = (
+        est.join(common, ["doc_a", "doc_b"], "left")
+        .withColumn("n_common", F.coalesce("n_common", F.lit(0)).cast("bigint"))
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "matches",
+            true_nano.alias("_true_nano"),
+            F.expr(f"(matches * {int(n_buckets)}) div {int(num_hashes)}").alias(
+                "bucket"
+            ),
+        )
+    )
+    return (
+        pairs.groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("matches").alias("_sum_matches"),
+            F.sum("_true_nano").alias("_sum_true_nano"),
+        )
+        .select(
+            "bucket",
+            "n_pairs",
+            (
+                F.col("_sum_matches").cast("double")
+                / (F.col("n_pairs") * num_hashes).cast("double")
+            ).alias("mean_est"),
+            (
+                F.col("_sum_true_nano").cast("double")
+                / (F.col("n_pairs") * F.lit(1_000_000_000)).cast("double")
+            ).alias("mean_true"),
+        )
     )

@@ -225,3 +225,79 @@ def cdc_chunks(
             md5_prefix_bigint(F.col("_chunk_text"), 15).alias("chunk_hash"),
         )
     )
+
+
+def sliding_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Fixed-size overlapping token windows — the standard RAG /
+    long-context chunker (stride < window ⇒ window−stride tokens of
+    overlap so no sentence is orphaned at a boundary; stride == window
+    degenerates to disjoint chunking).
+
+    Chunk i of a document with n tokens covers token positions
+    [i·stride, min(i·stride + window, n)); the chunk count is
+    1 + max(0, ceil((n − window) / stride)) — the last window is the
+    first one whose end reaches n, so no zero-overhang tail chunks are
+    emitted. Returns one row per chunk: (id_col, chunk_idx, start,
+    end, n_tokens, chunk_hash) with the same engine-portable
+    md5-prefix-bigint content hash as cdc_chunks, so content-equal
+    chunks group across documents. Empty/NULL text emits no rows.
+
+    Plan: SHUFFLE-FREE — tokenize once, build the chunk-index range
+    with F.sequence, explode, and slice the token array per chunk, all
+    JVM-side HOF expressions inside one projection (contrast
+    cdc_chunks, whose content-keyed boundaries need one doc-keyed
+    window shuffle). At 100 TB this is a map-only pass whose output is
+    ~n/stride rows per document; integer `div` arithmetic (never
+    double division) keeps chunk ids exact past 2^53 tokens.
+    """
+    from blockchain_indexer_spark.functions.hex import md5_prefix_bigint
+    from blockchain_indexer_spark.functions.text import tokens
+
+    w, s = int(window), int(stride)
+    if w <= 0 or s <= 0:
+        raise ValueError("window and stride must be positive")
+    d = (
+        df.select(id_col, tokens(text_col).alias("_toks"))
+        .withColumn("_n", F.size("_toks").cast("bigint"))
+        .filter(F.col("_n") > 0)
+        # 1 + max(0, ceil((n - w)/s)) in exact integer math
+        .withColumn(
+            "_n_chunks",
+            F.lit(1)
+            + F.greatest(
+                F.lit(0).cast("bigint"),
+                F.expr(f"(_n - {w} + {s} - 1) div {s}"),
+            ),
+        )
+    )
+    start = F.col("chunk_idx") * s
+    end = F.least(start + w, F.col("_n"))
+    return (
+        d.select(
+            id_col,
+            "_toks",
+            "_n",
+            F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("_n_chunks") - 1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            start.alias("start"),
+            end.alias("end"),
+            (end - start).alias("n_tokens"),
+            md5_prefix_bigint(
+                F.array_join(
+                    F.slice(F.col("_toks"), (start + 1).cast("int"), F.lit(w)), " "
+                ),
+                15,
+            ).alias("chunk_hash"),
+        )
+    )

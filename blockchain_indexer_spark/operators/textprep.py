@@ -357,3 +357,76 @@ def rrf_fuse(
             "fused_rank",
         )
     )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    use_log_idf: bool = False,
+) -> DataFrame:
+    """Per-document top-k characteristic terms by TF-IDF — the
+    classic per-doc keyword extractor (complement of
+    drift.source_distinctive_terms, which characterizes SOURCES by
+    log-odds; this characterizes each DOCUMENT against the corpus).
+
+    Same determinism engineering as bm25_scores: the rational
+    Robertson idf keeps every term score a ratio of exact BIGINT
+    products —
+
+        score_nano = floor(1e9 · tf · (2N − 2df + 1) / (2df + 1))
+
+    one IEEE division per term, bit-identical across engines, with
+    the standard ln idf available as ``use_log_idf=True`` for
+    production (tests-covered, never the oracle; both damp high-df
+    terms monotonically so rankings nearly coincide). Ties rank by
+    (score desc, term asc) so the top-k set is total-ordered.
+
+    Returns (id_col, term, tf, df, score_nano, rank) for rank <= k.
+    N is the total document count (including token-less docs, which
+    emit no keyword rows but do damp idf — documented convention).
+
+    Scale: one (doc, term) groupBy + one term-keyed df count + a
+    broadcast scalar N; the rank window shuffles (doc, term) rows
+    keyed by doc — uniform keys, output bounded by k rows per doc.
+    """
+    from pyspark.sql import Window
+
+    from blockchain_indexer_spark.functions.text import tokens
+
+    base = docs.select(
+        F.col(id_col).alias("_doc"), tokens(text_col).alias("_t")
+    )
+    tok = base.select("_doc", F.explode("_t").alias("term"))
+    tf = tok.groupBy("_doc", "term").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    corpus = base.agg(F.count("*").cast("bigint").alias("_N"))
+    scored = tf.join(df_t, "term").crossJoin(F.broadcast(corpus))
+    if use_log_idf:
+        idf = F.log(
+            (F.col("_N") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        score = F.floor(F.lit(1e9) * F.col("tf") * idf).cast("bigint")
+    else:
+        num = (F.col("tf") * (2 * F.col("_N") - 2 * F.col("df") + 1)).cast("bigint")
+        den = (2 * F.col("df") + 1).cast("bigint")
+        score = F.floor(
+            F.lit(1e9) * (num.cast("double") / den.cast("double"))
+        ).cast("bigint")
+    w = Window.partitionBy("_doc").orderBy(
+        F.desc("score_nano"), F.asc("term")
+    )
+    return (
+        scored.withColumn("score_nano", score)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_doc").alias(id_col),
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            "score_nano",
+            "rank",
+        )
+    )

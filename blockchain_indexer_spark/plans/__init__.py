@@ -44,6 +44,9 @@ PRIORITY = (
     # (new gates are inserted here as they land; each displaces one
     # rows-only entry from the front 50)
     "mm_real_jpeg_420",
+    "doc_sliding_chunks",
+    "doc_tfidf_keywords",
+    "minhash_estimate_calibration",
     # -- tier STALE-ORACLED: newest driver row is round 2 ---------------
     "chain_eth_transfer_stats",
     "chain_hub_transfers_per_day",

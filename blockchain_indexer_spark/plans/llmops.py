@@ -3880,3 +3880,179 @@ def embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
     return topk_recall(approx, exact)
+
+
+@register(
+    "doc_sliding_chunks",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ),
+    d AS (
+      SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
+             1 + greatest(0, (CAST(len(t) AS BIGINT) - 16 + 12 - 1) // 12)
+               AS n_chunks
+      FROM toks WHERE len(t) > 0
+    ),
+    c AS (
+      SELECT doc_id, t, n, CAST(r.i AS BIGINT) AS chunk_idx,
+             CAST(r.i AS BIGINT) * 12 AS chunk_start
+      FROM d, UNNEST(range(0, n_chunks)) AS r(i)
+    )
+    SELECT doc_id, chunk_idx, chunk_start,
+           least(chunk_start + 16, n) AS chunk_end,
+           least(chunk_start + 16, n) - chunk_start AS n_tokens,
+           CAST(('0x' || substr(md5(
+                 array_to_string(list_slice(t, chunk_start + 1, chunk_start + 16), ' ')
+               ), 1, 15)) AS BIGINT) AS chunk_hash
+    FROM c
+    """,
+    doc="Fixed-size overlapping token windows (window=16, stride=12 — "
+    "4 tokens of overlap), the standard RAG / long-context chunker "
+    "next to doc_cdc_chunks' content-defined boundaries and "
+    "doc_chunk_packing's concat-and-cut planning. SHUFFLE-FREE plan: "
+    "tokenize + F.sequence + explode + per-chunk array slice, all "
+    "JVM HOF expressions in one projection; a 100 TB corpus chunks "
+    "map-side with output ~n/stride rows per doc. Chunk count "
+    "1 + max(0, ceil((n-w)/s)) in exact integer `div` arithmetic "
+    "(the negative-numerator case lands in the greatest(0, .) guard "
+    "on both engines despite div-vs-floor semantics); chunk_hash is "
+    "the same md5-prefix-bigint as cdc_chunks so content-equal "
+    "chunks group across documents.",
+    survey_refs=("LLM-text",),
+)
+def doc_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.packing import sliding_chunks
+
+    d = load_table(spark, sf_dir, "documents")
+    return sliding_chunks(d, "doc_id", "text", window=16, stride=12).select(
+        "doc_id",
+        "chunk_idx",
+        F.col("start").alias("chunk_start"),
+        F.col("end").alias("chunk_end"),
+        "n_tokens",
+        "chunk_hash",
+    )
+
+
+@register(
+    "doc_tfidf_keywords",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY 1, 2
+    ),
+    dfr AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfr.df,
+             CAST(floor(1e9 * (
+               CAST(tf.tf * (2 * n.nn - 2 * dfr.df + 1) AS DOUBLE)
+               / CAST(2 * dfr.df + 1 AS DOUBLE)
+             )) AS BIGINT) AS score_nano
+      FROM tf JOIN dfr USING (term), n
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score_nano DESC, term ASC
+      ) AS BIGINT) AS rank FROM scored
+    )
+    SELECT doc_id, term, tf, df, score_nano, rank
+    FROM ranked WHERE rank <= 5
+    """,
+    doc="Per-document top-5 characteristic terms by TF-IDF "
+    "(operators.textprep.tfidf_keywords) — the per-DOC keyword "
+    "complement of corpus_source_distinctive_terms' per-SOURCE "
+    "log-odds. bm25_scores' determinism convention: rational "
+    "Robertson idf (2N-2df+1)/(2df+1) keeps each score one IEEE "
+    "division of exact BIGINT products (ln idf available as the "
+    "tests-covered production flag), ties total-ordered by term. "
+    "One (doc, term) groupBy + one term-keyed df count + broadcast "
+    "scalar N; the rank window shuffles doc-keyed rows, output "
+    "bounded by 5 rows per doc.",
+    survey_refs=("LLM-text",),
+)
+def doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.textprep import tfidf_keywords
+
+    d = load_table(spark, sf_dir, "documents")
+    return tfidf_keywords(d, "doc_id", "text", k=5)
+
+
+@register(
+    "minhash_estimate_calibration",
+    oracle=_MD5_SH
+    + """
+    , bands AS (
+      SELECT doc_id, seed // 4 AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS bucket
+      FROM sig GROUP BY doc_id, seed // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    m AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS BIGINT)
+               AS matches
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+    com AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT m.matches,
+             CAST(floor(1e9 * (
+               CAST(COALESCE(com.n_common, 0) AS DOUBLE)
+               / CAST(sa.n + sb.n - COALESCE(com.n_common, 0) AS DOUBLE)
+             )) AS BIGINT) AS true_nano,
+             (m.matches * 8) // 64 AS bucket
+      FROM m
+      LEFT JOIN com ON com.doc_a = m.doc_a AND com.doc_b = m.doc_b
+      JOIN sizes sa ON sa.doc_id = m.doc_a
+      JOIN sizes sb ON sb.doc_id = m.doc_b
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(matches) AS DOUBLE) / CAST(COUNT(*) * 64 AS DOUBLE) AS mean_est,
+           CAST(SUM(true_nano) AS DOUBLE)
+             / CAST(COUNT(*) * 1000000000 AS DOUBLE) AS mean_true
+    FROM pairs GROUP BY 1
+    """,
+    doc="MinHash estimator-calibration monitor "
+    "(operators.dedup.minhash_calibration, md5_60 engine-portable "
+    "stack — xxhash64 is the production twin at the same seam): for "
+    "every LSH candidate pair, the signature-estimated jaccard "
+    "(matching components / 64) is compared against the EXACT "
+    "shingle jaccard, bucketed by estimate. A drifting corpus "
+    "(skewed shingles, bad seed family) shows mean_true diverging "
+    "from mean_est inside a bucket before dedup recall visibly "
+    "drops. Candidates from banding (never all-pairs); the exact "
+    "join touches only candidate docs' shingles (semi-join); "
+    "per-pair true jaccard floored to the 1e-9 grid as BIGINT "
+    "before summing (float sums are aggregation-order-dependent), "
+    "each mean one IEEE division of exact integer sums.",
+    survey_refs=("LLM-dedup",),
+)
+def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.dedup import minhash_calibration
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_calibration(
+        d, "doc_id", "text", k=3, num_hashes=64, bands=16, n_buckets=8,
+        hash_fn="md5_60",
+    )
