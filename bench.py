@@ -106,6 +106,11 @@ BENCH_QUERIES = (
     "mm_real_jpeg_color",
     # chroma-subsampled 4:2:0: 2x2-luma MCUs + pinned floor upsample
     "mm_real_jpeg_420",
+    # round-5 additions: RAG sliding chunker (shuffle-free), per-doc
+    # TF-IDF keywords, MinHash estimator-calibration monitor
+    "doc_sliding_chunks",
+    "doc_tfidf_keywords",
+    "minhash_calibration",
     # distributed classifier training (2-epoch batch perceptron)
     "corpus_perceptron_weights",
     # shuffle-free within-doc repeated-paragraph dedup

@@ -96,6 +96,7 @@ PRIORITY = (
     "stream_reassembly_join",
     # -- tier STALE-ROWS-ONLY: no oracle, round-2 or no driver row ------
     "minhash_incremental",
+    "minhash_calibration",
     "corpus_token_cardinality_approx",
     "minhash_lsh_candidates",
     "simhash_signatures",

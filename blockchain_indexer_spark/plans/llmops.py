@@ -4056,3 +4056,25 @@ def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", k=3, num_hashes=64, bands=16, n_buckets=8,
         hash_fn="md5_60",
     )
+
+
+@register(
+    "minhash_calibration",
+    oracle=None,
+    doc="Production twin of minhash_estimate_calibration: the same "
+    "estimator-calibration buckets on the xxhash64 MinHash stack "
+    "(JVM-side 8-byte keys; no DuckDB equivalent -> rows-only). This "
+    "is the variant a deployment runs as a per-ingest monitor, and "
+    "the one bench.py measures - the md5 gate's cost is dominated by "
+    "64 md5-string evaluations per shingle, an oracle-portability tax "
+    "the production path never pays (7.8 s vs 2-3 s at sf0.1).",
+    survey_refs=("LLM-dedup",),
+)
+def minhash_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.dedup import minhash_calibration
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_calibration(
+        d, "doc_id", "text", k=3, num_hashes=64, bands=16, n_buckets=8,
+        hash_fn="xxhash64",
+    )

@@ -95,6 +95,7 @@ def test_rows_only_variants_behind_their_oracled_twins():
     twins = {
         "minhash_lsh_candidates": "minhash_lsh_candidates_md5",
         "minhash_incremental": "minhash_incremental_md5",
+        "minhash_calibration": "minhash_estimate_calibration",
         "simhash_signatures": "simhash_signatures_md5",
         "simhash_near_dups": "simhash_near_dups_md5",
         "corpus_token_cardinality_approx": "corpus_token_cardinality",
