@@ -433,12 +433,13 @@ def _capped_exact_common(
         capped = posting.persist(StorageLevel.DISK_ONLY)
     else:
         capped = posting.localCheckpoint(eager=True)
-    under_rows, pair_work = capped.agg(
+    stats = capped.agg(
         F.sum(F.size("ids")).alias("_r"),
         F.sum(F.size("ids").cast("bigint") * F.size("ids")).alias("_w"),
     ).first()
+    under_rows, pair_work = int(stats[0] or 0), int(stats[1] or 0)  # empty → 0s
     if escape is not None:
-        esc = escape(int(under_rows or 0), int(pair_work or 0))
+        esc = escape(under_rows, pair_work)
         if esc is not None:
             return esc  # the detour never reads the posting frame
     pair_c = (

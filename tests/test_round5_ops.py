@@ -55,6 +55,42 @@ def test_sliding_chunks_match_python_reference(spark):
     assert (1, 3) in got and got[(1, 3)][:2] == (18, 25)
 
 
+def test_sliding_chunks_invariants_across_geometries(spark):
+    """One Spark pass over many (n, window, stride) geometries; the
+    chunk set of every document must tile [0, n): first chunk starts
+    at 0, consecutive starts differ by exactly stride, every chunk
+    ends at min(start+window, n), and the last chunk reaches n with
+    no earlier chunk already covering it (no zero-overhang tails)."""
+    cases = [
+        (n, w, s)
+        for n in (1, 2, 5, 7, 8, 9, 15, 16, 17, 31, 64, 97)
+        for (w, s) in ((8, 6), (8, 8), (16, 4), (5, 5), (64, 48), (3, 1))
+    ]
+    rows = [
+        (i, " ".join(f"t{j}" for j in range(n)))
+        for i, (n, _, _) in enumerate(cases)
+    ]
+    df = _docs(spark, rows)
+    by_geom = {}
+    for (w, s) in sorted({(w, s) for _, w, s in cases}):
+        out = sliding_chunks(df, "doc_id", "text", window=w, stride=s).collect()
+        for r in out:
+            by_geom.setdefault((w, s), {}).setdefault(r["doc_id"], []).append(r)
+    for i, (n, w, s) in enumerate(cases):
+        chunks = sorted(by_geom[(w, s)].get(i, []), key=lambda r: r["chunk_idx"])
+        assert chunks, (n, w, s)
+        assert chunks[0]["start"] == 0
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            assert c["start"] == c["chunk_idx"] * s
+            assert c["end"] == min(c["start"] + w, n)
+            assert c["n_tokens"] == c["end"] - c["start"] > 0
+        assert chunks[-1]["end"] == n
+        # minimality: the second-to-last chunk must NOT already reach n
+        if len(chunks) > 1:
+            assert chunks[-2]["end"] < n, (n, w, s)
+
+
 def test_sliding_chunks_stride_equals_window_is_disjoint(spark):
     out = sliding_chunks(
         _docs(spark, [(1, " ".join(f"t{i}" for i in range(20)))]),

@@ -167,13 +167,25 @@ def test_jdbc_sink_dispatch(spark, tmp_path_factory, feed_df, monkeypatch):
 
     monkeypatch.setattr(rw.DataFrameWriter, "jdbc", fake_write_jdbc)
     monkeypatch.setattr(rw.DataFrameReader, "jdbc", fake_read_jdbc)
-    # the missing-table probe would dial the (nonexistent) server —
-    # answer it from the spool instead
-    monkeypatch.setattr(
-        IngestPipeline,
-        "_jdbc_connection",
-        lambda self: type("C", (), {"close": lambda s: None})(),
-    )
+    # the missing-table probe (and the pg DDL step) would dial the
+    # (nonexistent) server — answer from the spool / record the DDL
+    ddl: list[str] = []
+
+    class FakeStatement:
+        def execute(self, sql):
+            ddl.append(sql)
+
+        def close(self):
+            pass
+
+    class FakeConn:
+        def createStatement(self):
+            return FakeStatement()
+
+        def close(self):
+            pass
+
+    monkeypatch.setattr(IngestPipeline, "_jdbc_connection", lambda self: FakeConn())
     monkeypatch.setattr(
         IngestPipeline,
         "_jdbc_table_exists",
@@ -187,6 +199,12 @@ def test_jdbc_sink_dispatch(spark, tmp_path_factory, feed_df, monkeypatch):
     pipe.process_batch(feed_df)
     tables = {t for _, t in written}
     assert tables == {"block", "transaction", *(set(EVENT_TABLES) - {"transaction"})}
+    # the pg target got real-dialect DDL before the first append:
+    # text[] for the array columns, never the JSON-text fallback
+    created = {s.split('"')[1]: s for s in ddl if s.startswith("CREATE TABLE")}
+    assert set(created) == tables
+    assert '"owners" text[]' in created["crc_signup"]
+    assert '"classification" text[]' in created["transaction"]
     assert all(u == url for u, _ in written)
     assert {t for _, t in read} <= {"block", "transaction"}
     # second batch: anti-join reads the spooled tables back via jdbc
