@@ -377,23 +377,52 @@ def main() -> None:
             shutil.rmtree(scratch, ignore_errors=True)
     except Exception:
         pass
-    # Full record (every query, min + both raw runs) goes to the repo
-    # as BENCH_FULL_r{N}.json; N = next round number inferred from the
-    # driver's already-written BENCH_r* files (overridable).
+    print(emit_records(timings, raw_runs, total, sf, runs, extra))
+
+
+#: Byte budget for the printed line: the driver's output capture
+#: truncates around 2.4 KB (BENCH_r04.json parsed: null), so one
+#: complete JSON object must fit well under it.
+LINE_BUDGET = 1400
+
+
+def next_round_number(repo: str) -> int:
+    """Next round number: the driver writes BENCH_r{N}.json AFTER
+    bench runs, so at run time max existing is N-1. SPARK_GRAFT_ROUND
+    overrides (e.g. a judge re-running mid-round)."""
     import glob  # noqa: PLC0415
     import re  # noqa: PLC0415
 
-    repo = os.path.dirname(os.path.abspath(__file__))
+    return int(os.environ.get("SPARK_GRAFT_ROUND", "0")) or 1 + max(
+        (
+            int(m.group(1))
+            for p in glob.glob(os.path.join(repo, "BENCH_r*.json"))
+            if (m := re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p)))
+        ),
+        default=0,
+    )
+
+
+def emit_records(
+    timings: dict[str, float],
+    raw_runs: dict[str, list[float]],
+    total: float,
+    sf: float,
+    runs: int,
+    extra: dict,
+    repo: str | None = None,
+) -> str:
+    """Write the FULL per-query record to BENCH_FULL_r{N}.json and
+    return the driver-facing line: totals + the HEADLINE_QUERIES
+    subset at 2-decimal precision, size-capped to LINE_BUDGET so the
+    driver's capture always parses one complete JSON object
+    (VERDICT r4 item #1; contract pinned by tests/test_bench_emit.py).
+    """
+    repo = repo or os.path.dirname(os.path.abspath(__file__))
     try:
-        n_round = int(os.environ.get("SPARK_GRAFT_ROUND", "0")) or 1 + max(
-            (
-                int(m.group(1))
-                for p in glob.glob(os.path.join(repo, "BENCH_r*.json"))
-                if (m := re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p)))
-            ),
-            default=0,
+        full_path = os.path.join(
+            repo, f"BENCH_FULL_r{next_round_number(repo):02d}.json"
         )
-        full_path = os.path.join(repo, f"BENCH_FULL_r{n_round:02d}.json")
         with open(full_path, "w") as f:
             json.dump(
                 {
@@ -413,9 +442,6 @@ def main() -> None:
         full_name = os.path.basename(full_path)
     except OSError:  # read-only checkout: the printed line still works
         full_name = None
-    # Driver-facing line: totals + a headline subset at 2-decimal
-    # precision, size-capped so the driver's ~2.4 KB output capture
-    # always sees one complete JSON object (VERDICT r4 item #1).
     headline = {
         k: round(timings[k], 2) for k in HEADLINE_QUERIES if k in timings
     }
@@ -432,10 +458,10 @@ def main() -> None:
         **extra,
     }
     line = json.dumps(payload)
-    while len(line) > 1400 and payload["queries"]:
+    while len(line) > LINE_BUDGET and payload["queries"]:
         payload["queries"].popitem()  # drop from the tail until it fits
         line = json.dumps(payload)
-    print(line)
+    return line
 
 
 if __name__ == "__main__":
