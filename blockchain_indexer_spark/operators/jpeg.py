@@ -11,10 +11,14 @@ Scope: 8-bit baseline, GRAYSCALE, interleaved 4:4:4 color, and
 chroma-subsampled color with factors in {1, 2} (4:2:0 / 4:2:2) under
 a PINNED floor-replication upsample (decode_jpeg docstring) and the
 JFIF YCbCr matrix with floor(x+0.5) rounding — every rounding choice
-closed-form so the DuckDB oracles reproduce decoded pixels exactly.
-Progressive scans, >2 sampling factors and non-dividing ratios raise
-NotImplementedError and stay behind the PIL seam in decode_image_real
-(the same honest input-domain guard as non-24bpp BMP / non-PCM WAV).
+closed-form so the DuckDB oracles reproduce decoded pixels exactly —
+plus PROGRESSIVE (SOF2) grayscale with spectral selection:
+multi-scan coefficient accumulation and T.81 G.1.2.2 EOBn
+end-of-band run decoding (decode_jpeg_progressive). Progressive
+color, successive approximation, >2 sampling factors and
+non-dividing ratios raise NotImplementedError and stay behind the
+PIL seam in decode_image_real (the same honest input-domain guard as
+non-24bpp BMP / non-PCM WAV).
 
 Exactness contract (what makes a LOSSY format oracle-gateable): the
 fixture encoder emits solid 8x8 blocks with an all-ones quantization
@@ -502,7 +506,12 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, int, np.ndarray]:
                         "in-repo (PIL seam)"
                     )
                 frame_comps.append((cid, tq, hs, vs))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker == 0xC2:
+            # progressive: multi-scan coefficient accumulation — its
+            # own walk (grayscale spectral selection in-repo; color /
+            # successive approximation guard inside)
+            return decode_jpeg_progressive(buf)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError("non-baseline JPEG frame (PIL seam)")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
@@ -714,3 +723,284 @@ def synth_jpeg_420_blob(doc_id: int) -> bytes:
     return encode_jpeg(
         [y, cb, cr], restart_interval=2, sampling=[(2, 2), (1, 1), (1, 1)]
     )
+
+
+# ------------------------------------------------- progressive (SOF2)
+
+#: AC table for PROGRESSIVE scans: EOBn run symbols (r<<4 | 0) plus the
+#: small run/size symbols the tests drive, and ZRL. Canonical, Kraft
+#: sum 2/4 + 2/8 + 2/16 + 1/32 = 0.90625 < 1 (valid incomplete tree).
+#: Kept separate from the baseline AC table so baseline streams are
+#: byte-identical to earlier rounds.
+PROG_AC_BITS = (0, 2, 2, 2, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+PROG_AC_VALS = (
+    0x00, 0x10,  # len 2: EOB (run 1), EOBn r=1 (runs 2-3)
+    0x20, 0x01,  # len 3: EOBn r=2 (runs 4-7), run0/size1
+    0x11, 0x41,  # len 4: run1/size1, run4/size1
+    0xF0,        # len 5: ZRL
+)
+
+
+def encode_jpeg_progressive_gray(
+    blocks: np.ndarray,
+    bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
+    quant: np.ndarray | None = None,
+) -> bytes:
+    """Encode a PROGRESSIVE (SOF2) grayscale stream with spectral
+    selection: one DC scan (Ss=Se=0) followed by one scan per AC band
+    in ``bands``, no successive approximation (Ah=Al=0 everywhere).
+    All-zero bands are coded with T.81 G.1.2.2 EOBn run symbols
+    ((r << 4) | 0 followed by r appended bits, run = (1 << r) +
+    appended), so a solid-block fixture genuinely exercises the
+    progressive entropy structure — band runs spanning many blocks —
+    that baseline streams cannot. Blocks are (nby, nbx, 8, 8) uint8."""
+    nby, nbx = blocks.shape[:2]
+    qt = np.ones((8, 8), dtype=np.int64) if quant is None else quant.astype(np.int64)
+    zz_blocks = []
+    for by in range(nby):
+        for bx in range(nbx):
+            spatial = blocks[by, bx].astype(np.float64) - 128.0
+            coefs = _A @ spatial @ _A.T
+            q = np.round(coefs / qt).astype(np.int64)
+            zz_blocks.append(q.reshape(64)[ZIGZAG])
+    return encode_progressive_from_zz(zz_blocks, nby, nbx, bands, qt)
+
+
+def encode_progressive_from_zz(
+    zz_blocks: list[np.ndarray],
+    nby: int,
+    nbx: int,
+    bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
+    qt: np.ndarray | None = None,
+) -> bytes:
+    """Assemble a progressive stream from pre-quantized zigzag blocks
+    (raster order) — the seam tests use to plant exact AC structure
+    that no integer spatial block could quantize to."""
+    h, w = nby * 8, nbx * 8
+    qt = np.ones((8, 8), dtype=np.int64) if qt is None else qt.astype(np.int64)
+    dc_enc = _encode_table(DC_BITS, DC_VALS)
+    ac_enc = _encode_table(PROG_AC_BITS, PROG_AC_VALS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    # DC scan: per-block prediction diffs, raster order
+    bw = BitWriter()
+    pred = 0
+    for zz in zz_blocks:
+        diff = int(zz[0]) - pred
+        size = _category(diff)
+        ln, code = dc_enc[size]
+        bw.write(code, ln)
+        if size:
+            bw.write(_magnitude_bits(diff, size), size)
+        pred = int(zz[0])
+    bw.pad_align()
+    scans = [
+        (
+            seg(0xDA, bytes((1, 1, 0x00, 0, 0, 0))),  # Ss=0 Se=0 AhAl=0
+            bytes(bw.out),
+        )
+    ]
+    # AC band scans: EOBn runs over all-zero bands, run/size otherwise
+    for ss, se in bands:
+        bw = BitWriter()
+        eobrun = 0
+
+        def _flush(bw, run):
+            r = run.bit_length() - 1
+            if (r << 4) not in ac_enc:
+                raise ValueError(f"EOBn r={r} not in PROG_AC_VALS")
+            ln, code = ac_enc[r << 4]
+            bw.write(code, ln)
+            if r:
+                bw.write(run - (1 << r), r)
+
+        for zz in zz_blocks:
+            band = zz[ss : se + 1]
+            if not band.any():
+                eobrun += 1
+                # bounded by the table's largest EOBn (r=2 → run ≤ 7)
+                if eobrun == 7:
+                    _flush(bw, eobrun)
+                    eobrun = 0
+                continue
+            if eobrun:
+                _flush(bw, eobrun)
+                eobrun = 0
+            k = ss
+            while k <= se:
+                run = 0
+                while k <= se and zz[k] == 0:
+                    run += 1
+                    k += 1
+                if k > se:
+                    _flush(bw, 1)  # EOB for this block
+                    break
+                while run >= 16:
+                    ln, code = ac_enc[0xF0]  # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                v = int(zz[k])
+                size = _category(v)
+                sym = (run << 4) | size
+                if sym not in ac_enc:
+                    raise ValueError(f"AC symbol {sym:#x} not in PROG_AC_VALS")
+                ln, code = ac_enc[sym]
+                bw.write(code, ln)
+                bw.write(_magnitude_bits(v, size), size)
+                k += 1
+                # T.81 G.1.2.2: a band whose LAST coefficient is
+                # nonzero emits no EOB — the while simply exits
+        if eobrun:
+            _flush(bw, eobrun)
+        bw.pad_align()
+        scans.append(
+            (seg(0xDA, bytes((1, 1, 0x00, ss, se, 0))), bytes(bw.out))
+        )
+
+    dqt = seg(0xDB, b"\x00" + bytes(int(qt.reshape(64)[ZIGZAG][i]) for i in range(64)))
+    sof = seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes((1, 0x11, 0)))
+    dht = seg(
+        0xC4,
+        b"\x00" + bytes(DC_BITS) + bytes(DC_VALS)
+        + b"\x10" + bytes(PROG_AC_BITS) + bytes(PROG_AC_VALS),
+    )
+    parts = [b"\xff\xd8", seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"), dqt, sof, dht]
+    for sos, data in scans:
+        parts += [sos, data]
+    parts.append(b"\xff\xd9")
+    return b"".join(parts)
+
+
+def decode_jpeg_progressive(buf: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode a PROGRESSIVE (SOF2) grayscale JPEG with spectral
+    selection: coefficients accumulate across scans (one DC scan +
+    any partition of 1..63 into AC band scans, each with EOBn
+    end-of-band run decoding per T.81 G.1.2.2); dequant + IDCT run
+    once after the last scan. Honest guards (PIL seam): color
+    progressive, successive approximation (Ah/Al != 0), and restart
+    intervals raise NotImplementedError."""
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    w = h = 0
+    comp_tq = 0
+    coefs: np.ndarray | None = None  # (nby, nbx, 64) zigzag-order
+    nbx = nby = 0
+    while pos < len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = buf[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seg_len,) = struct.unpack(">H", buf[pos : pos + 2])
+        body = buf[pos + 2 : pos + seg_len]
+        pos += seg_len
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                n = 128 if pq else 64
+                raw = (
+                    np.frombuffer(body[i : i + n], dtype=">u2" if pq else np.uint8)
+                    .astype(np.int64)
+                )
+                i += n
+                qt = np.zeros(64, dtype=np.int64)
+                qt[ZIGZAG] = raw
+                qtables[tq] = qt  # kept zigzag-inverted flat
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                bits = tuple(body[i : i + 16])
+                i += 16
+                n = sum(bits)
+                vals = tuple(body[i : i + n])
+                i += n
+                htables[(tc, th)] = build_huffman(bits, vals)
+        elif marker == 0xC2:
+            precision, h, w, nf = struct.unpack(">BHHB", body[:6])
+            if precision != 8:
+                raise NotImplementedError("only 8-bit precision supported")
+            if nf != 1:
+                raise NotImplementedError("progressive color (PIL seam)")
+            comp_tq = body[8]
+            nbx, nby = (w + 7) // 8, (h + 7) // 8
+            coefs = np.zeros((nby, nbx, 64), dtype=np.int64)
+        elif marker == 0xDD:
+            if struct.unpack(">H", body[:2])[0]:
+                raise NotImplementedError(
+                    "restart intervals in progressive scans (PIL seam)"
+                )
+        elif marker == 0xDA:
+            if coefs is None:
+                raise ValueError("SOS before SOF2")
+            ns = body[0]
+            if ns != 1:
+                raise NotImplementedError("progressive color (PIL seam)")
+            tt = body[2]
+            ss, se, ahal = body[3], body[4], body[5]
+            if ahal:
+                raise NotImplementedError(
+                    "successive approximation (PIL seam)"
+                )
+            br = BitReader(buf, pos)
+            if ss == 0:  # DC scan
+                if se != 0:
+                    raise ValueError("DC scan must have Se=0")
+                dc_tab = htables[(0, tt >> 4)]
+                pred = 0
+                for by in range(nby):
+                    for bx in range(nbx):
+                        size = br.decode_symbol(dc_tab)
+                        diff = _extend(br.read_bits(size), size) if size else 0
+                        pred += diff
+                        coefs[by, bx, 0] = pred
+            else:  # AC band scan, EOBn runs
+                ac_tab = htables[(1, tt & 0x0F)]
+                eobrun = 0
+                for by in range(nby):
+                    for bx in range(nbx):
+                        if eobrun:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            rs = br.decode_symbol(ac_tab)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                eobrun = (1 << r) + (br.read_bits(r) if r else 0) - 1
+                                break  # this block's band ends here
+                            k += r
+                            if k > se:
+                                raise ValueError("AC run past band end")
+                            coefs[by, bx, k] = _extend(br.read_bits(s), s)
+                            k += 1
+            pos = br.pos  # continue the marker walk after the scan
+        # APPn / COM: skipped
+    if coefs is None:
+        raise ValueError("no SOF2 frame")
+    qt = qtables[comp_tq]
+    plane = np.zeros((nby * 8, nbx * 8), dtype=np.uint8)
+    dez = np.zeros(64, dtype=np.int64)
+    for by in range(nby):
+        for bx in range(nbx):
+            zz = coefs[by, bx]
+            dez[ZIGZAG] = zz
+            spatial = idct_block((dez * qt).reshape(8, 8)) + 128.0
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.round(spatial), 0, 255
+            ).astype(np.uint8)
+    return w, h, 1, plane[:h, :w]

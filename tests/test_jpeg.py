@@ -127,10 +127,29 @@ def test_truncated_sof_component_list_is_rejected():
         decode_jpeg_gray(bytes(buf))
 
 
-def test_progressive_frame_raises_not_implemented():
+def test_relabeled_baseline_frame_is_rejected_as_malformed():
+    """Progressive (SOF2) now DECODES (grayscale spectral selection);
+    a baseline stream merely relabeled SOF2 is malformed — its single
+    scan claims the full 0..63 band with Ss=0, which a real
+    progressive stream cannot (T.81 G.1: a DC scan has Se=0)."""
     buf = bytearray(synth_jpeg_blob(1))
     i = bytes(buf).index(b"\xff\xc0")
     buf[i + 1] = 0xC2  # SOF2 progressive
+    # the baseline fixture carries a DRI segment — the progressive
+    # walk guards that first (restart handling is baseline-only here)
+    with pytest.raises(NotImplementedError, match="restart"):
+        decode_jpeg_gray(bytes(buf))
+    # with the DRI stripped, the malformed single full-band scan trips
+    # the DC-scan shape check
+    raw = bytes(buf)
+    j = raw.index(b"\xff\xdd")
+    raw = raw[:j] + raw[j + 6 :]  # DRI segment is 6 bytes total
+    with pytest.raises(ValueError, match="DC scan"):
+        decode_jpeg_gray(raw)
+    # genuinely non-baseline frames (lossless/hierarchical) still guard
+    buf = bytearray(synth_jpeg_blob(1))
+    i = bytes(buf).index(b"\xff\xc0")
+    buf[i + 1] = 0xC3  # SOF3 lossless
     with pytest.raises(NotImplementedError, match="non-baseline"):
         decode_jpeg_gray(bytes(buf))
 
@@ -307,3 +326,94 @@ def test_420_luma_predictor_chains_inside_mcu():
         encode_jpeg([y, cb, cr], sampling=sampling, restart_interval=2)
     )[3]
     assert np.array_equal(px, with_rst)
+
+
+def test_progressive_solid_blocks_match_baseline():
+    """Spectral-selection progressive (SOF2) of the same block data
+    must decode pixel-identical to the baseline stream — the DC scan
+    plus all-zero AC bands coded as genuine T.81 G.1.2.2 EOBn runs
+    spanning many blocks. Also exercises decode_jpeg's SOF2 dispatch."""
+    from blockchain_indexer_spark.operators.jpeg import (
+        decode_jpeg,
+        decode_jpeg_gray,
+        decode_jpeg_progressive,
+        encode_jpeg_gray,
+        encode_jpeg_progressive_gray,
+    )
+
+    rng = np.random.default_rng(11)
+    for trial in range(8):
+        nby, nbx = 1 + trial % 3, 1 + trial % 4
+        v = rng.integers(0, 256, (nby, nbx, 1, 1), dtype=np.int64)
+        blocks = np.ascontiguousarray(
+            np.broadcast_to(v, (nby, nbx, 8, 8)).astype(np.uint8)
+        )
+        base = decode_jpeg_gray(encode_jpeg_gray(blocks))[2]
+        prog_buf = encode_jpeg_progressive_gray(blocks)
+        assert np.array_equal(base, decode_jpeg_progressive(prog_buf)[3]), trial
+        assert np.array_equal(base, decode_jpeg(prog_buf)[3]), trial
+
+
+def test_progressive_ac_bands_decode_planted_coefficients():
+    """Planted zigzag coefficients through the zz seam: EOBn runs,
+    run/size symbols, ZRL inside a band, and a band whose LAST
+    coefficient is nonzero (no trailing EOB per T.81) must all decode
+    to the direct-IDCT ground truth across split band scans."""
+    from blockchain_indexer_spark.operators.jpeg import (
+        ZIGZAG,
+        decode_jpeg_progressive,
+        encode_progressive_from_zz,
+        idct_block,
+    )
+
+    zz = [np.zeros(64, dtype=np.int64) for _ in range(6)]
+    zz[0][0] = 96
+    zz[0][1] = 1
+    zz[0][3] = -1  # band1: run0 then run1
+    zz[1][0] = 200  # all-zero AC: joins an EOBn run
+    zz[2][0] = 40
+    zz[2][7] = 1  # band2-only coefficient
+    zz[3][0] = 8
+    zz[4][0] = 250
+    zz[4][10] = -1
+    zz[4][63] = 1  # band-end coef: 52 zeros = 3x ZRL + run4, NO EOB after
+    zz[5][0] = 128
+    zz[5][6] = 1
+    zz[5][23] = -1  # exactly 16 zeros = one ZRL + run0
+    buf = encode_progressive_from_zz(zz, 2, 3)
+    w, h, nch, px = decode_jpeg_progressive(buf)
+    assert (w, h, nch) == (24, 16, 1)
+    expect = np.zeros((16, 24), dtype=np.uint8)
+    i = 0
+    for by in range(2):
+        for bx in range(3):
+            dez = np.zeros(64, dtype=np.int64)
+            dez[ZIGZAG] = zz[i]
+            sp = idct_block(dez.reshape(8, 8)) + 128.0
+            expect[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.round(sp), 0, 255
+            )
+            i += 1
+    assert np.array_equal(px, expect)
+
+
+def test_progressive_guards_stay_honest():
+    """Successive approximation (Ah/Al != 0) and color progressive
+    stay behind the PIL seam."""
+    from blockchain_indexer_spark.operators.jpeg import (
+        decode_jpeg_progressive,
+        encode_progressive_from_zz,
+    )
+
+    zz = [np.zeros(64, dtype=np.int64)]
+    zz[0][0] = 100
+    buf = bytearray(encode_progressive_from_zz(zz, 1, 1))
+    i = bytes(buf).index(b"\xff\xda")
+    buf[i + 2 + 2 + 5] = 0x12  # AhAl byte of the first SOS
+    with pytest.raises(NotImplementedError, match="successive approximation"):
+        decode_jpeg_progressive(bytes(buf))
+    buf = bytearray(encode_progressive_from_zz(zz, 1, 1))
+    i = bytes(buf).index(b"\xff\xc2")
+    buf[i + 2 + 2 + 5] = 3  # SOF2 claims 3 components
+    with pytest.raises(NotImplementedError, match="progressive color"):
+        decode_jpeg_progressive(bytes(buf))
