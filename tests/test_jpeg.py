@@ -417,3 +417,100 @@ def test_progressive_guards_stay_honest():
     buf[i + 2 + 2 + 5] = 3  # SOF2 claims 3 components
     with pytest.raises(NotImplementedError, match="progressive color"):
         decode_jpeg_progressive(bytes(buf))
+
+
+def test_422_horizontal_subsampling_roundtrip():
+    """4:2:2 (H=2, V=1 luma): two luma blocks + one chroma block per
+    MCU; the pinned floor upsample replicates chroma horizontally."""
+    from blockchain_indexer_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(5)
+    mby, mbx = 2, 2
+    y = np.ascontiguousarray(
+        np.broadcast_to(
+            rng.integers(0, 256, (mby, 2 * mbx, 1, 1), dtype=np.int64),
+            (mby, 2 * mbx, 8, 8),
+        ).astype(np.uint8)
+    )
+    cb = np.ascontiguousarray(
+        np.broadcast_to(
+            rng.integers(0, 256, (mby, mbx, 1, 1), dtype=np.int64), (mby, mbx, 8, 8)
+        ).astype(np.uint8)
+    )
+    cr = np.ascontiguousarray(
+        np.broadcast_to(
+            rng.integers(0, 256, (mby, mbx, 1, 1), dtype=np.int64), (mby, mbx, 8, 8)
+        ).astype(np.uint8)
+    )
+    w, h, nch, px = decode_jpeg(
+        encode_jpeg([y, cb, cr], sampling=[(2, 1), (1, 1), (1, 1)])
+    )
+    assert (w, h, nch) == (16 * mbx, 8 * mby, 3)
+    yf = np.repeat(np.repeat(y[:, :, 0, 0], 8, axis=0), 8, axis=1).astype(np.float64)
+    cbf = (
+        np.repeat(np.repeat(cb[:, :, 0, 0], 8, axis=0), 16, axis=1).astype(np.float64)
+        - 128.0
+    )
+    crf = (
+        np.repeat(np.repeat(cr[:, :, 0, 0], 8, axis=0), 16, axis=1).astype(np.float64)
+        - 128.0
+    )
+    expect = np.clip(
+        np.floor(
+            np.stack(
+                [
+                    yf + 1.402 * crf,
+                    yf - 0.344136 * cbf - 0.714136 * crf,
+                    yf + 1.772 * cbf,
+                ],
+                axis=2,
+            )
+            + 0.5
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    assert np.array_equal(px, expect)
+
+
+def test_decode_image_real_handles_progressive_blobs(spark):
+    """A progressive grayscale blob flows through the Arrow
+    mapInPandas decode stage via decode_jpeg's SOF2 dispatch — the
+    Spark-side plumbing needs no special-casing."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from blockchain_indexer_spark.operators.jpeg import (
+        encode_jpeg_progressive_gray,
+    )
+    from blockchain_indexer_spark.operators.multimodal import decode_image_real
+
+    def blob(doc_id: int) -> bytes:
+        nbx, nby = 1 + doc_id % 3, 1 + doc_id % 2
+        v = (11 * doc_id + np.arange(nby)[:, None] * 3 + np.arange(nbx)[None, :] * 7) % 256
+        blocks = np.ascontiguousarray(
+            np.broadcast_to(
+                v[:, :, None, None].astype(np.uint8), (nby, nbx, 8, 8)
+            )
+        )
+        return encode_jpeg_progressive_gray(blocks)
+
+    _blob = F.pandas_udf(lambda ids: ids.map(lambda i: blob(int(i))), "binary")
+
+    docs = spark.range(8).select(F.col("id").alias("doc_id")).withColumn(
+        "blob", _blob("doc_id")
+    ).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("image/jpeg").alias("mime"),
+            F.length("blob").alias("nbytes"),
+            F.lit("jpeg-gray8-progressive-v1").alias("codec"),
+        ),
+    )
+    out = {r["doc_id"]: r for r in decode_image_real(docs).collect()}
+    assert len(out) == 8
+    for doc_id, r in out.items():
+        nbx, nby = 1 + doc_id % 3, 1 + doc_id % 2
+        assert (r["width"], r["height"]) == (8 * nbx, 8 * nby)
+        v = (11 * doc_id + np.arange(nby)[:, None] * 3 + np.arange(nbx)[None, :] * 7) % 256
+        assert r["mean_b"] == v.mean()
