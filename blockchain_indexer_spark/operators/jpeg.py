@@ -12,13 +12,15 @@ chroma-subsampled color with factors in {1, 2} (4:2:0 / 4:2:2) under
 a PINNED floor-replication upsample (decode_jpeg docstring) and the
 JFIF YCbCr matrix with floor(x+0.5) rounding — every rounding choice
 closed-form so the DuckDB oracles reproduce decoded pixels exactly —
-plus PROGRESSIVE (SOF2) grayscale with spectral selection:
-multi-scan coefficient accumulation and T.81 G.1.2.2 EOBn
-end-of-band run decoding (decode_jpeg_progressive). Progressive
-color, successive approximation, >2 sampling factors and
-non-dividing ratios raise NotImplementedError and stay behind the
-PIL seam in decode_image_real (the same honest input-domain guard as
-non-24bpp BMP / non-PCM WAV).
+plus PROGRESSIVE (SOF2) grayscale AND 4:4:4 color with spectral
+selection: multi-scan coefficient accumulation, an interleaved DC
+scan with per-component predictors, non-interleaved per-component AC
+band scans, and T.81 G.1.2.2 EOBn end-of-band run decoding
+(decode_jpeg_progressive). Subsampled progressive, successive
+approximation, >2 sampling factors and non-dividing ratios raise
+NotImplementedError and stay behind the PIL seam in
+decode_image_real (the same honest input-domain guard as non-24bpp
+BMP / non-PCM WAV).
 
 Exactness contract (what makes a LOSSY format oracle-gateable): the
 fixture encoder emits solid 8x8 blocks with an all-ones quantization
@@ -754,28 +756,52 @@ def encode_jpeg_progressive_gray(
     appended), so a solid-block fixture genuinely exercises the
     progressive entropy structure — band runs spanning many blocks —
     that baseline streams cannot. Blocks are (nby, nbx, 8, 8) uint8."""
-    nby, nbx = blocks.shape[:2]
+    return encode_jpeg_progressive([blocks], bands, quant)
+
+
+def encode_jpeg_progressive(
+    components: list[np.ndarray],
+    bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
+    quant: np.ndarray | None = None,
+) -> bytes:
+    """Progressive (SOF2) encoder for 1 (grayscale) or 3 (4:4:4
+    YCbCr) components, all 1x1 sampling and equal block dims: one
+    interleaved DC scan, then per-component AC band scans (T.81 G.1:
+    AC progressive scans are non-interleaved)."""
+    nf = len(components)
+    if nf not in (1, 3):
+        raise ValueError("1 (gray) or 3 (YCbCr 4:4:4) components")
+    nby, nbx = components[0].shape[:2]
+    if any(c.shape != components[0].shape for c in components):
+        raise ValueError("all components must share block dims (4:4:4)")
     qt = np.ones((8, 8), dtype=np.int64) if quant is None else quant.astype(np.int64)
-    zz_blocks = []
-    for by in range(nby):
-        for bx in range(nbx):
-            spatial = blocks[by, bx].astype(np.float64) - 128.0
-            coefs = _A @ spatial @ _A.T
-            q = np.round(coefs / qt).astype(np.int64)
-            zz_blocks.append(q.reshape(64)[ZIGZAG])
-    return encode_progressive_from_zz(zz_blocks, nby, nbx, bands, qt)
+    zz_comps = []
+    for comp in components:
+        zz_blocks = []
+        for by in range(nby):
+            for bx in range(nbx):
+                spatial = comp[by, bx].astype(np.float64) - 128.0
+                coefs = _A @ spatial @ _A.T
+                q = np.round(coefs / qt).astype(np.int64)
+                zz_blocks.append(q.reshape(64)[ZIGZAG])
+        zz_comps.append(zz_blocks)
+    return encode_progressive_from_zz(zz_comps, nby, nbx, bands, qt)
 
 
 def encode_progressive_from_zz(
-    zz_blocks: list[np.ndarray],
+    zz_comps,
     nby: int,
     nbx: int,
     bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
     qt: np.ndarray | None = None,
 ) -> bytes:
     """Assemble a progressive stream from pre-quantized zigzag blocks
-    (raster order) — the seam tests use to plant exact AC structure
-    that no integer spatial block could quantize to."""
+    (raster order; one list per component, or a bare single-component
+    list) — the seam tests use to plant exact AC structure that no
+    integer spatial block could quantize to."""
+    if zz_comps and isinstance(zz_comps[0], np.ndarray):
+        zz_comps = [zz_comps]
+    nf = len(zz_comps)
     h, w = nby * 8, nbx * 8
     qt = np.ones((8, 8), dtype=np.int64) if qt is None else qt.astype(np.int64)
     dc_enc = _encode_table(DC_BITS, DC_VALS)
@@ -784,83 +810,88 @@ def encode_progressive_from_zz(
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
-    # DC scan: per-block prediction diffs, raster order
+    # DC scan: interleaved across components, per-component predictors
     bw = BitWriter()
-    pred = 0
-    for zz in zz_blocks:
-        diff = int(zz[0]) - pred
-        size = _category(diff)
-        ln, code = dc_enc[size]
-        bw.write(code, ln)
-        if size:
-            bw.write(_magnitude_bits(diff, size), size)
-        pred = int(zz[0])
-    bw.pad_align()
-    scans = [
-        (
-            seg(0xDA, bytes((1, 1, 0x00, 0, 0, 0))),  # Ss=0 Se=0 AhAl=0
-            bytes(bw.out),
-        )
-    ]
-    # AC band scans: EOBn runs over all-zero bands, run/size otherwise
-    for ss, se in bands:
-        bw = BitWriter()
-        eobrun = 0
-
-        def _flush(bw, run):
-            r = run.bit_length() - 1
-            if (r << 4) not in ac_enc:
-                raise ValueError(f"EOBn r={r} not in PROG_AC_VALS")
-            ln, code = ac_enc[r << 4]
+    preds = [0] * nf
+    for bi in range(nby * nbx):
+        for ci in range(nf):
+            zz = zz_comps[ci][bi]
+            diff = int(zz[0]) - preds[ci]
+            size = _category(diff)
+            ln, code = dc_enc[size]
             bw.write(code, ln)
-            if r:
-                bw.write(run - (1 << r), r)
+            if size:
+                bw.write(_magnitude_bits(diff, size), size)
+            preds[ci] = int(zz[0])
+    bw.pad_align()
+    dc_body = bytes((nf,)) + b"".join(
+        bytes((ci + 1, 0x00)) for ci in range(nf)
+    ) + bytes((0, 0, 0))
+    scans = [(seg(0xDA, dc_body), bytes(bw.out))]
+    # AC band scans per component: EOBn runs over all-zero bands
+    for ci in range(nf):
+        for ss, se in bands:
+            bw = BitWriter()
+            eobrun = 0
 
-        for zz in zz_blocks:
-            band = zz[ss : se + 1]
-            if not band.any():
-                eobrun += 1
-                # bounded by the table's largest EOBn (r=2 → run ≤ 7)
-                if eobrun == 7:
+            def _flush(bw, run):
+                r = run.bit_length() - 1
+                if (r << 4) not in ac_enc:
+                    raise ValueError(f"EOBn r={r} not in PROG_AC_VALS")
+                ln, code = ac_enc[r << 4]
+                bw.write(code, ln)
+                if r:
+                    bw.write(run - (1 << r), r)
+
+            for zz in zz_comps[ci]:
+                band = zz[ss : se + 1]
+                if not band.any():
+                    eobrun += 1
+                    # bounded by the table's largest EOBn (r=2 → run ≤ 7)
+                    if eobrun == 7:
+                        _flush(bw, eobrun)
+                        eobrun = 0
+                    continue
+                if eobrun:
                     _flush(bw, eobrun)
                     eobrun = 0
-                continue
+                k = ss
+                while k <= se:
+                    run = 0
+                    while k <= se and zz[k] == 0:
+                        run += 1
+                        k += 1
+                    if k > se:
+                        _flush(bw, 1)  # EOB for this block
+                        break
+                    while run >= 16:
+                        ln, code = ac_enc[0xF0]  # ZRL
+                        bw.write(code, ln)
+                        run -= 16
+                    v = int(zz[k])
+                    size = _category(v)
+                    sym = (run << 4) | size
+                    if sym not in ac_enc:
+                        raise ValueError(f"AC symbol {sym:#x} not in PROG_AC_VALS")
+                    ln, code = ac_enc[sym]
+                    bw.write(code, ln)
+                    bw.write(_magnitude_bits(v, size), size)
+                    k += 1
+                    # T.81 G.1.2.2: a band whose LAST coefficient is
+                    # nonzero emits no EOB — the while simply exits
             if eobrun:
                 _flush(bw, eobrun)
-                eobrun = 0
-            k = ss
-            while k <= se:
-                run = 0
-                while k <= se and zz[k] == 0:
-                    run += 1
-                    k += 1
-                if k > se:
-                    _flush(bw, 1)  # EOB for this block
-                    break
-                while run >= 16:
-                    ln, code = ac_enc[0xF0]  # ZRL
-                    bw.write(code, ln)
-                    run -= 16
-                v = int(zz[k])
-                size = _category(v)
-                sym = (run << 4) | size
-                if sym not in ac_enc:
-                    raise ValueError(f"AC symbol {sym:#x} not in PROG_AC_VALS")
-                ln, code = ac_enc[sym]
-                bw.write(code, ln)
-                bw.write(_magnitude_bits(v, size), size)
-                k += 1
-                # T.81 G.1.2.2: a band whose LAST coefficient is
-                # nonzero emits no EOB — the while simply exits
-        if eobrun:
-            _flush(bw, eobrun)
-        bw.pad_align()
-        scans.append(
-            (seg(0xDA, bytes((1, 1, 0x00, ss, se, 0))), bytes(bw.out))
-        )
+            bw.pad_align()
+            scans.append(
+                (seg(0xDA, bytes((1, ci + 1, 0x00, ss, se, 0))), bytes(bw.out))
+            )
 
     dqt = seg(0xDB, b"\x00" + bytes(int(qt.reshape(64)[ZIGZAG][i]) for i in range(64)))
-    sof = seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes((1, 0x11, 0)))
+    sof = seg(
+        0xC2,
+        struct.pack(">BHHB", 8, h, w, nf)
+        + b"".join(bytes((ci + 1, 0x11, 0)) for ci in range(nf)),
+    )
     dht = seg(
         0xC4,
         b"\x00" + bytes(DC_BITS) + bytes(DC_VALS)
@@ -874,21 +905,26 @@ def encode_progressive_from_zz(
 
 
 def decode_jpeg_progressive(buf: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Decode a PROGRESSIVE (SOF2) grayscale JPEG with spectral
-    selection: coefficients accumulate across scans (one DC scan +
-    any partition of 1..63 into AC band scans, each with EOBn
-    end-of-band run decoding per T.81 G.1.2.2); dequant + IDCT run
-    once after the last scan. Honest guards (PIL seam): color
-    progressive, successive approximation (Ah/Al != 0), and restart
-    intervals raise NotImplementedError."""
+    """Decode a PROGRESSIVE (SOF2) JPEG with spectral selection —
+    grayscale or 4:4:4 YCbCr color (all sampling factors 1x1):
+    coefficients accumulate across scans (one interleaved DC scan +
+    any partition of 1..63 into per-component AC band scans — T.81
+    G.1 requires AC progressive scans to be non-interleaved — each
+    with EOBn end-of-band run decoding per G.1.2.2); dequant + IDCT
+    run once after the last scan, then the same JFIF matrix +
+    floor(x+0.5) color transform as the baseline decoder. Honest
+    guards (PIL seam): subsampled progressive, successive
+    approximation (Ah/Al != 0), and restart intervals raise
+    NotImplementedError."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     w = h = 0
-    comp_tq = 0
-    coefs: np.ndarray | None = None  # (nby, nbx, 64) zigzag-order
+    comp_order: list[int] = []  # frame order of component ids
+    comp_tq: dict[int, int] = {}
+    coefs: dict[int, np.ndarray] | None = None  # cid -> (nby, nbx, 64)
     nbx = nby = 0
     while pos < len(buf):
         if buf[pos] != 0xFF:
@@ -931,11 +967,23 @@ def decode_jpeg_progressive(buf: bytes) -> tuple[int, int, int, np.ndarray]:
             precision, h, w, nf = struct.unpack(">BHHB", body[:6])
             if precision != 8:
                 raise NotImplementedError("only 8-bit precision supported")
-            if nf != 1:
-                raise NotImplementedError("progressive color (PIL seam)")
-            comp_tq = body[8]
+            if nf not in (1, 3):
+                raise NotImplementedError(
+                    f"{nf}-component progressive JPEG (PIL seam)"
+                )
+            for ci in range(nf):
+                cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if sampling != 0x11:
+                    raise NotImplementedError(
+                        "subsampled progressive JPEG (PIL seam)"
+                    )
+                comp_order.append(cid)
+                comp_tq[cid] = tq
             nbx, nby = (w + 7) // 8, (h + 7) // 8
-            coefs = np.zeros((nby, nbx, 64), dtype=np.int64)
+            coefs = {
+                cid: np.zeros((nby, nbx, 64), dtype=np.int64)
+                for cid in comp_order
+            }
         elif marker == 0xDD:
             if struct.unpack(">H", body[:2])[0]:
                 raise NotImplementedError(
@@ -945,28 +993,38 @@ def decode_jpeg_progressive(buf: bytes) -> tuple[int, int, int, np.ndarray]:
             if coefs is None:
                 raise ValueError("SOS before SOF2")
             ns = body[0]
-            if ns != 1:
-                raise NotImplementedError("progressive color (PIL seam)")
-            tt = body[2]
-            ss, se, ahal = body[3], body[4], body[5]
+            scan_ids = [body[1 + 2 * ci] for ci in range(ns)]
+            scan_tts = [body[2 + 2 * ci] for ci in range(ns)]
+            ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
             if ahal:
                 raise NotImplementedError(
                     "successive approximation (PIL seam)"
                 )
+            if any(cid not in coefs for cid in scan_ids):
+                raise ValueError("SOS references unknown component")
             br = BitReader(buf, pos)
-            if ss == 0:  # DC scan
+            if ss == 0:  # DC scan — interleaved over all scan components
                 if se != 0:
                     raise ValueError("DC scan must have Se=0")
-                dc_tab = htables[(0, tt >> 4)]
-                pred = 0
+                preds = {cid: 0 for cid in scan_ids}
                 for by in range(nby):
                     for bx in range(nbx):
-                        size = br.decode_symbol(dc_tab)
-                        diff = _extend(br.read_bits(size), size) if size else 0
-                        pred += diff
-                        coefs[by, bx, 0] = pred
-            else:  # AC band scan, EOBn runs
+                        for cid, tt in zip(scan_ids, scan_tts):
+                            dc_tab = htables[(0, tt >> 4)]
+                            size = br.decode_symbol(dc_tab)
+                            diff = (
+                                _extend(br.read_bits(size), size) if size else 0
+                            )
+                            preds[cid] += diff
+                            coefs[cid][by, bx, 0] = preds[cid]
+            else:  # AC band scan: non-interleaved per T.81 G.1
+                if ns != 1:
+                    raise ValueError(
+                        "progressive AC scans must be single-component"
+                    )
+                cid, tt = scan_ids[0], scan_tts[0]
                 ac_tab = htables[(1, tt & 0x0F)]
+                cc = coefs[cid]
                 eobrun = 0
                 for by in range(nby):
                     for bx in range(nbx):
@@ -986,21 +1044,37 @@ def decode_jpeg_progressive(buf: bytes) -> tuple[int, int, int, np.ndarray]:
                             k += r
                             if k > se:
                                 raise ValueError("AC run past band end")
-                            coefs[by, bx, k] = _extend(br.read_bits(s), s)
+                            cc[by, bx, k] = _extend(br.read_bits(s), s)
                             k += 1
             pos = br.pos  # continue the marker walk after the scan
         # APPn / COM: skipped
     if coefs is None:
         raise ValueError("no SOF2 frame")
-    qt = qtables[comp_tq]
-    plane = np.zeros((nby * 8, nbx * 8), dtype=np.uint8)
+    planes = []
     dez = np.zeros(64, dtype=np.int64)
-    for by in range(nby):
-        for bx in range(nbx):
-            zz = coefs[by, bx]
-            dez[ZIGZAG] = zz
-            spatial = idct_block((dez * qt).reshape(8, 8)) + 128.0
-            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                np.round(spatial), 0, 255
-            ).astype(np.uint8)
-    return w, h, 1, plane[:h, :w]
+    for cid in comp_order:
+        qt = qtables[comp_tq[cid]]
+        plane = np.zeros((nby * 8, nbx * 8), dtype=np.uint8)
+        for by in range(nby):
+            for bx in range(nbx):
+                dez[ZIGZAG] = coefs[cid][by, bx]
+                spatial = idct_block((dez * qt).reshape(8, 8)) + 128.0
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    np.round(spatial), 0, 255
+                ).astype(np.uint8)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return w, h, 1, planes[0]
+    # JFIF YCbCr -> RGB, floor(x+0.5) — identical to the baseline path
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    return w, h, 3, np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)

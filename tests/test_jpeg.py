@@ -398,8 +398,9 @@ def test_progressive_ac_bands_decode_planted_coefficients():
 
 
 def test_progressive_guards_stay_honest():
-    """Successive approximation (Ah/Al != 0) and color progressive
-    stay behind the PIL seam."""
+    """Successive approximation (Ah/Al != 0) and subsampled
+    progressive stay behind the PIL seam (color progressive with 1x1
+    sampling decodes in-repo as of round 5)."""
     from blockchain_indexer_spark.operators.jpeg import (
         decode_jpeg_progressive,
         encode_progressive_from_zz,
@@ -414,9 +415,39 @@ def test_progressive_guards_stay_honest():
         decode_jpeg_progressive(bytes(buf))
     buf = bytearray(encode_progressive_from_zz(zz, 1, 1))
     i = bytes(buf).index(b"\xff\xc2")
-    buf[i + 2 + 2 + 5] = 3  # SOF2 claims 3 components
-    with pytest.raises(NotImplementedError, match="progressive color"):
+    buf[i + 2 + 2 + 5 + 2] = 0x22  # the component claims 2x2 sampling
+    with pytest.raises(NotImplementedError, match="subsampled progressive"):
         decode_jpeg_progressive(bytes(buf))
+
+
+def test_progressive_color_matches_baseline():
+    """4:4:4 color progressive (interleaved DC scan with per-component
+    predictors + non-interleaved per-component AC band scans) decodes
+    pixel-identical to the baseline color stream of the same blocks,
+    through both entry points."""
+    from blockchain_indexer_spark.operators.jpeg import (
+        decode_jpeg,
+        decode_jpeg_progressive,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(19)
+    for trial in range(5):
+        nby, nbx = 1 + trial % 2, 1 + trial % 3
+        comps = [
+            np.ascontiguousarray(
+                np.broadcast_to(
+                    rng.integers(0, 256, (nby, nbx, 1, 1), dtype=np.int64),
+                    (nby, nbx, 8, 8),
+                ).astype(np.uint8)
+            )
+            for _ in range(3)
+        ]
+        base = decode_jpeg(encode_jpeg(comps))[3]
+        prog_buf = encode_jpeg_progressive(comps)
+        assert np.array_equal(base, decode_jpeg_progressive(prog_buf)[3]), trial
+        assert np.array_equal(base, decode_jpeg(prog_buf)[3]), trial
 
 
 def test_422_horizontal_subsampling_roundtrip():
