@@ -27,27 +27,87 @@ from blockchain_indexer_spark.plans import multimodal as _multimodal  # noqa: E4
 #: Driver-facing iteration order (highest verification value first).
 PRIORITY = (
     # ------------------------------------------------------------------
-    # Round-5 rotation (VERDICT r4 "Next round" #2). The driver records
+    # Round-6 rotation (VERDICT r5 "Next round" #1). The driver records
     # exactly the first 50 entries per round; the front is now:
-    #   tier NEW — gates added in round 5 (never driver-verified);
-    #   tier STALE-ORACLED — the 46 oracled queries whose newest driver
-    #     row is round 2 (the judge re-ran all of them green in the r4
-    #     session, but the driver's own record should rotate forward);
-    #   tier STALE-ROWS-ONLY — the rows-only production twins with
-    #     round-2 (or no) driver rows, weakest signal, so they fill
-    #     whatever front-50 slots remain after the tiers above.
-    # Everything with a round-3/4 driver row sits below the fold.
+    #   tier NEW — gates added in round 6 (never driver-verified);
+    #   tier STALE-ORACLED — the 44 oracled queries whose newest driver
+    #     row is round 3 (the r5 rotation retired the r2-stale tier but
+    #     aged this tier two more rounds; all 44 are judge-r5 green,
+    #     this refreshes the driver's own record);
+    #   tier STALE-ROWS-ONLY — rows-only production twins with round-1
+    #     (or no) driver rows, weakest signal, filling whatever front-50
+    #     slots remain (each lands below its oracled twin's evidence —
+    #     see tests/test_registry_order.py).
+    # Everything with a round-4/5 driver row sits below the fold.
     # After this round every oracled query has a driver row from
-    # round 3 or later (CI-enforced in tests/test_registry_order.py).
+    # round 4 or later (CI-enforced in tests/test_registry_order.py,
+    # now at the achievable latest-2 bound: 144+ oracled queries over
+    # a 50-row window is a three-round rotation).
     # ------------------------------------------------------------------
-    # -- tier NEW: round-5 gates, never driver-verified ------------------
+    # -- tier NEW: round-6 gates, never driver-verified ------------------
     # (new gates are inserted here as they land; each displaces one
     # rows-only entry from the front 50)
+    # -- tier STALE-ORACLED: newest driver row is round 3 ---------------
+    "minhash_incremental_md5",
+    "embedding_pq_topk",
+    "embedding_ivfpq_topk",
+    "embedding_lsh_near_dups",
+    "embedding_kmeans_clusters",
+    "embedding_semantic_dedup",
+    "doc_unigram_stats",
+    "corpus_mixture_rebalance",
+    "doc_pii_scrub",
+    "corpus_token_cardinality_bound",
+    "doc_length_quantiles_approx_bound",
+    "mm_real_audio",
+    "mm_real_frames",
+    "embedding_knn_label_probe",
+    "corpus_prep_report",
+    "fuzzy_name_matches",
+    "snapshot_diff_orders",
+    "embedding_pca_covariance",
+    "doc_bpe_merges",
+    "doc_bpe_token_stats",
+    "doc_bpe_vocab",
+    "minhash_lsh_candidates_md5",
+    "simhash_near_dups_md5",
+    "doc_decontamination",
+    "embedding_topk_qcosine",
+    "embedding_topk_mips",
+    "embedding_lsh_topk",
+    "embedding_ivf_topk",
+    "doc_token_stats",
+    "doc_lang_id",
+    "doc_quality_score",
+    "doc_repetition_stats",
+    "doc_train_split",
+    "doc_top_terms",
+    "doc_rolling_fingerprint",
+    "corpus_mixture_report",
+    "embedding_cosine_near_dups",
+    "minhash_signatures_md5",
+    "simhash_signatures_md5",
+    "per_day_counts",
+    "double_entry_ledger",
+    "multi_join_revenue",
+    "topk_per_group",
+    "union_activity_timeline",
+    # -- tier STALE-ROWS-ONLY: no oracle, round-1 or no driver row ------
+    "minhash_incremental",
+    "minhash_calibration",
+    "corpus_token_cardinality_approx",
+    "minhash_lsh_candidates",
+    "simhash_signatures",
+    "simhash_near_dups",
+    # ------------------------------------------------------------------
+    # Below the ~50-row driver window: every entry here has a green
+    # round-4 or round-5 driver row (CORRECTNESS_r04/r05.json), the
+    # freshest evidence in the record.
+    # ------------------------------------------------------------------
     "mm_real_jpeg_420",
     "doc_sliding_chunks",
     "doc_tfidf_keywords",
     "minhash_estimate_calibration",
-    # -- tier STALE-ORACLED: newest driver row is round 2 ---------------
     "chain_eth_transfer_stats",
     "chain_hub_transfers_per_day",
     "chain_safe_eth_transfers",
@@ -94,18 +154,6 @@ PRIORITY = (
     "profile_orders",
     "salted_join_segment_totals",
     "stream_reassembly_join",
-    # -- tier STALE-ROWS-ONLY: no oracle, round-2 or no driver row ------
-    "minhash_incremental",
-    "minhash_calibration",
-    "corpus_token_cardinality_approx",
-    "minhash_lsh_candidates",
-    "simhash_signatures",
-    "simhash_near_dups",
-    # ------------------------------------------------------------------
-    # Below the ~50-row driver window: every entry here has a green
-    # round-3 or round-4 driver row (CORRECTNESS_r03/r04.json), the
-    # freshest evidence in the record.
-    # ------------------------------------------------------------------
     "doc_chunk_packing",
     "embedding_pca_project",
     "corpus_token_cardinality",
@@ -156,50 +204,6 @@ PRIORITY = (
     "chain_crc_balances",
     "chain_classification_counts",
     "chain_current_trust",
-    "minhash_incremental_md5",
-    "embedding_pq_topk",
-    "embedding_ivfpq_topk",
-    "embedding_lsh_near_dups",
-    "embedding_kmeans_clusters",
-    "embedding_semantic_dedup",
-    "doc_unigram_stats",
-    "corpus_mixture_rebalance",
-    "doc_pii_scrub",
-    "corpus_token_cardinality_bound",
-    "doc_length_quantiles_approx_bound",
-    "mm_real_audio",
-    "mm_real_frames",
-    "embedding_knn_label_probe",
-    "corpus_prep_report",
-    "fuzzy_name_matches",
-    "snapshot_diff_orders",
-    "embedding_pca_covariance",
-    "doc_bpe_merges",
-    "doc_bpe_token_stats",
-    "doc_bpe_vocab",
-    "minhash_lsh_candidates_md5",
-    "simhash_near_dups_md5",
-    "doc_decontamination",
-    "embedding_topk_qcosine",
-    "embedding_topk_mips",
-    "embedding_lsh_topk",
-    "embedding_ivf_topk",
-    "doc_token_stats",
-    "doc_lang_id",
-    "doc_quality_score",
-    "doc_repetition_stats",
-    "doc_train_split",
-    "doc_top_terms",
-    "doc_rolling_fingerprint",
-    "corpus_mixture_report",
-    "embedding_cosine_near_dups",
-    "minhash_signatures_md5",
-    "simhash_signatures_md5",
-    "per_day_counts",
-    "double_entry_ledger",
-    "multi_join_revenue",
-    "topk_per_group",
-    "union_activity_timeline",
 )
 
 

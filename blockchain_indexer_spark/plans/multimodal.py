@@ -160,8 +160,10 @@ def mm_real_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     "integer). Gray replicates to b/g/r per decode_image_real's "
     "contract; block-uniform pixels mean the per-pixel mean equals "
     "the per-block mean, so integer block sums with ONE IEEE "
-    "division compare exactly. Color/progressive JPEG stays behind "
-    "the PIL seam (NotImplementedError guard).",
+    "division compare exactly. Baseline color (4:4:4, 4:2:0, 4:2:2) "
+    "and progressive (SOF2) streams decode natively too — see the "
+    "mm_real_jpeg_color/_420/_progressive gates; only subsampled-"
+    "progressive streams keep the PIL seam.",
     survey_refs=("LLM-multimodal",),
 )
 def mm_real_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
