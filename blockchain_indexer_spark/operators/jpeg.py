@@ -727,6 +727,50 @@ def synth_jpeg_420_blob(doc_id: int) -> bytes:
     )
 
 
+def synth_jpeg_progressive_blob(doc_id: int) -> bytes:
+    """The fixture stream for mm_real_jpeg_progressive: a genuine
+    PROGRESSIVE (SOF2) stream per document, alternating the decoder's
+    two component paths so the driver hashes both —
+
+        even id: GRAYSCALE, the mm_real_jpeg closed form
+            width = 8*(1 + id%4), height = 8*(1 + id%3)
+            v(bx, by) = (7*id + 13*bx + 3*by) % 256
+        odd id:  4:4:4 YCbCr COLOR, the mm_real_jpeg_color closed form
+            width = 8*(1 + id%3), height = 8*(1 + id%2)
+            Y  = (5*id + 11*bx + 3*by) % 256
+            Cb = (3*id +  7*bx + 5*by) % 256
+            Cr = (2*id +  5*bx + 7*by) % 256
+
+    Solid blocks + all-ones quantization keep the decoded pixels
+    closed-form (DC-only FDCT of a constant block is an integer), but
+    the entropy layer is genuinely progressive: one interleaved DC
+    scan with per-component predictors, then per-component AC band
+    scans over the default (1-5, 6-63) spectral split whose all-zero
+    bands are coded as T.81 G.1.2.2 EOBn runs spanning many blocks —
+    structure no baseline stream contains. Color rows go through the
+    same JFIF matrix + floor(x+0.5) as the baseline color gates."""
+    if doc_id % 2 == 0:
+        nbx, nby = 1 + doc_id % 4, 1 + doc_id % 3
+        bx = np.arange(nbx, dtype=np.int64)[None, :]
+        by = np.arange(nby, dtype=np.int64)[:, None]
+        v = (7 * doc_id + 13 * bx + 3 * by) % 256
+        blocks = np.ascontiguousarray(
+            np.broadcast_to(v[:, :, None, None].astype(np.uint8), (nby, nbx, 8, 8))
+        )
+        return encode_jpeg_progressive_gray(blocks)
+    nbx, nby = 1 + doc_id % 3, 1 + doc_id % 2
+    bx = np.arange(nbx, dtype=np.int64)[None, :]
+    by = np.arange(nby, dtype=np.int64)[:, None]
+
+    def plane(a, b, c):
+        v = (a * doc_id + b * bx + c * by) % 256
+        return np.ascontiguousarray(
+            np.broadcast_to(v[:, :, None, None].astype(np.uint8), (nby, nbx, 8, 8))
+        )
+
+    return encode_jpeg_progressive([plane(5, 11, 3), plane(3, 7, 5), plane(2, 5, 7)])
+
+
 # ------------------------------------------------- progressive (SOF2)
 
 #: AC table for PROGRESSIVE scans: EOBn run symbols (r<<4 | 0) plus the

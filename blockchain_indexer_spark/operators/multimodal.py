@@ -680,6 +680,32 @@ def attach_jpeg_420_blob(documents: DataFrame, id_col: str = "doc_id") -> DataFr
     )
 
 
+def attach_jpeg_progressive_blob(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """PROGRESSIVE (SOF2) sibling of attach_jpeg_blob: each document
+    gets a genuine multi-scan stream (one interleaved DC scan +
+    per-component AC spectral-selection band scans with T.81 G.1.2.2
+    EOBn run coding), alternating grayscale (even doc_id) and 4:4:4
+    YCbCr color (odd doc_id) so the driver hashes both component
+    paths of decode_jpeg_progressive
+    (operators.jpeg.synth_jpeg_progressive_blob)."""
+    from blockchain_indexer_spark.operators.jpeg import synth_jpeg_progressive_blob
+
+    @F.pandas_udf("binary")
+    def _jpeg(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_jpeg_progressive_blob(int(i)))
+
+    return spread(documents.select(id_col), id_col).withColumn(
+        "blob", _jpeg(id_col)
+    ).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("image/jpeg").alias("mime"),
+            F.length(F.col("blob")).alias("nbytes"),
+            F.lit("jpeg-progressive-sof2-v1").alias("codec"),
+        ),
+    )
+
+
 def decode_gif(buf: bytes):
     """Pure-Python/numpy GIF decode → (width, height, pixels[H,W,3] in
     BGR order, decode_bmp's convention): header + logical screen

@@ -556,3 +556,83 @@ def mm_real_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = attach_jpeg_420_blob(load_table(spark, sf_dir, "documents"))
     return decode_image_real(blobs)
+
+
+@register(
+    "mm_real_jpeg_progressive",
+    oracle="""
+    WITH gray AS (
+      SELECT doc_id, 1 + doc_id % 4 AS nbx, 1 + doc_id % 3 AS nby
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    gblk AS (
+      SELECT doc_id, nbx, nby,
+             (7 * doc_id + 13 * bx.x + 3 * by.x) % 256 AS v
+      FROM gray, UNNEST(range(0, nbx)) AS bx(x), UNNEST(range(0, nby)) AS by(x)
+    ),
+    grows AS (
+      SELECT doc_id,
+             CAST(8 * nbx AS INT) AS width,
+             CAST(8 * nby AS INT) AS height,
+             CAST(SUM(v) AS DOUBLE) / (nbx * nby) AS mean_b,
+             CAST(SUM(v) AS DOUBLE) / (nbx * nby) AS mean_g,
+             CAST(SUM(v) AS DOUBLE) / (nbx * nby) AS mean_r
+      FROM gblk GROUP BY doc_id, nbx, nby
+    ),
+    color AS (
+      SELECT doc_id, 1 + doc_id % 3 AS nbx, 1 + doc_id % 2 AS nby
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    cblk AS (
+      SELECT doc_id, nbx, nby,
+             (5 * doc_id + 11 * bx.x + 3 * by.x) % 256 AS y,
+             (3 * doc_id + 7 * bx.x + 5 * by.x) % 256 AS cb,
+             (2 * doc_id + 5 * bx.x + 7 * by.x) % 256 AS cr
+      FROM color, UNNEST(range(0, nbx)) AS bx(x), UNNEST(range(0, nby)) AS by(x)
+    ),
+    crgb AS (
+      SELECT doc_id, nbx, nby,
+             greatest(0, least(255, floor(y + 1.402 * (cr - 128) + 0.5))) AS r,
+             greatest(0, least(255, floor(y - 0.344136 * (cb - 128)
+                                            - 0.714136 * (cr - 128) + 0.5))) AS g,
+             greatest(0, least(255, floor(y + 1.772 * (cb - 128) + 0.5))) AS b
+      FROM cblk
+    ),
+    crows AS (
+      SELECT doc_id,
+             CAST(8 * nbx AS INT) AS width,
+             CAST(8 * nby AS INT) AS height,
+             CAST(SUM(b) AS DOUBLE) / (nbx * nby) AS mean_b,
+             CAST(SUM(g) AS DOUBLE) / (nbx * nby) AS mean_g,
+             CAST(SUM(r) AS DOUBLE) / (nbx * nby) AS mean_r
+      FROM crgb GROUP BY doc_id, nbx, nby
+    )
+    SELECT doc_id, width, height, CAST(3 AS INT) AS channels,
+           mean_b, mean_g, mean_r FROM grows
+    UNION ALL
+    SELECT doc_id, width, height, CAST(3 AS INT) AS channels,
+           mean_b, mean_g, mean_r FROM crows
+    """,
+    doc="REAL PROGRESSIVE (SOF2) JPEG decode "
+    "(operators.jpeg.decode_jpeg_progressive, dispatched from "
+    "decode_jpeg's SOF2 marker walk): each document gets a genuine "
+    "multi-scan stream — one interleaved DC scan with per-component "
+    "predictors, then per-component AC spectral-selection band scans "
+    "(1-5, 6-63) whose all-zero bands are coded as T.81 G.1.2.2 EOBn "
+    "run symbols spanning many blocks, entropy structure no baseline "
+    "stream contains. Even doc_ids are grayscale (the mm_real_jpeg "
+    "closed form, gray replicated to b/g/r), odd doc_ids 4:4:4 YCbCr "
+    "(the mm_real_jpeg_color closed form through the same JFIF matrix "
+    "with floor(x+0.5)), so the driver hashes both component paths. "
+    "Solid blocks + all-ones quantization keep the lossy pipeline "
+    "bit-exact; per-block integer sums compare with one IEEE "
+    "division.",
+    survey_refs=("LLM-multimodal",),
+)
+def mm_real_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.multimodal import (
+        attach_jpeg_progressive_blob,
+    )
+
+    blobs = attach_jpeg_progressive_blob(load_table(spark, sf_dir, "documents"))
+    return decode_image_real(blobs)

@@ -545,3 +545,42 @@ def test_decode_image_real_handles_progressive_blobs(spark):
         assert (r["width"], r["height"]) == (8 * nbx, 8 * nby)
         v = (11 * doc_id + np.arange(nby)[:, None] * 3 + np.arange(nbx)[None, :] * 7) % 256
         assert r["mean_b"] == v.mean()
+
+
+def test_synth_jpeg_progressive_blob_alternates_gray_and_color():
+    """The mm_real_jpeg_progressive fixture round-trips its closed
+    forms through the real SOF2 multi-scan decode: even doc_ids are
+    grayscale (one component), odd doc_ids 4:4:4 YCbCr through the
+    JFIF matrix with floor(x+0.5) — the same arithmetic the DuckDB
+    oracle enumerates."""
+    from blockchain_indexer_spark.operators.jpeg import (
+        decode_jpeg,
+        synth_jpeg_progressive_blob,
+    )
+
+    for doc_id in range(10):
+        buf = synth_jpeg_progressive_blob(doc_id)
+        assert buf[:2] == b"\xff\xd8"
+        assert b"\xff\xc2" in buf and b"\xff\xc0" not in buf  # SOF2, not SOF0
+        w, h, nch, px = decode_jpeg(buf)
+        if doc_id % 2 == 0:
+            nbx, nby = 1 + doc_id % 4, 1 + doc_id % 3
+            assert (w, h, nch) == (8 * nbx, 8 * nby, 1)
+            bx = np.arange(nbx)[None, :]
+            by = np.arange(nby)[:, None]
+            v = (7 * doc_id + 13 * bx + 3 * by) % 256
+            assert np.array_equal(px, np.repeat(np.repeat(v, 8, 0), 8, 1))
+        else:
+            nbx, nby = 1 + doc_id % 3, 1 + doc_id % 2
+            assert (w, h, nch) == (8 * nbx, 8 * nby, 3)
+            bx = np.arange(nbx)[None, :]
+            by = np.arange(nby)[:, None]
+            y = ((5 * doc_id + 11 * bx + 3 * by) % 256).astype(np.float64)
+            cb = ((3 * doc_id + 7 * bx + 5 * by) % 256).astype(np.float64) - 128.0
+            cr = ((2 * doc_id + 5 * bx + 7 * by) % 256).astype(np.float64) - 128.0
+            rgb = np.stack(
+                [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+                axis=2,
+            )
+            expect = np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+            assert np.array_equal(px, np.repeat(np.repeat(expect, 8, 0), 8, 1))
