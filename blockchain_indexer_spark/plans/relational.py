@@ -1466,3 +1466,65 @@ def event_conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversion_attribution(
         ev, "purchase", ("view", "click"), window_us=86_400_000_000
     )
+
+
+@register(
+    "event_k_anonymity",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 500
+               AS value_band,
+             COUNT(*) AS group_size
+      FROM events
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2, 3
+    ),
+    b AS (
+      SELECT CASE WHEN group_size = 1 THEN 'unique'
+                  WHEN group_size < 5 THEN 'under_k'
+                  WHEN group_size < 20 THEN 'small'
+                  ELSE 'anonymous' END AS size_band,
+             group_size
+      FROM q
+    ),
+    r AS (
+      SELECT size_band,
+             CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(group_size) AS BIGINT) AS n_rows,
+             CAST(MIN(group_size) AS BIGINT) AS min_group_size,
+             CAST(MAX(group_size) AS BIGINT) AS max_group_size
+      FROM b GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total_rows FROM r)
+    SELECT size_band, n_groups, n_rows, min_group_size, max_group_size,
+           CAST(n_rows AS DOUBLE) / total_rows AS row_share
+    FROM r, t
+    """,
+    doc="k-anonymity release gate "
+    "(operators.governance.k_anonymity_report, k=5): events grouped "
+    "by the quasi-identifier tuple (event_type, epoch day, 5.00-wide "
+    "value band); every group's size is its rows' anonymity set, and "
+    "the report bands the distribution (unique / under_k / small / "
+    "anonymous) with group counts, row counts, extremes and row "
+    "shares — the data-governance check a training-data extract runs "
+    "before release. Value banding goes through DECIMAL(18,2)*100 so "
+    "the 2-decimal doubles band exactly in both engines; days are "
+    "us // 86_400e6; all inputs non-negative so floor-div conventions "
+    "agree. One QI groupBy (near-unique uniform keys) + one tiny "
+    "band agg + one broadcast scalar divide.",
+    survey_refs=("LLM-governance", "A4", "P7"),
+)
+def event_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.governance import k_anonymity_report
+
+    ev = load_table(spark, sf_dir, "events")
+    qi = [
+        F.col("event_type"),
+        (F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).cast("long").alias("day"),
+        ((F.col("value").cast("decimal(18,2)") * 100).cast("long") / F.lit(500))
+        .cast("long")
+        .alias("value_band"),
+    ]
+    return k_anonymity_report(ev, qi, k=5, small_factor=4)
