@@ -152,3 +152,53 @@ def perceptron_score(
             (F.col(label_col) * F.col("margin") > 0).alias("correct"),
         )
     )
+
+
+def margin_calibration(
+    scored: DataFrame,
+    n_buckets: int = 10,
+    id_col: str = "doc_id",
+    label_col: str = "y",
+) -> DataFrame:
+    """Calibration buckets for a trained linear classifier: rank every
+    scored document by margin into ``n_buckets`` equal-count tiles
+    (ties broken by the unique id so both engines pick identical
+    tiles) and report, per tile, the document count, positive-label
+    count and rate, correct-prediction count and rate, and the margin
+    extremes. A calibrated classifier shows pos_rate rising monotonely
+    across tiles — the drift alarm that completes the classifier
+    stack the way the MinHash estimator-calibration monitor completes
+    dedup (estimate-vs-truth per bucket, output bounded by n_buckets).
+
+    The exact-NTILE form is the oracle twin: the unpartitioned window
+    is one total sort (Spark plans it single-partition). Production at
+    corpus scale swaps the tile for a fixed-width margin bin —
+    ``floor(margin / bin_width)`` — which is map-only and keeps the
+    same report schema; the tile form stays the verification baseline,
+    same convention as the exact-kNN oracle twins in similarity.py.
+    """
+    from pyspark.sql import Window
+
+    tiled = scored.select(
+        id_col,
+        label_col,
+        "margin",
+        F.ntile(n_buckets)
+        .over(Window.orderBy("margin", id_col))
+        .cast("long")
+        .alias("tile"),
+    )
+    n = F.count(F.lit(1))
+    n_pos = F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0))
+    n_correct = F.sum(
+        F.when(F.col(label_col) * F.col("margin") > 0, 1).otherwise(0)
+    )
+    return tiled.groupBy("tile").agg(
+        n.cast("bigint").alias("n_docs"),
+        n_pos.cast("bigint").alias("n_pos"),
+        n_correct.cast("bigint").alias("n_correct"),
+        F.min("margin").cast("bigint").alias("min_margin"),
+        F.max("margin").cast("bigint").alias("max_margin"),
+        (n_pos.cast("double") / n.cast("double")).alias("pos_rate"),
+        (n_correct.cast("double") / n.cast("double")).alias("correct_rate"),
+    )

@@ -2777,6 +2777,69 @@ def doc_perceptron_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_perceptron_calibration",
+    oracle=_PERCEPTRON_CTES
+    + """
+    , sc AS (
+      SELECT f.doc_id, f.y,
+             CAST(SUM(f.cnt * COALESCE(w2.weight, 0)) AS BIGINT) AS margin
+      FROM f LEFT JOIN w2 USING (bucket)
+      GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT y, margin,
+             CAST(ntile(10) OVER (ORDER BY margin, doc_id) AS BIGINT) AS tile
+      FROM sc
+    )
+    SELECT tile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(SUM(CASE WHEN y * margin > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           CAST(MIN(margin) AS BIGINT) AS min_margin,
+           CAST(MAX(margin) AS BIGINT) AS max_margin,
+           CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS pos_rate,
+           CAST(SUM(CASE WHEN y * margin > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS correct_rate
+    FROM t GROUP BY 1
+    """,
+    doc="Classifier CALIBRATION buckets (operators.linear."
+    "margin_calibration): every scored document ranked by integer "
+    "margin into 10 equal-count tiles (NTILE, ties broken by doc_id "
+    "so both engines tile identically), then per tile the positive-"
+    "label rate and correct-prediction rate beside the margin "
+    "extremes — the estimate-vs-truth drift monitor that completes "
+    "the classifier stack the way minhash_estimate_calibration "
+    "completes dedup. A calibrated filter shows pos_rate rising "
+    "monotonely with margin; a flat curve means the margins carry no "
+    "signal. Counts are exact int64; the two rates are single IEEE "
+    "divisions of integers. The exact-NTILE tiling is the oracle "
+    "twin (one total sort); production swaps in fixed-width margin "
+    "bins (map-only, same schema) — documented in the operator.",
+    survey_refs=("LLM-text",),
+)
+def doc_perceptron_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.functions.text import tokens
+    from blockchain_indexer_spark.operators.linear import (
+        hashed_features,
+        margin_calibration,
+        perceptron_score,
+        perceptron_train,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    base = spread(d, "doc_id").select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(-1)).cast("long").alias("y"),
+        F.coalesce(tokens("text"), F.array().cast("array<string>")).alias("toks"),
+    )
+    feats = hashed_features(base, n_buckets=256, hash_fn="md5_60").localCheckpoint(eager=True)
+    w = perceptron_train(feats, epochs=2, n_buckets=256)
+    return margin_calibration(perceptron_score(feats, w), n_buckets=10)
+
+
+@register(
     "doc_intra_dedup",
     oracle=rf"""
     WITH d0 AS (

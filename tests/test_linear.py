@@ -71,3 +71,28 @@ def test_training_is_deterministic(spark, separable):
     a = sorted(map(tuple, perceptron_train(feats, epochs=2, n_buckets=64).collect()))
     b = sorted(map(tuple, perceptron_train(feats, epochs=2, n_buckets=64).collect()))
     assert a == b
+
+
+def test_margin_calibration_tiles_and_rates(spark):
+    """12 hand-scored docs into 4 tiles of 3: NTILE assigns by margin
+    order (ties by doc_id), and per-tile pos/correct rates come out as
+    the exact single divisions."""
+    from blockchain_indexer_spark.operators.linear import margin_calibration
+
+    # margins -5..6, label +1 iff margin > 0 except doc 11 mislabeled
+    rows = [
+        (i, 1 if (i - 5 > 0 and i != 11) else -1, i - 5) for i in range(12)
+    ]
+    scored = spark.createDataFrame(rows, "doc_id long, y long, margin long")
+    out = {r["tile"]: r for r in margin_calibration(scored, n_buckets=4).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert all(r["n_docs"] == 3 for r in out.values())
+    # tile 1 = margins -5,-4,-3 (all y=-1, correct: y*margin>0 → all)
+    assert out[1]["n_pos"] == 0 and out[1]["n_correct"] == 3
+    assert (out[1]["min_margin"], out[1]["max_margin"]) == (-5, -4 + 1)
+    # tile 2 = margins -2,-1,0: margin-0 doc counts incorrect
+    assert out[2]["n_correct"] == 2 and out[2]["pos_rate"] == 0.0
+    # tile 4 = margins 4,5,6: doc 11 mislabeled -1 → incorrect
+    assert out[4]["n_pos"] == 2 and out[4]["n_correct"] == 2
+    assert out[4]["pos_rate"] == 2.0 / 3.0
+    assert out[4]["correct_rate"] == 2.0 / 3.0
