@@ -523,6 +523,49 @@ def lsh_near_dup_pairs(
     )
 
 
+def _pq_books(
+    vq: DataFrame, m: int, n_codes: int, iters: int
+) -> tuple[list[list[list[int]]], int, int]:
+    """Shared PQ codebook builder (pq_topk / pq_distortion): returns
+    (books[j][code] = int subvector, dim, sub). iters=0 seeds the
+    codebook with the subvectors of the n_codes lowest-id corpus
+    vectors — re-derivable in SQL, the oracle-exact variant; iters>0
+    runs per-subspace Lloyd on a deterministic sample (RNG-free) with
+    centroids re-quantized to BIGINT so ADC stays integer-exact."""
+    sample = n_codes if iters == 0 else max(n_codes * 32, 256)
+    seed_rows = vq.orderBy("_id").limit(sample).select("_v").collect()
+    if len(seed_rows) < n_codes:
+        raise ValueError(f"corpus smaller than n_codes={n_codes}")
+    seeds = [list(r[0]) for r in seed_rows]
+    dim = len(seeds[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    if iters == 0:
+        books = [
+            [seeds[c][j * sub : (j + 1) * sub] for c in range(n_codes)]
+            for j in range(m)
+        ]
+    else:
+        x = np.array(seeds, dtype=np.float64)
+        stride = max(1, len(x) // n_codes)
+        books = []
+        for j in range(m):
+            xj = x[:, j * sub : (j + 1) * sub]
+            cents = xj[::stride][:n_codes].copy()
+            for _ in range(iters):
+                d2 = ((xj[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                assign = d2.argmin(axis=1)
+                for c in range(len(cents)):
+                    members = xj[assign == c]
+                    if len(members):
+                        cents[c] = members.mean(axis=0)
+            # half-away rounding (_q_away), NOT np.rint (half-to-even):
+            # the module contract is one rounding rule everywhere
+            books.append([[int(v) for v in _q_away(row)] for row in cents])
+    return books, dim, sub
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -585,42 +628,7 @@ def pq_topk(
         .filter(F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias("_id"), quantize(vec_col, scale).alias("_v"))
     )
-    sample = n_codes if iters == 0 else max(n_codes * 32, 256)
-    seed_rows = vq.orderBy("_id").limit(sample).select("_v").collect()
-    if len(seed_rows) < n_codes:
-        raise ValueError(f"corpus smaller than n_codes={n_codes}")
-    seeds = [list(r[0]) for r in seed_rows]
-    dim = len(seeds[0])
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    sub = dim // m
-    if iters == 0:
-        # data-seeded: codebook = subvectors of the n_codes lowest-id
-        # vectors, re-derivable in SQL (the oracle-exact variant)
-        books = [
-            [seeds[c][j * sub : (j + 1) * sub] for c in range(n_codes)]
-            for j in range(m)
-        ]
-    else:
-        # per-subspace Lloyd on the deterministic sample (RNG-free,
-        # same recipe as train_ivf_centroids), centroids re-quantized
-        # to BIGINT so ADC stays integer-exact
-        x = np.array(seeds, dtype=np.float64)
-        stride = max(1, len(x) // n_codes)
-        books = []
-        for j in range(m):
-            xj = x[:, j * sub : (j + 1) * sub]
-            cents = xj[::stride][:n_codes].copy()
-            for _ in range(iters):
-                d2 = ((xj[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-                assign = d2.argmin(axis=1)
-                for c in range(len(cents)):
-                    members = xj[assign == c]
-                    if len(members):
-                        cents[c] = members.mean(axis=0)
-            # half-away rounding (_q_away), NOT np.rint (half-to-even):
-            # the module contract is one rounding rule everywhere
-            books.append([[int(v) for v in _q_away(row)] for row in cents])
+    books, dim, sub = _pq_books(vq, m, n_codes, iters)
     spark = corpus.sparkSession
     cb = spark.createDataFrame(
         [(j, c, books[j][c]) for j in range(m) for c in range(n_codes)],
@@ -720,6 +728,102 @@ def pq_topk(
             F.col("_cid").alias("neighbor_id"),
             F.col("l2_dist").cast("bigint").alias("l2_dist"),
         )
+    )
+
+
+def pq_distortion(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 16,
+    scale: int = 1000,
+    iters: int = 0,
+) -> DataFrame:
+    """PQ reconstruction-distortion monitor: how much information the
+    compressed codes throw away, per subspace — the index-health twin
+    of ``embedding_ann_recall`` (recall watches ranking quality,
+    distortion watches the quantizer itself; a subspace whose
+    distortion balloons after a data drift is the one whose codebook
+    needs retraining).
+
+    Assigns every corpus vector its nearest code per subspace (same
+    seeded codebook + exact integer subvector L2 + lowest-code
+    tie-break as ``pq_topk``) and reports ONE ROW PER SUBSPACE:
+
+    - ``n_vectors``, ``total_sq_error`` (BIGINT sum of the per-vector
+      subvector quantization errors ||v_j - c(v_j)||², exact int64),
+      ``mean_sq_error`` (one IEEE division), ``max_sq_error``;
+    - ``n_codes_used`` and ``max_code_share`` (top code's population
+      share — codebook-collapse alarm: a share near 1.0 means the
+      subspace quantizes everything to one cell).
+
+    Scale shape: the per-(subspace, code) partial aggregate caps the
+    shuffle at m × n_codes rows per map partition regardless of corpus
+    size, then the final per-subspace rollup touches m × n_codes rows
+    total. Output is m rows. No window, no collect beyond the
+    O(n_codes) codebook seed, no join.
+    """
+    if m <= 0 or n_codes <= 0:
+        raise ValueError("m and n_codes must be positive")
+    vq = (
+        spread(corpus, id_col)
+        .filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), quantize(vec_col, scale).alias("_v"))
+    )
+    books, dim, sub = _pq_books(vq, m, n_codes, iters)
+    books_np = np.array(books, dtype=np.float64)  # (m, n_codes, sub)
+    books_sq = (books_np**2).sum(axis=2)  # (m, n_codes)
+
+    # One numpy matmul per Arrow batch (the justified-Pandas-UDF
+    # pattern of pq_topk's corpus coder): all math is integer-valued
+    # float64 < 2^53, so codes and distances are bit-exact
+    @F.pandas_udf("array<struct<j: int, code: int, d: bigint>>")
+    def _assign(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype="object")
+        mat = np.array([list(v) for v in vec], dtype=np.float64)  # (n, dim)
+        out = []
+        codes = np.empty((len(mat), m), dtype=np.int64)
+        dists = np.empty((len(mat), m), dtype=np.int64)
+        for j in range(m):
+            vj = mat[:, j * sub : (j + 1) * sub]
+            d = (vj**2).sum(axis=1)[:, None] + books_sq[j][None, :] - 2.0 * (
+                vj @ books_np[j].T
+            )
+            codes[:, j] = d.argmin(axis=1)  # first min == lowest code
+            dists[:, j] = d[np.arange(len(mat)), codes[:, j]].astype(np.int64)
+        for r in range(len(mat)):
+            out.append(
+                [
+                    {"j": int(j), "code": int(codes[r, j]), "d": int(dists[r, j])}
+                    for j in range(m)
+                ]
+            )
+        return pd.Series(out)
+
+    per_cell = (
+        vq.select(F.explode(_assign("_v")).alias("a"))
+        .select("a.j", "a.code", "a.d")
+        .groupBy("j", "code")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_cnt"),
+            F.sum("d").cast("bigint").alias("_sum_d"),
+            F.max("d").cast("bigint").alias("_max_d"),
+        )
+    )
+    n_vec = F.sum("_cnt")
+    return per_cell.groupBy("j").agg(
+        n_vec.cast("bigint").alias("n_vectors"),
+        F.sum("_sum_d").cast("bigint").alias("total_sq_error"),
+        (F.sum("_sum_d").cast("double") / n_vec.cast("double")).alias(
+            "mean_sq_error"
+        ),
+        F.max("_max_d").cast("bigint").alias("max_sq_error"),
+        F.count(F.lit(1)).cast("bigint").alias("n_codes_used"),
+        (F.max("_cnt").cast("double") / n_vec.cast("double")).alias(
+            "max_code_share"
+        ),
     )
 
 

@@ -1840,6 +1840,76 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_pq_distortion",
+    oracle=f"""
+    WITH {_QV},
+    vqf AS (SELECT * FROM vq WHERE v IS NOT NULL),
+    seeds AS (
+      SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS code
+      FROM vqf ORDER BY vec_id LIMIT 32
+    ),
+    cb AS (
+      SELECT jt.j, s.code, s.v[jt.j * 4 + 1 : jt.j * 4 + 4] AS cv
+      FROM seeds s, UNNEST(range(0, 16)) AS jt(j)
+    ),
+    corp_sub AS (
+      SELECT vqf.vec_id, jt.j, vqf.v[jt.j * 4 + 1 : jt.j * 4 + 4] AS sv
+      FROM vqf, UNNEST(range(0, 16)) AS jt(j)
+    ),
+    corp_d AS (
+      SELECT cs.vec_id, cs.j, cb.code,
+             list_sum(list_transform(range(1, 5),
+               i -> CAST((cs.sv[i] - cb.cv[i]) * (cs.sv[i] - cb.cv[i]) AS BIGINT))) AS d
+      FROM corp_sub cs JOIN cb ON cs.j = cb.j
+    ),
+    best AS (
+      SELECT vec_id, j, code, d
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                                         ORDER BY d, code) AS rn
+            FROM corp_d)
+      WHERE rn = 1
+    ),
+    cells AS (
+      SELECT j, code, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(d) AS BIGINT) AS sum_d,
+             CAST(MAX(d) AS BIGINT) AS max_d
+      FROM best GROUP BY 1, 2
+    )
+    SELECT CAST(j AS INT) AS j,
+           CAST(SUM(cnt) AS BIGINT) AS n_vectors,
+           CAST(SUM(sum_d) AS BIGINT) AS total_sq_error,
+           CAST(SUM(sum_d) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
+             AS mean_sq_error,
+           CAST(MAX(max_d) AS BIGINT) AS max_sq_error,
+           CAST(COUNT(*) AS BIGINT) AS n_codes_used,
+           CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
+             AS max_code_share
+    FROM cells GROUP BY 1
+    """,
+    doc="PQ reconstruction-DISTORTION monitor (operators.similarity."
+    "pq_distortion): every corpus vector is assigned its nearest code "
+    "per subspace (the embedding_pq_topk codebook — 16 subspaces x 32 "
+    "data-seeded codes, exact integer subvector L2, lowest-code "
+    "ties), and the report gives one row per subspace: vector count, "
+    "total/mean/max squared quantization error, codes actually used, "
+    "and the top code's population share (codebook-collapse alarm). "
+    "The index-health twin of embedding_ann_recall — recall watches "
+    "ranking quality, distortion watches the quantizer itself; a "
+    "subspace whose distortion balloons after a drift is the one to "
+    "retrain. Integer-exact errors; the two rates are single IEEE "
+    "divisions. The per-(subspace, code) partial agg caps the shuffle "
+    "at m*n_codes rows per partition at any corpus size; output is m "
+    "rows.",
+    survey_refs=("LLM-sim",),
+)
+def embedding_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.similarity import pq_distortion
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_distortion(emb, "vec_id", "embedding", m=16, n_codes=32)
+
+
+@register(
     "doc_pii_scrub",
     oracle=r"""
     WITH seeded AS (

@@ -216,3 +216,37 @@ def test_topk_recall_membership_semantics(spark):
     assert (out[1]["n_hits"], out[1]["n_exact"]) == (3, 4)
     assert out[1]["recall_nano"] == 750_000_000
     assert (out[2]["n_hits"], out[2]["recall_nano"]) == (0, 0)
+
+
+def test_pq_distortion_exact_errors_and_code_usage(spark):
+    """A 6-vector corpus where the first 2 vectors ARE the codebook
+    (n_codes=2, m=2, sub=2): seeds quantize with zero error, the other
+    vectors' errors are hand-computable exact integers, and code-usage
+    stats count populations per subspace."""
+    from blockchain_indexer_spark.operators.similarity import pq_distortion
+
+    # scale=1 keeps the quantized ints equal to the raw values
+    vecs = [
+        (0, [0.0, 0.0, 10.0, 10.0]),   # seed code 0
+        (1, [10.0, 10.0, 0.0, 0.0]),   # seed code 1
+        (2, [1.0, 0.0, 10.0, 9.0]),    # j0->c0 err 1, j1->c0 err 1
+        (3, [9.0, 9.0, 1.0, 1.0]),     # j0->c1 err 2, j1->c1 err 2
+        (4, [5.0, 5.0, 5.0, 5.0]),     # equidistant (50) -> code 0 both
+        (5, None),                      # NULL vector excluded
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {r["j"]: r for r in pq_distortion(
+        df, "vec_id", "embedding", m=2, n_codes=2, scale=1
+    ).collect()}
+    assert set(out) == {0, 1}
+    for j in (0, 1):
+        assert out[j]["n_vectors"] == 5
+        assert out[j]["n_codes_used"] == 2
+    # j=0 errors: v0=0, v1=0, v2=1, v3=2, v4=50
+    assert out[0]["total_sq_error"] == 53
+    assert out[0]["max_sq_error"] == 50
+    assert out[0]["mean_sq_error"] == 53.0 / 5.0
+    # tie at v4 goes to code 0: populations j0 -> {c0: v0,v2,v4}, {c1: v1,v3}
+    assert out[0]["max_code_share"] == 3.0 / 5.0
+    # j=1 errors: v0=0, v1=0, v2=1, v3=2, v4=50 (symmetric construction)
+    assert out[1]["total_sq_error"] == 53
