@@ -183,3 +183,125 @@ def bigram_log_perplexity(
             F.pow(F.lit(2.0), -F.col("_mean_lp")).alias("perplexity"),
         )
     )
+
+
+def _trigram_frame(docs: DataFrame, id_col: str, tokens_col: str) -> DataFrame:
+    """(id, w1, w2, w3) per adjacent token triple, position-level.
+    Docs with < 3 tokens contribute no rows; same JVM-only shape as
+    ``_bigram_frame``."""
+    n = F.size(F.col(tokens_col))
+    idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    triples = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(F.col(tokens_col), i).alias("w1"),
+            F.element_at(F.col(tokens_col), i + 1).alias("w2"),
+            F.element_at(F.col(tokens_col), i + 2).alias("w3"),
+        ),
+    )
+    return docs.select(id_col, F.explode(triples).alias("_t")).select(
+        id_col,
+        F.col("_t.w1").alias("w1"),
+        F.col("_t.w2").alias("w2"),
+        F.col("_t.w3").alias("w3"),
+    )
+
+
+def trigram_fluency_backoff(
+    docs: DataFrame,
+    train: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "toks",
+) -> DataFrame:
+    """Trigram LM with STUPID BACKOFF (Brants et al., "Large Language
+    Models in Machine Translation", EMNLP 2007) — the score large
+    web-scale LMs actually used before smoothing stopped mattering:
+
+        S(w3 | w1 w2) = c3/c2ctx            if the trigram was seen
+                      = 0.4 · c2(w2 w3)/c1(w2)   else if the bigram was
+                      = 0.4² · c1(w3)/N          else (0 for OOV w3)
+
+    Integer-deterministic by the bigram gate's recipe, with the
+    backoff factor kept RATIONAL: 0.4 = 2/5 and 0.16 = 4/25, so every
+    level is ONE correctly-rounded IEEE division of exact-in-double
+    integers (2·c2 / 5·c1, 4·c1 / 25·N) scaled by floor(1e12·s) into
+    a BIGINT before any SUM — document scores are exact integer sums
+    and hash-match the SQL oracle.
+
+    Returns (id, n_trigrams, n_backoff_bigram, n_backoff_unigram,
+    fluency_nano): trigram positions, positions that backed off one /
+    two levels (the unseen-mass split — a doc scoring high with heavy
+    backoff is fluent only word-by-word), and the integer-mean score
+    (0 for docs with < 3 tokens). Counts come from the ``train``
+    frame: c3 and its contexts from the trigram frame (so the
+    conditional sums to ≤ 1), bigram counts from the bigram frame,
+    unigram occurrence counts and total N from the token stream.
+
+    Scale shape: counts are map-side-combined aggs over the exploded
+    n-gram frames; all scoring joins are token-keyed against
+    post-aggregation tables (AQE broadcasts them at moderate scale,
+    skew-splits beyond); N rides a broadcast one-row cross join.
+    """
+    tg_train = _trigram_frame(train, id_col, tokens_col)
+    bg_train = _bigram_frame(train, id_col, tokens_col)
+    c3 = tg_train.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
+    c2ctx = tg_train.groupBy("w1", "w2").agg(F.count("*").alias("c2ctx"))
+    c2p = (
+        bg_train.select(F.col("w1").alias("w2"), F.col("w2").alias("w3"))
+        .groupBy("w2", "w3")
+        .agg(F.count("*").alias("c2p"))
+    )
+    toks = train.select(F.explode(tokens_col).alias("_w"))
+    uni = toks.groupBy("_w").agg(F.count("*").alias("c1"))
+    nn = toks.agg(F.count("*").alias("_N"))
+
+    tg = _trigram_frame(docs, id_col, tokens_col)
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    t_ratio = dbl(F.col("c3")) / dbl(F.col("c2ctx"))
+    b_ratio = dbl(F.col("c2p") * 2) / dbl(F.col("c1_w2") * 5)
+    u_ratio = dbl(F.coalesce(F.col("c1_w3"), F.lit(0)) * 4) / dbl(F.col("_N") * 25)
+    score = (
+        F.when(F.col("c3").isNotNull(), t_ratio)
+        .when(F.col("c2p").isNotNull(), b_ratio)
+        .otherwise(u_ratio)
+    )
+    scored = (
+        tg.join(c3, ["w1", "w2", "w3"], "left")
+        .join(c2ctx, ["w1", "w2"], "left")
+        .join(c2p, ["w2", "w3"], "left")
+        .join(uni.select(F.col("_w").alias("w2"), F.col("c1").alias("c1_w2")), ["w2"], "left")
+        .join(uni.select(F.col("_w").alias("w3"), F.col("c1").alias("c1_w3")), ["w3"], "left")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            id_col,
+            F.floor(F.lit(_P_SCALE) * score).cast("long").alias("_s_nano"),
+            (F.col("c3").isNull() & F.col("c2p").isNotNull()).cast("long").alias("_bo1"),
+            (F.col("c3").isNull() & F.col("c2p").isNull()).cast("long").alias("_bo2"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_trigrams"),
+        F.sum("_bo1").alias("n_backoff_bigram"),
+        F.sum("_bo2").alias("n_backoff_unigram"),
+        F.sum("_s_nano").alias("_s_sum"),
+    )
+    return (
+        docs.select(id_col)
+        .join(agg, [id_col], "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_trigrams"), F.lit(0)).cast("long").alias("n_trigrams"),
+            F.coalesce(F.col("n_backoff_bigram"), F.lit(0))
+            .cast("long")
+            .alias("n_backoff_bigram"),
+            F.coalesce(F.col("n_backoff_unigram"), F.lit(0))
+            .cast("long")
+            .alias("n_backoff_unigram"),
+            F.when(F.col("n_trigrams") > 0, F.expr("_s_sum div n_trigrams"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("fluency_nano"),
+        )
+    )

@@ -51,6 +51,7 @@ PRIORITY = (
     "event_k_anonymity",
     "doc_perceptron_calibration",
     "embedding_pq_distortion",
+    "doc_trigram_fluency",
     # -- tier STALE-ORACLED: newest driver row is round 3 ---------------
     "minhash_incremental_md5",
     "embedding_pq_topk",
@@ -98,13 +99,13 @@ PRIORITY = (
     "union_activity_timeline",
     # -- tier STALE-ROWS-ONLY: no oracle, round-1 or no driver row ------
     "minhash_incremental",
-    "minhash_calibration",
     # ------------------------------------------------------------------
     # Below the ~50-row driver window: every entry here has a green
     # round-4 or round-5 driver row (CORRECTNESS_r04/r05.json), the
     # freshest evidence in the record — except the rows-only fillers
     # displaced by round-6 gates (weakest signal, oracled twins fresh).
     # ------------------------------------------------------------------
+    "minhash_calibration",
     "corpus_token_cardinality_approx",
     "minhash_lsh_candidates",
     "simhash_signatures",

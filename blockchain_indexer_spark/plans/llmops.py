@@ -2678,6 +2678,99 @@ def doc_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_trigram_fluency",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id, COALESCE({_TOKS_SQL}, []) AS toks FROM documents
+    ),
+    tg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+      FROM d, UNNEST(range(1, len(toks) - 1)) AS r(i)
+    ),
+    ttg AS (SELECT w1, w2, w3 FROM tg WHERE doc_id % 2 = 0),
+    c3 AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c3
+           FROM ttg GROUP BY 1, 2, 3),
+    c2ctx AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2ctx
+              FROM ttg GROUP BY 1, 2),
+    bgr AS (
+      SELECT toks[i] AS w2, toks[i + 1] AS w3
+      FROM d, UNNEST(range(1, len(toks))) AS r(i)
+      WHERE doc_id % 2 = 0
+    ),
+    c2p AS (SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS c2p
+            FROM bgr GROUP BY 1, 2),
+    uni AS (SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS c1
+            FROM (SELECT unnest(toks) AS t FROM d WHERE doc_id % 2 = 0)
+            GROUP BY 1),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+           FROM (SELECT unnest(toks) AS t FROM d WHERE doc_id % 2 = 0)),
+    scored AS (
+      SELECT tg.doc_id,
+             CAST(floor(1e12 * (CASE
+               WHEN c3.c3 IS NOT NULL
+                 THEN CAST(c3.c3 AS DOUBLE) / CAST(c2ctx.c2ctx AS DOUBLE)
+               WHEN c2p.c2p IS NOT NULL
+                 THEN CAST(2 * c2p.c2p AS DOUBLE) / CAST(5 * u2.c1 AS DOUBLE)
+               ELSE CAST(4 * COALESCE(u3.c1, 0) AS DOUBLE)
+                    / CAST(25 * nn.n AS DOUBLE)
+             END)) AS BIGINT) AS s_nano,
+             CASE WHEN c3.c3 IS NULL AND c2p.c2p IS NOT NULL THEN 1 ELSE 0 END
+               AS bo1,
+             CASE WHEN c3.c3 IS NULL AND c2p.c2p IS NULL THEN 1 ELSE 0 END
+               AS bo2
+      FROM tg
+      LEFT JOIN c3 USING (w1, w2, w3)
+      LEFT JOIN c2ctx USING (w1, w2)
+      LEFT JOIN c2p USING (w2, w3)
+      LEFT JOIN uni u2 ON u2.w = tg.w2
+      LEFT JOIN uni u3 ON u3.w = tg.w3
+      CROSS JOIN nn
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+             CAST(SUM(bo1) AS BIGINT) AS n_backoff_bigram,
+             CAST(SUM(bo2) AS BIGINT) AS n_backoff_unigram,
+             CAST(SUM(s_nano) AS BIGINT) AS s_sum
+      FROM scored GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(agg.n_trigrams, 0) AS n_trigrams,
+           COALESCE(agg.n_backoff_bigram, 0) AS n_backoff_bigram,
+           COALESCE(agg.n_backoff_unigram, 0) AS n_backoff_unigram,
+           CASE WHEN agg.n_trigrams > 0 THEN agg.s_sum // agg.n_trigrams
+                ELSE 0 END AS fluency_nano
+    FROM d LEFT JOIN agg USING (doc_id)
+    """,
+    doc="Trigram LM with STUPID BACKOFF (operators.lm."
+    "trigram_fluency_backoff; Brants et al. EMNLP 2007): every "
+    "document scored under a trigram model trained on the even-"
+    "doc_id half — seen trigram scores c3/c2ctx, else 0.4 x the "
+    "bigram ratio, else 0.16 x the unigram ratio — with the per-doc "
+    "backoff-level split (n_backoff_bigram/unigram) as the unseen-"
+    "mass signal the bigram gate's single n_oov can't resolve. "
+    "Integer-deterministic: the backoff factor is kept RATIONAL "
+    "(0.4 = 2/5, 0.16 = 4/25) so every level is one IEEE division "
+    "of exact integers, floor(1e12*s)-scaled to BIGINT before any "
+    "SUM. Count tables are map-side-combined aggs over the exploded "
+    "n-gram frames; scoring joins are token-keyed against post-"
+    "aggregation tables (AQE broadcast / skew-split); N rides a "
+    "broadcast one-row cross join.",
+    survey_refs=("LLM-text",),
+)
+def doc_trigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.functions.text import tokens
+    from blockchain_indexer_spark.operators.lm import trigram_fluency_backoff
+
+    d = load_table(spark, sf_dir, "documents")
+    base = spread(d, "doc_id").select(
+        "doc_id",
+        F.coalesce(tokens("text"), F.array().cast("array<string>")).alias("toks"),
+    )
+    train = base.filter(F.col("doc_id") % 2 == 0)
+    return trigram_fluency_backoff(base, train)
+
+
+@register(
     "corpus_cms_heavy_hitters",
     oracle=rf"""
     WITH tok AS (

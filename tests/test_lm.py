@@ -92,3 +92,61 @@ def test_null_tokens_row_scores_zero(spark, tiny):
     )
     row = bigram_fluency(docs, tiny).collect()[0]
     assert (row["n_bigrams"], row["n_oov"], row["fluency_nano"]) == (0, 0, 0)
+
+
+def test_trigram_stupid_backoff_levels_by_hand(spark):
+    """Each backoff level hit exactly, hand-computed: train corpus
+    'a b c a b d', score docs that contain (seen trigram), (unseen
+    trigram but seen bigram), (unseen both, known unigram), and
+    (OOV w3 -> score 0)."""
+    from blockchain_indexer_spark.operators.lm import trigram_fluency_backoff
+
+    train = _toks(spark, [(0, ["a", "b", "c", "a", "b", "d"])])
+    # train trigrams: abc, bca, cab, abd ; contexts ab:2, bc:1, ca:1
+    # train bigrams: ab:2, bc:1, ca:1, ab(2nd), bd:1 -> ab=2,bc=1,ca=1,bd=1
+    # unigrams: a:2 b:2 c:1 d:1, N=6
+    docs = _toks(
+        spark,
+        [
+            (10, ["a", "b", "c"]),  # abc seen: c3=1/c2ctx(ab)=2 -> 0.5
+            (11, ["c", "a", "b"]),  # cab seen: 1/1 -> 1.0
+            (12, ["b", "c", "b"]),  # bcb unseen; bigram (c,b) unseen;
+                                    # unigram b: 0.16 * 2/6
+            (13, ["a", "b", "b"]),  # abb unseen; bigram (b,b) unseen;
+                                    # unigram b: 0.16 * 2/6
+            (14, ["x", "a", "b"]),  # xab unseen; bigram (a,b) SEEN:
+                                    # 0.4 * c2p(ab)=2 / c1(a)=2 -> 0.4
+            (15, ["a", "b", "z"]),  # OOV w3 -> 0.16 * 0/6 = 0
+            (16, ["a", "b"]),       # too short: zeros
+        ],
+    )
+    out = {r["doc_id"]: r for r in trigram_fluency_backoff(docs, train).collect()}
+    assert out[10]["fluency_nano"] == 500_000_000_000
+    assert out[10]["n_backoff_bigram"] == 0 == out[10]["n_backoff_unigram"]
+    assert out[11]["fluency_nano"] == 1_000_000_000_000
+    # 0.16 * 2/6 = floor(1e12 * (4*2)/(25*6)) = floor(1e12 * 8/150)
+    expect_uni_b = math.floor(1e12 * (8.0 / 150.0))
+    assert out[12]["fluency_nano"] == expect_uni_b
+    assert out[12]["n_backoff_unigram"] == 1
+    assert out[13]["fluency_nano"] == expect_uni_b
+    # 0.4 * 2/2 = floor(1e12 * (2*2)/(5*2)) = 4e11
+    assert out[14]["fluency_nano"] == 400_000_000_000
+    assert out[14]["n_backoff_bigram"] == 1
+    assert out[15]["fluency_nano"] == 0
+    assert out[15]["n_backoff_unigram"] == 1
+    assert out[16]["n_trigrams"] == 0 and out[16]["fluency_nano"] == 0
+
+
+def test_trigram_mean_over_mixed_levels(spark):
+    """A doc whose positions hit different levels averages the exact
+    integer scores with floor division."""
+    from blockchain_indexer_spark.operators.lm import trigram_fluency_backoff
+
+    train = _toks(spark, [(0, ["a", "b", "c", "a", "b", "d"])])
+    # doc trigrams: abc (0.5), bcb (0.16*2/6), cba? -> positions:
+    docs = _toks(spark, [(20, ["a", "b", "c", "b"])])
+    # trigrams: abc -> 5e11 ; bcb -> floor(1e12*8/150)
+    out = trigram_fluency_backoff(docs, train).collect()[0]
+    s = 500_000_000_000 + math.floor(1e12 * (8.0 / 150.0))
+    assert out["n_trigrams"] == 2
+    assert out["fluency_nano"] == s // 2
