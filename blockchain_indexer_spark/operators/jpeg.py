@@ -12,15 +12,19 @@ chroma-subsampled color with factors in {1, 2} (4:2:0 / 4:2:2) under
 a PINNED floor-replication upsample (decode_jpeg docstring) and the
 JFIF YCbCr matrix with floor(x+0.5) rounding — every rounding choice
 closed-form so the DuckDB oracles reproduce decoded pixels exactly —
-plus PROGRESSIVE (SOF2) grayscale AND 4:4:4 color with spectral
-selection: multi-scan coefficient accumulation, an interleaved DC
-scan with per-component predictors, non-interleaved per-component AC
-band scans, and T.81 G.1.2.2 EOBn end-of-band run decoding
-(decode_jpeg_progressive). Subsampled progressive, successive
-approximation, >2 sampling factors and non-dividing ratios raise
-NotImplementedError and stay behind the PIL seam in
-decode_image_real (the same honest input-domain guard as non-24bpp
-BMP / non-PCM WAV).
+plus PROGRESSIVE (SOF2) grayscale AND 4:4:4 color with BOTH
+progressive dimensions: spectral selection (multi-scan coefficient
+accumulation, an interleaved DC scan with per-component predictors,
+non-interleaved per-component AC band scans, T.81 G.1.2.2 EOBn
+end-of-band run decoding) and SUCCESSIVE APPROXIMATION (T.81
+G.1.2.1/G.1.2.3: point-transformed first scans, raw-bit DC
+refinement, and AC refinement scans that insert newly-significant
++-1<<Al coefficients while streaming correction bits for the
+already-nonzero history — including correction bits carried inside
+EOBn runs), in decode_jpeg_progressive. Subsampled progressive, >2
+sampling factors and non-dividing ratios raise NotImplementedError
+and stay behind the PIL seam in decode_image_real (the same honest
+input-domain guard as non-24bpp BMP / non-PCM WAV).
 
 Exactness contract (what makes a LOSSY format oracle-gateable): the
 fixture encoder emits solid 8x8 blocks with an all-ones quantization
@@ -730,7 +734,8 @@ def synth_jpeg_420_blob(doc_id: int) -> bytes:
 def synth_jpeg_progressive_blob(doc_id: int) -> bytes:
     """The fixture stream for mm_real_jpeg_progressive: a genuine
     PROGRESSIVE (SOF2) stream per document, alternating the decoder's
-    two component paths so the driver hashes both —
+    two component paths AND both progressive dimensions so the driver
+    hashes all four —
 
         even id: GRAYSCALE, the mm_real_jpeg closed form
             width = 8*(1 + id%4), height = 8*(1 + id%3)
@@ -740,15 +745,26 @@ def synth_jpeg_progressive_blob(doc_id: int) -> bytes:
             Y  = (5*id + 11*bx + 3*by) % 256
             Cb = (3*id +  7*bx + 5*by) % 256
             Cr = (2*id +  5*bx + 7*by) % 256
+        id%4 in {0,1}: spectral selection only (Ah=Al=0);
+        id%4 in {2,3}: SUCCESSIVE APPROXIMATION (al=2) — the DC quant
+            entry is 8, so the quantized DC equals v-128 (any parity)
+            and the two raw-bit DC refinement scans carry REAL bits;
+            the IDCT of dc*8 still reconstructs v exactly, keeping
+            the closed form, so the ORACLE IS IDENTICAL across all
+            four stream shapes.
 
-    Solid blocks + all-ones quantization keep the decoded pixels
-    closed-form (DC-only FDCT of a constant block is an integer), but
-    the entropy layer is genuinely progressive: one interleaved DC
-    scan with per-component predictors, then per-component AC band
-    scans over the default (1-5, 6-63) spectral split whose all-zero
-    bands are coded as T.81 G.1.2.2 EOBn runs spanning many blocks —
-    structure no baseline stream contains. Color rows go through the
-    same JFIF matrix + floor(x+0.5) as the baseline color gates."""
+    Solid blocks keep the decoded pixels closed-form (DC-only FDCT of
+    a constant block is an integer), but the entropy layer is
+    genuinely progressive: interleaved DC first scan with
+    per-component predictors, per-component AC band scans over the
+    (1-5, 6-63) spectral split coded as T.81 G.1.2.2 EOBn runs
+    spanning many blocks, and for the SA rows point-transformed
+    first scans plus two refinement levels — structure no baseline
+    stream contains. Color rows go through the same JFIF matrix +
+    floor(x+0.5) as the baseline color gates."""
+    sa = doc_id % 4 >= 2
+    qt = np.ones((8, 8), dtype=np.int64)
+    qt[0, 0] = 8  # quantized DC = v-128: real refinement bits
     if doc_id % 2 == 0:
         nbx, nby = 1 + doc_id % 4, 1 + doc_id % 3
         bx = np.arange(nbx, dtype=np.int64)[None, :]
@@ -757,6 +773,8 @@ def synth_jpeg_progressive_blob(doc_id: int) -> bytes:
         blocks = np.ascontiguousarray(
             np.broadcast_to(v[:, :, None, None].astype(np.uint8), (nby, nbx, 8, 8))
         )
+        if sa:
+            return encode_jpeg_progressive_sa([blocks], quant=qt, al=2)
         return encode_jpeg_progressive_gray(blocks)
     nbx, nby = 1 + doc_id % 3, 1 + doc_id % 2
     bx = np.arange(nbx, dtype=np.int64)[None, :]
@@ -768,7 +786,10 @@ def synth_jpeg_progressive_blob(doc_id: int) -> bytes:
             np.broadcast_to(v[:, :, None, None].astype(np.uint8), (nby, nbx, 8, 8))
         )
 
-    return encode_jpeg_progressive([plane(5, 11, 3), plane(3, 7, 5), plane(2, 5, 7)])
+    comps = [plane(5, 11, 3), plane(3, 7, 5), plane(2, 5, 7)]
+    if sa:
+        return encode_jpeg_progressive_sa(comps, quant=qt, al=2)
+    return encode_jpeg_progressive(comps)
 
 
 # ------------------------------------------------- progressive (SOF2)
@@ -948,17 +969,302 @@ def encode_progressive_from_zz(
     return b"".join(parts)
 
 
+#: AC table for SUCCESSIVE-APPROXIMATION scans: EOB short, then every
+#: run/size-1 symbol (refinement scans only ever code size 1 — T.81
+#: G.1.2.3), EOBn r=1..5 (runs to 63) and ZRL, all length 5.
+#: Canonical; Kraft sum 1/4 + 22/32 = 0.9375 < 1 (valid incomplete
+#: tree). A separate table id so earlier progressive fixtures stay
+#: byte-identical.
+SA_AC_BITS = (0, 1, 0, 0, 22, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+SA_AC_VALS = (
+    0x00,                                      # len 2: EOB (run 1)
+    0x10, 0x20, 0x30, 0x40, 0x50,              # EOBn r=1..5
+    0x01, 0x11, 0x21, 0x31, 0x41, 0x51, 0x61, 0x71,
+    0x81, 0x91, 0xA1, 0xB1, 0xC1, 0xD1, 0xE1, 0xF1,  # run/size-1
+    0xF0,                                      # ZRL
+)
+
+
+def encode_jpeg_progressive_sa(
+    components: list[np.ndarray],
+    bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
+    quant: np.ndarray | None = None,
+    al: int = 1,
+) -> bytes:
+    """Progressive (SOF2) encoder with SUCCESSIVE APPROXIMATION for 1
+    (grayscale) or 3 (4:4:4 YCbCr) components: first scans carry the
+    point-transformed coefficients (DC arithmetic-shifted ``al`` bits,
+    AC sign-magnitude shifted), then ``al`` refinement levels restore
+    one bit each — the dominant progressive mode in real corpora
+    (spectral-selection-only streams are comparatively rare).
+    Blocks are (nby, nbx, 8, 8) uint8 per component."""
+    nf = len(components)
+    if nf not in (1, 3):
+        raise ValueError("1 (gray) or 3 (YCbCr 4:4:4) components")
+    nby, nbx = components[0].shape[:2]
+    if any(c.shape != components[0].shape for c in components):
+        raise ValueError("all components must share block dims (4:4:4)")
+    qt = np.ones((8, 8), dtype=np.int64) if quant is None else quant.astype(np.int64)
+    zz_comps = []
+    for comp in components:
+        zz_blocks = []
+        for by in range(nby):
+            for bx in range(nbx):
+                spatial = comp[by, bx].astype(np.float64) - 128.0
+                coefs = _A @ spatial @ _A.T
+                q = np.round(coefs / qt).astype(np.int64)
+                zz_blocks.append(q.reshape(64)[ZIGZAG])
+        zz_comps.append(zz_blocks)
+    return encode_progressive_sa_from_zz(zz_comps, nby, nbx, bands, qt, al)
+
+
+def _encode_ac_first_sa(bw: "BitWriter", blocks, ss: int, se: int, al: int, ac_enc) -> None:
+    """AC first scan (Ah=0, Al=al): the spectral-selection band coding
+    of encode_progressive_from_zz over the point-transformed values
+    sign * (|coef| >> al), T.81 G.1.2.1."""
+    eobrun = 0
+
+    def _flush(run: int) -> None:
+        r = run.bit_length() - 1
+        ln, code = ac_enc[r << 4]
+        bw.write(code, ln)
+        if r:
+            bw.write(run - (1 << r), r)
+
+    vals_per_block = []
+    for zz in blocks:
+        v = []
+        for k in range(ss, se + 1):
+            c = int(zz[k])
+            t = abs(c) >> al
+            v.append(-t if c < 0 else t)
+        vals_per_block.append(v)
+    for v in vals_per_block:
+        if not any(v):
+            eobrun += 1
+            if eobrun == 63:  # table EOBn caps at r=5
+                _flush(eobrun)
+                eobrun = 0
+            continue
+        if eobrun:
+            _flush(eobrun)
+            eobrun = 0
+        i = 0
+        while i < len(v):
+            run = 0
+            while i < len(v) and v[i] == 0:
+                run += 1
+                i += 1
+            if i >= len(v):
+                _flush(1)  # EOB for this block
+                break
+            while run >= 16:
+                ln, code = ac_enc[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            x = v[i]
+            size = _category(x)
+            sym = (run << 4) | size
+            if sym not in ac_enc:
+                raise ValueError(f"AC symbol {sym:#x} not in SA_AC_VALS")
+            ln, code = ac_enc[sym]
+            bw.write(code, ln)
+            bw.write(_magnitude_bits(x, size), size)
+            i += 1
+    if eobrun:
+        _flush(eobrun)
+
+
+def _encode_ac_refine(bw: "BitWriter", blocks, ss: int, se: int, al: int, ac_enc) -> None:
+    """AC refinement scan (Ah=al+1, Al=al), T.81 G.1.2.3 (the libjpeg
+    encode_mcu_AC_refine shape): per block, newly-significant
+    coefficients (|c| >> al == 1) are coded as run/size-1 symbols
+    whose runs count only ZERO-HISTORY positions, with a sign bit and
+    the buffered correction bits of already-nonzero coefficients
+    passed on the way; blocks with nothing new fold into EOBn runs
+    whose correction bits ride right after the EOBn symbol."""
+    eobrun = 0
+    be_bits: list[int] = []
+
+    def emit_eobrun() -> None:
+        nonlocal eobrun, be_bits
+        if eobrun > 0:
+            r = eobrun.bit_length() - 1
+            ln, code = ac_enc[r << 4]
+            bw.write(code, ln)
+            if r:
+                bw.write(eobrun - (1 << r), r)
+            for b in be_bits:
+                bw.write(b, 1)
+            eobrun = 0
+            be_bits = []
+
+    for zz in blocks:
+        absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+        # position of the last newly-significant coefficient: pending
+        # ZRLs are only emitted up to here — beyond it, zero runs and
+        # correction bits fold into the EOB run (T.81 figure G.7 /
+        # the libjpeg k <= EOB guard)
+        eob_i = -1
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob_i = i
+        r = 0
+        br_bits: list[int] = []
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            # any nonzero coefficient flushes pending ZRLs first, so
+            # the decoder's 16-position walk and the correction bits
+            # it reads on the way stay aligned
+            while r > 15 and i <= eob_i:
+                emit_eobrun()
+                r -= 16
+                ln, code = ac_enc[0xF0]
+                bw.write(code, ln)
+                for b in br_bits:
+                    bw.write(b, 1)
+                br_bits = []
+            if t > 1:  # already nonzero before this scan: correction bit
+                br_bits.append(t & 1)
+                continue
+            # newly significant (t == 1; r <= 15 by the guard above)
+            emit_eobrun()
+            ln, code = ac_enc[(r << 4) | 1]
+            bw.write(code, ln)
+            bw.write(0 if int(zz[ss + i]) < 0 else 1, 1)
+            for b in br_bits:
+                bw.write(b, 1)
+            br_bits = []
+            r = 0
+        if r > 0 or br_bits:
+            eobrun += 1
+            be_bits.extend(br_bits)
+            if eobrun == 63:
+                emit_eobrun()
+    emit_eobrun()
+
+
+def encode_progressive_sa_from_zz(
+    zz_comps,
+    nby: int,
+    nbx: int,
+    bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
+    qt: np.ndarray | None = None,
+    al: int = 1,
+) -> bytes:
+    """Assemble a successive-approximation progressive stream from
+    pre-quantized zigzag blocks: one interleaved DC first scan at
+    Al=al, per-component AC first scans per band at Al=al, then per
+    refinement level (Ah, Al) = (al, al-1) ... (1, 0): one raw-bit
+    interleaved DC refinement scan and per-component AC refinement
+    scans. The fixture constraint for the SA_AC table is |shifted AC
+    value| <= 1 in first scans (i.e. |coef| < 2^(al+1)), which still
+    drives every decode path: new significance at each level,
+    correction bits of both values, ZRL runs and EOBn-carried
+    correction bits."""
+    if zz_comps and isinstance(zz_comps[0], np.ndarray):
+        zz_comps = [zz_comps]
+    if al < 1:
+        raise ValueError("al must be >= 1 (use encode_progressive_from_zz)")
+    nf = len(zz_comps)
+    h, w = nby * 8, nbx * 8
+    qt = np.ones((8, 8), dtype=np.int64) if qt is None else qt.astype(np.int64)
+    dc_enc = _encode_table(DC_BITS, DC_VALS)
+    ac_enc = _encode_table(SA_AC_BITS, SA_AC_VALS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    scans = []
+    # DC first scan (Ah=0, Al=al): diffs of arithmetic-shifted DC
+    bw = BitWriter()
+    preds = [0] * nf
+    for bi in range(nby * nbx):
+        for ci in range(nf):
+            dc = int(zz_comps[ci][bi][0]) >> al
+            diff = dc - preds[ci]
+            size = _category(diff)
+            ln, code = dc_enc[size]
+            bw.write(code, ln)
+            if size:
+                bw.write(_magnitude_bits(diff, size), size)
+            preds[ci] = dc
+    bw.pad_align()
+    dc_body = bytes((nf,)) + b"".join(
+        bytes((ci + 1, 0x00)) for ci in range(nf)
+    ) + bytes((0, 0, al))
+    scans.append((seg(0xDA, dc_body), bytes(bw.out)))
+    # AC first scans (Ah=0, Al=al), per component per band
+    for ci in range(nf):
+        for ss, se in bands:
+            bw = BitWriter()
+            _encode_ac_first_sa(bw, zz_comps[ci], ss, se, al, ac_enc)
+            bw.pad_align()
+            scans.append(
+                (seg(0xDA, bytes((1, ci + 1, 0x00, ss, se, al))), bytes(bw.out))
+            )
+    # refinement levels al-1 .. 0
+    for lvl in range(al - 1, -1, -1):
+        ah = lvl + 1
+        # DC refinement: one raw bit per block per component
+        bw = BitWriter()
+        for bi in range(nby * nbx):
+            for ci in range(nf):
+                bw.write((int(zz_comps[ci][bi][0]) >> lvl) & 1, 1)
+        bw.pad_align()
+        dcr_body = bytes((nf,)) + b"".join(
+            bytes((ci + 1, 0x00)) for ci in range(nf)
+        ) + bytes((0, 0, (ah << 4) | lvl))
+        scans.append((seg(0xDA, dcr_body), bytes(bw.out)))
+        # AC refinement per component per band
+        for ci in range(nf):
+            for ss, se in bands:
+                bw = BitWriter()
+                _encode_ac_refine(bw, zz_comps[ci], ss, se, lvl, ac_enc)
+                bw.pad_align()
+                scans.append(
+                    (
+                        seg(0xDA, bytes((1, ci + 1, 0x00, ss, se, (ah << 4) | lvl))),
+                        bytes(bw.out),
+                    )
+                )
+    dqt = seg(0xDB, b"\x00" + bytes(int(qt.reshape(64)[ZIGZAG][i]) for i in range(64)))
+    sof = seg(
+        0xC2,
+        struct.pack(">BHHB", 8, h, w, nf)
+        + b"".join(bytes((ci + 1, 0x11, 0)) for ci in range(nf)),
+    )
+    dht = seg(
+        0xC4,
+        b"\x00" + bytes(DC_BITS) + bytes(DC_VALS)
+        + b"\x10" + bytes(SA_AC_BITS) + bytes(SA_AC_VALS),
+    )
+    parts = [b"\xff\xd8", seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"), dqt, sof, dht]
+    for sos, data in scans:
+        parts += [sos, data]
+    parts.append(b"\xff\xd9")
+    return b"".join(parts)
+
+
 def decode_jpeg_progressive(buf: bytes) -> tuple[int, int, int, np.ndarray]:
     """Decode a PROGRESSIVE (SOF2) JPEG with spectral selection —
-    grayscale or 4:4:4 YCbCr color (all sampling factors 1x1):
-    coefficients accumulate across scans (one interleaved DC scan +
-    any partition of 1..63 into per-component AC band scans — T.81
-    G.1 requires AC progressive scans to be non-interleaved — each
-    with EOBn end-of-band run decoding per G.1.2.2); dequant + IDCT
-    run once after the last scan, then the same JFIF matrix +
-    floor(x+0.5) color transform as the baseline decoder. Honest
-    guards (PIL seam): subsampled progressive, successive
-    approximation (Ah/Al != 0), and restart intervals raise
+    AND successive approximation — grayscale or 4:4:4 YCbCr color
+    (all sampling factors 1x1): coefficients accumulate across scans
+    (one interleaved DC first scan + any partition of 1..63 into
+    per-component AC band scans — T.81 G.1 requires AC progressive
+    scans to be non-interleaved — each with EOBn end-of-band run
+    decoding per G.1.2.2). Successive approximation per G.1.2.1/3:
+    first scans carry point-transformed coefficients (values << Al on
+    decode), DC refinement scans one raw bit per block, and AC
+    refinement scans insert newly-significant +-1<<Al coefficients
+    with runs counting only zero-history positions while streaming
+    correction bits for the already-nonzero history — correction
+    bits ride inside EOBn runs too. Dequant + IDCT run once after
+    the last scan, then the same JFIF matrix + floor(x+0.5) color
+    transform as the baseline decoder. Honest guards (PIL seam):
+    subsampled progressive and restart intervals raise
     NotImplementedError."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -1040,27 +1346,33 @@ def decode_jpeg_progressive(buf: bytes) -> tuple[int, int, int, np.ndarray]:
             scan_ids = [body[1 + 2 * ci] for ci in range(ns)]
             scan_tts = [body[2 + 2 * ci] for ci in range(ns)]
             ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
-            if ahal:
-                raise NotImplementedError(
-                    "successive approximation (PIL seam)"
-                )
+            ah, al = ahal >> 4, ahal & 0x0F
             if any(cid not in coefs for cid in scan_ids):
                 raise ValueError("SOS references unknown component")
             br = BitReader(buf, pos)
             if ss == 0:  # DC scan — interleaved over all scan components
                 if se != 0:
                     raise ValueError("DC scan must have Se=0")
-                preds = {cid: 0 for cid in scan_ids}
-                for by in range(nby):
-                    for bx in range(nbx):
-                        for cid, tt in zip(scan_ids, scan_tts):
-                            dc_tab = htables[(0, tt >> 4)]
-                            size = br.decode_symbol(dc_tab)
-                            diff = (
-                                _extend(br.read_bits(size), size) if size else 0
-                            )
-                            preds[cid] += diff
-                            coefs[cid][by, bx, 0] = preds[cid]
+                if ah == 0:  # first scan: diffs of the shifted DC
+                    preds = {cid: 0 for cid in scan_ids}
+                    for by in range(nby):
+                        for bx in range(nbx):
+                            for cid, tt in zip(scan_ids, scan_tts):
+                                dc_tab = htables[(0, tt >> 4)]
+                                size = br.decode_symbol(dc_tab)
+                                diff = (
+                                    _extend(br.read_bits(size), size) if size else 0
+                                )
+                                preds[cid] += diff
+                                coefs[cid][by, bx, 0] = preds[cid] << al
+                else:  # refinement: one raw bit per block per component
+                    if ah != al + 1:
+                        raise ValueError("DC refinement must have Ah = Al+1")
+                    for by in range(nby):
+                        for bx in range(nbx):
+                            for cid in scan_ids:
+                                if br.read_bit():
+                                    coefs[cid][by, bx, 0] += 1 << al
             else:  # AC band scan: non-interleaved per T.81 G.1
                 if ns != 1:
                     raise ValueError(
@@ -1070,26 +1382,84 @@ def decode_jpeg_progressive(buf: bytes) -> tuple[int, int, int, np.ndarray]:
                 ac_tab = htables[(1, tt & 0x0F)]
                 cc = coefs[cid]
                 eobrun = 0
-                for by in range(nby):
-                    for bx in range(nbx):
-                        if eobrun:
-                            eobrun -= 1
-                            continue
-                        k = ss
-                        while k <= se:
-                            rs = br.decode_symbol(ac_tab)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                eobrun = (1 << r) + (br.read_bits(r) if r else 0) - 1
-                                break  # this block's band ends here
-                            k += r
-                            if k > se:
-                                raise ValueError("AC run past band end")
-                            cc[by, bx, k] = _extend(br.read_bits(s), s)
-                            k += 1
+                if ah == 0:  # first scan (values point-transformed << al)
+                    for by in range(nby):
+                        for bx in range(nbx):
+                            if eobrun:
+                                eobrun -= 1
+                                continue
+                            k = ss
+                            while k <= se:
+                                rs = br.decode_symbol(ac_tab)
+                                r, s = rs >> 4, rs & 0x0F
+                                if s == 0:
+                                    if r == 15:  # ZRL
+                                        k += 16
+                                        continue
+                                    eobrun = (1 << r) + (br.read_bits(r) if r else 0) - 1
+                                    break  # this block's band ends here
+                                k += r
+                                if k > se:
+                                    raise ValueError("AC run past band end")
+                                cc[by, bx, k] = _extend(br.read_bits(s), s) << al
+                                k += 1
+                else:  # refinement scan, T.81 G.1.2.3
+                    if ah != al + 1:
+                        raise ValueError("AC refinement must have Ah = Al+1")
+                    p1, m1 = 1 << al, -1 << al
+                    for by in range(nby):
+                        for bx in range(nbx):
+                            blk = cc[by, bx]
+                            k = ss
+                            if eobrun == 0:
+                                while k <= se:
+                                    rs = br.decode_symbol(ac_tab)
+                                    r, s = rs >> 4, rs & 0x0F
+                                    newval = 0
+                                    if s == 0:
+                                        if r != 15:  # EOBn: run + trailing bits
+                                            eobrun = (1 << r) + (
+                                                br.read_bits(r) if r else 0
+                                            )
+                                            break
+                                        # ZRL: 16 zero-history positions
+                                    else:
+                                        if s != 1:
+                                            raise ValueError(
+                                                "AC refinement size must be 1"
+                                            )
+                                        newval = p1 if br.read_bit() else m1
+                                    # advance past r zero-history coefs,
+                                    # correcting nonzero ones on the way
+                                    while k <= se:
+                                        if blk[k] != 0:
+                                            if br.read_bit() and (
+                                                int(blk[k]) & p1
+                                            ) == 0:
+                                                blk[k] += p1 if blk[k] >= 0 else m1
+                                        else:
+                                            if r == 0:
+                                                break
+                                            r -= 1
+                                        k += 1
+                                    if newval:
+                                        if k > se:
+                                            raise ValueError(
+                                                "refinement run past band end"
+                                            )
+                                        blk[k] = newval
+                                    k += 1
+                            if eobrun > 0:
+                                # EOBn covers this block from k on: its
+                                # nonzero history still takes correction bits
+                                while k <= se:
+                                    if blk[k] != 0:
+                                        if br.read_bit() and (
+                                            int(blk[k]) & p1
+                                        ) == 0:
+                                            blk[k] += p1 if blk[k] >= 0 else m1
+                                    k += 1
+                                eobrun -= 1
             pos = br.pos  # continue the marker walk after the scan
         # APPn / COM: skipped
     if coefs is None:

@@ -623,8 +623,12 @@ def mm_real_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream contains. Even doc_ids are grayscale (the mm_real_jpeg "
     "closed form, gray replicated to b/g/r), odd doc_ids 4:4:4 YCbCr "
     "(the mm_real_jpeg_color closed form through the same JFIF matrix "
-    "with floor(x+0.5)), so the driver hashes both component paths. "
-    "Solid blocks + all-ones quantization keep the lossy pipeline "
+    "with floor(x+0.5)); doc_id%4 in {2,3} additionally encode with "
+    "SUCCESSIVE APPROXIMATION (al=2: point-transformed first scans, "
+    "raw-bit DC refinements carrying real bits via a DC quant of 8, "
+    "AC refinement scans) — four stream shapes, ONE closed-form "
+    "oracle, so the driver hashes both component paths and both "
+    "progressive dimensions. Solid blocks keep the lossy pipeline "
     "bit-exact; per-block integer sums compare with one IEEE "
     "division.",
     survey_refs=("LLM-multimodal",),

@@ -398,9 +398,9 @@ def test_progressive_ac_bands_decode_planted_coefficients():
 
 
 def test_progressive_guards_stay_honest():
-    """Successive approximation (Ah/Al != 0) and subsampled
-    progressive stay behind the PIL seam (color progressive with 1x1
-    sampling decodes in-repo as of round 5)."""
+    """Subsampled progressive stays behind the PIL seam; a
+    successive-approximation scan with inconsistent Ah != Al+1 is
+    rejected as malformed (SA itself decodes in-repo as of round 6)."""
     from blockchain_indexer_spark.operators.jpeg import (
         decode_jpeg_progressive,
         encode_progressive_from_zz,
@@ -410,8 +410,8 @@ def test_progressive_guards_stay_honest():
     zz[0][0] = 100
     buf = bytearray(encode_progressive_from_zz(zz, 1, 1))
     i = bytes(buf).index(b"\xff\xda")
-    buf[i + 2 + 2 + 5] = 0x12  # AhAl byte of the first SOS
-    with pytest.raises(NotImplementedError, match="successive approximation"):
+    buf[i + 2 + 2 + 5] = 0x13  # AhAl: Ah=1, Al=3 on the DC scan
+    with pytest.raises(ValueError, match="Ah = Al\\+1"):
         decode_jpeg_progressive(bytes(buf))
     buf = bytearray(encode_progressive_from_zz(zz, 1, 1))
     i = bytes(buf).index(b"\xff\xc2")
@@ -584,3 +584,159 @@ def test_synth_jpeg_progressive_blob_alternates_gray_and_color():
             )
             expect = np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
             assert np.array_equal(px, np.repeat(np.repeat(expect, 8, 0), 8, 1))
+
+
+def _idct_reference(zz_list, nby, nbx):
+    """Direct-IDCT ground truth of pre-quantized zigzag blocks."""
+    from blockchain_indexer_spark.operators.jpeg import ZIGZAG, idct_block
+
+    out = np.zeros((nby * 8, nbx * 8), dtype=np.uint8)
+    i = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            dez = np.zeros(64, dtype=np.int64)
+            dez[ZIGZAG] = zz_list[i]
+            sp = idct_block(dez.reshape(8, 8)) + 128.0
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.round(sp), 0, 255
+            )
+            i += 1
+    return out
+
+
+def test_successive_approximation_planted_coefficients():
+    """Every SA decode path through the zz seam at al=1: DC bit
+    refinement (odd and even DC, negative DC), newly-significant AC
+    at each level (|c|=1 appears only in the refinement scan; |c|=2,3
+    appear in the first scan and take correction bits 0/1), ZRL runs
+    of zero-history positions, and EOBn runs that carry correction
+    bits for trailing nonzero history."""
+    from blockchain_indexer_spark.operators.jpeg import (
+        decode_jpeg_progressive,
+        encode_progressive_sa_from_zz,
+    )
+
+    zz = [np.zeros(64, dtype=np.int64) for _ in range(6)]
+    zz[0][0] = 97    # odd DC: refinement bit 1
+    zz[0][1] = 3     # first scan t=1, correction bit 1
+    zz[0][3] = -2    # first scan t=-1, correction bit 0
+    zz[0][5] = 1     # newly significant in refinement (positive)
+    zz[1][0] = -6    # negative even DC
+    zz[1][2] = -1    # newly significant in refinement (negative)
+    zz[2][0] = 40    # all-zero AC: EOBn in both scans
+    zz[3][0] = 8
+    zz[3][63] = 1    # band-end new significance after a long zero run
+    zz[4][0] = 250
+    zz[4][6] = 2     # correction bit 0 rides an EOBn run (no new coef
+    zz[4][23] = -3   # in this block at refinement time -> buffered)
+    zz[5][0] = 128
+    zz[5][1] = 1
+    zz[5][40] = 1    # two new coefs, 38 zero-history between: 2x ZRL
+    buf = encode_progressive_sa_from_zz(zz, 2, 3, al=1)
+    w, h, nch, px = decode_jpeg_progressive(buf)
+    assert (w, h, nch) == (24, 16, 1)
+    assert np.array_equal(px, _idct_reference(zz, 2, 3))
+
+
+def test_successive_approximation_two_levels():
+    """al=2: two refinement levels per coefficient — DC restores two
+    raw bits, AC coefficients become significant at different levels
+    (|c|=4..7 in the first scan, 2..3 at level 1, 1 at level 0) and
+    then take correction bits at every later level."""
+    from blockchain_indexer_spark.operators.jpeg import (
+        decode_jpeg_progressive,
+        encode_progressive_sa_from_zz,
+    )
+
+    zz = [np.zeros(64, dtype=np.int64) for _ in range(4)]
+    zz[0][0] = 103   # bits 1,1 restored across two DC refinements
+    zz[0][1] = 7     # first scan t=1, corrections 1 then 1
+    zz[0][2] = -4    # first scan t=-1, corrections 0 then 0
+    zz[0][3] = 3     # new at level 1, correction 1 at level 0
+    zz[0][4] = -2    # new at level 1, correction 0 at level 0
+    zz[0][5] = 1     # new at level 0
+    zz[1][0] = -77
+    zz[1][10] = -5   # first scan, corrections 0 then 1
+    zz[2][0] = 0
+    zz[2][63] = -1   # new at level 0 at the band end
+    zz[3][0] = 255
+    buf = encode_progressive_sa_from_zz(zz, 2, 2, al=2)
+    w, h, nch, px = decode_jpeg_progressive(buf)
+    assert (w, h, nch) == (16, 16, 1)
+    assert np.array_equal(px, _idct_reference(zz, 2, 2))
+
+
+def test_successive_approximation_solid_blocks_match_baseline():
+    """SA-encoded solid blocks (gray and 4:4:4 color) decode to the
+    same pixels as the baseline encoder — the closed-form fixture
+    convention survives the extra scan structure."""
+    from blockchain_indexer_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_gray,
+        encode_jpeg_progressive_sa,
+    )
+
+    for doc_id in (0, 3, 7):
+        nbx, nby = 1 + doc_id % 3, 1 + doc_id % 2
+        bx = np.arange(nbx)[None, :]
+        by = np.arange(nby)[:, None]
+
+        def plane(a, b, c):
+            v = (a * doc_id + b * bx + c * by) % 256
+            return np.ascontiguousarray(
+                np.broadcast_to(
+                    v[:, :, None, None].astype(np.uint8), (nby, nbx, 8, 8)
+                )
+            )
+
+        gray = plane(7, 13, 3)
+        base = decode_jpeg(encode_jpeg_gray(gray))
+        prog = decode_jpeg(encode_jpeg_progressive_sa([gray], al=1))
+        assert base[:3] == prog[:3]
+        assert np.array_equal(base[3], prog[3])
+        comps = [plane(5, 11, 3), plane(3, 7, 5), plane(2, 5, 7)]
+        base = decode_jpeg(encode_jpeg(comps))
+        prog = decode_jpeg(encode_jpeg_progressive_sa(comps, al=2))
+        assert base[:3] == prog[:3]
+        assert np.array_equal(base[3], prog[3])
+
+
+def test_successive_approximation_randomized_roundtrip():
+    """Deterministic pseudo-random coefficient fields (|c| <= 3, the
+    SA fixture envelope) across many blocks and both al levels decode
+    bit-exactly — the brute-force sweep over run/EOBn/correction-bit
+    interleavings no hand-planted case can cover."""
+    from blockchain_indexer_spark.operators.jpeg import (
+        decode_jpeg_progressive,
+        encode_progressive_sa_from_zz,
+    )
+
+    rng = np.random.RandomState(1234)
+    for al in (1, 2):
+        for trial in range(12):
+            nby, nbx = rng.randint(1, 4), rng.randint(1, 4)
+            n = nby * nbx
+            zz = []
+            for _ in range(n):
+                b = np.zeros(64, dtype=np.int64)
+                b[0] = rng.randint(-300, 301)
+                # sparse AC up to the al-level envelope (2^(al+1) - 1):
+                # al=2 reaches |c|=7, so the INTERMEDIATE refinement
+                # level sees t>1 correction bits too
+                hi = (1 << (al + 1)) - 1
+                idx = rng.choice(np.arange(1, 64), size=8, replace=False)
+                b[idx] = rng.randint(1, hi + 1, size=8) * rng.choice(
+                    [-1, 1], size=8
+                )
+                # some all-zero-AC blocks to force EOBn runs
+                if rng.rand() < 0.3:
+                    b[1:] = 0
+                zz.append(b)
+            buf = encode_progressive_sa_from_zz(zz, nby, nbx, al=al)
+            w, h, nch, px = decode_jpeg_progressive(buf)
+            assert (w, h, nch) == (nbx * 8, nby * 8, 1)
+            assert np.array_equal(px, _idct_reference(zz, nby, nbx)), (
+                al,
+                trial,
+            )
