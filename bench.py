@@ -155,6 +155,15 @@ BENCH_QUERIES = (
     "event_cusum_changepoint",
     # last-touch + linear multi-touch conversion attribution
     "event_conversion_attribution",
+    # round-6 additions: progressive (SOF2) decode with spectral
+    # selection + successive approximation, k-anonymity release gate,
+    # classifier calibration tiles, PQ distortion monitor, trigram
+    # stupid-backoff LM
+    "mm_real_jpeg_progressive",
+    "event_k_anonymity",
+    "doc_perceptron_calibration",
+    "embedding_pq_distortion",
+    "doc_trigram_fluency",
 )
 
 #: Driver-facing subset of BENCH_QUERIES for the printed JSON line
@@ -193,12 +202,16 @@ HEADLINE_QUERIES = (
     "doc_bm25_topk",
     "doc_bpe_merges",
     "doc_winnowing",
-    "embedding_topk_mips",
     "embedding_ivfpq_topk",
     "embedding_ann_recall",
     "mm_real_png",
     "mm_real_jpeg_color",
-    "mm_image_ahash",
+    # round-6 canaries (displacing embedding_topk_mips and
+    # mm_image_ahash — their families keep other headline entries):
+    # the heaviest new plans, multi-scan entropy decode and the
+    # 5-table trigram scoring join
+    "mm_real_jpeg_progressive",
+    "doc_trigram_fluency",
     "event_funnel_conversion",
     "corpus_cms_heavy_hitters",
 )
