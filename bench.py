@@ -164,6 +164,8 @@ BENCH_QUERIES = (
     "doc_perceptron_calibration",
     "embedding_pq_distortion",
     "doc_trigram_fluency",
+    # perceptron-vs-stump Cohen's kappa (replays both trainings)
+    "corpus_classifier_agreement",
 )
 
 #: Driver-facing subset of BENCH_QUERIES for the printed JSON line

@@ -202,3 +202,60 @@ def margin_calibration(
         (n_pos.cast("double") / n.cast("double")).alias("pos_rate"),
         (n_correct.cast("double") / n.cast("double")).alias("correct_rate"),
     )
+
+
+def agreement_kappa(
+    preds: DataFrame,
+    a_col: str = "pred_a",
+    b_col: str = "pred_b",
+) -> DataFrame:
+    """Inter-classifier agreement: the 2x2 confusion matrix between
+    two boolean predictors plus Cohen's kappa (Cohen 1960) — the
+    model-comparison monitor a filtering pipeline runs when swapping
+    classifiers ("do the cheap and expensive filters actually agree
+    beyond chance?"). High raw agreement with near-zero kappa means
+    both models mostly predict the majority class.
+
+    Integer-deterministic: the cell counts are exact int64 and kappa
+    is kept RATIONAL until the last step —
+
+        kappa = (n·agree − (r1·c1 + r0·c0)) / (n² − (r1·c1 + r0·c0))
+
+    (the po/pe form with every term multiplied through by n²), so the
+    only float op is ONE IEEE division of exact integers. Exact while
+    n² < 2^53 (n < ~94M rows — beyond that, compute per shard and
+    merge the integer cells, which sum exactly). A degenerate margin
+    (pe = 1, denominator 0) reports kappa 0.
+
+    Scale shape: one scalar aggregate over the joined prediction
+    frame — map-side combined, one row out.
+    """
+    a, b = F.col(a_col), F.col(b_col)
+    cell = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    agg = preds.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        cell(a & b).alias("n_pos_pos"),
+        cell(a & ~b).alias("n_pos_neg"),
+        cell(~a & b).alias("n_neg_pos"),
+        cell(~a & ~b).alias("n_neg_neg"),
+    )
+    n = F.col("n_docs")
+    agree = F.col("n_pos_pos") + F.col("n_neg_neg")
+    r1 = F.col("n_pos_pos") + F.col("n_pos_neg")
+    r0 = F.col("n_neg_pos") + F.col("n_neg_neg")
+    c1 = F.col("n_pos_pos") + F.col("n_neg_pos")
+    c0 = F.col("n_pos_neg") + F.col("n_neg_neg")
+    chance = r1 * c1 + r0 * c0
+    num = n * agree - chance
+    den = n * n - chance
+    return agg.select(
+        "n_docs",
+        "n_pos_pos",
+        "n_pos_neg",
+        "n_neg_pos",
+        "n_neg_neg",
+        agree.cast("bigint").alias("n_agree"),
+        F.when(den != 0, num.cast("double") / den.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("kappa"),
+    )

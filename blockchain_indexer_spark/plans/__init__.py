@@ -52,6 +52,7 @@ PRIORITY = (
     "doc_perceptron_calibration",
     "embedding_pq_distortion",
     "doc_trigram_fluency",
+    "corpus_classifier_agreement",
     # -- tier STALE-ORACLED: newest driver row is round 3 ---------------
     "minhash_incremental_md5",
     "embedding_pq_topk",
@@ -97,14 +98,13 @@ PRIORITY = (
     "multi_join_revenue",
     "topk_per_group",
     "union_activity_timeline",
-    # -- tier STALE-ROWS-ONLY: no oracle, round-1 or no driver row ------
-    "minhash_incremental",
     # ------------------------------------------------------------------
     # Below the ~50-row driver window: every entry here has a green
     # round-4 or round-5 driver row (CORRECTNESS_r04/r05.json), the
     # freshest evidence in the record — except the rows-only fillers
     # displaced by round-6 gates (weakest signal, oracled twins fresh).
     # ------------------------------------------------------------------
+    "minhash_incremental",
     "minhash_calibration",
     "corpus_token_cardinality_approx",
     "minhash_lsh_candidates",

@@ -3875,6 +3875,189 @@ def corpus_quality_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_classifier_agreement",
+    oracle=_PERCEPTRON_CTES
+    + rf"""
+    , sc AS (
+      SELECT f.doc_id,
+             CAST(SUM(f.cnt * COALESCE(w2.weight, 0)) AS BIGINT) AS margin
+      FROM f LEFT JOIN w2 USING (bucket)
+      GROUP BY 1
+    ),
+    sbase AS (
+      SELECT CAST(len(COALESCE({_TOKS_SQL}, [])) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(COALESCE({_TOKS_SQL}, []))) AS BIGINT)
+               AS n_distinct,
+             n_chars,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS sy
+      FROM documents WHERE lang IS NOT NULL
+    ),
+    slong AS (
+      SELECT 'n_chars' AS feature, CAST(n_chars AS DOUBLE) AS v, sy
+      FROM sbase WHERE n_chars IS NOT NULL
+      UNION ALL
+      SELECT 'n_distinct', CAST(n_distinct AS DOUBLE), sy FROM sbase
+      UNION ALL
+      SELECT 'n_tokens', CAST(n_tokens AS DOUBLE), sy FROM sbase
+    ),
+    scounts AS (
+      SELECT feature, v, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(sy) AS BIGINT) AS p
+      FROM slong GROUP BY 1, 2
+    ),
+    scum AS (
+      SELECT feature, v,
+             CAST(SUM(n) OVER (PARTITION BY feature ORDER BY v) AS BIGINT) AS nl,
+             CAST(SUM(p) OVER (PARTITION BY feature ORDER BY v) AS BIGINT) AS pl,
+             CAST(SUM(n) OVER (PARTITION BY feature) AS BIGINT) AS nt,
+             CAST(SUM(p) OVER (PARTITION BY feature) AS BIGINT) AS pt
+      FROM scounts
+    ),
+    sscored AS (
+      SELECT feature, v AS threshold, nl AS n_left, pl AS pos_left,
+             nt - nl AS n_right, pt - pl AS pos_right,
+             CAST(floor(1e9 * (2.0 * (
+               CAST(pl * (nl - pl) AS DOUBLE) / CAST(nl AS DOUBLE)
+               + CAST((pt - pl) * ((nt - nl) - (pt - pl)) AS DOUBLE)
+                 / CAST(nt - nl AS DOUBLE)
+             ))) AS BIGINT) AS score_nano
+      FROM scum WHERE nl < nt
+    ),
+    sperf AS (
+      SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY feature
+                                                  ORDER BY score_nano, threshold)
+                            AS rf
+                     FROM sscored) WHERE rf = 1
+    ),
+    sbest AS (
+      SELECT feature, threshold,
+             2 * pos_left > n_left AS predict_left,
+             2 * pos_right > n_right AS predict_right
+      FROM (SELECT *, row_number() OVER (ORDER BY score_nano, feature, threshold)
+                   AS rr
+            FROM sperf)
+      WHERE rr = 1
+    ),
+    docf AS (
+      SELECT doc_id,
+             CAST(n_chars AS DOUBLE) AS f_n_chars,
+             CAST(len(COALESCE({_TOKS_SQL}, [])) AS DOUBLE) AS f_n_tokens,
+             CAST(len(list_distinct(COALESCE({_TOKS_SQL}, []))) AS DOUBLE)
+               AS f_n_distinct
+      FROM documents WHERE lang IS NOT NULL
+    ),
+    spred AS (
+      SELECT doc_id,
+             (CASE b.feature WHEN 'n_chars' THEN f_n_chars
+                             WHEN 'n_tokens' THEN f_n_tokens
+                             ELSE f_n_distinct END) AS fv,
+             b.threshold, b.predict_left, b.predict_right
+      FROM docf, sbest b
+    ),
+    jj AS (
+      SELECT (sc.margin > 0) AS pa,
+             CASE WHEN sp.fv <= sp.threshold THEN sp.predict_left
+                  ELSE sp.predict_right END AS pb
+      FROM sc JOIN spred sp USING (doc_id)
+      WHERE sp.fv IS NOT NULL
+    ),
+    cells AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) FILTER (pa AND pb) AS BIGINT) AS n_pos_pos,
+             CAST(COUNT(*) FILTER (pa AND NOT pb) AS BIGINT) AS n_pos_neg,
+             CAST(COUNT(*) FILTER (NOT pa AND pb) AS BIGINT) AS n_neg_pos,
+             CAST(COUNT(*) FILTER (NOT pa AND NOT pb) AS BIGINT) AS n_neg_neg
+      FROM jj
+    ),
+    kk AS (
+      SELECT *, n_pos_pos + n_neg_neg AS agree,
+             (n_pos_pos + n_pos_neg) * (n_pos_pos + n_neg_pos)
+           + (n_neg_pos + n_neg_neg) * (n_pos_neg + n_neg_neg) AS chance
+      FROM cells
+    )
+    SELECT n_docs, n_pos_pos, n_pos_neg, n_neg_pos, n_neg_neg,
+           CAST(agree AS BIGINT) AS n_agree,
+           CASE WHEN n_docs * n_docs - chance != 0
+                THEN CAST(n_docs * agree - chance AS DOUBLE)
+                     / CAST(n_docs * n_docs - chance AS DOUBLE)
+                ELSE 0.0 END AS kappa
+    FROM kk
+    """,
+    doc="Inter-classifier AGREEMENT monitor (operators.linear."
+    "agreement_kappa): the 2x2 confusion matrix between the trained "
+    "perceptron's sign (the expensive filter) and the rank-1 decision "
+    "stump's leaf prediction (the cheap filter), plus Cohen's kappa — "
+    "the model-comparison check a filtering pipeline runs before "
+    "swapping classifiers; high raw agreement with near-zero kappa "
+    "means both just predict the majority class. The oracle replays "
+    "BOTH trainings (the perceptron's unrolled epochs and the stump's "
+    "histogram split) and applies them per document. Kappa is kept "
+    "rational — (n*agree - chance) / (n^2 - chance) with chance the "
+    "marginal product sum — so the only float op is one IEEE division "
+    "of exact int64 (exact while n^2 < 2^53; beyond, merge per-shard "
+    "integer cells). One scalar aggregate over the prediction join; "
+    "one row out.",
+    survey_refs=("LLM-text",),
+)
+def corpus_classifier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.functions.text import token_count, tokens
+    from blockchain_indexer_spark.operators.linear import (
+        agreement_kappa,
+        hashed_features,
+        perceptron_score,
+        perceptron_train,
+    )
+    from blockchain_indexer_spark.operators.tree import best_stump
+
+    d = load_table(spark, sf_dir, "documents")
+    base = spread(d, "doc_id").select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(-1)).cast("long").alias("y"),
+        F.coalesce(tokens("text"), F.array().cast("array<string>")).alias("toks"),
+    )
+    feats = hashed_features(base, n_buckets=256, hash_fn="md5_60").localCheckpoint(eager=True)
+    w = perceptron_train(feats, epochs=2, n_buckets=256)
+    pa = perceptron_score(feats, w).select(
+        "doc_id", (F.col("margin") > 0).alias("pred_a")
+    )
+    dd = d.filter(F.col("lang").isNotNull())
+    sfeats = dd.select(
+        "n_chars",
+        F.coalesce(token_count("text"), F.lit(0)).alias("n_tokens"),
+        F.size(F.array_distinct(F.coalesce(tokens("text"), F.array().cast("array<string>"))))
+        .cast("long")
+        .alias("n_distinct"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    stump = (
+        best_stump(sfeats, ["n_chars", "n_distinct", "n_tokens"], "is_en")
+        .filter(F.col("rank") == 1)
+        .select("feature", "threshold", "predict_left", "predict_right")
+    )
+    docf = spread(dd, "doc_id").select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("f_n_chars"),
+        F.coalesce(token_count("text"), F.lit(0)).cast("double").alias("f_n_tokens"),
+        F.size(F.array_distinct(F.coalesce(tokens("text"), F.array().cast("array<string>"))))
+        .cast("double")
+        .alias("f_n_distinct"),
+    )
+    fv = (
+        F.when(F.col("feature") == "n_chars", F.col("f_n_chars"))
+        .when(F.col("feature") == "n_tokens", F.col("f_n_tokens"))
+        .otherwise(F.col("f_n_distinct"))
+    )
+    pb = docf.crossJoin(F.broadcast(stump)).select(
+        "doc_id",
+        fv.alias("fv"),
+        F.when(fv <= F.col("threshold"), F.col("predict_left"))
+        .otherwise(F.col("predict_right"))
+        .alias("pred_b"),
+    ).filter(F.col("fv").isNotNull()).select("doc_id", "pred_b")
+    return agreement_kappa(pa.join(pb, "doc_id"), "pred_a", "pred_b")
+
+
+@register(
     "embedding_label_propagation",
     oracle="""
     WITH vq0 AS (

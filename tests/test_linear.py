@@ -96,3 +96,30 @@ def test_margin_calibration_tiles_and_rates(spark):
     assert out[4]["n_pos"] == 2 and out[4]["n_correct"] == 2
     assert out[4]["pos_rate"] == 2.0 / 3.0
     assert out[4]["correct_rate"] == 2.0 / 3.0
+
+
+def test_agreement_kappa_by_hand(spark):
+    """Hand-computed 2x2: cells pp=4, pn=1, np=2, nn=3 over n=10 —
+    agree=7, marginals r1=5,r0=5,c1=6,c4... chance = 5*6 + 5*4 = 50;
+    kappa = (10*7 - 50) / (100 - 50) = 0.4."""
+    from blockchain_indexer_spark.operators.linear import agreement_kappa
+
+    rows = (
+        [(True, True)] * 4 + [(True, False)] * 1
+        + [(False, True)] * 2 + [(False, False)] * 3
+    )
+    df = spark.createDataFrame(rows, "pred_a boolean, pred_b boolean")
+    out = agreement_kappa(df).collect()[0]
+    assert out["n_docs"] == 10 and out["n_agree"] == 7
+    assert (out["n_pos_pos"], out["n_pos_neg"], out["n_neg_pos"], out["n_neg_neg"]) == (4, 1, 2, 3)
+    assert out["kappa"] == (10 * 7 - 50) / (100 - 50)
+
+
+def test_agreement_kappa_degenerate_margin_is_zero(spark):
+    """Both classifiers always positive: pe = 1, denominator 0 —
+    kappa reports 0 instead of dividing by zero."""
+    from blockchain_indexer_spark.operators.linear import agreement_kappa
+
+    df = spark.createDataFrame([(True, True)] * 5, "pred_a boolean, pred_b boolean")
+    out = agreement_kappa(df).collect()[0]
+    assert out["n_agree"] == 5 and out["kappa"] == 0.0
