@@ -112,10 +112,22 @@ def _log(idx, address, topics, data):
 
 
 def derive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events → TX_WITH_LOGS rows (signup txs + one tx per event)."""
+    """events → TX_WITH_LOGS rows (signup txs + one tx per event).
+
+    Events missing event_id, user_id, or value are dropped up front:
+    every derived address, tx hash, and log payload is a function of
+    those columns, and Spark's format_string renders a NULL argument
+    as the literal string "null" where SQL would propagate NULL
+    (round-6 NULL sweep) — there is no meaningful transaction for an
+    unknown user or amount. The oracle CTE (_D's evsrc) mirrors this
+    filter exactly."""
     # single-split scan + the classifier's large expression tree =
     # one-core execution without the spread
-    ev = spread(load_table(spark, sf_dir, "events"), "event_id")
+    ev = spread(load_table(spark, sf_dir, "events"), "event_id").filter(
+        F.col("event_id").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    )
     cents = F.round(F.col("value") * 100).cast("bigint")
     u = F.col("user_id")
 
@@ -613,10 +625,19 @@ def ingest_spine(spark: SparkSession, sf_dir: str) -> int:
     return tables["classified"].count()
 
 
-# Shared oracle derivation CTEs (DuckDB SQL)
+# Shared oracle derivation CTEs (DuckDB SQL). The evsrc filter mirrors
+# derive_chain's: an event missing its id, user, or value cannot form a
+# transaction (the addresses, tx hash, and log data are functions of
+# those columns — Spark's format_string would print a literal "null"
+# where SQL propagates NULL; round-6 NULL sweep).
 _D = """
-    WITH users AS (SELECT DISTINCT user_id FROM events),
-    ev AS (SELECT *, CAST(round(value*100) AS BIGINT) AS cents FROM events)
+    WITH evsrc AS (
+      SELECT * FROM events
+      WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+        AND value IS NOT NULL
+    ),
+    users AS (SELECT DISTINCT user_id FROM evsrc),
+    ev AS (SELECT *, CAST(round(value*100) AS BIGINT) AS cents FROM evsrc)
 """
 
 

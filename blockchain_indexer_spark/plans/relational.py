@@ -392,7 +392,7 @@ def version_disambiguation(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
     doc="Tumbling event-time window aggregate via F.window (the batch "
@@ -400,11 +400,16 @@ def version_disambiguation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-day cadence at 0.0.64.sql:1563-1569 generalized to sub-day "
     "buckets). Window starts as epoch microseconds: both engines "
     "align sub-day buckets to the epoch, and integer microseconds "
-    "hash-compare exactly where raw timestamps may not.",
+    "hash-compare exactly where raw timestamps may not. NULL-ts "
+    "events are dropped EXPLICITLY on both sides: an event without "
+    "event time cannot be windowed (F.window filters them silently; "
+    "time_bucket would keep a NULL group — the round-6 NULL sweep "
+    "caught the divergence), matching the watermarked streaming "
+    "path, which also drops them.",
     survey_refs=("T10", "A4"),
 )
 def tumbling_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"), _dsum("value").alias("total_value"))
@@ -424,7 +429,7 @@ def tumbling_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_id, epoch_us(ts) AS us,
              lag(epoch_us(ts)) OVER (PARTITION BY user_id
                                      ORDER BY ts, event_id) AS prev_us
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     s AS (
       SELECT user_id, us,
@@ -449,11 +454,14 @@ def tumbling_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "of F.session_window; partition-by-user keeps the two window "
     "passes and the final agg on ONE user-keyed shuffle, so at scale "
     "it's a single exchange regardless of corpus size. Timestamps "
-    "compared as integer epoch microseconds (exact on both engines).",
+    "compared as integer epoch microseconds (exact on both engines). "
+    "NULL-ts events dropped explicitly on both sides: an event "
+    "without event time cannot be ordered into a session, and the "
+    "engines' NULL sort orders differ (NULL sweep, round 6).",
     survey_refs=("T10", "W2"),
 )
 def event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy("us", "event_id")
     return (
         ev.select("user_id", "event_id", F.unix_micros(F.col("ts")).alias("us"))
@@ -866,6 +874,7 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS window_start_us,
              value
       FROM events, UNNEST([0, 1]) AS t(o)
+      WHERE ts IS NOT NULL
     )
     SELECT window_start_us,
            COUNT(*) AS n_events,

@@ -83,6 +83,7 @@ STATIC: dict[str, tuple[str, str]] = {
     "LLM-sim": ("operators/similarity.py (flat + LSH ANN)", "tests/test_similarity.py"),
     "LLM-text": ("functions/text.py", "tests/test_text_functions.py"),
     "LLM-multimodal": ("operators/multimodal.py (mapInPandas stages)", "tests/test_multimodal.py"),
+    "LLM-governance": ("operators/governance.py (k-anonymity release gate)", "tests/test_governance.py"),
 }
 
 

@@ -61,7 +61,24 @@ def build(src: str = "/root/testdata/sf0.001", dst: str = "/tmp/nulltest") -> st
         pa.Table.from_pandas(ed2, schema=e.schema, preserve_index=False),
         os.path.join(dst, "embeddings.parquet"),
     )
-    print(f"wrote {dst}: {len(df2)} docs, {len(ed2)} vecs")
+
+    # events: one NULL per column an event gate filters or groups on
+    # (round 6 — the k-anonymity QI filters made the gap visible)
+    ev = pq.read_table(os.path.join(dst, "events.parquet"))
+    vd = ev.to_pandas()
+    eb = vd.iloc[0].to_dict()
+    evx = []
+    for i, null_col in enumerate(["ts", "user_id", "event_type", "value"]):
+        r = dict(eb)
+        r["event_id"] = int(vd["event_id"].max()) + 1 + i
+        r[null_col] = None
+        evx.append(r)
+    vd2 = pd.concat([vd, pd.DataFrame(evx)], ignore_index=True)
+    pq.write_table(
+        pa.Table.from_pandas(vd2, schema=ev.schema, preserve_index=False),
+        os.path.join(dst, "events.parquet"),
+    )
+    print(f"wrote {dst}: {len(df2)} docs, {len(ed2)} vecs, {len(vd2)} events")
     return dst
 
 

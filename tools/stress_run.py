@@ -205,3 +205,35 @@ def _lp():
     seeds = emb.filter(F.col("vec_id") % 5 == 0).select("vec_id", "label")
     return label_propagation(g, seeds, id_col="vec_id", label_col="label", iters=2).count()
 t("label_prop_100k_mutual5nn", _lp)
+
+# ---- round-6 operators ----
+from blockchain_indexer_spark.operators.governance import k_anonymity_report
+t("k_anonymity_1M", lambda: k_anonymity_report(
+    ev, [F.col("event_type"),
+         (F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).cast("long"),
+         ((F.col("value").cast("decimal(18,2)") * 100).cast("long") / F.lit(500)).cast("long")],
+    k=5).count())
+
+from blockchain_indexer_spark.functions.text import tokens as _tok
+from blockchain_indexer_spark.operators.lm import trigram_fluency_backoff
+_base = docs.select("doc_id", F.coalesce(_tok("text"), F.array().cast("array<string>")).alias("toks"))
+t("trigram_backoff_100k", lambda: trigram_fluency_backoff(
+    _base, _base.filter(F.col("doc_id") % 2 == 0)).count())
+
+from blockchain_indexer_spark.operators.similarity import pq_distortion
+t("pq_distortion_100k", lambda: pq_distortion(
+    emb, "vec_id", "embedding", m=16, n_codes=32).count())
+
+from blockchain_indexer_spark.operators.linear import (
+    hashed_features, margin_calibration, perceptron_score, perceptron_train,
+)
+_pbase = docs.select(
+    "doc_id",
+    F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(-1)).cast("long").alias("y"),
+    F.coalesce(_tok("text"), F.array().cast("array<string>")).alias("toks"),
+)
+def _calib():
+    feats = hashed_features(_pbase, n_buckets=256).localCheckpoint(eager=True)
+    w = perceptron_train(feats, epochs=2, n_buckets=256)
+    return margin_calibration(perceptron_score(feats, w), n_buckets=10).count()
+t("perceptron_calibration_100k", _calib)
