@@ -21,9 +21,12 @@ G.1.2.1/G.1.2.3: point-transformed first scans, raw-bit DC
 refinement, and AC refinement scans that insert newly-significant
 +-1<<Al coefficients while streaming correction bits for the
 already-nonzero history — including correction bits carried inside
-EOBn runs), in decode_jpeg_progressive. Subsampled progressive, >2
-sampling factors and non-dividing ratios raise NotImplementedError
-and stay behind the PIL seam in decode_image_real (the same honest
+EOBn runs), in decode_jpeg_progressive — and SUBSAMPLED progressive
+with factors in {1, 2} (MCU-interleaved DC scans over padded grids,
+per-component non-interleaved AC scans, the same pinned floor
+upsample as baseline). Sampling factors >2, non-dividing ratios and
+sampled single-component scans raise NotImplementedError and stay
+behind the PIL seam in decode_image_real (the same honest
 input-domain guard as non-24bpp BMP / non-PCM WAV).
 
 Exactness contract (what makes a LOSSY format oracle-gateable): the
@@ -434,9 +437,11 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, int, np.ndarray]:
     the (upsampled) integer planes with floor(x + 0.5) rounding — a
     closed-form expression a SQL oracle mirrors exactly (np.round's
     half-to-even vs SQL round's half-away would diverge on exact .5).
-    Sampling factors outside {1, 2}, ratios that do not divide, and
-    progressive streams raise NotImplementedError (the PIL seam);
-    malformed streams raise ValueError.
+    Sampling factors outside {1, 2} and ratios that do not divide
+    raise NotImplementedError (the PIL seam); progressive (SOF2)
+    streams dispatch to decode_jpeg_progressive, which handles
+    spectral selection, successive approximation, and the same
+    sampling envelope; malformed streams raise ValueError.
     """
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -733,63 +738,80 @@ def synth_jpeg_420_blob(doc_id: int) -> bytes:
 
 def synth_jpeg_progressive_blob(doc_id: int) -> bytes:
     """The fixture stream for mm_real_jpeg_progressive: a genuine
-    PROGRESSIVE (SOF2) stream per document, alternating the decoder's
-    two component paths AND both progressive dimensions so the driver
-    hashes all four —
+    PROGRESSIVE (SOF2) stream per document cycling through SIX stream
+    shapes (doc_id % 6) so the driver hashes every component path,
+    both progressive dimensions, AND chroma subsampling:
 
-        even id: GRAYSCALE, the mm_real_jpeg closed form
+        0: GRAYSCALE spectral selection — mm_real_jpeg closed form
             width = 8*(1 + id%4), height = 8*(1 + id%3)
             v(bx, by) = (7*id + 13*bx + 3*by) % 256
-        odd id:  4:4:4 YCbCr COLOR, the mm_real_jpeg_color closed form
+        1: 4:4:4 YCbCr spectral — mm_real_jpeg_color closed form
             width = 8*(1 + id%3), height = 8*(1 + id%2)
-            Y  = (5*id + 11*bx + 3*by) % 256
-            Cb = (3*id +  7*bx + 5*by) % 256
-            Cr = (2*id +  5*bx + 7*by) % 256
-        id%4 in {0,1}: spectral selection only (Ah=Al=0);
-        id%4 in {2,3}: SUCCESSIVE APPROXIMATION (al=2) — the DC quant
-            entry is 8, so the quantized DC equals v-128 (any parity)
-            and the two raw-bit DC refinement scans carry REAL bits;
-            the IDCT of dc*8 still reconstructs v exactly, keeping
-            the closed form, so the ORACLE IS IDENTICAL across all
-            four stream shapes.
+            Y=(5*id+11*bx+3*by)%256  Cb=(3*id+7*bx+5*by)%256
+            Cr=(2*id+5*bx+7*by)%256
+        2: grayscale SUCCESSIVE APPROXIMATION (al=2)
+        3: 4:4:4 color SA (al=2)
+        4: 4:2:0 SUBSAMPLED spectral — mm_real_jpeg_420 closed form
+            MCU grid (1 + id%2, 1 + id%3), image 16nmx x 16nmy
+            Y(bx, by) = (5*id + 7*bx + 11*by) % 256
+            Cb(mx, my) = (3*id + 5*mx + 7*my) % 256
+            Cr(mx, my) = (2*id + 7*mx + 3*my) % 256
+        5: 4:2:0 subsampled SA (al=2)
 
-    Solid blocks keep the decoded pixels closed-form (DC-only FDCT of
-    a constant block is an integer), but the entropy layer is
-    genuinely progressive: interleaved DC first scan with
-    per-component predictors, per-component AC band scans over the
-    (1-5, 6-63) spectral split coded as T.81 G.1.2.2 EOBn runs
-    spanning many blocks, and for the SA rows point-transformed
-    first scans plus two refinement levels — structure no baseline
-    stream contains. Color rows go through the same JFIF matrix +
-    floor(x+0.5) as the baseline color gates."""
-    sa = doc_id % 4 >= 2
+    SA rows use a DC quant entry of 8, so the quantized DC equals
+    v-128 (any parity) and the raw-bit DC refinement scans carry REAL
+    bits while IDCT of dc*8 still reconstructs v exactly — one
+    closed-form oracle covers all six shapes. Solid blocks keep the
+    decoded pixels closed-form, but the entropy layer is genuinely
+    progressive: interleaved (MCU-ordered when subsampled) DC first
+    scan with per-component predictors, per-component non-interleaved
+    AC band scans over the (1-5, 6-63) split coded as T.81 G.1.2.2
+    EOBn runs, point-transformed first scans plus two refinement
+    levels for the SA rows, and the pinned floor-replication chroma
+    upsample + JFIF matrix with floor(x+0.5) for the color rows."""
+    shape = doc_id % 6
+    sa = shape in (2, 3, 5)
     qt = np.ones((8, 8), dtype=np.int64)
     qt[0, 0] = 8  # quantized DC = v-128: real refinement bits
-    if doc_id % 2 == 0:
+
+    def solid(v, nby_, nbx_):
+        return np.ascontiguousarray(
+            np.broadcast_to(v[:, :, None, None].astype(np.uint8), (nby_, nbx_, 8, 8))
+        )
+
+    if shape in (0, 2):  # grayscale
         nbx, nby = 1 + doc_id % 4, 1 + doc_id % 3
         bx = np.arange(nbx, dtype=np.int64)[None, :]
         by = np.arange(nby, dtype=np.int64)[:, None]
-        v = (7 * doc_id + 13 * bx + 3 * by) % 256
-        blocks = np.ascontiguousarray(
-            np.broadcast_to(v[:, :, None, None].astype(np.uint8), (nby, nbx, 8, 8))
-        )
+        blocks = solid((7 * doc_id + 13 * bx + 3 * by) % 256, nby, nbx)
         if sa:
             return encode_jpeg_progressive_sa([blocks], quant=qt, al=2)
         return encode_jpeg_progressive_gray(blocks)
-    nbx, nby = 1 + doc_id % 3, 1 + doc_id % 2
-    bx = np.arange(nbx, dtype=np.int64)[None, :]
-    by = np.arange(nby, dtype=np.int64)[:, None]
+    if shape in (1, 3):  # 4:4:4 color
+        nbx, nby = 1 + doc_id % 3, 1 + doc_id % 2
+        bx = np.arange(nbx, dtype=np.int64)[None, :]
+        by = np.arange(nby, dtype=np.int64)[:, None]
 
-    def plane(a, b, c):
-        v = (a * doc_id + b * bx + c * by) % 256
-        return np.ascontiguousarray(
-            np.broadcast_to(v[:, :, None, None].astype(np.uint8), (nby, nbx, 8, 8))
-        )
+        def plane(a, b, c):
+            return solid((a * doc_id + b * bx + c * by) % 256, nby, nbx)
 
-    comps = [plane(5, 11, 3), plane(3, 7, 5), plane(2, 5, 7)]
+        comps = [plane(5, 11, 3), plane(3, 7, 5), plane(2, 5, 7)]
+        if sa:
+            return encode_jpeg_progressive_sa(comps, quant=qt, al=2)
+        return encode_jpeg_progressive(comps)
+    # shapes 4, 5: 4:2:0 (the synth_jpeg_420_blob closed form)
+    nmx, nmy = 1 + doc_id % 2, 1 + doc_id % 3
+    ybx = np.arange(2 * nmx, dtype=np.int64)[None, :]
+    yby = np.arange(2 * nmy, dtype=np.int64)[:, None]
+    mx = np.arange(nmx, dtype=np.int64)[None, :]
+    my = np.arange(nmy, dtype=np.int64)[:, None]
+    y = solid((5 * doc_id + 7 * ybx + 11 * yby) % 256, 2 * nmy, 2 * nmx)
+    cb = solid((3 * doc_id + 5 * mx + 7 * my) % 256, nmy, nmx)
+    cr = solid((2 * doc_id + 7 * mx + 3 * my) % 256, nmy, nmx)
+    s420 = [(2, 2), (1, 1), (1, 1)]
     if sa:
-        return encode_jpeg_progressive_sa(comps, quant=qt, al=2)
-    return encode_jpeg_progressive(comps)
+        return encode_jpeg_progressive_sa([y, cb, cr], quant=qt, al=2, sampling=s420)
+    return encode_jpeg_progressive([y, cb, cr], sampling=s420)
 
 
 # ------------------------------------------------- progressive (SOF2)
@@ -824,33 +846,69 @@ def encode_jpeg_progressive_gray(
     return encode_jpeg_progressive([blocks], bands, quant)
 
 
+def _prog_mcu_grid(
+    components: list[np.ndarray], sampling: list[tuple[int, int]] | None
+) -> tuple[list[tuple[int, int]], int, int]:
+    """Validate component block dims against ``sampling`` and return
+    (sampling, mcuy, mcux). Fixture-grade: component grids must be
+    exact MCU multiples (the synth fixtures always are)."""
+    nf = len(components)
+    s = sampling or [(1, 1)] * nf
+    if len(s) != nf:
+        raise ValueError("sampling length must match components")
+    v0 = s[0][1]
+    h0 = s[0][0]
+    mcuy, mcux = components[0].shape[0] // v0, components[0].shape[1] // h0
+    for comp, (hs, vs) in zip(components, s):
+        if comp.shape[:2] != (mcuy * vs, mcux * hs):
+            raise ValueError(
+                "component block dims must be exact MCU multiples of "
+                "their sampling factors"
+            )
+    return s, mcuy, mcux
+
+
+def _prog_dc_order(nf: int, mcuy: int, mcux: int, sampling):
+    """(ci, raster-index) pairs in interleaved DC-scan order: MCU
+    raster, components in frame order, each contributing its v x h
+    sub-blocks (T.81 A.2.3). All-1x1 degenerates to the flat walk."""
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(nf):
+                hs, vs = sampling[ci]
+                for vy in range(vs):
+                    for vx in range(hs):
+                        yield ci, (my * vs + vy) * (mcux * hs) + (mx * hs + vx)
+
+
 def encode_jpeg_progressive(
     components: list[np.ndarray],
     bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
     quant: np.ndarray | None = None,
+    sampling: list[tuple[int, int]] | None = None,
 ) -> bytes:
-    """Progressive (SOF2) encoder for 1 (grayscale) or 3 (4:4:4
-    YCbCr) components, all 1x1 sampling and equal block dims: one
-    interleaved DC scan, then per-component AC band scans (T.81 G.1:
-    AC progressive scans are non-interleaved)."""
+    """Progressive (SOF2) encoder for 1 (grayscale) or 3 (YCbCr)
+    components: one interleaved DC scan, then per-component AC band
+    scans (T.81 G.1: AC progressive scans are non-interleaved).
+    ``sampling`` (default all 1x1) enables chroma subsampling — e.g.
+    ``[(2, 2), (1, 1), (1, 1)]`` for 4:2:0 — with per-component block
+    dims that are exact MCU multiples."""
     nf = len(components)
     if nf not in (1, 3):
-        raise ValueError("1 (gray) or 3 (YCbCr 4:4:4) components")
-    nby, nbx = components[0].shape[:2]
-    if any(c.shape != components[0].shape for c in components):
-        raise ValueError("all components must share block dims (4:4:4)")
+        raise ValueError("1 (gray) or 3 (YCbCr) components")
+    s, mcuy, mcux = _prog_mcu_grid(components, sampling)
     qt = np.ones((8, 8), dtype=np.int64) if quant is None else quant.astype(np.int64)
     zz_comps = []
     for comp in components:
         zz_blocks = []
-        for by in range(nby):
-            for bx in range(nbx):
+        for by in range(comp.shape[0]):
+            for bx in range(comp.shape[1]):
                 spatial = comp[by, bx].astype(np.float64) - 128.0
                 coefs = _A @ spatial @ _A.T
                 q = np.round(coefs / qt).astype(np.int64)
                 zz_blocks.append(q.reshape(64)[ZIGZAG])
         zz_comps.append(zz_blocks)
-    return encode_progressive_from_zz(zz_comps, nby, nbx, bands, qt)
+    return encode_progressive_from_zz(zz_comps, mcuy, mcux, bands, qt, sampling=s)
 
 
 def encode_progressive_from_zz(
@@ -859,15 +917,22 @@ def encode_progressive_from_zz(
     nbx: int,
     bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
     qt: np.ndarray | None = None,
+    sampling: list[tuple[int, int]] | None = None,
 ) -> bytes:
     """Assemble a progressive stream from pre-quantized zigzag blocks
     (raster order; one list per component, or a bare single-component
     list) — the seam tests use to plant exact AC structure that no
-    integer spatial block could quantize to."""
+    integer spatial block could quantize to. With ``sampling``,
+    (nby, nbx) are the MCU grid and each component's list covers its
+    own (nby*V, nbx*H) block grid; the DC scan interleaves by MCU,
+    AC scans stay component-raster (non-interleaved per T.81 G.1)."""
     if zz_comps and isinstance(zz_comps[0], np.ndarray):
         zz_comps = [zz_comps]
     nf = len(zz_comps)
-    h, w = nby * 8, nbx * 8
+    s = sampling or [(1, 1)] * nf
+    hmax = max(hs for hs, _ in s)
+    vmax = max(vs for _, vs in s)
+    h, w = nby * 8 * vmax, nbx * 8 * hmax
     qt = np.ones((8, 8), dtype=np.int64) if qt is None else qt.astype(np.int64)
     dc_enc = _encode_table(DC_BITS, DC_VALS)
     ac_enc = _encode_table(PROG_AC_BITS, PROG_AC_VALS)
@@ -878,16 +943,15 @@ def encode_progressive_from_zz(
     # DC scan: interleaved across components, per-component predictors
     bw = BitWriter()
     preds = [0] * nf
-    for bi in range(nby * nbx):
-        for ci in range(nf):
-            zz = zz_comps[ci][bi]
-            diff = int(zz[0]) - preds[ci]
-            size = _category(diff)
-            ln, code = dc_enc[size]
-            bw.write(code, ln)
-            if size:
-                bw.write(_magnitude_bits(diff, size), size)
-            preds[ci] = int(zz[0])
+    for ci, bi in _prog_dc_order(nf, nby, nbx, s):
+        zz = zz_comps[ci][bi]
+        diff = int(zz[0]) - preds[ci]
+        size = _category(diff)
+        ln, code = dc_enc[size]
+        bw.write(code, ln)
+        if size:
+            bw.write(_magnitude_bits(diff, size), size)
+        preds[ci] = int(zz[0])
     bw.pad_align()
     dc_body = bytes((nf,)) + b"".join(
         bytes((ci + 1, 0x00)) for ci in range(nf)
@@ -955,7 +1019,9 @@ def encode_progressive_from_zz(
     sof = seg(
         0xC2,
         struct.pack(">BHHB", 8, h, w, nf)
-        + b"".join(bytes((ci + 1, 0x11, 0)) for ci in range(nf)),
+        + b"".join(
+            bytes((ci + 1, (s[ci][0] << 4) | s[ci][1], 0)) for ci in range(nf)
+        ),
     )
     dht = seg(
         0xC4,
@@ -990,32 +1056,33 @@ def encode_jpeg_progressive_sa(
     bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
     quant: np.ndarray | None = None,
     al: int = 1,
+    sampling: list[tuple[int, int]] | None = None,
 ) -> bytes:
     """Progressive (SOF2) encoder with SUCCESSIVE APPROXIMATION for 1
-    (grayscale) or 3 (4:4:4 YCbCr) components: first scans carry the
+    (grayscale) or 3 (YCbCr) components: first scans carry the
     point-transformed coefficients (DC arithmetic-shifted ``al`` bits,
     AC sign-magnitude shifted), then ``al`` refinement levels restore
     one bit each — the dominant progressive mode in real corpora
     (spectral-selection-only streams are comparatively rare).
-    Blocks are (nby, nbx, 8, 8) uint8 per component."""
+    ``sampling`` enables chroma subsampling as in
+    ``encode_jpeg_progressive``. Blocks are (nby, nbx, 8, 8) uint8
+    per component."""
     nf = len(components)
     if nf not in (1, 3):
-        raise ValueError("1 (gray) or 3 (YCbCr 4:4:4) components")
-    nby, nbx = components[0].shape[:2]
-    if any(c.shape != components[0].shape for c in components):
-        raise ValueError("all components must share block dims (4:4:4)")
+        raise ValueError("1 (gray) or 3 (YCbCr) components")
+    s, mcuy, mcux = _prog_mcu_grid(components, sampling)
     qt = np.ones((8, 8), dtype=np.int64) if quant is None else quant.astype(np.int64)
     zz_comps = []
     for comp in components:
         zz_blocks = []
-        for by in range(nby):
-            for bx in range(nbx):
+        for by in range(comp.shape[0]):
+            for bx in range(comp.shape[1]):
                 spatial = comp[by, bx].astype(np.float64) - 128.0
                 coefs = _A @ spatial @ _A.T
                 q = np.round(coefs / qt).astype(np.int64)
                 zz_blocks.append(q.reshape(64)[ZIGZAG])
         zz_comps.append(zz_blocks)
-    return encode_progressive_sa_from_zz(zz_comps, nby, nbx, bands, qt, al)
+    return encode_progressive_sa_from_zz(zz_comps, mcuy, mcux, bands, qt, al, sampling=s)
 
 
 def _encode_ac_first_sa(bw: "BitWriter", blocks, ss: int, se: int, al: int, ac_enc) -> None:
@@ -1153,6 +1220,7 @@ def encode_progressive_sa_from_zz(
     bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
     qt: np.ndarray | None = None,
     al: int = 1,
+    sampling: list[tuple[int, int]] | None = None,
 ) -> bytes:
     """Assemble a successive-approximation progressive stream from
     pre-quantized zigzag blocks: one interleaved DC first scan at
@@ -1169,7 +1237,10 @@ def encode_progressive_sa_from_zz(
     if al < 1:
         raise ValueError("al must be >= 1 (use encode_progressive_from_zz)")
     nf = len(zz_comps)
-    h, w = nby * 8, nbx * 8
+    s = sampling or [(1, 1)] * nf
+    hmax = max(hs for hs, _ in s)
+    vmax = max(vs for _, vs in s)
+    h, w = nby * 8 * vmax, nbx * 8 * hmax
     qt = np.ones((8, 8), dtype=np.int64) if qt is None else qt.astype(np.int64)
     dc_enc = _encode_table(DC_BITS, DC_VALS)
     ac_enc = _encode_table(SA_AC_BITS, SA_AC_VALS)
@@ -1181,16 +1252,15 @@ def encode_progressive_sa_from_zz(
     # DC first scan (Ah=0, Al=al): diffs of arithmetic-shifted DC
     bw = BitWriter()
     preds = [0] * nf
-    for bi in range(nby * nbx):
-        for ci in range(nf):
-            dc = int(zz_comps[ci][bi][0]) >> al
-            diff = dc - preds[ci]
-            size = _category(diff)
-            ln, code = dc_enc[size]
-            bw.write(code, ln)
-            if size:
-                bw.write(_magnitude_bits(diff, size), size)
-            preds[ci] = dc
+    for ci, bi in _prog_dc_order(nf, nby, nbx, s):
+        dc = int(zz_comps[ci][bi][0]) >> al
+        diff = dc - preds[ci]
+        size = _category(diff)
+        ln, code = dc_enc[size]
+        bw.write(code, ln)
+        if size:
+            bw.write(_magnitude_bits(diff, size), size)
+        preds[ci] = dc
     bw.pad_align()
     dc_body = bytes((nf,)) + b"".join(
         bytes((ci + 1, 0x00)) for ci in range(nf)
@@ -1208,11 +1278,11 @@ def encode_progressive_sa_from_zz(
     # refinement levels al-1 .. 0
     for lvl in range(al - 1, -1, -1):
         ah = lvl + 1
-        # DC refinement: one raw bit per block per component
+        # DC refinement: one raw bit per block per component, same
+        # interleaved MCU order as the first scan
         bw = BitWriter()
-        for bi in range(nby * nbx):
-            for ci in range(nf):
-                bw.write((int(zz_comps[ci][bi][0]) >> lvl) & 1, 1)
+        for ci, bi in _prog_dc_order(nf, nby, nbx, s):
+            bw.write((int(zz_comps[ci][bi][0]) >> lvl) & 1, 1)
         bw.pad_align()
         dcr_body = bytes((nf,)) + b"".join(
             bytes((ci + 1, 0x00)) for ci in range(nf)
@@ -1234,7 +1304,9 @@ def encode_progressive_sa_from_zz(
     sof = seg(
         0xC2,
         struct.pack(">BHHB", 8, h, w, nf)
-        + b"".join(bytes((ci + 1, 0x11, 0)) for ci in range(nf)),
+        + b"".join(
+            bytes((ci + 1, (s[ci][0] << 4) | s[ci][1], 0)) for ci in range(nf)
+        ),
     )
     dht = seg(
         0xC4,
@@ -1274,8 +1346,11 @@ def decode_jpeg_progressive(buf: bytes) -> tuple[int, int, int, np.ndarray]:
     w = h = 0
     comp_order: list[int] = []  # frame order of component ids
     comp_tq: dict[int, int] = {}
-    coefs: dict[int, np.ndarray] | None = None  # cid -> (nby, nbx, 64)
-    nbx = nby = 0
+    comp_hv: dict[int, tuple[int, int]] = {}  # cid -> (H, V)
+    comp_dims: dict[int, tuple[int, int]] = {}  # cid -> non-padded (cby, cbx)
+    coefs: dict[int, np.ndarray] | None = None  # cid -> (pby, pbx, 64), padded
+    hmax = vmax = 1
+    mcux = mcuy = 0
     while pos < len(buf):
         if buf[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -1323,17 +1398,38 @@ def decode_jpeg_progressive(buf: bytes) -> tuple[int, int, int, np.ndarray]:
                 )
             for ci in range(nf):
                 cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if sampling != 0x11:
+                hs, vs = sampling >> 4, sampling & 0x0F
+                if nf == 1 and sampling != 0x11:
                     raise NotImplementedError(
-                        "subsampled progressive JPEG (PIL seam)"
+                        "sampled single-component progressive (PIL seam)"
+                    )
+                if hs not in (1, 2) or vs not in (1, 2):
+                    raise NotImplementedError(
+                        f"sampling factor {hs}x{vs} progressive not "
+                        "supported in-repo (PIL seam)"
                     )
                 comp_order.append(cid)
                 comp_tq[cid] = tq
-            nbx, nby = (w + 7) // 8, (h + 7) // 8
-            coefs = {
-                cid: np.zeros((nby, nbx, 64), dtype=np.int64)
-                for cid in comp_order
-            }
+                comp_hv[cid] = (hs, vs)
+            hmax = max(hs for hs, _ in comp_hv.values())
+            vmax = max(vs for _, vs in comp_hv.values())
+            if any(hmax % hs or vmax % vs for hs, vs in comp_hv.values()):
+                raise NotImplementedError(
+                    "non-dividing sampling ratio (PIL seam)"
+                )
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            coefs = {}
+            for cid in comp_order:
+                hs, vs = comp_hv[cid]
+                # padded grid (the interleaved DC scan codes every
+                # MCU's blocks, incl. right/bottom padding); the
+                # non-padded dims bound the non-interleaved AC scans
+                # and the final IDCT (T.81 A.2.4)
+                coefs[cid] = np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int64)
+                cx = -(-(w * hs) // (8 * hmax))  # ceil(ceil(w*hs/hmax)/8)
+                cy = -(-(h * vs) // (8 * vmax))
+                comp_dims[cid] = (cy, cx)
         elif marker == 0xDD:
             if struct.unpack(">H", body[:2])[0]:
                 raise NotImplementedError(
@@ -1350,29 +1446,44 @@ def decode_jpeg_progressive(buf: bytes) -> tuple[int, int, int, np.ndarray]:
             if any(cid not in coefs for cid in scan_ids):
                 raise ValueError("SOS references unknown component")
             br = BitReader(buf, pos)
-            if ss == 0:  # DC scan — interleaved over all scan components
+            if ss == 0:  # DC scan
                 if se != 0:
                     raise ValueError("DC scan must have Se=0")
+
+                def _dc_blocks():
+                    """(cid, tt, by, bx) in scan order: MCU-interleaved
+                    over the padded grids when ns > 1 (T.81 A.2.3),
+                    component-raster over the non-padded grid when
+                    ns == 1 (non-interleaved, A.2.4)."""
+                    if ns == 1:
+                        cid, tt = scan_ids[0], scan_tts[0]
+                        cy, cx = comp_dims[cid]
+                        for by in range(cy):
+                            for bx in range(cx):
+                                yield cid, tt, by, bx
+                        return
+                    for my in range(mcuy):
+                        for mx in range(mcux):
+                            for cid, tt in zip(scan_ids, scan_tts):
+                                hs, vs = comp_hv[cid]
+                                for vy in range(vs):
+                                    for vx in range(hs):
+                                        yield cid, tt, my * vs + vy, mx * hs + vx
+
                 if ah == 0:  # first scan: diffs of the shifted DC
                     preds = {cid: 0 for cid in scan_ids}
-                    for by in range(nby):
-                        for bx in range(nbx):
-                            for cid, tt in zip(scan_ids, scan_tts):
-                                dc_tab = htables[(0, tt >> 4)]
-                                size = br.decode_symbol(dc_tab)
-                                diff = (
-                                    _extend(br.read_bits(size), size) if size else 0
-                                )
-                                preds[cid] += diff
-                                coefs[cid][by, bx, 0] = preds[cid] << al
+                    for cid, tt, by, bx in _dc_blocks():
+                        dc_tab = htables[(0, tt >> 4)]
+                        size = br.decode_symbol(dc_tab)
+                        diff = _extend(br.read_bits(size), size) if size else 0
+                        preds[cid] += diff
+                        coefs[cid][by, bx, 0] = preds[cid] << al
                 else:  # refinement: one raw bit per block per component
                     if ah != al + 1:
                         raise ValueError("DC refinement must have Ah = Al+1")
-                    for by in range(nby):
-                        for bx in range(nbx):
-                            for cid in scan_ids:
-                                if br.read_bit():
-                                    coefs[cid][by, bx, 0] += 1 << al
+                    for cid, _tt, by, bx in _dc_blocks():
+                        if br.read_bit():
+                            coefs[cid][by, bx, 0] += 1 << al
             else:  # AC band scan: non-interleaved per T.81 G.1
                 if ns != 1:
                     raise ValueError(
@@ -1381,10 +1492,11 @@ def decode_jpeg_progressive(buf: bytes) -> tuple[int, int, int, np.ndarray]:
                 cid, tt = scan_ids[0], scan_tts[0]
                 ac_tab = htables[(1, tt & 0x0F)]
                 cc = coefs[cid]
+                cby, cbx = comp_dims[cid]  # non-interleaved: no padding
                 eobrun = 0
                 if ah == 0:  # first scan (values point-transformed << al)
-                    for by in range(nby):
-                        for bx in range(nbx):
+                    for by in range(cby):
+                        for bx in range(cbx):
                             if eobrun:
                                 eobrun -= 1
                                 continue
@@ -1407,8 +1519,8 @@ def decode_jpeg_progressive(buf: bytes) -> tuple[int, int, int, np.ndarray]:
                     if ah != al + 1:
                         raise ValueError("AC refinement must have Ah = Al+1")
                     p1, m1 = 1 << al, -1 << al
-                    for by in range(nby):
-                        for bx in range(nbx):
+                    for by in range(cby):
+                        for bx in range(cbx):
                             blk = cc[by, bx]
                             k = ss
                             if eobrun == 0:
@@ -1468,14 +1580,21 @@ def decode_jpeg_progressive(buf: bytes) -> tuple[int, int, int, np.ndarray]:
     dez = np.zeros(64, dtype=np.int64)
     for cid in comp_order:
         qt = qtables[comp_tq[cid]]
-        plane = np.zeros((nby * 8, nbx * 8), dtype=np.uint8)
-        for by in range(nby):
-            for bx in range(nbx):
+        hs, vs = comp_hv[cid]
+        cby, cbx = comp_dims[cid]
+        plane = np.zeros((cby * 8, cbx * 8), dtype=np.uint8)
+        for by in range(cby):
+            for bx in range(cbx):
                 dez[ZIGZAG] = coefs[cid][by, bx]
                 spatial = idct_block((dez * qt).reshape(8, 8)) + 128.0
                 plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
                     np.round(spatial), 0, 255
                 ).astype(np.uint8)
+        # crop to the component's true size, then the baseline path's
+        # pinned floor-replication upsample (decode_jpeg docstring)
+        plane = plane[: -(-(h * vs) // vmax), : -(-(w * hs) // hmax)]
+        if hs != hmax or vs != vmax:
+            plane = np.repeat(np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1)
         planes.append(plane[:h, :w])
     if len(planes) == 1:
         return w, h, 1, planes[0]

@@ -682,11 +682,13 @@ def attach_jpeg_420_blob(documents: DataFrame, id_col: str = "doc_id") -> DataFr
 
 def attach_jpeg_progressive_blob(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """PROGRESSIVE (SOF2) sibling of attach_jpeg_blob: each document
-    gets a genuine multi-scan stream (one interleaved DC scan +
+    gets a genuine multi-scan stream (interleaved DC scan +
     per-component AC spectral-selection band scans with T.81 G.1.2.2
-    EOBn run coding), alternating grayscale (even doc_id) and 4:4:4
-    YCbCr color (odd doc_id) so the driver hashes both component
-    paths of decode_jpeg_progressive
+    EOBn run coding), cycling six shapes by doc_id%6 — grayscale /
+    4:4:4 color / 4:2:0 subsampled, each in spectral-selection and
+    successive-approximation variants — so the driver hashes every
+    component path, both progressive dimensions, and the subsampled
+    walk of decode_jpeg_progressive
     (operators.jpeg.synth_jpeg_progressive_blob)."""
     from blockchain_indexer_spark.operators.jpeg import synth_jpeg_progressive_blob
 

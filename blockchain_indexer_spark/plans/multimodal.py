@@ -161,9 +161,10 @@ def mm_real_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     "contract; block-uniform pixels mean the per-pixel mean equals "
     "the per-block mean, so integer block sums with ONE IEEE "
     "division compare exactly. Baseline color (4:4:4, 4:2:0, 4:2:2) "
-    "and progressive (SOF2) streams decode natively too — see the "
-    "mm_real_jpeg_color/_420/_progressive gates; only subsampled-"
-    "progressive streams keep the PIL seam.",
+    "and progressive (SOF2) streams — spectral selection, successive "
+    "approximation, and 4:2:0-subsampled progressive — decode "
+    "natively too (mm_real_jpeg_color/_420/_progressive gates); only "
+    "sampling factors >2 keep the PIL seam.",
     survey_refs=("LLM-multimodal",),
 )
 def mm_real_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -563,7 +564,7 @@ def mm_real_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH gray AS (
       SELECT doc_id, 1 + doc_id % 4 AS nbx, 1 + doc_id % 3 AS nby
-      FROM documents WHERE doc_id % 2 = 0
+      FROM documents WHERE doc_id % 6 IN (0, 2)
     ),
     gblk AS (
       SELECT doc_id, nbx, nby,
@@ -581,7 +582,7 @@ def mm_real_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     color AS (
       SELECT doc_id, 1 + doc_id % 3 AS nbx, 1 + doc_id % 2 AS nby
-      FROM documents WHERE doc_id % 2 = 1
+      FROM documents WHERE doc_id % 6 IN (1, 3)
     ),
     cblk AS (
       SELECT doc_id, nbx, nby,
@@ -606,31 +607,62 @@ def mm_real_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(g) AS DOUBLE) / (nbx * nby) AS mean_g,
              CAST(SUM(r) AS DOUBLE) / (nbx * nby) AS mean_r
       FROM crgb GROUP BY doc_id, nbx, nby
+    ),
+    sub AS (
+      SELECT doc_id, 1 + doc_id % 2 AS nmx, 1 + doc_id % 3 AS nmy
+      FROM documents WHERE doc_id % 6 IN (4, 5)
+    ),
+    sblk AS (
+      SELECT doc_id, nmx, nmy,
+             (5 * doc_id + 7 * bx.x + 11 * by.x) % 256 AS y,
+             (3 * doc_id + 5 * (bx.x // 2) + 7 * (by.x // 2)) % 256 AS cb,
+             (2 * doc_id + 7 * (bx.x // 2) + 3 * (by.x // 2)) % 256 AS cr
+      FROM sub, UNNEST(range(0, 2 * nmx)) AS bx(x), UNNEST(range(0, 2 * nmy)) AS by(x)
+    ),
+    srgb AS (
+      SELECT doc_id, nmx, nmy,
+             greatest(0, least(255, floor(y + 1.402 * (cr - 128) + 0.5))) AS r,
+             greatest(0, least(255, floor(y - 0.344136 * (cb - 128)
+                                            - 0.714136 * (cr - 128) + 0.5))) AS g,
+             greatest(0, least(255, floor(y + 1.772 * (cb - 128) + 0.5))) AS b
+      FROM sblk
+    ),
+    srows AS (
+      SELECT doc_id,
+             CAST(16 * nmx AS INT) AS width,
+             CAST(16 * nmy AS INT) AS height,
+             CAST(SUM(b) AS DOUBLE) / (4 * nmx * nmy) AS mean_b,
+             CAST(SUM(g) AS DOUBLE) / (4 * nmx * nmy) AS mean_g,
+             CAST(SUM(r) AS DOUBLE) / (4 * nmx * nmy) AS mean_r
+      FROM srgb GROUP BY doc_id, nmx, nmy
     )
     SELECT doc_id, width, height, CAST(3 AS INT) AS channels,
            mean_b, mean_g, mean_r FROM grows
     UNION ALL
     SELECT doc_id, width, height, CAST(3 AS INT) AS channels,
            mean_b, mean_g, mean_r FROM crows
+    UNION ALL
+    SELECT doc_id, width, height, CAST(3 AS INT) AS channels,
+           mean_b, mean_g, mean_r FROM srows
     """,
     doc="REAL PROGRESSIVE (SOF2) JPEG decode "
     "(operators.jpeg.decode_jpeg_progressive, dispatched from "
     "decode_jpeg's SOF2 marker walk): each document gets a genuine "
-    "multi-scan stream — one interleaved DC scan with per-component "
-    "predictors, then per-component AC spectral-selection band scans "
-    "(1-5, 6-63) whose all-zero bands are coded as T.81 G.1.2.2 EOBn "
-    "run symbols spanning many blocks, entropy structure no baseline "
-    "stream contains. Even doc_ids are grayscale (the mm_real_jpeg "
-    "closed form, gray replicated to b/g/r), odd doc_ids 4:4:4 YCbCr "
-    "(the mm_real_jpeg_color closed form through the same JFIF matrix "
-    "with floor(x+0.5)); doc_id%4 in {2,3} additionally encode with "
-    "SUCCESSIVE APPROXIMATION (al=2: point-transformed first scans, "
-    "raw-bit DC refinements carrying real bits via a DC quant of 8, "
-    "AC refinement scans) — four stream shapes, ONE closed-form "
-    "oracle, so the driver hashes both component paths and both "
-    "progressive dimensions. Solid blocks keep the lossy pipeline "
-    "bit-exact; per-block integer sums compare with one IEEE "
-    "division.",
+    "multi-scan stream — interleaved DC scan with per-component "
+    "predictors (MCU-ordered when subsampled), per-component "
+    "non-interleaved AC band scans (1-5, 6-63) whose all-zero bands "
+    "are coded as T.81 G.1.2.2 EOBn run symbols spanning many "
+    "blocks, entropy structure no baseline stream contains. Six "
+    "stream shapes by doc_id%6: grayscale / 4:4:4 color / 4:2:0 "
+    "SUBSAMPLED (the mm_real_jpeg / _color / _420 closed forms, "
+    "pinned floor-replication upsample), each in spectral-selection "
+    "and SUCCESSIVE-APPROXIMATION (al=2) variants — SA rows carry "
+    "real raw-bit DC refinements via a DC quant of 8 plus AC "
+    "refinement scans. ONE closed-form oracle covers all six, so "
+    "the driver hashes every component path, both progressive "
+    "dimensions, and the subsampled-progressive walk. Solid blocks "
+    "keep the lossy pipeline bit-exact; per-block integer sums "
+    "compare with one IEEE division.",
     survey_refs=("LLM-multimodal",),
 )
 def mm_real_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:

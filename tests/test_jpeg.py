@@ -398,9 +398,10 @@ def test_progressive_ac_bands_decode_planted_coefficients():
 
 
 def test_progressive_guards_stay_honest():
-    """Subsampled progressive stays behind the PIL seam; a
-    successive-approximation scan with inconsistent Ah != Al+1 is
-    rejected as malformed (SA itself decodes in-repo as of round 6)."""
+    """Sampling factors outside {1,2} stay behind the PIL seam (2x2
+    subsampled progressive decodes in-repo as of round 6, SA as of
+    round 6 too); an SA scan with inconsistent Ah != Al+1 is rejected
+    as malformed."""
     from blockchain_indexer_spark.operators.jpeg import (
         decode_jpeg_progressive,
         encode_progressive_from_zz,
@@ -413,10 +414,19 @@ def test_progressive_guards_stay_honest():
     buf[i + 2 + 2 + 5] = 0x13  # AhAl: Ah=1, Al=3 on the DC scan
     with pytest.raises(ValueError, match="Ah = Al\\+1"):
         decode_jpeg_progressive(bytes(buf))
+    zz3 = [[np.zeros(64, dtype=np.int64)] for _ in range(3)]
+    for c in zz3:
+        c[0][0] = 50
+    buf = bytearray(encode_progressive_from_zz(zz3, 1, 1))
+    i = bytes(buf).index(b"\xff\xc2")
+    buf[i + 2 + 2 + 5 + 2] = 0x33  # luma claims 3x3 sampling
+    with pytest.raises(NotImplementedError, match="sampling factor 3x3"):
+        decode_jpeg_progressive(bytes(buf))
+    # sampled SINGLE-component progressive keeps its own guard
     buf = bytearray(encode_progressive_from_zz(zz, 1, 1))
     i = bytes(buf).index(b"\xff\xc2")
-    buf[i + 2 + 2 + 5 + 2] = 0x22  # the component claims 2x2 sampling
-    with pytest.raises(NotImplementedError, match="subsampled progressive"):
+    buf[i + 2 + 2 + 5 + 2] = 0x22  # nf == 1 with sampling != 1x1
+    with pytest.raises(NotImplementedError, match="single-component"):
         decode_jpeg_progressive(bytes(buf))
 
 
@@ -547,42 +557,61 @@ def test_decode_image_real_handles_progressive_blobs(spark):
         assert r["mean_b"] == v.mean()
 
 
-def test_synth_jpeg_progressive_blob_alternates_gray_and_color():
+def test_synth_jpeg_progressive_blob_cycles_six_shapes():
     """The mm_real_jpeg_progressive fixture round-trips its closed
-    forms through the real SOF2 multi-scan decode: even doc_ids are
-    grayscale (one component), odd doc_ids 4:4:4 YCbCr through the
-    JFIF matrix with floor(x+0.5) — the same arithmetic the DuckDB
-    oracle enumerates."""
+    forms through the real SOF2 multi-scan decode for all six stream
+    shapes (doc_id % 6): gray / 4:4:4 color / 4:2:0 subsampled, each
+    in spectral-selection and successive-approximation variants — the
+    same arithmetic the DuckDB oracle enumerates."""
     from blockchain_indexer_spark.operators.jpeg import (
         decode_jpeg,
         synth_jpeg_progressive_blob,
     )
 
-    for doc_id in range(10):
+    def jfif(y, cb, cr):
+        y = y.astype(np.float64)
+        cb = cb.astype(np.float64) - 128.0
+        cr = cr.astype(np.float64) - 128.0
+        rgb = np.stack(
+            [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+            axis=2,
+        )
+        return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+
+    for doc_id in range(18):
+        shape = doc_id % 6
         buf = synth_jpeg_progressive_blob(doc_id)
         assert buf[:2] == b"\xff\xd8"
         assert b"\xff\xc2" in buf and b"\xff\xc0" not in buf  # SOF2, not SOF0
         w, h, nch, px = decode_jpeg(buf)
-        if doc_id % 2 == 0:
+        if shape in (0, 2):
             nbx, nby = 1 + doc_id % 4, 1 + doc_id % 3
             assert (w, h, nch) == (8 * nbx, 8 * nby, 1)
             bx = np.arange(nbx)[None, :]
             by = np.arange(nby)[:, None]
             v = (7 * doc_id + 13 * bx + 3 * by) % 256
             assert np.array_equal(px, np.repeat(np.repeat(v, 8, 0), 8, 1))
-        else:
+        elif shape in (1, 3):
             nbx, nby = 1 + doc_id % 3, 1 + doc_id % 2
             assert (w, h, nch) == (8 * nbx, 8 * nby, 3)
             bx = np.arange(nbx)[None, :]
             by = np.arange(nby)[:, None]
-            y = ((5 * doc_id + 11 * bx + 3 * by) % 256).astype(np.float64)
-            cb = ((3 * doc_id + 7 * bx + 5 * by) % 256).astype(np.float64) - 128.0
-            cr = ((2 * doc_id + 5 * bx + 7 * by) % 256).astype(np.float64) - 128.0
-            rgb = np.stack(
-                [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
-                axis=2,
+            expect = jfif(
+                (5 * doc_id + 11 * bx + 3 * by) % 256,
+                (3 * doc_id + 7 * bx + 5 * by) % 256,
+                (2 * doc_id + 5 * bx + 7 * by) % 256,
             )
-            expect = np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+            assert np.array_equal(px, np.repeat(np.repeat(expect, 8, 0), 8, 1))
+        else:
+            nmx, nmy = 1 + doc_id % 2, 1 + doc_id % 3
+            assert (w, h, nch) == (16 * nmx, 16 * nmy, 3)
+            bx = np.arange(2 * nmx)[None, :]
+            by = np.arange(2 * nmy)[:, None]
+            expect = jfif(
+                (5 * doc_id + 7 * bx + 11 * by) % 256,
+                (3 * doc_id + 5 * (bx // 2) + 7 * (by // 2)) % 256,
+                (2 * doc_id + 7 * (bx // 2) + 3 * (by // 2)) % 256,
+            )
             assert np.array_equal(px, np.repeat(np.repeat(expect, 8, 0), 8, 1))
 
 
@@ -740,3 +769,104 @@ def test_successive_approximation_randomized_roundtrip():
                 al,
                 trial,
             )
+
+
+def test_subsampled_progressive_solid_blocks_match_baseline():
+    """4:2:0 progressive — spectral-selection AND successive
+    approximation — decodes solid-block fixtures to the same pixels
+    as the baseline 4:2:0 decoder (a fully independent code path:
+    MCU walk + immediate IDCT vs multi-scan coefficient
+    accumulation)."""
+    from blockchain_indexer_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+        encode_jpeg_progressive_sa,
+    )
+
+    def blocks(v, nby_, nbx_):
+        return np.ascontiguousarray(
+            np.broadcast_to(v[:, :, None, None].astype(np.uint8), (nby_, nbx_, 8, 8))
+        )
+
+    s420 = [(2, 2), (1, 1), (1, 1)]
+    s422 = [(2, 1), (1, 1), (1, 1)]
+    for doc_id in (0, 3, 5):
+        nmx, nmy = 1 + doc_id % 2, 1 + doc_id % 3
+        mx = np.arange(nmx)[None, :]
+        my = np.arange(nmy)[:, None]
+        cb = blocks((3 * doc_id + 5 * mx + 7 * my) % 256, nmy, nmx)
+        cr = blocks((2 * doc_id + 7 * mx + 3 * my) % 256, nmy, nmx)
+        # 4:2:0
+        ybx = np.arange(2 * nmx)[None, :]
+        yby = np.arange(2 * nmy)[:, None]
+        y = blocks((5 * doc_id + 7 * ybx + 11 * yby) % 256, 2 * nmy, 2 * nmx)
+        base = decode_jpeg(encode_jpeg([y, cb, cr], sampling=s420))
+        prog = decode_jpeg(encode_jpeg_progressive([y, cb, cr], sampling=s420))
+        qt = np.ones((8, 8), dtype=np.int64)
+        qt[0, 0] = 8  # DC quant 8 -> quantized DC = v-128, real SA bits
+        sa = decode_jpeg(
+            encode_jpeg_progressive_sa([y, cb, cr], quant=qt, al=2, sampling=s420)
+        )
+        assert base[:3] == prog[:3] == sa[:3]
+        assert np.array_equal(base[3], prog[3])
+        assert np.array_equal(base[3], sa[3])
+        # 4:2:2 (horizontal-only subsampling)
+        y2 = blocks((5 * doc_id + 7 * ybx + 11 * my) % 256, nmy, 2 * nmx)
+        base = decode_jpeg(encode_jpeg([y2, cb, cr], sampling=s422))
+        prog = decode_jpeg(encode_jpeg_progressive([y2, cb, cr], sampling=s422))
+        assert base[:3] == prog[:3]
+        assert np.array_equal(base[3], prog[3])
+
+
+def test_subsampled_progressive_planted_ac_coefficients():
+    """Nonzero AC structure in a 4:2:0 SA progressive stream (via the
+    zz seam, |c| <= 3 envelope): luma and chroma coefficients land in
+    the right blocks of the right component grids, verified against a
+    direct per-component IDCT + pinned floor-upsample + JFIF-matrix
+    reference."""
+    from blockchain_indexer_spark.operators.jpeg import (
+        ZIGZAG,
+        decode_jpeg_progressive,
+        encode_progressive_sa_from_zz,
+        idct_block,
+    )
+
+    rng = np.random.RandomState(77)
+    nmx, nmy = 2, 1  # luma 2x4 blocks, chroma 1x2; image 32x16
+    s = [(2, 2), (1, 1), (1, 1)]
+    zz_comps = []
+    for nblocks in (4 * nmx * nmy, nmx * nmy, nmx * nmy):
+        blocks = []
+        for _ in range(nblocks):
+            b = np.zeros(64, dtype=np.int64)
+            b[0] = rng.randint(-200, 201)
+            idx = rng.choice(np.arange(1, 64), size=6, replace=False)
+            b[idx] = rng.randint(1, 4, size=6) * rng.choice([-1, 1], size=6)
+            blocks.append(b)
+        zz_comps.append(blocks)
+    buf = encode_progressive_sa_from_zz(zz_comps, nmy, nmx, al=1, sampling=s)
+    w, h, nch, px = decode_jpeg_progressive(buf)
+    assert (w, h, nch) == (16 * nmx, 16 * nmy, 3)
+
+    def comp_plane(blocks, cby, cbx):
+        p = np.zeros((cby * 8, cbx * 8))
+        i = 0
+        for by in range(cby):
+            for bx in range(cbx):
+                dez = np.zeros(64, dtype=np.int64)
+                dez[ZIGZAG] = blocks[i]
+                p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    np.round(idct_block(dez.reshape(8, 8)) + 128.0), 0, 255
+                )
+                i += 1
+        return p
+
+    y = comp_plane(zz_comps[0], 2 * nmy, 2 * nmx)
+    cb = np.repeat(np.repeat(comp_plane(zz_comps[1], nmy, nmx), 2, 0), 2, 1) - 128.0
+    cr = np.repeat(np.repeat(comp_plane(zz_comps[2], nmy, nmx), 2, 0), 2, 1) - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb], axis=2
+    )
+    expect = np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+    assert np.array_equal(px, expect)
