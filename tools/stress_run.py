@@ -217,8 +217,12 @@ t("k_anonymity_1M", lambda: k_anonymity_report(
 from blockchain_indexer_spark.functions.text import tokens as _tok
 from blockchain_indexer_spark.operators.lm import trigram_fluency_backoff
 _base = docs.select("doc_id", F.coalesce(_tok("text"), F.array().cast("array<string>")).alias("toks"))
+# sum over the score column, NOT count(): the output is a left join
+# against a unique-key agg, which Catalyst join-eliminates under a
+# bare count — the sum forces the full scoring pipeline
 t("trigram_backoff_100k", lambda: trigram_fluency_backoff(
-    _base, _base.filter(F.col("doc_id") % 2 == 0)).count())
+    _base, _base.filter(F.col("doc_id") % 2 == 0))
+    .agg(F.sum("fluency_nano")).collect() and 100000)
 
 from blockchain_indexer_spark.operators.similarity import pq_distortion
 t("pq_distortion_100k", lambda: pq_distortion(
