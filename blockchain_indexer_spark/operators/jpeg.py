@@ -911,6 +911,19 @@ def encode_jpeg_progressive(
     return encode_progressive_from_zz(zz_comps, mcuy, mcux, bands, qt, sampling=s)
 
 
+def _prog_comp_dims(
+    nf: int, h: int, w: int, s: list[tuple[int, int]]
+) -> list[tuple[int, int]]:
+    """Per-component NON-padded block dims (cby, cbx) for image (h, w)
+    — ceil(ceil(dim * factor / max) / 8), T.81 A.1.1/A.2.4."""
+    hmax = max(hs for hs, _ in s)
+    vmax = max(vs for _, vs in s)
+    return [
+        (-(-(h * vs) // (8 * vmax)), -(-(w * hs) // (8 * hmax)))
+        for hs, vs in s
+    ]
+
+
 def encode_progressive_from_zz(
     zz_comps,
     nby: int,
@@ -918,6 +931,7 @@ def encode_progressive_from_zz(
     bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
     qt: np.ndarray | None = None,
     sampling: list[tuple[int, int]] | None = None,
+    size: tuple[int, int] | None = None,
 ) -> bytes:
     """Assemble a progressive stream from pre-quantized zigzag blocks
     (raster order; one list per component, or a bare single-component
@@ -925,14 +939,27 @@ def encode_progressive_from_zz(
     integer spatial block could quantize to. With ``sampling``,
     (nby, nbx) are the MCU grid and each component's list covers its
     own (nby*V, nbx*H) block grid; the DC scan interleaves by MCU,
-    AC scans stay component-raster (non-interleaved per T.81 G.1)."""
+    AC scans stay component-raster (non-interleaved per T.81 G.1).
+    ``size=(h, w)`` declares a PARTIAL-MCU image: each component's
+    list then covers only its non-padded ceil grid, the interleaved
+    DC scan emits zero diffs for the right/bottom padding blocks
+    (which decoders discard), and AC scans skip them entirely."""
     if zz_comps and isinstance(zz_comps[0], np.ndarray):
         zz_comps = [zz_comps]
     nf = len(zz_comps)
     s = sampling or [(1, 1)] * nf
     hmax = max(hs for hs, _ in s)
     vmax = max(vs for _, vs in s)
-    h, w = nby * 8 * vmax, nbx * 8 * hmax
+    h, w = size if size is not None else (nby * 8 * vmax, nbx * 8 * hmax)
+    if (w + 8 * hmax - 1) // (8 * hmax) != nbx or (h + 8 * vmax - 1) // (8 * vmax) != nby:
+        raise ValueError("size inconsistent with the MCU grid")
+    cdims = _prog_comp_dims(nf, h, w, s)
+    for ci in range(nf):
+        if len(zz_comps[ci]) != cdims[ci][0] * cdims[ci][1]:
+            raise ValueError(
+                f"component {ci}: {len(zz_comps[ci])} blocks, "
+                f"expected {cdims[ci][0]}x{cdims[ci][1]}"
+            )
     qt = np.ones((8, 8), dtype=np.int64) if qt is None else qt.astype(np.int64)
     dc_enc = _encode_table(DC_BITS, DC_VALS)
     ac_enc = _encode_table(PROG_AC_BITS, PROG_AC_VALS)
@@ -940,18 +967,27 @@ def encode_progressive_from_zz(
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
-    # DC scan: interleaved across components, per-component predictors
+    # DC scan: interleaved across components, per-component predictors.
+    # The walk covers the PADDED grid; padding blocks (beyond the
+    # component's ceil grid) emit a zero diff — the decoder stores the
+    # repeated predictor there and never IDCTs them.
     bw = BitWriter()
     preds = [0] * nf
     for ci, bi in _prog_dc_order(nf, nby, nbx, s):
-        zz = zz_comps[ci][bi]
-        diff = int(zz[0]) - preds[ci]
+        cby, cbx = cdims[ci]
+        pbx = nbx * s[ci][0]  # padded grid row stride
+        by, bx = bi // pbx, bi % pbx
+        if by < cby and bx < cbx:
+            dc = int(zz_comps[ci][by * cbx + bx][0])
+        else:
+            dc = preds[ci]  # padding block: zero diff
+        diff = dc - preds[ci]
         size = _category(diff)
         ln, code = dc_enc[size]
         bw.write(code, ln)
         if size:
             bw.write(_magnitude_bits(diff, size), size)
-        preds[ci] = int(zz[0])
+        preds[ci] = dc
     bw.pad_align()
     dc_body = bytes((nf,)) + b"".join(
         bytes((ci + 1, 0x00)) for ci in range(nf)
@@ -1221,6 +1257,7 @@ def encode_progressive_sa_from_zz(
     qt: np.ndarray | None = None,
     al: int = 1,
     sampling: list[tuple[int, int]] | None = None,
+    size: tuple[int, int] | None = None,
 ) -> bytes:
     """Assemble a successive-approximation progressive stream from
     pre-quantized zigzag blocks: one interleaved DC first scan at
@@ -1240,7 +1277,16 @@ def encode_progressive_sa_from_zz(
     s = sampling or [(1, 1)] * nf
     hmax = max(hs for hs, _ in s)
     vmax = max(vs for _, vs in s)
-    h, w = nby * 8 * vmax, nbx * 8 * hmax
+    h, w = size if size is not None else (nby * 8 * vmax, nbx * 8 * hmax)
+    if (w + 8 * hmax - 1) // (8 * hmax) != nbx or (h + 8 * vmax - 1) // (8 * vmax) != nby:
+        raise ValueError("size inconsistent with the MCU grid")
+    cdims = _prog_comp_dims(nf, h, w, s)
+    for ci in range(nf):
+        if len(zz_comps[ci]) != cdims[ci][0] * cdims[ci][1]:
+            raise ValueError(
+                f"component {ci}: {len(zz_comps[ci])} blocks, "
+                f"expected {cdims[ci][0]}x{cdims[ci][1]}"
+            )
     qt = np.ones((8, 8), dtype=np.int64) if qt is None else qt.astype(np.int64)
     dc_enc = _encode_table(DC_BITS, DC_VALS)
     ac_enc = _encode_table(SA_AC_BITS, SA_AC_VALS)
@@ -1248,12 +1294,22 @@ def encode_progressive_sa_from_zz(
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
+    def _dc_at(ci: int, bi: int, fallback: int) -> int:
+        """Padded-walk DC lookup: padding blocks return ``fallback``
+        (the running predictor → zero diff / repeated bits)."""
+        cby, cbx = cdims[ci]
+        pbx = nbx * s[ci][0]
+        by, bx = bi // pbx, bi % pbx
+        if by < cby and bx < cbx:
+            return int(zz_comps[ci][by * cbx + bx][0])
+        return fallback
+
     scans = []
     # DC first scan (Ah=0, Al=al): diffs of arithmetic-shifted DC
     bw = BitWriter()
     preds = [0] * nf
     for ci, bi in _prog_dc_order(nf, nby, nbx, s):
-        dc = int(zz_comps[ci][bi][0]) >> al
+        dc = _dc_at(ci, bi, preds[ci] << al) >> al
         diff = dc - preds[ci]
         size = _category(diff)
         ln, code = dc_enc[size]
@@ -1279,10 +1335,11 @@ def encode_progressive_sa_from_zz(
     for lvl in range(al - 1, -1, -1):
         ah = lvl + 1
         # DC refinement: one raw bit per block per component, same
-        # interleaved MCU order as the first scan
+        # interleaved MCU order as the first scan (padding blocks
+        # emit a 0 bit the decoder discards)
         bw = BitWriter()
         for ci, bi in _prog_dc_order(nf, nby, nbx, s):
-            bw.write((int(zz_comps[ci][bi][0]) >> lvl) & 1, 1)
+            bw.write((_dc_at(ci, bi, 0) >> lvl) & 1, 1)
         bw.pad_align()
         dcr_body = bytes((nf,)) + b"".join(
             bytes((ci + 1, 0x00)) for ci in range(nf)

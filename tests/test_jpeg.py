@@ -870,3 +870,61 @@ def test_subsampled_progressive_planted_ac_coefficients():
     )
     expect = np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
     assert np.array_equal(px, expect)
+
+
+def test_partial_mcu_progressive_crops_correctly():
+    """A 20x12 4:2:0 progressive image (MCU grid 2x1, luma blocks 3x2
+    against a 4x2 padded grid, chroma 2x1): the interleaved DC scan
+    carries the padding column (zero diffs the decoder discards), AC
+    scans skip it, and reconstruction crops luma to 20x12 and chroma
+    to 10x6 before the floor upsample — both spectral-selection and
+    SA variants, against the closed-form solid-block expectation."""
+    from blockchain_indexer_spark.operators.jpeg import (
+        decode_jpeg_progressive,
+        encode_progressive_from_zz,
+        encode_progressive_sa_from_zz,
+    )
+
+    h, w = 12, 20
+    s = [(2, 2), (1, 1), (1, 1)]
+    # luma 3x2 blocks, chroma 2x1 — DC-only solid values
+    yv = np.array([[40, 90, 140], [190, 230, 20]], dtype=np.int64)
+    cbv = np.array([[100, 160]], dtype=np.int64)
+    crv = np.array([[80, 200]], dtype=np.int64)
+
+    def zz_of(vals):
+        out = []
+        for v in vals.reshape(-1):
+            b = np.zeros(64, dtype=np.int64)
+            b[0] = 8 * (int(v) - 128)  # DC of a solid block, q=1
+            out.append(b)
+        return out
+
+    zz = [zz_of(yv), zz_of(cbv), zz_of(crv)]
+
+    def expect_pixels():
+        yp = np.repeat(np.repeat(yv, 8, 0), 8, 1)[:h, :w].astype(np.float64)
+        cbp = np.repeat(np.repeat(cbv, 8, 0), 8, 1)[: -(-h // 2), : -(-w // 2)]
+        crp = np.repeat(np.repeat(crv, 8, 0), 8, 1)[: -(-h // 2), : -(-w // 2)]
+        cbu = np.repeat(np.repeat(cbp, 2, 0), 2, 1)[:h, :w] - 128.0
+        cru = np.repeat(np.repeat(crp, 2, 0), 2, 1)[:h, :w] - 128.0
+        rgb = np.stack(
+            [yp + 1.402 * cru, yp - 0.344136 * cbu - 0.714136 * cru, yp + 1.772 * cbu],
+            axis=2,
+        )
+        return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+
+    for buf in (
+        encode_progressive_from_zz(zz, 1, 2, sampling=s, size=(h, w)),
+        encode_progressive_sa_from_zz(zz, 1, 2, al=1, sampling=s, size=(h, w)),
+    ):
+        dw, dh, nch, px = decode_jpeg_progressive(buf)
+        assert (dw, dh, nch) == (w, h, 3)
+        assert np.array_equal(px, expect_pixels())
+
+    # grayscale odd size: the plane crop path with no subsampling
+    gv = np.array([[10, 250, 33], [77, 128, 199]], dtype=np.int64)
+    buf = encode_progressive_from_zz(zz_of(gv), 2, 3, size=(12, 20))
+    dw, dh, nch, px = decode_jpeg_progressive(buf)
+    assert (dw, dh, nch) == (20, 12, 1)
+    assert np.array_equal(px, np.repeat(np.repeat(gv, 8, 0), 8, 1)[:12, :20])
