@@ -247,15 +247,22 @@ def trigram_fluency_backoff(
     tg_train = _trigram_frame(train, id_col, tokens_col)
     bg_train = _bigram_frame(train, id_col, tokens_col)
     c3 = tg_train.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
-    c2ctx = tg_train.groupBy("w1", "w2").agg(F.count("*").alias("c2ctx"))
+    # context counts roll up from the (much smaller) trigram count
+    # table instead of re-exploding the corpus: sum over w3 of
+    # c3(w1,w2,w3) IS the trigram-context count
+    c2ctx = c3.groupBy("w1", "w2").agg(F.sum("c3").alias("c2ctx"))
     c2p = (
         bg_train.select(F.col("w1").alias("w2"), F.col("w2").alias("w3"))
         .groupBy("w2", "w3")
         .agg(F.count("*").alias("c2p"))
     )
-    toks = train.select(F.explode(tokens_col).alias("_w"))
-    uni = toks.groupBy("_w").agg(F.count("*").alias("c1"))
-    nn = toks.agg(F.count("*").alias("_N"))
+    uni = (
+        train.select(F.explode(tokens_col).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count("*").alias("c1"))
+    )
+    # total N is the sum of the unigram table — no third corpus pass
+    nn = uni.agg(F.sum("c1").alias("_N"))
 
     tg = _trigram_frame(docs, id_col, tokens_col)
     dbl = lambda c: c.cast("double")  # noqa: E731
