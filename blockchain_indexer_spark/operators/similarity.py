@@ -295,12 +295,23 @@ def lsh_topk(
     return _rerank_topk(cand, k)
 
 
-def _rerank_topk(cand: DataFrame, k: int) -> DataFrame:
-    """Exact quantized-dot re-rank of a candidate frame
-    (query_id, neighbor_id, _queryv, _neighborv) → top-k per query."""
-    scored = cand.withColumn(
-        "score", dot(quantize("_queryv"), quantize("_neighborv"))
-    ).select("query_id", "neighbor_id", "score")
+def _rerank_topk(cand: DataFrame, k: int, metric: str = "dot") -> DataFrame:
+    """Exact re-rank of a candidate frame (query_id, neighbor_id,
+    _queryv, _neighborv) → top-k per query. metric='dot' is the
+    gate-pinned default (exact integer scores); metric='cosine'
+    normalizes with one IEEE sqrt+divide (brute_force_topk's cosine
+    arithmetic) — used where the candidate generator must agree with
+    a cosine-ranked exact baseline, e.g. the mutual-kNN IVF swap."""
+    if metric == "dot":
+        score = dot(quantize("_queryv"), quantize("_neighborv"))
+    elif metric == "cosine":
+        qv, cv = quantize("_queryv"), quantize("_neighborv")
+        score = dot(qv, cv) / F.sqrt(norm_sq(qv) * norm_sq(cv))
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    scored = cand.withColumn("score", score).select(
+        "query_id", "neighbor_id", "score"
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
@@ -370,6 +381,8 @@ def ivf_topk(
     sample: int = 256,
     iters: int = 5,
     scale: int = 1000,
+    broadcast_queries: bool = True,
+    metric: str = "dot",
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index: corpus rows
     bucket to their nearest coarse centroid, each query probes its
@@ -434,12 +447,21 @@ def ivf_topk(
         F.col(vec_col).alias("_queryv"),
         F.explode(_probe_cells(F.col(vec_col))).alias("cell"),
     )
-    cand = cb.join(F.broadcast(qb), "cell").filter(
+    # broadcast_queries=True is the serving shape (|Q| << |C|: the
+    # probe frame rides the wire, the corpus never shuffles); for the
+    # queries ≈ corpus regime (e.g. the mutual-kNN graph's IVF swap)
+    # broadcasting the whole corpus would be wrong — a plain cell
+    # equi-join shuffles BOTH sides once on the cell id instead,
+    # still |Q| x n_probe x avg-cell-size probe cost.
+    qside = F.broadcast(qb) if broadcast_queries else qb
+    cand = cb.join(qside, "cell").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     # a (query, neighbor) pair can only meet in ONE cell (the
     # neighbor's cell), so no distinct is needed before the re-rank
-    return _rerank_topk(cand.select("query_id", "neighbor_id", "_queryv", "_neighborv"), k)
+    return _rerank_topk(
+        cand.select("query_id", "neighbor_id", "_queryv", "_neighborv"), k, metric
+    )
 
 
 def lsh_near_dup_pairs(
@@ -1005,24 +1027,55 @@ def mutual_knn_graph(
     vec_col: str = "embedding",
     k: int = 5,
     scale: int = 1000,
+    index: str = "exact",
+    n_cells: int = 16,
+    n_probe: int = 4,
 ) -> DataFrame:
     """Undirected mutual-kNN graph over an embedding table: edge
     (src, dst) iff each vector is among the other's k nearest by
-    quantized cosine — the standard graph substrate for semantic
+    quantized similarity — the standard graph substrate for semantic
     clustering, diversity analysis, and graph-based dedup (mutuality
     prunes the asymmetric hub edges a raw kNN digraph is full of).
 
     Returns (src, dst) with src < dst, one row per undirected edge.
 
-    Scale shape: neighbor retrieval is the pluggable stage — exact
-    here via the blocked int64-matmul all-pairs scan
-    (all_pairs_topk_cosine, bit-identical to the expression flat scan
-    and ~8× faster in the queries≈corpus regime); at index scale swap
-    it for ivf_topk — the mutualization self-join (one hash join on
-    the directed edge set, O(n*k) rows) and everything downstream are
-    unchanged.
+    Scale shape: neighbor retrieval is the pluggable stage, selected
+    by ``index``:
+
+    - ``"exact"`` — the blocked int64-matmul all-pairs scan
+      (all_pairs_topk_cosine, bit-identical to the expression flat
+      scan and ~8× faster in the queries≈corpus regime). O(n²·d)
+      compute: the oracle-exact baseline, and the right choice up to
+      ~10⁵ vectors on one box.
+    - ``"ivf"`` — the coarse-cell index (ivf_topk with
+      broadcast_queries=False: corpus AND query sides shuffle once on
+      the cell id, no corpus broadcast), O(n · n_probe · avg-cell)
+      probe cost — the 100 TB index-scale path. Approximate: recall
+      of the mutual edge set vs exact is pinned in tests on a
+      clustered corpus; mutuality itself filters most one-sided
+      misses, so edge recall sits above raw neighbor recall.
+
+    The mutualization self-join (one hash join on the directed edge
+    set, O(n·k) rows) and everything downstream are identical for
+    both retrievals.
     """
-    topk = all_pairs_topk_cosine(emb, id_col, vec_col, k=k, scale=scale)
+    if index == "exact":
+        topk = all_pairs_topk_cosine(emb, id_col, vec_col, k=k, scale=scale)
+    elif index == "ivf":
+        topk = ivf_topk(
+            emb,
+            emb,
+            id_col,
+            vec_col,
+            k=k,
+            n_cells=n_cells,
+            n_probe=n_probe,
+            scale=scale,
+            broadcast_queries=False,
+            metric="cosine",  # the exact baseline ranks by cosine
+        )
+    else:
+        raise ValueError(f"unknown index {index!r}; expected 'exact' or 'ivf'")
     d = topk.select("query_id", "neighbor_id")
     rev = d.select(
         F.col("neighbor_id").alias("query_id"), F.col("query_id").alias("neighbor_id")
