@@ -78,7 +78,46 @@ def build(src: str = "/root/testdata/sf0.001", dst: str = "/tmp/nulltest") -> st
         pa.Table.from_pandas(vd2, schema=ev.schema, preserve_index=False),
         os.path.join(dst, "events.parquet"),
     )
-    print(f"wrote {dst}: {len(df2)} docs, {len(ed2)} vecs, {len(vd2)} events")
+
+    # TPC-H-ish tables: one NULL per analytic column the relational
+    # gates aggregate, rank, or join on (round 6 — Spark's ascending
+    # sort default is NULLS FIRST where DuckDB's is NULLS LAST, so any
+    # window over a nullable column is a latent divergence). Primary
+    # keys get fresh values; o_custkey exercises a NULL join key.
+    tpch_nulls = {
+        "orders": ("o_orderkey", ["o_custkey", "o_totalprice", "o_orderdate",
+                                  "o_orderstatus", "o_orderpriority"]),
+        "lineitem": ("l_orderkey", ["l_quantity", "l_extendedprice",
+                                    "l_discount", "l_shipdate", "l_suppkey"]),
+        "customer": ("c_custkey", ["c_mktsegment", "c_name", "c_acctbal",
+                                   "c_nationkey"]),
+        "part": ("p_partkey", ["p_brand", "p_name", "p_retailprice"]),
+        "supplier": ("s_suppkey", ["s_name", "s_nationkey", "s_acctbal"]),
+    }
+    counts = []
+    for table, (key, null_cols) in tpch_nulls.items():
+        path = os.path.join(dst, f"{table}.parquet")
+        if not os.path.exists(path):
+            continue
+        t2 = pq.read_table(path)
+        td = t2.to_pandas()
+        tb = td.iloc[0].to_dict()
+        tx = []
+        for i, nc in enumerate(c for c in null_cols if c in td.columns):
+            r = dict(tb)
+            r[key] = int(td[key].max()) + 1 + i
+            r[nc] = None
+            tx.append(r)
+        td2 = pd.concat([td, pd.DataFrame(tx)], ignore_index=True)
+        pq.write_table(
+            pa.Table.from_pandas(td2, schema=t2.schema, preserve_index=False),
+            path,
+        )
+        counts.append(f"{table}+{len(tx)}")
+    print(
+        f"wrote {dst}: {len(df2)} docs, {len(ed2)} vecs, {len(vd2)} events, "
+        + ", ".join(counts)
+    )
     return dst
 
 
