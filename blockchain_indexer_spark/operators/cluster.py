@@ -204,6 +204,101 @@ def dedup_survivors(
     )
 
 
+def dbscan_clusters(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 0.6,
+    min_pts: int = 4,
+    scale: int = 1000,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Density-based clustering (DBSCAN, Ester et al. 1996) over an
+    embedding column — the density complement of k-means/SemDeDup:
+    clusters of arbitrary shape emerge from the eps-neighbor graph and
+    low-density points are explicitly NOISE instead of being forced
+    into the nearest centroid (outlier triage for training corpora).
+
+    Similarity is quantized cosine (>= ``eps`` means "neighbors");
+    ``pairs`` defaults to the exact blocked-matmul all-pairs engine
+    (``dedup.cosine_near_dup_pairs`` — the oracle baseline) and
+    accepts ``similarity.lsh_near_dup_pairs`` output as the
+    sub-quadratic scale path, exactly like the near-dup operators.
+
+    Semantics, made deterministic where classic DBSCAN is scan-order
+    dependent:
+
+    - core: closed eps-neighborhood size >= ``min_pts`` (the point
+      itself counts, the textbook rule);
+    - cluster: connected components over CORE-CORE edges, labeled by
+      minimum core id (an isolated core is its own cluster);
+    - border: non-core with >= 1 core neighbor, assigned the MINIMUM
+      cluster label among its core neighbors (classic DBSCAN gives a
+      border point to whichever cluster's scan reached it first —
+      min-label is the engine-reproducible tie-break);
+    - noise: everything else, cluster −1 (zero-norm vectors have no
+      cosine, so they are noise by construction).
+
+    Scale: the pair frame is the whole cost (see its engines); after
+    it, everything is degree counts, semi-joins and min-aggs on the
+    O(E) symmetric edge list (checkpointed once — three consumers) +
+    the Pregel-shape CC rounds. Returns (id, role, cluster) for every
+    input row, all-integer labels, recursive-CTE oracle-able.
+    """
+    from blockchain_indexer_spark.operators.dedup import cosine_near_dup_pairs
+    from blockchain_indexer_spark.sources.parquet import spread
+
+    if pairs is None:
+        pairs = cosine_near_dup_pairs(emb, id_col, vec_col, threshold=eps, scale=scale)
+    edges = pairs.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
+    sym = (
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        # deg, core-core edges and border assignment all read this —
+        # one run of the O(n^2/B) pair engine, not three
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    core = (
+        deg.filter(F.col("deg") + 1 >= min_pts)
+        .select(F.col("a").alias("id"))
+        .localCheckpoint(eager=True)  # three consumers below
+    )
+    ce = sym.join(
+        core.select(F.col("id").alias("a")), "a", "leftsemi"
+    ).join(core.select(F.col("id").alias("b")), "b", "leftsemi")
+    comp = connected_components(ce, "a", "b")
+    core_lab = core.join(comp, "id", "left").select(
+        "id", F.coalesce("cluster", "id").alias("cluster")
+    )
+    border = (
+        sym.join(core.select(F.col("id").alias("a")), "a", "left_anti")
+        .join(
+            core_lab.select(F.col("id").alias("b"), F.col("cluster").alias("_c")),
+            "b",
+        )
+        .groupBy("a")
+        .agg(F.min("_c").alias("cluster"))
+    )
+    return (
+        spread(emb, id_col)
+        .select(F.col(id_col).alias("id"))
+        .join(core_lab.withColumnRenamed("cluster", "_cc"), "id", "left")
+        .join(
+            border.select(F.col("a").alias("id"), F.col("cluster").alias("_bc")),
+            "id",
+            "left",
+        )
+        .select(
+            "id",
+            F.when(F.col("_cc").isNotNull(), F.lit("core"))
+            .when(F.col("_bc").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce("_cc", "_bc", F.lit(-1)).cast("bigint").alias("cluster"),
+        )
+    )
+
+
 def khop_reachability(
     edges: DataFrame,
     src: str = "src",

@@ -778,19 +778,55 @@ def simhash_candidates(
     reproduce signatures and pairs exactly.
     """
     n_bits = 60 if hash_fn == "md5_60" else 64
+    sig = simhash64(df, id_col, text_col, hash_fn=hash_fn)
+    return (
+        hamming_band_pairs(sig, "_id", "simhash", n_bits, bands, max_hamming)
+        .withColumnRenamed("id_a", "doc_a")
+        .withColumnRenamed("id_b", "doc_b")
+    )
+
+
+def hamming_band_pairs(
+    hashes: DataFrame,
+    id_col: str,
+    hash_col: str,
+    n_bits: int,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs among FIXED-WIDTH hashes by banded blocking —
+    the generic engine behind ``simhash_candidates``, reusable for any
+    hash column (SimHash text signatures, perceptual image ahash,
+    winnowing fingerprints packed to ints).
+
+    Candidates share at least one of ``bands`` contiguous sub-bands of
+    the ``n_bits``-bit hash, then exact ``bit_count(xor)`` hamming
+    distance <= ``max_hamming`` verifies. Pigeonhole guarantee: two
+    hashes within hamming distance d differ in at most d bands, so
+    with bands >= d+1 every true pair shares an untouched band — the
+    blocking is COMPLETE (not approximate) for max_hamming < bands.
+
+    Scale: the self-join key is (band, bucket); candidate volume is
+    the sum of per-bucket squares, |C|^2 / 2^(n_bits/bands) per band
+    under uniform hashing. The banded frame is localCheckpointed so
+    the upstream hash computation (e.g. a mapInPandas image decode)
+    runs once, not once per join side. Returns (id_a, id_b, hamming)
+    with id_a < id_b; both engine-portable (all integer bit ops).
+    """
+    if n_bits % bands:
+        raise ValueError(f"bands={bands} must divide n_bits={n_bits}")
     rows = n_bits // bands
     mask = (1 << rows) - 1
-    sig = simhash64(df, id_col, text_col, hash_fn=hash_fn)
     stacked = (
-        sig.select(
-            "_id",
-            "simhash",
+        hashes.select(
+            F.col(id_col).alias("_hid"),
+            F.col(hash_col).alias("_h"),
             F.explode(
                 F.array(
                     *[
                         F.struct(
                             F.lit(b).alias("band"),
-                            F.shiftrightunsigned(F.col("simhash"), b * rows)
+                            F.shiftrightunsigned(F.col(hash_col), b * rows)
                             .bitwiseAND(F.lit(mask))
                             .alias("bucket"),
                         )
@@ -799,16 +835,16 @@ def simhash_candidates(
                 )
             ).alias("bb"),
         )
-        .select("_id", "simhash", "bb.band", "bb.bucket")
-        # both join sides read this frame — one token-hash pipeline run
+        .select("_hid", "_h", "bb.band", "bb.bucket")
+        # both join sides read this frame — one upstream-hash run
         .localCheckpoint(eager=True)
     )
-    a = stacked.select(F.col("_id").alias("doc_a"), F.col("simhash").alias("_sa"), "band", "bucket")
-    b = stacked.select(F.col("_id").alias("doc_b"), F.col("simhash").alias("_sb"), "band", "bucket")
+    a = stacked.select(F.col("_hid").alias("id_a"), F.col("_h").alias("_ha"), "band", "bucket")
+    b = stacked.select(F.col("_hid").alias("id_b"), F.col("_h").alias("_hb"), "band", "bucket")
     return (
         a.join(b, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).alias("hamming"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )

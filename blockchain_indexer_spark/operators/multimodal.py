@@ -1372,3 +1372,39 @@ def image_phash(
             )
 
     return src.mapInPandas(batches, _PHASH_SCHEMA)
+
+
+def image_near_dup_pairs(
+    with_blobs: DataFrame,
+    id_col: str = "doc_id",
+    grid: int = 4,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs end-to-end — the multimodal twin of
+    ``dedup.simhash_candidates``: decode each blob's real pixels,
+    perceptual-average-hash them (``image_ahash``, grid²-bit integer
+    signature), then banded hamming blocking finds every pair within
+    ``max_hamming`` bits (``dedup.hamming_band_pairs``; pigeonhole-
+    COMPLETE for max_hamming < bands, so this is exact near-dup
+    detection, not approximate).
+
+    Rescaled / re-encoded / lightly-edited copies of an image agree on
+    most lattice-cell brightness bits, so they land within a few bits
+    of hamming distance while unrelated images scatter uniformly —
+    the standard perceptual-hash dedup recipe over a corpus of decoded
+    binary columns.
+
+    Scale: the decode is row-parallel Arrow mapInPandas (one pass —
+    the band frame is checkpointed downstream); blocking joins on
+    (band, bucket), never all-pairs. Returns (id_a, id_b, hamming)
+    with id_a < id_b, all-integer and engine-reproducible: the DuckDB
+    oracle rebuilds hashes from closed-form fixture pixels and replays
+    the banding + bit_count(xor) verify.
+    """
+    from blockchain_indexer_spark.operators.dedup import hamming_band_pairs
+
+    h = image_ahash(with_blobs, id_col=id_col, grid=grid)
+    return hamming_band_pairs(
+        h, "doc_id", "ahash", grid * grid, bands=bands, max_hamming=max_hamming
+    )

@@ -430,3 +430,132 @@ def tfidf_keywords(
             "rank",
         )
     )
+
+
+def mmr_rerank(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 10,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    id_col: str = "doc_id",
+    tokens_col: str = "toks",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified re-rank (Carbonell &
+    Goldstein 1998) — the retrieval stage after ``bm25_topk``/
+    ``rrf_fuse``: from each query's BM25 top-``pool`` candidates,
+    greedily select ``k`` that trade relevance against redundancy,
+
+        mmr = λ·rel − (1−λ)·max(sim to already-selected),
+
+    so near-duplicate hits don't monopolize a context window (the RAG
+    dedup-at-retrieval step; a candidate pool full of mirror pages
+    yields one representative plus genuinely different documents).
+
+    Determinism engineering, same conventions as bm25_scores:
+    relevance is the integer BM25 ``score_nano``; inter-candidate
+    similarity is token-SET Jaccard on the exact 1e-9 grid via integer
+    division (1e9·|∩| DIV |∪| — no IEEE step at all); λ is the
+    rational ``lam_num/lam_den`` so every MMR score is the exact
+    integer ``lam_num·rel_nano − (lam_den−lam_num)·max_sim_nano``
+    (units: 1e-9·lam_den); ties break by doc id ascending at every
+    greedy step. The whole pipeline is engine-reproducible — a k-step
+    unrolled SQL oracle replays the greedy selection exactly.
+
+    Scale: candidate pools are size ``pool`` per query, so the pair
+    frame is <= pool² rows per query built by a term-keyed posting
+    join over CANDIDATE docs only (semi-joined token lists, never the
+    corpus); the greedy loop runs per-query inside one Arrow cogroup
+    batch at O(k·pool) integer ops — distributed across queries,
+    constant per query. Returns (query_id, mmr_rank, doc_id, rel_nano,
+    max_sim_nano, mmr_nano) with mmr_rank in 1..k; ids must be
+    integral (the Arrow output schema pins bigint).
+    """
+    import pandas as pd
+
+    cand = bm25_topk(
+        docs,
+        queries,
+        k=pool,
+        id_col=id_col,
+        tokens_col=tokens_col,
+        query_id_col=query_id_col,
+        term_col=term_col,
+        # pair build reads it three times, greedy once — one BM25 run
+    ).localCheckpoint(eager=True)
+    cdocs = cand.select(id_col).distinct()
+    dtok = (
+        docs.join(cdocs, id_col, "leftsemi")
+        .select(
+            F.col(id_col).alias("_d"),
+            F.explode(F.array_distinct(F.col(tokens_col))).alias("_t"),
+        )
+        .localCheckpoint(eager=True)  # both posting sides + sizes
+    )
+    sizes = dtok.groupBy("_d").agg(F.count(F.lit(1)).alias("_n"))
+    ta = cand.select(F.col(query_id_col).alias("_q"), F.col(id_col).alias("_a")).join(
+        dtok.select(F.col("_d").alias("_a"), "_t"), "_a"
+    )
+    tb = cand.select(F.col(query_id_col).alias("_q"), F.col(id_col).alias("_b")).join(
+        dtok.select(F.col("_d").alias("_b"), "_t"), "_b"
+    )
+    common = (
+        ta.join(tb, ["_q", "_t"])
+        .filter(F.col("_a") < F.col("_b"))
+        .groupBy("_q", "_a", "_b")
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    pairs = (
+        common.join(sizes.select(F.col("_d").alias("_a"), F.col("_n").alias("_na")), "_a")
+        .join(sizes.select(F.col("_d").alias("_b"), F.col("_n").alias("_nb")), "_b")
+        .select(
+            "_q",
+            "_a",
+            "_b",
+            # integer floor division: exact on the 1e-9 grid, no IEEE
+            F.expr("CAST(1000000000 * _common AS BIGINT) DIV (_na + _nb - _common)")
+            .cast("bigint")
+            .alias("_sim_nano"),
+        )
+    )
+    rel = cand.select(
+        F.col(query_id_col).alias("_q"),
+        F.col(id_col).alias("_d"),
+        F.col("score_nano").alias("_rel"),
+    )
+    lam2 = lam_den - lam_num
+    cols = ["query_id", "mmr_rank", "doc_id", "rel_nano", "max_sim_nano", "mmr_nano"]
+
+    def greedy(key, rel_pdf: pd.DataFrame, pair_pdf: pd.DataFrame) -> pd.DataFrame:
+        q = int(key[0])
+        relm = {int(d): int(r) for d, r in zip(rel_pdf["_d"], rel_pdf["_rel"])}
+        sim: dict[tuple[int, int], int] = {}
+        for a, b, s in zip(pair_pdf["_a"], pair_pdf["_b"], pair_pdf["_sim_nano"]):
+            sim[(int(a), int(b))] = int(s)
+            sim[(int(b), int(a))] = int(s)
+        remaining = sorted(relm)
+        sel: list[int] = []
+        rows: list[tuple[int, ...]] = []
+        for r in range(1, k + 1):
+            if not remaining:
+                break
+            best = None
+            for d in remaining:  # ascending ids + strict > = min-id ties
+                ms = max((sim.get((d, s), 0) for s in sel), default=0)
+                m = lam_num * relm[d] - lam2 * ms
+                if best is None or m > best[0]:
+                    best = (m, d, ms)
+            m, d, ms = best
+            rows.append((q, r, d, relm[d], ms, m))
+            sel.append(d)
+            remaining.remove(d)
+        return pd.DataFrame(rows, columns=cols).astype("int64")
+
+    return rel.groupBy("_q").cogroup(pairs.groupBy("_q")).applyInPandas(
+        greedy,
+        schema="query_id bigint, mmr_rank bigint, doc_id bigint, "
+        "rel_nano bigint, max_sim_nano bigint, mmr_nano bigint",
+    )

@@ -1,0 +1,219 @@
+"""Round-7 BANKED gates (plans/banked_r7.py): full Spark-vs-DuckDB
+parity through the exact same compare() the registered gates use, plus
+unit tests for the new operators — so promotion in round 7 is a
+mechanical @register + PRIORITY slot, not new code.
+
+Banked and not registered because round 6's 50-row driver window is
+fully budgeted (6 new gates + 44 stale refreshes); see the module doc.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from blockchain_indexer_spark.plans import REGISTRY
+from blockchain_indexer_spark.plans.banked_r7 import BANKED
+from tools.check_correctness import compare, duck_con
+
+
+def test_banked_not_registered():
+    # the whole point of banking: REGISTRY (and so PRIORITY and the
+    # driver window) must not see these until round 7 promotes them
+    assert not set(BANKED) & set(REGISTRY)
+    assert set(BANKED) == {
+        "mm_image_dedup_clusters",
+        "embedding_dbscan",
+        "doc_mmr_rerank",
+    }
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    return duck_con(sf_dir)
+
+
+@pytest.mark.parametrize("name", sorted(BANKED))
+def test_banked_oracle_parity(spark, sf_dir, con, name):
+    q = BANKED[name]
+    spark_pdf = q.build(spark, sf_dir).toPandas()
+    assert len(spark_pdf) > 0, f"{name}: empty result proves nothing"
+    duck_pdf = con.sql(q.oracle).df()
+    problems = compare(name, spark_pdf, duck_pdf)
+    assert not problems, f"{name}: {problems}"
+
+
+# ---------------------------------------------------------------------------
+# hamming_band_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_hamming_band_pairs_exact_small(spark):
+    from blockchain_indexer_spark.operators.dedup import hamming_band_pairs
+
+    rows = [(1, 0b0000000000000000), (2, 0b0000000000000111), (3, 0b0000000000001111)]
+    df = spark.createDataFrame(rows, "id bigint, h bigint")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_band_pairs(df, "id", "h", 16, bands=4, max_hamming=3).collect()
+    }
+    # (1,2): hamming 3 -> pair; (2,3): hamming 1 -> pair; (1,3): 4 -> out
+    assert got == {(1, 2): 3, (2, 3): 1}
+
+
+def test_hamming_band_pairs_pigeonhole_complete(spark):
+    """Blocking must find EVERY pair within max_hamming < bands —
+    verified against a brute-force numpy hamming matrix."""
+    from blockchain_indexer_spark.operators.dedup import hamming_band_pairs
+
+    rng = np.random.default_rng(7)
+    hashes = rng.integers(0, 1 << 16, size=60, dtype=np.int64)
+    df = spark.createDataFrame(
+        [(int(i), int(h)) for i, h in enumerate(hashes)], "id bigint, h bigint"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in hamming_band_pairs(df, "id", "h", 16, bands=4, max_hamming=3).collect()
+    }
+    x = hashes[:, None] ^ hashes[None, :]
+    ham = np.array([[bin(int(v)).count("1") for v in row] for row in x])
+    want = {
+        (i, j)
+        for i in range(60)
+        for j in range(i + 1, 60)
+        if ham[i, j] <= 3
+    }
+    assert got == want
+
+
+def test_hamming_band_pairs_rejects_bad_bands(spark):
+    from blockchain_indexer_spark.operators.dedup import hamming_band_pairs
+
+    df = spark.createDataFrame([(1, 3)], "id bigint, h bigint")
+    with pytest.raises(ValueError):
+        hamming_band_pairs(df, "id", "h", 16, bands=5)
+
+
+# ---------------------------------------------------------------------------
+# dbscan_clusters (semantics via an injected pair frame)
+# ---------------------------------------------------------------------------
+
+
+def test_dbscan_roles_and_clusters(spark):
+    from blockchain_indexer_spark.operators.cluster import dbscan_clusters
+
+    ids = [1, 2, 3, 4, 5, 6, 7, 10, 11, 12, 13]
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in ids], "vec_id bigint, embedding array<float>"
+    )
+    pairs = spark.createDataFrame(
+        [
+            # star: 1 is core at min_pts=4 (closed nbhd 4); 2,3,4 border
+            (1, 2), (1, 3), (1, 4),
+            # isolated low-density pair: both noise (no core neighbor)
+            (5, 6),
+            # two cores 10,11 share borders 12,13
+            (10, 11), (10, 12), (10, 13), (11, 12), (11, 13),
+        ],
+        "vec_a bigint, vec_b bigint",
+    )
+    out = {
+        r.id: (r.role, r.cluster)
+        for r in dbscan_clusters(emb, "vec_id", "embedding", min_pts=4, pairs=pairs).collect()
+    }
+    assert out[1] == ("core", 1)
+    assert out[2] == out[3] == out[4] == ("border", 1)
+    assert out[5] == out[6] == out[7] == ("noise", -1)
+    assert out[10] == out[11] == ("core", 10)
+    assert out[12] == out[13] == ("border", 10)
+
+
+def test_dbscan_exact_default_path(spark, sf_dir):
+    """The default exact-pairs path: every embedding row gets exactly
+    one role; clusters are labeled by a member core id."""
+    from blockchain_indexer_spark.operators.cluster import dbscan_clusters
+    from blockchain_indexer_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = dbscan_clusters(emb, "vec_id", "embedding", eps=0.3, min_pts=4).toPandas()
+    assert len(out) == emb.count()
+    assert set(out["role"]) == {"core", "border", "noise"}
+    core = out[out["role"] == "core"]
+    # every core cluster label is itself a core point's id
+    assert set(core["cluster"]) <= set(core["id"])
+    assert (out.loc[out["role"] == "noise", "cluster"] == -1).all()
+
+
+def test_dbscan_lsh_pairs_seam(spark, sf_dir):
+    """The documented scale path: lsh_near_dup_pairs output plugs into
+    the `pairs` seam; roles/labels stay internally consistent."""
+    from blockchain_indexer_spark.operators.cluster import dbscan_clusters
+    from blockchain_indexer_spark.operators.similarity import lsh_near_dup_pairs
+    from blockchain_indexer_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = lsh_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.3)
+    out = dbscan_clusters(emb, "vec_id", "embedding", min_pts=4, pairs=pairs).toPandas()
+    assert len(out) == emb.count()
+    core = out[out["role"] == "core"]
+    assert set(core["cluster"]) <= set(core["id"])
+
+
+# ---------------------------------------------------------------------------
+# mmr_rerank
+# ---------------------------------------------------------------------------
+
+
+def _mmr_fixture(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, ["apple", "x", "y"]),
+            (2, ["apple", "x", "y"]),  # exact token-set dup of doc 1
+            (3, ["apple", "z", "w"]),  # same relevance, different content
+        ],
+        "doc_id bigint, toks array<string>",
+    )
+    queries = spark.createDataFrame([(100, "apple")], "query_id bigint, term string")
+    return docs, queries
+
+
+def test_mmr_diversifies_over_pure_relevance(spark):
+    """All three docs tie on BM25 (identical tf/dl/df for the query
+    term), so pure relevance ranks 1,2,3 by id — but doc 2 is a
+    token-set duplicate of doc 1, so MMR must demote it below doc 3."""
+    from blockchain_indexer_spark.operators.textprep import bm25_topk, mmr_rerank
+
+    docs, queries = _mmr_fixture(spark)
+    bm25 = [r.doc_id for r in bm25_topk(docs, queries, k=3).orderBy("rank").collect()]
+    assert bm25 == [1, 2, 3]
+    out = mmr_rerank(docs, queries, k=3, pool=10).orderBy("mmr_rank").collect()
+    assert [r.doc_id for r in out] == [1, 3, 2]
+    by_doc = {r.doc_id: r for r in out}
+    # doc 2's penalty is the full 1e9 jaccard to its duplicate doc 1
+    assert by_doc[2].max_sim_nano == 1_000_000_000
+    # doc 3 overlaps doc 1 only on 'apple': |∩|=1, |∪|=5
+    assert by_doc[3].max_sim_nano == 200_000_000
+    for r in out:
+        assert r.mmr_nano == 7 * r.rel_nano - 3 * r.max_sim_nano
+    assert by_doc[1].max_sim_nano == 0  # first pick pays no penalty
+
+
+def test_mmr_rank_capped_by_pool_membership(spark):
+    from blockchain_indexer_spark.operators.textprep import mmr_rerank
+
+    docs, queries = _mmr_fixture(spark)
+    out = mmr_rerank(docs, queries, k=5, pool=10).collect()
+    # only 3 candidates exist -> 3 ranks, never padded
+    assert sorted(r.mmr_rank for r in out) == [1, 2, 3]
+
+
+def test_mmr_no_query_hits_yields_empty(spark):
+    from blockchain_indexer_spark.operators.textprep import mmr_rerank
+
+    docs = spark.createDataFrame(
+        [(1, ["alpha"])], "doc_id bigint, toks array<string>"
+    )
+    queries = spark.createDataFrame(
+        [(9, "missing")], "query_id bigint, term string"
+    )
+    assert mmr_rerank(docs, queries).count() == 0
