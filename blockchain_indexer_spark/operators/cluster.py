@@ -250,13 +250,16 @@ def dbscan_clusters(
 
     if pairs is None:
         pairs = cosine_near_dup_pairs(emb, id_col, vec_col, threshold=eps, scale=scale)
-    edges = pairs.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
-    sym = (
-        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        # deg, core-core edges and border assignment all read this —
-        # one run of the O(n^2/B) pair engine, not three
+    edges = (
+        pairs.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
+        # checkpoint BEFORE the symmetrization union: both union
+        # branches and all downstream consumers (deg, core-core
+        # edges, border assignment) re-read this frame, so without it
+        # the O(n^2/B) pair engine runs once per branch (measured 2x
+        # the matmul wall time at the 20x stress scale)
         .localCheckpoint(eager=True)
     )
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
     core = (
         deg.filter(F.col("deg") + 1 >= min_pts)

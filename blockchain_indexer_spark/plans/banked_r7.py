@@ -55,11 +55,13 @@ def _bank(name: str, oracle: str | None, doc: str, survey_refs: tuple[str, ...] 
 # The pixel/hash CTEs replay plans/multimodal.mm_image_ahash's
 # closed-form PNG gradient fixture (FIXTURES.md) at a 6x6 lattice,
 # then the banding + bit_count(xor) verify replays
-# dedup.hamming_band_pairs and the recursive closure replays
-# cluster.dedup_survivors. Output is CLUSTERS, not pairs: the gradient
-# corpus is pathologically self-similar under a brightness hash (~2.2k
-# distinct 36-bit hashes over 5k docs at sf0.1), so a pair gate's
-# output would grow with the square of dup-group sizes while the
+# dedup.hamming_band_pairs over DISTINCT hashes and the recursive
+# closure + label broadcast replays multimodal.image_dedup_clusters.
+# Output is CLUSTERS, not pairs, and the closure runs at the hash
+# level: the gradient corpus is pathologically self-similar under a
+# brightness hash (~6k distinct 36-bit hashes over 100k stress docs),
+# so doc-level pairs grow with the square of dup-group sizes while
+# hash-level pairs are bounded by hash-space structure and the
 # verdict stays one row per document at every scale.
 _IMAGE_DEDUP_SQL = """
     WITH RECURSIVE d AS (
@@ -91,29 +93,34 @@ _IMAGE_DEDUP_SQL = """
                   AS BIGINT) AS ahash
       FROM cells c JOIN tot t USING (doc_id) GROUP BY 1
     ),
+    hv AS (SELECT DISTINCT ahash FROM hsh),
     banded AS (
-      SELECT doc_id, ahash, r.b AS band, (ahash >> (9 * r.b)) & 511 AS bucket
-      FROM hsh, UNNEST(range(0, 4)) AS r(b)
+      SELECT ahash, r.b AS band, (ahash >> (9 * r.b)) & 511 AS bucket
+      FROM hv, UNNEST(range(0, 4)) AS r(b)
     ),
     p AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      SELECT DISTINCT a.ahash AS ha, b.ahash AS hb
       FROM banded a
       JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
-                   AND a.doc_id < b.doc_id
+                   AND a.ahash < b.ahash
       WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
     ),
-    edges AS (SELECT id_a AS a, id_b AS b FROM p
-              UNION SELECT id_b, id_a FROM p),
+    edges AS (SELECT ha AS a, hb AS b FROM p
+              UNION SELECT hb, ha FROM p),
     reach(id, r) AS (
       SELECT a, a FROM edges
       UNION
       SELECT e.b, reach.r FROM edges e JOIN reach ON e.a = reach.id
     ),
-    comp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
-    SELECT dd.doc_id,
-           COALESCE(c.cluster, dd.doc_id) AS cluster,
-           COALESCE(c.cluster, dd.doc_id) = dd.doc_id AS keep
-    FROM documents dd LEFT JOIN comp c ON c.id = dd.doc_id
+    comp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+    hlab AS (
+      SELECT hv.ahash, COALESCE(comp.cluster, hv.ahash) AS hc
+      FROM hv LEFT JOIN comp ON comp.id = hv.ahash
+    ),
+    dlab AS (SELECT hsh.doc_id, hlab.hc FROM hsh JOIN hlab USING (ahash)),
+    cmin AS (SELECT hc, MIN(doc_id) AS cluster FROM dlab GROUP BY 1)
+    SELECT dlab.doc_id, cmin.cluster, dlab.doc_id = cmin.cluster AS keep
+    FROM dlab JOIN cmin USING (hc)
     """
 
 
@@ -121,35 +128,31 @@ _IMAGE_DEDUP_SQL = """
     "mm_image_dedup_clusters",
     oracle=_IMAGE_DEDUP_SQL,
     doc="IMAGE dedup verdict end-to-end (operators.multimodal."
-    "image_near_dup_pairs + cluster.dedup_survivors): real PNG decode "
-    "(inflate + defilter) -> 36-bit perceptual average-hash (6x6 "
-    "integer cross-multiplied brightness lattice, mm_image_ahash's "
-    "oracle-exact hash rule) -> banded hamming blocking (dedup."
+    "image_dedup_clusters): real PNG decode (inflate + defilter) -> "
+    "36-bit perceptual average-hash (6x6 integer cross-multiplied "
+    "brightness lattice, mm_image_ahash's oracle-exact hash rule) -> "
+    "banded hamming blocking over DISTINCT hash values (dedup."
     "hamming_band_pairs; 4 bands x 9 bits, pigeonhole-COMPLETE for "
-    "hamming <= 3) -> connected components -> (cluster, keep) per "
-    "document. The multimodal twin of doc_dedup_clusters: rescaled/"
-    "re-encoded image copies collide within a few bits and exactly "
-    "one survivor per cluster keeps. Decode is one row-parallel Arrow "
-    "pass (band frame checkpointed); blocking joins on (band, "
-    "bucket), never all-pairs; output is one row per document at any "
-    "scale — pairs stay internal because near-dup-dense corpora make "
-    "pair sets quadratic in group size.",
+    "hamming <= 3) -> connected components at the hash level -> each "
+    "component's label broadcast back to its documents, min-id "
+    "survivor keeps. The multimodal twin of doc_dedup_clusters with "
+    "the dup-dense blow-up factored out: equal hashes are trivially "
+    "within threshold, so the closure runs over distinct hashes "
+    "(bounded by hash-space structure — ~6k at the 100k-doc stress "
+    "scale, 98k hash pairs vs ~10^8 doc pairs) and the decode is one "
+    "row-parallel Arrow pass (checkpointed). Output is one row per "
+    "document at any scale.",
     survey_refs=("LLM-multimodal", "LLM-dedup"),
 )
 def mm_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from blockchain_indexer_spark.operators.cluster import dedup_survivors
     from blockchain_indexer_spark.operators.multimodal import (
         attach_png_blob,
-        image_near_dup_pairs,
+        image_dedup_clusters,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    blobs = attach_png_blob(docs)
-    pairs = image_near_dup_pairs(blobs, grid=6, bands=4, max_hamming=3).select(
-        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
-    )
-    return dedup_survivors(docs, pairs, "doc_id").select(
-        F.col("id").alias("doc_id"), "cluster", "keep"
+    return image_dedup_clusters(
+        attach_png_blob(docs), grid=6, bands=4, max_hamming=3
     )
 
 

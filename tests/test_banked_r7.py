@@ -86,6 +86,35 @@ def test_hamming_band_pairs_pigeonhole_complete(spark):
     assert got == want
 
 
+def test_image_dedup_hash_factoring_equals_doc_level_closure(spark, sf_dir):
+    """image_dedup_clusters runs the closure over DISTINCT hashes (the
+    dup-dense scale fix); its clusters must be IDENTICAL to the naive
+    doc-level closure (pairs -> connected components -> survivors)."""
+    from blockchain_indexer_spark.operators.cluster import dedup_survivors
+    from blockchain_indexer_spark.operators.multimodal import (
+        attach_png_blob,
+        image_dedup_clusters,
+        image_near_dup_pairs,
+    )
+    from blockchain_indexer_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    blobs = attach_png_blob(docs)
+    fast = {
+        r.doc_id: (r.cluster, r.keep)
+        for r in image_dedup_clusters(blobs, grid=6, bands=4, max_hamming=3).collect()
+    }
+    pairs = image_near_dup_pairs(blobs, grid=6, bands=4, max_hamming=3).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    naive = {
+        r.id: (r.cluster, r.keep)
+        for r in dedup_survivors(docs, pairs, "doc_id").collect()
+    }
+    assert fast == naive
+
+
 def test_hamming_band_pairs_rejects_bad_bands(spark):
     from blockchain_indexer_spark.operators.dedup import hamming_band_pairs
 

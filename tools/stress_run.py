@@ -241,3 +241,25 @@ def _calib():
     w = perceptron_train(feats, epochs=2, n_buckets=256)
     return margin_calibration(perceptron_score(feats, w), n_buckets=10).count()
 t("perceptron_calibration_100k", _calib)
+
+# ---- round-6 banked operators (plans/banked_r7.py) -------------------
+from blockchain_indexer_spark.operators.cluster import dbscan_clusters
+from blockchain_indexer_spark.operators.multimodal import attach_png_blob, image_dedup_clusters
+from blockchain_indexer_spark.operators.textprep import mmr_rerank
+
+t("dbscan_exact_100k_t095", lambda: dbscan_clusters(
+    emb, "vec_id", "embedding", eps=0.95, min_pts=4).count())
+# threshold 0.9 is the documented output-bound worst case (the LSH pair
+# enumeration emits 34.5M true pairs on this corpus); dedup-grade eps
+# is tighter in production
+t("dbscan_lsh_100k_t09", lambda: dbscan_clusters(
+    emb, "vec_id", "embedding", min_pts=4,
+    pairs=lsh_near_dup_pairs(emb, dim=64, threshold=0.9, num_planes=64, bands=4)).count())
+
+t("image_dedup_100k", lambda: image_dedup_clusters(
+    attach_png_blob(docs), grid=6, bands=4, max_hamming=3).count())
+
+_mq = (_toks.filter((F.col("doc_id") % 1000 == 0) & (F.size("toks") >= 4))
+       .select(F.col("doc_id").alias("query_id"),
+               F.explode(F.slice(F.array_sort(F.array_distinct("toks")), 1, 4)).alias("term")))
+t("mmr_rerank_100k_q100", lambda: mmr_rerank(_toks, _mq, k=5, pool=10).count())
