@@ -617,9 +617,17 @@ def label_propagation(
     und = edges.select(
         F.col(src).alias("_a"), F.col(dst).alias("_b")
     ).filter(F.col("_a") != F.col("_b"))
-    adj = und.unionAll(
-        und.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
-    ).distinct()
+    adj = (
+        und.unionAll(
+            und.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
+        )
+        .distinct()
+        # every round's checkpoint action re-evaluates adj's lineage;
+        # for a mutual-kNN edge input that is one full kNN matmul pass
+        # PER ROUND (plus one per union branch) — pin the O(E) frame
+        # once, the triangle_counts/pagerank convention
+        .localCheckpoint(eager=True)
+    )
     seed = (
         seeds.select(
             F.col(id_col).alias("_id"), F.col(label_col).alias("_l")
