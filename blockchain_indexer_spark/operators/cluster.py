@@ -192,6 +192,11 @@ def dedup_survivors(
     duplicate cluster (its own id when it has no near-dups) and whether
     it is the cluster's survivor (the minimum id).
     """
+    # pin the O(pairs) frame: connected_components' symmetrization
+    # union reads it twice, and the pair generators' post-checkpoint
+    # tail (size joins + threshold filter) would otherwise run per
+    # branch
+    pairs = pairs.localCheckpoint(eager=True)
     comp = connected_components(pairs, left, right)
     return (
         df.select(F.col(id_col).alias("id"))
@@ -474,6 +479,9 @@ def cluster_representatives(
     small by construction; a degenerate giant cluster is a data bug the
     profiler surfaces, not a plan hazard).
     """
+    # same pin as dedup_survivors: the closure's symmetrization union
+    # reads the pair frame twice
+    pairs = pairs.localCheckpoint(eager=True)
     comp = connected_components(pairs, left, right)
     labeled = (
         df.select(F.col(id_col).alias("id"), F.col(score_col).alias("score"))
