@@ -188,6 +188,73 @@ def test_dbscan_lsh_pairs_seam(spark, sf_dir):
     assert set(core["cluster"]) <= set(core["id"])
 
 
+def test_dbscan_matches_python_reference_on_random_corpora(spark):
+    """Third implementation check (beyond the DuckDB oracle's single
+    corpus): DBSCAN's role/cluster semantics vs an independent
+    union-find reference, on seeded random vector sets at two
+    (eps, min_pts) settings."""
+    from blockchain_indexer_spark.operators.cluster import dbscan_clusters
+    from blockchain_indexer_spark.operators.similarity import _q_away
+
+    rng = np.random.default_rng(11)
+
+    def reference(vecs: dict[int, np.ndarray], eps: float, min_pts: int):
+        q = {i: _q_away(v * 1000.0) for i, v in vecs.items()}
+        nz = {i: v for i, v in q.items() if (v * v).sum() > 0}
+        ids = sorted(nz)
+        nbrs = {i: set() for i in ids}
+        for ai, a in enumerate(ids):
+            for b in ids[ai + 1:]:
+                va, vb = nz[a], nz[b]
+                # same op order as the engines: product in double FIRST
+                cos = float(va @ vb) / np.sqrt((va * va).sum() * (vb * vb).sum())
+                if cos >= eps:
+                    nbrs[a].add(b)
+                    nbrs[b].add(a)
+        core = {i for i in ids if len(nbrs[i]) + 1 >= min_pts}
+        parent = {i: i for i in core}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a in core:
+            for b in nbrs[a] & core:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    lo, hi = min(ra, rb), max(ra, rb)
+                    parent[hi] = lo
+        out = {}
+        for i in vecs:
+            if i in core:
+                out[i] = ("core", find(i))
+            elif i in nz and nbrs[i] & core:
+                out[i] = ("border", min(find(c) for c in nbrs[i] & core))
+            else:
+                out[i] = ("noise", -1)
+        return out
+
+    for eps, min_pts in ((0.8, 3), (0.5, 5)):
+        n, dim = 40, 6
+        raw = rng.normal(size=(n, dim)).astype(np.float32)
+        raw[::9] = raw[::9] * 0.1 + raw[3]  # plant a dense lump
+        raw[7] = 0.0  # zero vector -> noise by construction
+        vecs = {i: raw[i].astype(np.float64) for i in range(n)}
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in raw[i]]) for i in range(n)],
+            "vec_id bigint, embedding array<float>",
+        )
+        got = {
+            r.id: (r.role, r.cluster)
+            for r in dbscan_clusters(
+                df, "vec_id", "embedding", eps=eps, min_pts=min_pts
+            ).collect()
+        }
+        assert got == reference(vecs, eps, min_pts), (eps, min_pts)
+
+
 # ---------------------------------------------------------------------------
 # mmr_rerank
 # ---------------------------------------------------------------------------
