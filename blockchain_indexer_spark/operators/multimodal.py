@@ -1397,10 +1397,13 @@ def image_near_dup_pairs(
 
     Scale: the decode is row-parallel Arrow mapInPandas (one pass —
     the band frame is checkpointed downstream); blocking joins on
-    (band, bucket), never all-pairs. Returns (id_a, id_b, hamming)
-    with id_a < id_b, all-integer and engine-reproducible: the DuckDB
-    oracle rebuilds hashes from closed-form fixture pixels and replays
-    the banding + bit_count(xor) verify.
+    (band, bucket), never all-pairs — but note the OUTPUT is the pair
+    list, which on a dup-dense corpus is quadratic in dup-group size:
+    for a dedup verdict use ``image_dedup_clusters`` (hash-level
+    closure, one row per doc — the gated, oracle-checked path whose
+    SQL replays this banding over distinct hashes). Returns (id_a,
+    id_b, hamming) with id_a < id_b, all-integer and
+    engine-reproducible from closed-form fixture pixels.
     """
     from blockchain_indexer_spark.operators.dedup import hamming_band_pairs
 
