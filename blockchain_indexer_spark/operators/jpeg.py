@@ -24,10 +24,15 @@ already-nonzero history — including correction bits carried inside
 EOBn runs), in decode_jpeg_progressive — and SUBSAMPLED progressive
 with factors in {1, 2} (MCU-interleaved DC scans over padded grids,
 per-component non-interleaved AC scans, the same pinned floor
-upsample as baseline). Sampling factors >2, non-dividing ratios and
-sampled single-component scans raise NotImplementedError and stay
-behind the PIL seam in decode_image_real (the same honest
-input-domain guard as non-24bpp BMP / non-PCM WAV).
+upsample as baseline). RESTART INTERVALS (DRI + RSTn, T.81 E.2.4)
+are honored in progressive FIRST scans — byte-aligned resync with
+marker-sequence checks, DC-predictor resets, EOB runs bounded by the
+interval — as well as in baseline scans. Sampling factors >2,
+non-dividing ratios, sampled single-component scans, and restart
+intervals inside progressive REFINEMENT scans raise
+NotImplementedError and stay behind the PIL seam in
+decode_image_real (the same honest input-domain guard as non-24bpp
+BMP / non-PCM WAV).
 
 Exactness contract (what makes a LOSSY format oracle-gateable): the
 fixture encoder emits solid 8x8 blocks with an all-ones quantization
@@ -761,7 +766,12 @@ def synth_jpeg_progressive_blob(doc_id: int) -> bytes:
     SA rows use a DC quant entry of 8, so the quantized DC equals
     v-128 (any parity) and the raw-bit DC refinement scans carry REAL
     bits while IDCT of dc*8 still reconstructs v exactly — one
-    closed-form oracle covers all six shapes. Solid blocks keep the
+    closed-form oracle covers all six shapes. The spectral shapes
+    (0, 1, 4) additionally carry a RESTART INTERVAL of 2 MCUs (DRI +
+    RSTn markers with predictor resets and interval-bounded EOB runs
+    in every scan), so the driver also hashes the restart resync
+    path; restarts do not change decoded pixels, keeping the oracle
+    untouched. Solid blocks keep the
     decoded pixels closed-form, but the entropy layer is genuinely
     progressive: interleaved (MCU-ordered when subsampled) DC first
     scan with per-component predictors, per-component non-interleaved
@@ -786,7 +796,7 @@ def synth_jpeg_progressive_blob(doc_id: int) -> bytes:
         blocks = solid((7 * doc_id + 13 * bx + 3 * by) % 256, nby, nbx)
         if sa:
             return encode_jpeg_progressive_sa([blocks], quant=qt, al=2)
-        return encode_jpeg_progressive_gray(blocks)
+        return encode_jpeg_progressive_gray(blocks, restart_interval=2)
     if shape in (1, 3):  # 4:4:4 color
         nbx, nby = 1 + doc_id % 3, 1 + doc_id % 2
         bx = np.arange(nbx, dtype=np.int64)[None, :]
@@ -798,7 +808,7 @@ def synth_jpeg_progressive_blob(doc_id: int) -> bytes:
         comps = [plane(5, 11, 3), plane(3, 7, 5), plane(2, 5, 7)]
         if sa:
             return encode_jpeg_progressive_sa(comps, quant=qt, al=2)
-        return encode_jpeg_progressive(comps)
+        return encode_jpeg_progressive(comps, restart_interval=2)
     # shapes 4, 5: 4:2:0 (the synth_jpeg_420_blob closed form)
     nmx, nmy = 1 + doc_id % 2, 1 + doc_id % 3
     ybx = np.arange(2 * nmx, dtype=np.int64)[None, :]
@@ -811,7 +821,7 @@ def synth_jpeg_progressive_blob(doc_id: int) -> bytes:
     s420 = [(2, 2), (1, 1), (1, 1)]
     if sa:
         return encode_jpeg_progressive_sa([y, cb, cr], quant=qt, al=2, sampling=s420)
-    return encode_jpeg_progressive([y, cb, cr], sampling=s420)
+    return encode_jpeg_progressive([y, cb, cr], sampling=s420, restart_interval=2)
 
 
 # ------------------------------------------------- progressive (SOF2)
@@ -834,6 +844,7 @@ def encode_jpeg_progressive_gray(
     blocks: np.ndarray,
     bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
     quant: np.ndarray | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode a PROGRESSIVE (SOF2) grayscale stream with spectral
     selection: one DC scan (Ss=Se=0) followed by one scan per AC band
@@ -843,7 +854,7 @@ def encode_jpeg_progressive_gray(
     appended), so a solid-block fixture genuinely exercises the
     progressive entropy structure — band runs spanning many blocks —
     that baseline streams cannot. Blocks are (nby, nbx, 8, 8) uint8."""
-    return encode_jpeg_progressive([blocks], bands, quant)
+    return encode_jpeg_progressive([blocks], bands, quant, restart_interval=restart_interval)
 
 
 def _prog_mcu_grid(
@@ -886,6 +897,7 @@ def encode_jpeg_progressive(
     bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
     quant: np.ndarray | None = None,
     sampling: list[tuple[int, int]] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Progressive (SOF2) encoder for 1 (grayscale) or 3 (YCbCr)
     components: one interleaved DC scan, then per-component AC band
@@ -908,7 +920,10 @@ def encode_jpeg_progressive(
                 q = np.round(coefs / qt).astype(np.int64)
                 zz_blocks.append(q.reshape(64)[ZIGZAG])
         zz_comps.append(zz_blocks)
-    return encode_progressive_from_zz(zz_comps, mcuy, mcux, bands, qt, sampling=s)
+    return encode_progressive_from_zz(
+        zz_comps, mcuy, mcux, bands, qt, sampling=s,
+        restart_interval=restart_interval,
+    )
 
 
 def _prog_comp_dims(
@@ -932,6 +947,7 @@ def encode_progressive_from_zz(
     qt: np.ndarray | None = None,
     sampling: list[tuple[int, int]] | None = None,
     size: tuple[int, int] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Assemble a progressive stream from pre-quantized zigzag blocks
     (raster order; one list per component, or a bare single-component
@@ -943,7 +959,12 @@ def encode_progressive_from_zz(
     ``size=(h, w)`` declares a PARTIAL-MCU image: each component's
     list then covers only its non-padded ceil grid, the interleaved
     DC scan emits zero diffs for the right/bottom padding blocks
-    (which decoders discard), and AC scans skip them entirely."""
+    (which decoders discard), and AC scans skip them entirely.
+    ``restart_interval`` emits a DRI segment and RSTn markers every
+    that many MCUs per T.81 E.2.4 — in the DC scan an MCU is the
+    interleaved block group, in the non-interleaved AC scans it is
+    one block; DC predictors reset and pending EOBn runs flush at
+    every boundary, and the marker index cycles 0-7 per scan."""
     if zz_comps and isinstance(zz_comps[0], np.ndarray):
         zz_comps = [zz_comps]
     nf = len(zz_comps)
@@ -973,7 +994,13 @@ def encode_progressive_from_zz(
     # repeated predictor there and never IDCTs them.
     bw = BitWriter()
     preds = [0] * nf
-    for ci, bi in _prog_dc_order(nf, nby, nbx, s):
+    rst = 0
+    bpm = sum(hs * vs for hs, vs in s)  # blocks per interleaved MCU
+    for bcnt, (ci, bi) in enumerate(_prog_dc_order(nf, nby, nbx, s)):
+        if restart_interval and bcnt and bcnt % (bpm * restart_interval) == 0:
+            bw.raw_marker(0xD0 + (rst & 7))
+            rst += 1
+            preds = [0] * nf  # E.2.4: predictors reset at every restart
         cby, cbx = cdims[ci]
         pbx = nbx * s[ci][0]  # padded grid row stride
         by, bx = bi // pbx, bi % pbx
@@ -998,6 +1025,7 @@ def encode_progressive_from_zz(
         for ss, se in bands:
             bw = BitWriter()
             eobrun = 0
+            rst = 0
 
             def _flush(bw, run):
                 r = run.bit_length() - 1
@@ -1008,7 +1036,16 @@ def encode_progressive_from_zz(
                 if r:
                     bw.write(run - (1 << r), r)
 
-            for zz in zz_comps[ci]:
+            for bidx, zz in enumerate(zz_comps[ci]):
+                if restart_interval and bidx and bidx % restart_interval == 0:
+                    # the pending EOBn run belongs to the previous
+                    # interval: flush it before the marker (G.1.2.2 —
+                    # EOB runs shall not cross a restart boundary)
+                    if eobrun:
+                        _flush(bw, eobrun)
+                        eobrun = 0
+                    bw.raw_marker(0xD0 + (rst & 7))
+                    rst += 1
                 band = zz[ss : se + 1]
                 if not band.any():
                     eobrun += 1
@@ -1065,6 +1102,8 @@ def encode_progressive_from_zz(
         + b"\x10" + bytes(PROG_AC_BITS) + bytes(PROG_AC_VALS),
     )
     parts = [b"\xff\xd8", seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"), dqt, sof, dht]
+    if restart_interval:
+        parts.append(seg(0xDD, struct.pack(">H", restart_interval)))
     for sos, data in scans:
         parts += [sos, data]
     parts.append(b"\xff\xd9")
@@ -1392,8 +1431,11 @@ def decode_jpeg_progressive(buf: bytes) -> tuple[int, int, int, np.ndarray]:
     correction bits for the already-nonzero history — correction
     bits ride inside EOBn runs too. Dequant + IDCT run once after
     the last scan, then the same JFIF matrix + floor(x+0.5) color
-    transform as the baseline decoder. Honest guards (PIL seam):
-    subsampled progressive and restart intervals raise
+    transform as the baseline decoder. Restart intervals (DRI + RSTn
+    every Ri MCUs, T.81 E.2.4) are honored in first scans —
+    byte-align, marker-sequence check, DC-predictor reset, EOB runs
+    bounded by the interval. Honest guard (PIL seam): restart
+    intervals inside REFINEMENT scans (Ah > 0) raise
     NotImplementedError."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -1408,6 +1450,7 @@ def decode_jpeg_progressive(buf: bytes) -> tuple[int, int, int, np.ndarray]:
     coefs: dict[int, np.ndarray] | None = None  # cid -> (pby, pbx, 64), padded
     hmax = vmax = 1
     mcux = mcuy = 0
+    restart_interval = 0
     while pos < len(buf):
         if buf[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -1488,10 +1531,7 @@ def decode_jpeg_progressive(buf: bytes) -> tuple[int, int, int, np.ndarray]:
                 cy = -(-(h * vs) // (8 * vmax))
                 comp_dims[cid] = (cy, cx)
         elif marker == 0xDD:
-            if struct.unpack(">H", body[:2])[0]:
-                raise NotImplementedError(
-                    "restart intervals in progressive scans (PIL seam)"
-                )
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:
             if coefs is None:
                 raise ValueError("SOS before SOF2")
@@ -1502,22 +1542,31 @@ def decode_jpeg_progressive(buf: bytes) -> tuple[int, int, int, np.ndarray]:
             ah, al = ahal >> 4, ahal & 0x0F
             if any(cid not in coefs for cid in scan_ids):
                 raise ValueError("SOS references unknown component")
+            if restart_interval and ah:
+                # refinement-scan restarts interleave correction-bit
+                # state with marker resync — untested territory, so
+                # behind the seam like the other input-domain guards
+                raise NotImplementedError(
+                    "restart intervals in refinement scans (PIL seam)"
+                )
             br = BitReader(buf, pos)
+            rst_n = 0  # per-scan RSTn sequence (T.81 E.2.4)
             if ss == 0:  # DC scan
                 if se != 0:
                     raise ValueError("DC scan must have Se=0")
 
                 def _dc_blocks():
-                    """(cid, tt, by, bx) in scan order: MCU-interleaved
-                    over the padded grids when ns > 1 (T.81 A.2.3),
-                    component-raster over the non-padded grid when
-                    ns == 1 (non-interleaved, A.2.4)."""
+                    """(mcu, cid, tt, by, bx) in scan order:
+                    MCU-interleaved over the padded grids when ns > 1
+                    (T.81 A.2.3), component-raster over the non-padded
+                    grid when ns == 1 (non-interleaved, A.2.4 — the
+                    restart MCU is then one block)."""
                     if ns == 1:
                         cid, tt = scan_ids[0], scan_tts[0]
                         cy, cx = comp_dims[cid]
                         for by in range(cy):
                             for bx in range(cx):
-                                yield cid, tt, by, bx
+                                yield by * cx + bx, cid, tt, by, bx
                         return
                     for my in range(mcuy):
                         for mx in range(mcux):
@@ -1525,11 +1574,28 @@ def decode_jpeg_progressive(buf: bytes) -> tuple[int, int, int, np.ndarray]:
                                 hs, vs = comp_hv[cid]
                                 for vy in range(vs):
                                     for vx in range(hs):
-                                        yield cid, tt, my * vs + vy, mx * hs + vx
+                                        yield (
+                                            my * mcux + mx,
+                                            cid,
+                                            tt,
+                                            my * vs + vy,
+                                            mx * hs + vx,
+                                        )
 
                 if ah == 0:  # first scan: diffs of the shifted DC
                     preds = {cid: 0 for cid in scan_ids}
-                    for cid, tt, by, bx in _dc_blocks():
+                    prev_mcu = 0
+                    for mcu, cid, tt, by, bx in _dc_blocks():
+                        if (
+                            restart_interval
+                            and mcu != prev_mcu
+                            and mcu % restart_interval == 0
+                        ):
+                            if br.sync_restart() != (rst_n & 7):
+                                raise ValueError("restart marker out of sequence")
+                            rst_n += 1
+                            preds = {c: 0 for c in scan_ids}
+                        prev_mcu = mcu
                         dc_tab = htables[(0, tt >> 4)]
                         size = br.decode_symbol(dc_tab)
                         diff = _extend(br.read_bits(size), size) if size else 0
@@ -1538,7 +1604,7 @@ def decode_jpeg_progressive(buf: bytes) -> tuple[int, int, int, np.ndarray]:
                 else:  # refinement: one raw bit per block per component
                     if ah != al + 1:
                         raise ValueError("DC refinement must have Ah = Al+1")
-                    for cid, _tt, by, bx in _dc_blocks():
+                    for _mcu, cid, _tt, by, bx in _dc_blocks():
                         if br.read_bit():
                             coefs[cid][by, bx, 0] += 1 << al
             else:  # AC band scan: non-interleaved per T.81 G.1
@@ -1551,9 +1617,27 @@ def decode_jpeg_progressive(buf: bytes) -> tuple[int, int, int, np.ndarray]:
                 cc = coefs[cid]
                 cby, cbx = comp_dims[cid]  # non-interleaved: no padding
                 eobrun = 0
+                bidx = 0
                 if ah == 0:  # first scan (values point-transformed << al)
                     for by in range(cby):
                         for bx in range(cbx):
+                            if (
+                                restart_interval
+                                and bidx
+                                and bidx % restart_interval == 0
+                            ):
+                                if eobrun:
+                                    # G.1.2.2: an EOBn run shall end
+                                    # within its restart interval
+                                    raise ValueError(
+                                        "EOB run crosses a restart boundary"
+                                    )
+                                if br.sync_restart() != (rst_n & 7):
+                                    raise ValueError(
+                                        "restart marker out of sequence"
+                                    )
+                                rst_n += 1
+                            bidx += 1
                             if eobrun:
                                 eobrun -= 1
                                 continue
