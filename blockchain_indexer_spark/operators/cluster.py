@@ -257,6 +257,16 @@ def dbscan_clusters(
         pairs = cosine_near_dup_pairs(emb, id_col, vec_col, threshold=eps, scale=scale)
     edges = (
         pairs.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
+        # canonicalize + distinct: degrees below COUNT symmetrized
+        # rows, so an injected ``pairs`` frame carrying duplicate rows,
+        # both orientations, or self-pairs would silently inflate
+        # neighborhood sizes and misclassify core/border/noise
+        # (ADVICE r6). The built-in engines emit distinct a<b pairs,
+        # making this one O(E) exchange a no-op for them — cheap
+        # insurance relative to the pair engine it follows.
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
         # checkpoint BEFORE the symmetrization union: both union
         # branches and all downstream consumers (deg, core-core
         # edges, border assignment) re-read this frame, so without it
@@ -274,7 +284,13 @@ def dbscan_clusters(
     ce = sym.join(
         core.select(F.col("id").alias("a")), "a", "leftsemi"
     ).join(core.select(F.col("id").alias("b")), "b", "leftsemi")
-    comp = connected_components(ce, "a", "b")
+    # star contraction, not min-label propagation: eps-neighbor graphs
+    # over manifold/gradient-shaped embeddings CHAIN (x1~x2~x3... each
+    # within eps), so core-core component diameter grows with data
+    # shape and blows past propagation's round cap — the same failure
+    # mode that moved image_dedup_clusters to star contraction
+    # (ADVICE r6; identical (id, cluster=min-id) contract).
+    comp = connected_components_star(ce, "a", "b")
     core_lab = core.join(comp, "id", "left").select(
         "id", F.coalesce("cluster", "id").alias("cluster")
     )

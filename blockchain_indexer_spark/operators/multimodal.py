@@ -1377,7 +1377,7 @@ def image_phash(
 def image_near_dup_pairs(
     with_blobs: DataFrame,
     id_col: str = "doc_id",
-    grid: int = 4,
+    grid: int = 6,
     bands: int = 4,
     max_hamming: int = 3,
 ) -> DataFrame:
@@ -1404,6 +1404,11 @@ def image_near_dup_pairs(
     SQL replays this banding over distinct hashes). Returns (id_a,
     id_b, hamming) with id_a < id_b, all-integer and
     engine-reproducible from closed-form fixture pixels.
+
+    The grid default matches ``image_dedup_clusters`` (6×6 → 36-bit
+    signatures, 9-bit band buckets): a 16-bit hash with 16-value
+    band buckets collapses large corpora into huge buckets, turning
+    the candidate self-join near-quadratic (ADVICE r6).
     """
     from blockchain_indexer_spark.operators.dedup import hamming_band_pairs
 
