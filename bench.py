@@ -166,6 +166,12 @@ BENCH_QUERIES = (
     "doc_trigram_fluency",
     # perceptron-vs-stump Cohen's kappa (replays both trainings)
     "corpus_classifier_agreement",
+    # round-7 additions: the promoted round-6-banked gates — density
+    # clustering with noise over the exact eps-pair engine, hash-level
+    # image dedup closure, BM25-pool MMR diversified rerank
+    "embedding_dbscan",
+    "mm_image_dedup_clusters",
+    "doc_mmr_rerank",
 )
 
 #: Driver-facing subset of BENCH_QUERIES for the printed JSON line
@@ -191,13 +197,10 @@ HEADLINE_QUERIES = (
     "pricing_summary",
     "multi_join_revenue",
     "topk_per_group",
-    "gap_detection",
     "event_sessionization",
     "asof_latest_purchase",
     "range_join_active_sessions",
     "profile_orders",
-    "chain_crc_balances",
-    "chain_current_trust",
     "chain_trust_reachability",
     "minhash_lsh_candidates",
     "doc_exact_decontamination",
@@ -216,6 +219,14 @@ HEADLINE_QUERIES = (
     "doc_trigram_fluency",
     "event_funnel_conversion",
     "corpus_cms_heavy_hitters",
+    # round-7 canaries (displacing chain_crc_balances,
+    # chain_current_trust and gap_detection — the three cheapest
+    # entries; the chain family keeps chain_timeline_counts,
+    # chain_capacity_graph and chain_trust_reachability): the three
+    # promoted gates, all iterative/heavy plans worth drift-watching
+    "embedding_dbscan",
+    "mm_image_dedup_clusters",
+    "doc_mmr_rerank",
 )
 
 

@@ -27,89 +27,79 @@ from blockchain_indexer_spark.plans import multimodal as _multimodal  # noqa: E4
 #: Driver-facing iteration order (highest verification value first).
 PRIORITY = (
     # ------------------------------------------------------------------
-    # Round-6 rotation (VERDICT r5 "Next round" #1). The driver records
+    # Round-7 rotation (VERDICT r6 "Next round" #1). The driver records
     # exactly the first 50 entries per round; the front is now:
-    #   tier NEW — gates added in round 6 (never driver-verified);
-    #   tier STALE-ORACLED — the 44 oracled queries whose newest driver
-    #     row is round 3 (the r5 rotation retired the r2-stale tier but
-    #     aged this tier two more rounds; all 44 are judge-r5 green,
-    #     this refreshes the driver's own record);
-    #   tier STALE-ROWS-ONLY — rows-only production twins with round-1
-    #     (or no) driver rows, weakest signal, filling whatever front-50
-    #     slots remain (each lands below its oracled twin's evidence —
-    #     see tests/test_registry_order.py).
-    # Everything with a round-4/5 driver row sits below the fold.
-    # After this round every oracled query has a driver row from
-    # round 4 or later (CI-enforced in tests/test_registry_order.py,
-    # now at the achievable latest-2 bound: 144+ oracled queries over
-    # a 50-row window is a three-round rotation).
+    #   tier NEW — the three gates banked in round 6 (plans/banked_r7,
+    #     promoted this round) plus any gate added in round 7;
+    #   tier STALE-ORACLED — the oracled queries whose newest driver
+    #     row is round 4 (the stalest tier after the r6 window refresh;
+    #     all are judge-r6 value-exact green, this refreshes the
+    #     driver's own record). 47 of the 49 fit; the leftover two sit
+    #     just below the fold at newest=4, inside the rotation-period
+    #     bound (latest-3 at 152 oracled / 50-row window).
+    # Everything with a round-5/6 driver row sits below the fold.
     # ------------------------------------------------------------------
-    # -- tier NEW: round-6 gates, never driver-verified ------------------
-    # (new gates are inserted here as they land; each displaces one
-    # rows-only entry from the front 50)
-    "mm_real_jpeg_progressive",
-    "event_k_anonymity",
-    "doc_perceptron_calibration",
-    "embedding_pq_distortion",
-    "doc_trigram_fluency",
-    "corpus_classifier_agreement",
-    # -- tier STALE-ORACLED: newest driver row is round 3 ---------------
-    "minhash_incremental_md5",
-    "embedding_pq_topk",
-    "embedding_ivfpq_topk",
-    "embedding_lsh_near_dups",
-    "embedding_kmeans_clusters",
-    "embedding_semantic_dedup",
-    "doc_unigram_stats",
-    "corpus_mixture_rebalance",
-    "doc_pii_scrub",
-    "corpus_token_cardinality_bound",
-    "doc_length_quantiles_approx_bound",
-    "mm_real_audio",
-    "mm_real_frames",
-    "embedding_knn_label_probe",
-    "corpus_prep_report",
-    "fuzzy_name_matches",
-    "snapshot_diff_orders",
-    "embedding_pca_covariance",
-    "doc_bpe_merges",
-    "doc_bpe_token_stats",
-    "doc_bpe_vocab",
-    "minhash_lsh_candidates_md5",
-    "simhash_near_dups_md5",
-    "doc_decontamination",
-    "embedding_topk_qcosine",
-    "embedding_topk_mips",
-    "embedding_lsh_topk",
-    "embedding_ivf_topk",
-    "doc_token_stats",
-    "doc_lang_id",
-    "doc_quality_score",
-    "doc_repetition_stats",
-    "doc_train_split",
-    "doc_top_terms",
-    "doc_rolling_fingerprint",
-    "corpus_mixture_report",
-    "embedding_cosine_near_dups",
-    "minhash_signatures_md5",
-    "simhash_signatures_md5",
-    "per_day_counts",
-    "double_entry_ledger",
-    "multi_join_revenue",
-    "topk_per_group",
-    "union_activity_timeline",
+    # -- tier NEW: round-7 gates, never driver-verified ------------------
+    "embedding_dbscan",
+    "mm_image_dedup_clusters",
+    "doc_mmr_rerank",
+    # -- tier STALE-ORACLED: newest driver row is round 4 ----------------
+    "doc_chunk_packing",
+    "corpus_token_cardinality",
+    "doc_length_quantiles",
+    "scalar_total",
+    "mm_real_png",
+    "doc_boilerplate_scrub",
+    "doc_bm25_topk",
+    "doc_token_budget_sample",
+    "mm_image_ahash",
+    "graph_supplier_pagerank",
+    "doc_bigram_fluency",
+    "corpus_cms_heavy_hitters",
+    "mm_real_gif",
+    "corpus_perceptron_weights",
+    "doc_perceptron_margin",
+    "doc_intra_dedup",
+    "doc_cluster_best",
+    "doc_shard_plan",
+    "embedding_knn_triangles",
+    "doc_cross_repeat_spans",
+    "doc_winnowing",
+    "ngram_containment_near_dups",
+    "doc_dsir_weights",
+    "corpus_source_ks_drift",
+    "corpus_source_pair_jaccard",
+    "mm_real_jpeg",
+    "doc_cdc_chunks",
+    "embedding_hard_negatives",
+    "event_funnel_conversion",
+    "event_cohort_retention",
+    "doc_hybrid_rrf",
+    "corpus_quality_stump",
+    "event_decayed_engagement",
+    "event_type_transitions",
+    "embedding_label_propagation",
+    "corpus_source_distinctive_terms",
+    "event_funnel_windowed",
+    "embedding_ann_recall",
+    "event_volume_trend",
+    "event_cusum_changepoint",
+    "event_conversion_attribution",
+    "mm_real_jpeg_color",
+    "ngram_jaccard_near_dups",
+    "doc_exact_decontamination",
+    "doc_dedup_clusters",
+    "mm_real_decode",
+    "chain_crc_balances",
     # ------------------------------------------------------------------
-    # Below the ~50-row driver window: every entry here has a green
-    # round-4 or round-5 driver row (CORRECTNESS_r04/r05.json), the
-    # freshest evidence in the record — except the rows-only fillers
-    # displaced by round-6 gates (weakest signal, oracled twins fresh).
+    # Below the ~50-row driver window: the two r4-tier leftovers (at
+    # the rotation-period bound), then every entry with a green round-5
+    # or round-6 driver row (CORRECTNESS_r05/r06.json — the freshest
+    # evidence in the record), then the rows-only production twins
+    # (weakest signal, oracled twins fresh).
     # ------------------------------------------------------------------
-    "minhash_incremental",
-    "minhash_calibration",
-    "corpus_token_cardinality_approx",
-    "minhash_lsh_candidates",
-    "simhash_signatures",
-    "simhash_near_dups",
+    "chain_classification_counts",
+    "chain_current_trust",
     "mm_real_jpeg_420",
     "doc_sliding_chunks",
     "doc_tfidf_keywords",
@@ -160,56 +150,63 @@ PRIORITY = (
     "profile_orders",
     "salted_join_segment_totals",
     "stream_reassembly_join",
-    "doc_chunk_packing",
+    "mm_real_jpeg_progressive",
+    "event_k_anonymity",
+    "doc_perceptron_calibration",
+    "embedding_pq_distortion",
+    "doc_trigram_fluency",
+    "corpus_classifier_agreement",
+    "minhash_incremental_md5",
+    "embedding_pq_topk",
+    "embedding_ivfpq_topk",
+    "embedding_lsh_near_dups",
+    "embedding_kmeans_clusters",
+    "embedding_semantic_dedup",
+    "doc_unigram_stats",
+    "corpus_mixture_rebalance",
+    "doc_pii_scrub",
+    "corpus_token_cardinality_bound",
+    "doc_length_quantiles_approx_bound",
+    "mm_real_audio",
+    "mm_real_frames",
+    "embedding_knn_label_probe",
+    "corpus_prep_report",
+    "fuzzy_name_matches",
+    "snapshot_diff_orders",
+    "embedding_pca_covariance",
+    "doc_bpe_merges",
+    "doc_bpe_token_stats",
+    "doc_bpe_vocab",
+    "minhash_lsh_candidates_md5",
+    "simhash_near_dups_md5",
+    "doc_decontamination",
+    "embedding_topk_qcosine",
+    "embedding_topk_mips",
+    "embedding_lsh_topk",
+    "embedding_ivf_topk",
+    "doc_token_stats",
+    "doc_lang_id",
+    "doc_quality_score",
+    "doc_repetition_stats",
+    "doc_train_split",
+    "doc_top_terms",
+    "doc_rolling_fingerprint",
+    "corpus_mixture_report",
+    "embedding_cosine_near_dups",
+    "minhash_signatures_md5",
+    "simhash_signatures_md5",
+    "per_day_counts",
+    "double_entry_ledger",
+    "multi_join_revenue",
+    "topk_per_group",
+    "union_activity_timeline",
     "embedding_pca_project",
-    "corpus_token_cardinality",
-    "doc_length_quantiles",
-    "scalar_total",
-    "mm_real_png",
-    "doc_boilerplate_scrub",
-    "doc_bm25_topk",
-    "doc_token_budget_sample",
-    "mm_image_ahash",
-    "graph_supplier_pagerank",
-    "doc_bigram_fluency",
-    "corpus_cms_heavy_hitters",
-    "mm_real_gif",
-    "corpus_perceptron_weights",
-    "doc_perceptron_margin",
-    "doc_intra_dedup",
-    "doc_cluster_best",
-    "doc_shard_plan",
-    "embedding_knn_triangles",
-    "doc_cross_repeat_spans",
-    "doc_winnowing",
-    "ngram_containment_near_dups",
-    "doc_dsir_weights",
-    "corpus_source_ks_drift",
-    "corpus_source_pair_jaccard",
-    "mm_real_jpeg",
-    "doc_cdc_chunks",
-    "embedding_hard_negatives",
-    "event_funnel_conversion",
-    "event_cohort_retention",
-    "doc_hybrid_rrf",
-    "corpus_quality_stump",
-    "event_decayed_engagement",
-    "event_type_transitions",
-    "embedding_label_propagation",
-    "corpus_source_distinctive_terms",
-    "event_funnel_windowed",
-    "embedding_ann_recall",
-    "event_volume_trend",
-    "event_cusum_changepoint",
-    "event_conversion_attribution",
-    "mm_real_jpeg_color",
-    "ngram_jaccard_near_dups",
-    "doc_exact_decontamination",
-    "doc_dedup_clusters",
-    "mm_real_decode",
-    "chain_crc_balances",
-    "chain_classification_counts",
-    "chain_current_trust",
+    "minhash_incremental",
+    "minhash_calibration",
+    "corpus_token_cardinality_approx",
+    "minhash_lsh_candidates",
+    "simhash_signatures",
+    "simhash_near_dups",
 )
 
 

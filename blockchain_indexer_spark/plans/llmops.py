@@ -4487,3 +4487,255 @@ def minhash_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", k=3, num_hashes=64, bands=16, n_buckets=8,
         hash_fn="xxhash64",
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_dbscan: density clustering with explicit noise
+# (promoted from plans/banked_r7.py — banked + parity-tested in round 6,
+# registered round 7 per VERDICT r6 "Next round" #1)
+# ---------------------------------------------------------------------------
+
+_DBSCAN_SQL = """
+    WITH RECURSIVE v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    nz AS (
+      SELECT * FROM v
+      WHERE list_sum(list_transform(qv, x -> CAST(x * x AS DOUBLE))) > 0
+    ),
+    p AS (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM nz a JOIN nz b ON a.vec_id < b.vec_id
+      WHERE CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> CAST(a.qv[i] * b.qv[i] AS DOUBLE)))
+                 / sqrt(CAST(list_sum(list_transform(a.qv, x -> CAST(x * x AS DOUBLE))) AS DOUBLE)
+                        * CAST(list_sum(list_transform(b.qv, x -> CAST(x * x AS DOUBLE))) AS DOUBLE))
+                 AS DOUBLE) >= 0.3
+    ),
+    sym AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+    deg AS (SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+    core AS (SELECT id FROM deg WHERE d + 1 >= 4),
+    ce AS (
+      SELECT s.a, s.b FROM sym s
+      JOIN core ca ON ca.id = s.a
+      JOIN core cb ON cb.id = s.b
+    ),
+    reach(id, r) AS (
+      SELECT a, a FROM ce
+      UNION
+      SELECT ce.b, reach.r FROM ce JOIN reach ON ce.a = reach.id
+    ),
+    comp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+    core_lab AS (
+      SELECT core.id, COALESCE(comp.cluster, core.id) AS cluster
+      FROM core LEFT JOIN comp ON comp.id = core.id
+    ),
+    border AS (
+      SELECT s.a AS id, MIN(cl.cluster) AS cluster
+      FROM sym s JOIN core_lab cl ON cl.id = s.b
+      WHERE s.a NOT IN (SELECT id FROM core)
+      GROUP BY 1
+    )
+    SELECT e.vec_id,
+           CASE WHEN cl.id IS NOT NULL THEN 'core'
+                WHEN b.id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           CAST(COALESCE(cl.cluster, b.cluster, -1) AS BIGINT) AS cluster
+    FROM embeddings e
+    LEFT JOIN core_lab cl ON cl.id = e.vec_id
+    LEFT JOIN border b ON b.id = e.vec_id
+    """
+
+
+@register(
+    "embedding_dbscan",
+    oracle=_DBSCAN_SQL,
+    doc="Density-based clustering with explicit NOISE (operators."
+    "cluster.dbscan_clusters; DBSCAN, Ester et al. 1996): quantized "
+    "cosine >= 0.3 defines neighbors, closed-neighborhood size >= 4 "
+    "defines core points, clusters are connected components over "
+    "core-core edges (min-core-id labels via star contraction — "
+    "eps-neighbor graphs chain, ADVICE r6), border points take the "
+    "MINIMUM neighboring core's cluster (deterministic where classic "
+    "DBSCAN is scan-order dependent), all else is noise (cluster -1; "
+    "zero-norm vectors are noise by construction). The outlier-triage "
+    "complement of k-means/SemDeDup. The eps-pair frame is the exact "
+    "blocked-matmul engine (the oracle baseline); lsh_near_dup_pairs "
+    "plugs into the same `pairs` seam as the sub-quadratic scale "
+    "path. Oracle replays the whole pipeline: recursive-CTE closure "
+    "vs the iterative star-contraction Spark CC.",
+    survey_refs=("LLM-sim", "LLM-dedup"),
+)
+def embedding_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.cluster import dbscan_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dbscan_clusters(emb, "vec_id", "embedding", eps=0.3, min_pts=4).select(
+        F.col("id").alias("vec_id"), "role", "cluster"
+    )
+
+
+# ---------------------------------------------------------------------------
+# doc_mmr_rerank: diversified retrieval (BM25 pool -> greedy MMR)
+# (promoted from plans/banked_r7.py — banked + parity-tested in round 6,
+# registered round 7 per VERDICT r6 "Next round" #1)
+# ---------------------------------------------------------------------------
+
+
+def _mmr_steps(k: int, lam_num: int, lam2: int) -> str:
+    """Unrolled greedy-selection CTE chain: step i picks, per query,
+    the argmax of lam_num*rel - lam2*max(sim to selected) over the
+    not-yet-selected candidates, ties by doc id — exactly the Spark
+    operator's per-group loop."""
+    parts = [
+        f"""
+    p1 AS MATERIALIZED (
+      SELECT query_id, doc_id, rel, CAST(0 AS BIGINT) AS ms,
+             CAST({lam_num} * rel AS BIGINT) AS m
+      FROM cand
+    ),
+    s1 AS MATERIALIZED (
+      SELECT query_id, doc_id, rel, ms, m FROM
+        (SELECT *, row_number() OVER (PARTITION BY query_id
+                                      ORDER BY m DESC, doc_id) AS rn FROM p1)
+      WHERE rn = 1
+    ),
+    sel1 AS MATERIALIZED (SELECT query_id, doc_id, 1 AS r, rel, ms, m FROM s1)"""
+    ]
+    for i in range(2, k + 1):
+        j = i - 1
+        parts.append(
+            f"""
+    p{i} AS MATERIALIZED (
+      SELECT c.query_id, c.doc_id, c.rel,
+             CAST(COALESCE(MAX(x.s), 0) AS BIGINT) AS ms,
+             CAST({lam_num} * c.rel - {lam2} * COALESCE(MAX(x.s), 0) AS BIGINT) AS m
+      FROM cand c
+      LEFT JOIN (SELECT s.query_id, s.a, s.s
+                 FROM sims s JOIN sel{j} t
+                   ON t.query_id = s.query_id AND t.doc_id = s.b) x
+        ON x.query_id = c.query_id AND x.a = c.doc_id
+      WHERE NOT EXISTS (SELECT 1 FROM sel{j} t2
+                        WHERE t2.query_id = c.query_id AND t2.doc_id = c.doc_id)
+      GROUP BY 1, 2, 3
+    ),
+    s{i} AS MATERIALIZED (
+      SELECT query_id, doc_id, rel, ms, m FROM
+        (SELECT *, row_number() OVER (PARTITION BY query_id
+                                      ORDER BY m DESC, doc_id) AS rn FROM p{i})
+      WHERE rn = 1
+    ),
+    sel{i} AS MATERIALIZED (SELECT * FROM sel{j} UNION ALL
+               SELECT query_id, doc_id, {i} AS r, rel, ms, m FROM s{i})"""
+        )
+    return ",".join(parts)
+
+
+_MMR_SQL = (
+    rf"""
+    WITH d AS (
+      SELECT doc_id, COALESCE({_TOKS_SQL}, []) AS toks FROM documents
+    ),
+    tok AS MATERIALIZED (SELECT doc_id, unnest(toks) AS term FROM d),
+    tf AS MATERIALIZED (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+    dl AS MATERIALIZED (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+    corpus AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(len(toks)) AS BIGINT) AS s FROM d),
+    dft AS MATERIALIZED (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    q AS MATERIALIZED (
+      SELECT doc_id AS query_id, unnest(list_sort(list_distinct(toks))[1:4]) AS term
+      FROM d WHERE doc_id % 83 = 0 AND len(toks) >= 4
+    ),
+    hits AS (
+      SELECT q.query_id, tf.doc_id, tf.tf, dft.df, dl.dl, c.n, c.s
+      FROM q JOIN tf USING (term) JOIN dft USING (term)
+             JOIN dl ON dl.doc_id = tf.doc_id
+             CROSS JOIN corpus c
+    ),
+    scored AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(CAST(floor(1e9 * (
+               CAST(CAST(22 * s * tf * (2 * n - 2 * df + 1) AS BIGINT) AS DOUBLE)
+               / CAST(CAST((10 * s * tf + 3 * s + 9 * dl * n) * (2 * df + 1)
+                           AS BIGINT) AS DOUBLE)
+             )) AS BIGINT)) AS BIGINT) AS rel
+      FROM hits GROUP BY 1, 2
+    ),
+    cand AS MATERIALIZED (
+      SELECT query_id, doc_id, rel
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY rel DESC, doc_id) AS rn
+            FROM scored)
+      WHERE rn <= 10
+    ),
+    dset AS MATERIALIZED (SELECT DISTINCT doc_id FROM cand),
+    dtok AS MATERIALIZED (
+      SELECT d.doc_id AS dd, unnest(list_distinct(toks)) AS t
+      FROM d JOIN dset ON dset.doc_id = d.doc_id
+    ),
+    sizes AS MATERIALIZED (SELECT dd, CAST(COUNT(*) AS BIGINT) AS nn FROM dtok GROUP BY 1),
+    com AS (
+      SELECT ca.query_id, ca.doc_id AS a, cb.doc_id AS b,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM cand ca
+      JOIN dtok da ON da.dd = ca.doc_id
+      JOIN cand cb ON cb.query_id = ca.query_id AND cb.doc_id > ca.doc_id
+      JOIN dtok db ON db.dd = cb.doc_id AND db.t = da.t
+      GROUP BY 1, 2, 3
+    ),
+    sims0 AS MATERIALIZED (
+      SELECT com.query_id, com.a, com.b,
+             CAST((1000000000 * com.c) // (sa.nn + sb.nn - com.c) AS BIGINT) AS s
+      FROM com
+      JOIN sizes sa ON sa.dd = com.a
+      JOIN sizes sb ON sb.dd = com.b
+    ),
+    sims AS MATERIALIZED (SELECT query_id, a, b, s FROM sims0
+             UNION ALL SELECT query_id, b, a, s FROM sims0),"""
+    + _mmr_steps(5, 7, 3)
+    + """
+    SELECT query_id, CAST(r AS BIGINT) AS mmr_rank, doc_id,
+           CAST(rel AS BIGINT) AS rel_nano, ms AS max_sim_nano, m AS mmr_nano
+    FROM sel5
+    """
+)
+
+
+@register(
+    "doc_mmr_rerank",
+    oracle=_MMR_SQL,
+    doc="Maximal-marginal-relevance diversified re-rank (operators."
+    "textprep.mmr_rerank; Carbonell & Goldstein 1998) — the retrieval "
+    "stage doc_bm25_topk/doc_hybrid_rrf feed: from each query's BM25 "
+    "top-10 pool, greedily keep 5 by lam*rel - (1-lam)*max-sim-to-"
+    "selected with lam = 7/10 RATIONAL, relevance the integer BM25 "
+    "score_nano, and inter-candidate similarity the token-set jaccard "
+    "on the 1e-9 grid via INTEGER division — every MMR score is an "
+    "exact integer, ties break doc-id-asc at each step, so the 5-step "
+    "unrolled-CTE oracle replays the greedy selection decision-for-"
+    "decision. Pool pairs are built by a term-keyed posting join over "
+    "candidate docs only (pool^2 per query cap); the greedy loop runs "
+    "per query in one Arrow cogroup batch.",
+    survey_refs=("LLM-text", "LLM-sim", "W1"),
+)
+def doc_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.functions.text import tokens
+    from blockchain_indexer_spark.operators.textprep import mmr_rerank
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.coalesce(tokens("text"), F.array().cast("array<string>")).alias("toks"),
+    )
+    queries = (
+        base.filter((F.col("doc_id") % 83 == 0) & (F.size("toks") >= 4))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice(F.array_sort(F.array_distinct("toks")), 1, 4)).alias(
+                "term"
+            ),
+        )
+    )
+    return mmr_rerank(base, queries, k=5, pool=10, lam_num=7, lam_den=10)

@@ -672,3 +672,110 @@ def mm_real_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = attach_jpeg_progressive_blob(load_table(spark, sf_dir, "documents"))
     return decode_image_real(blobs)
+
+
+# ---------------------------------------------------------------------------
+# mm_image_dedup_clusters: perceptual-hash image dedup verdict
+# (promoted from plans/banked_r7.py — banked + parity-tested in round 6,
+# registered round 7 per VERDICT r6 "Next round" #1)
+# ---------------------------------------------------------------------------
+
+# The pixel/hash CTEs replay mm_image_ahash's closed-form PNG gradient
+# fixture (FIXTURES.md) at a 6x6 lattice, then the banding +
+# bit_count(xor) verify replays dedup.hamming_band_pairs over DISTINCT
+# hashes and the recursive closure + label broadcast replays
+# multimodal.image_dedup_clusters. Output is CLUSTERS, not pairs, and
+# the closure runs at the hash level: the gradient corpus is
+# pathologically self-similar under a brightness hash (~6k distinct
+# 36-bit hashes over 100k stress docs), so doc-level pairs grow with
+# the square of dup-group sizes while hash-level pairs are bounded by
+# hash-space structure and the verdict stays one row per document at
+# every scale.
+_IMAGE_DEDUP_SQL = """
+    WITH RECURSIVE d AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 9 AS h FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h,
+             (6 * r.x) // h * 6 + (6 * c.x) // w AS cell,
+             (doc_id + 3 * r.x + 7 * c.x) % 256
+               + (2 * doc_id + 5 * r.x + 11 * c.x) % 256
+               + (3 * doc_id + r.x + 13 * c.x) % 256 AS lum
+      FROM d, UNNEST(range(0, h)) AS r(x), UNNEST(range(0, w)) AS c(x)
+    ),
+    cells AS (
+      SELECT doc_id, cell,
+             CAST(SUM(lum) AS BIGINT) AS csum,
+             CAST(COUNT(*) AS BIGINT) AS ccnt
+      FROM px GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT doc_id, CAST(SUM(csum) AS BIGINT) AS tsum,
+             CAST(SUM(ccnt) AS BIGINT) AS tcnt
+      FROM cells GROUP BY 1
+    ),
+    hsh AS (
+      SELECT c.doc_id,
+             CAST(SUM(CASE WHEN c.csum * t.tcnt > t.tsum * c.ccnt
+                           THEN CAST(1 AS BIGINT) << c.cell ELSE 0 END)
+                  AS BIGINT) AS ahash
+      FROM cells c JOIN tot t USING (doc_id) GROUP BY 1
+    ),
+    hv AS (SELECT DISTINCT ahash FROM hsh),
+    banded AS (
+      SELECT ahash, r.b AS band, (ahash >> (9 * r.b)) & 511 AS bucket
+      FROM hv, UNNEST(range(0, 4)) AS r(b)
+    ),
+    p AS (
+      SELECT DISTINCT a.ahash AS ha, b.ahash AS hb
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.ahash < b.ahash
+      WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+    ),
+    edges AS (SELECT ha AS a, hb AS b FROM p
+              UNION SELECT hb, ha FROM p),
+    reach(id, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, reach.r FROM edges e JOIN reach ON e.a = reach.id
+    ),
+    comp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+    hlab AS (
+      SELECT hv.ahash, COALESCE(comp.cluster, hv.ahash) AS hc
+      FROM hv LEFT JOIN comp ON comp.id = hv.ahash
+    ),
+    dlab AS (SELECT hsh.doc_id, hlab.hc FROM hsh JOIN hlab USING (ahash)),
+    cmin AS (SELECT hc, MIN(doc_id) AS cluster FROM dlab GROUP BY 1)
+    SELECT dlab.doc_id, cmin.cluster, dlab.doc_id = cmin.cluster AS keep
+    FROM dlab JOIN cmin USING (hc)
+    """
+
+
+@register(
+    "mm_image_dedup_clusters",
+    oracle=_IMAGE_DEDUP_SQL,
+    doc="IMAGE dedup verdict end-to-end (operators.multimodal."
+    "image_dedup_clusters): real PNG decode (inflate + defilter) -> "
+    "36-bit perceptual average-hash (6x6 integer cross-multiplied "
+    "brightness lattice, mm_image_ahash's oracle-exact hash rule) -> "
+    "banded hamming blocking over DISTINCT hash values (dedup."
+    "hamming_band_pairs; 4 bands x 9 bits, pigeonhole-COMPLETE for "
+    "hamming <= 3) -> connected components at the hash level -> each "
+    "component's label broadcast back to its documents, min-id "
+    "survivor keeps. The multimodal twin of doc_dedup_clusters with "
+    "the dup-dense blow-up factored out: equal hashes are trivially "
+    "within threshold, so the closure runs over distinct hashes "
+    "(bounded by hash-space structure — ~6k at the 100k-doc stress "
+    "scale, 98k hash pairs vs ~10^8 doc pairs) and the decode is one "
+    "row-parallel Arrow pass (checkpointed). Output is one row per "
+    "document at any scale.",
+    survey_refs=("LLM-multimodal", "LLM-dedup"),
+)
+def mm_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.multimodal import image_dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    return image_dedup_clusters(
+        attach_png_blob(docs), grid=6, bands=4, max_hamming=3
+    )

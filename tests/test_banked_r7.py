@@ -1,10 +1,9 @@
-"""Round-7 BANKED gates (plans/banked_r7.py): full Spark-vs-DuckDB
-parity through the exact same compare() the registered gates use, plus
-unit tests for the new operators — so promotion in round 7 is a
-mechanical @register + PRIORITY slot, not new code.
-
-Banked and not registered because round 6's 50-row driver window is
-fully budgeted (6 new gates + 44 stale refreshes); see the module doc.
+"""Round-6-banked, round-7-PROMOTED gates (DBSCAN, image-dedup
+clusters, MMR): full Spark-vs-DuckDB parity through the exact same
+compare() the driver uses, plus unit tests for the operators. These
+were banked in plans/banked_r7.py during round 6 (the driver window
+was fully budgeted) and promoted to @register + front PRIORITY slots
+in round 7 (VERDICT r6 "Next round" #1).
 """
 
 from __future__ import annotations
@@ -12,20 +11,23 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
-from blockchain_indexer_spark.plans import REGISTRY
-from blockchain_indexer_spark.plans.banked_r7 import BANKED
+from blockchain_indexer_spark.plans import PRIORITY, REGISTRY
 from tools.check_correctness import compare, duck_con
 
+PROMOTED = (
+    "embedding_dbscan",
+    "mm_image_dedup_clusters",
+    "doc_mmr_rerank",
+)
 
-def test_banked_not_registered():
-    # the whole point of banking: REGISTRY (and so PRIORITY and the
-    # driver window) must not see these until round 7 promotes them
-    assert not set(BANKED) & set(REGISTRY)
-    assert set(BANKED) == {
-        "mm_image_dedup_clusters",
-        "embedding_dbscan",
-        "doc_mmr_rerank",
-    }
+
+def test_promoted_gates_front_window():
+    # promotion contract: registered, oracled, and inside the driver's
+    # 50-row verification window
+    for name in PROMOTED:
+        assert name in REGISTRY
+        assert REGISTRY[name].oracle is not None
+        assert PRIORITY.index(name) < 50
 
 
 @pytest.fixture(scope="module")
@@ -33,9 +35,9 @@ def con(sf_dir):
     return duck_con(sf_dir)
 
 
-@pytest.mark.parametrize("name", sorted(BANKED))
-def test_banked_oracle_parity(spark, sf_dir, con, name):
-    q = BANKED[name]
+@pytest.mark.parametrize("name", sorted(PROMOTED))
+def test_promoted_oracle_parity(spark, sf_dir, con, name):
+    q = REGISTRY[name]
     spark_pdf = q.build(spark, sf_dir).toPandas()
     assert len(spark_pdf) > 0, f"{name}: empty result proves nothing"
     duck_pdf = con.sql(q.oracle).df()

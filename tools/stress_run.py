@@ -242,7 +242,7 @@ def _calib():
     return margin_calibration(perceptron_score(feats, w), n_buckets=10).count()
 t("perceptron_calibration_100k", _calib)
 
-# ---- round-6 banked operators (plans/banked_r7.py) -------------------
+# ---- round-6 banked, round-7 promoted operators ----------------------
 from blockchain_indexer_spark.operators.cluster import dbscan_clusters
 from blockchain_indexer_spark.operators.multimodal import attach_png_blob, image_dedup_clusters
 from blockchain_indexer_spark.operators.textprep import mmr_rerank
