@@ -172,6 +172,8 @@ BENCH_QUERIES = (
     "embedding_dbscan",
     "mm_image_dedup_clusters",
     "doc_mmr_rerank",
+    # exact-vs-IVF mutual-kNN + label-propagation agreement monitor
+    "embedding_lp_ivf_agreement",
 )
 
 #: Driver-facing subset of BENCH_QUERIES for the printed JSON line

@@ -267,7 +267,9 @@ def lsh_topk(
             signed.filter(F.col("_role") == role)
             .select(
                 F.col("_id").alias(out_id),
-                F.col("_v").alias(vec_alias),
+                # quantize once per index/probe row, not per candidate
+                # pair in the re-rank (the _rerank_topk contract)
+                quantize("_v").alias(vec_alias),
                 F.explode(
                     F.array(
                         *[
@@ -286,10 +288,10 @@ def lsh_topk(
         )
 
     cand = (
-        banded("c", "neighbor_id", "_neighborv")
-        .join(banded("q", "query_id", "_queryv"), ["band", "bucket"])
+        banded("c", "neighbor_id", "_neighborq")
+        .join(banded("q", "query_id", "_queryq"), ["band", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "_queryv", "_neighborv")
+        .select("query_id", "neighbor_id", "_queryq", "_neighborq")
         .distinct()
     )
     return _rerank_topk(cand, k)
@@ -297,16 +299,33 @@ def lsh_topk(
 
 def _rerank_topk(cand: DataFrame, k: int, metric: str = "dot") -> DataFrame:
     """Exact re-rank of a candidate frame (query_id, neighbor_id,
-    _queryv, _neighborv) → top-k per query. metric='dot' is the
-    gate-pinned default (exact integer scores); metric='cosine'
-    normalizes with one IEEE sqrt+divide (brute_force_topk's cosine
-    arithmetic) — used where the candidate generator must agree with
-    a cosine-ranked exact baseline, e.g. the mutual-kNN IVF swap."""
+    _queryq, _neighborq [, _qnorm, _nnorm]) → top-k per query.
+
+    Inputs are PRE-quantized arrays (and, for cosine, per-ROW
+    precomputed norms): quantization and norms cost one HOF pass per
+    join-input row, never per candidate pair — at index scale the
+    candidate set is orders of magnitude larger than either side
+    (round-7 stress: ~3×10⁸ IVF candidates from a 10⁵ corpus; the
+    former per-pair re-quantization was ~6 interpreted array passes
+    per candidate and dominated the probe join). Same arithmetic,
+    same bits: quantize/norm per row equals quantize/norm per pair.
+
+    metric='dot' is the gate-pinned default (exact integer scores);
+    metric='cosine' normalizes with one IEEE sqrt+divide
+    (brute_force_topk's cosine arithmetic) — used where the candidate
+    generator must agree with a cosine-ranked exact baseline, e.g.
+    the mutual-kNN IVF swap."""
     if metric == "dot":
-        score = dot(quantize("_queryv"), quantize("_neighborv"))
+        score = dot(F.col("_queryq"), F.col("_neighborq"))
     elif metric == "cosine":
-        qv, cv = quantize("_queryv"), quantize("_neighborv")
-        score = dot(qv, cv) / F.sqrt(norm_sq(qv) * norm_sq(cv))
+        # zero-norm (and NULL) vectors have no cosine: drop the pair
+        # from the ranking — the exact baselines' _prep filter, and
+        # under ANSI mode the division would otherwise raise
+        # DIVIDE_BY_ZERO (caught by the NULL-corpus sweep, round 7)
+        cand = cand.filter((F.col("_qnorm") > 0) & (F.col("_nnorm") > 0))
+        score = dot(F.col("_queryq"), F.col("_neighborq")) / F.sqrt(
+            F.col("_qnorm") * F.col("_nnorm")
+        )
     else:
         raise ValueError(f"unknown metric {metric!r}")
     scored = cand.withColumn("score", score).select(
@@ -383,6 +402,7 @@ def ivf_topk(
     scale: int = 1000,
     broadcast_queries: bool = True,
     metric: str = "dot",
+    engine: str = "expr",
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index: corpus rows
     bucket to their nearest coarse centroid, each query probes its
@@ -401,7 +421,33 @@ def ivf_topk(
     terms ≪ 2^53), argmin ties break to the lowest cell id — so cell
     assignment and probe order are deterministic and, with ``iters=0``
     (data-seeded centroids), bit-reproducible by the DuckDB oracle.
+
+    ``engine`` picks the probe/re-rank implementation, same bits out:
+
+    - ``"expr"`` — pair-level cell equi-join + per-candidate JVM HOF
+      score. Right for the serving regime (few queries, modest
+      fan-out), and the shape the DuckDB oracle replays 1:1.
+    - ``"blocked"`` (cosine only) — each cell's members pack into ONE
+      row, probing queries pack per (cell), and one Arrow pass runs a
+      per-cell int64 matmul + local top-k under the (score desc, id
+      asc) total order (all_pairs_topk_cosine's kernel applied within
+      cells); a pair meets in exactly one cell, so the global window
+      over the ~|Q|·n_probe·k survivors finishes the exact same
+      ranking. Use in the queries≈corpus regime: the candidate count
+      is |Q|·n_probe·avg-cell and any per-pair interpreted expression
+      multiplies by it (round-7 stress, 100k×64 at 8-of-256 probes =
+      3.1×10⁸ candidates: 339 s expr → blocked runs the same probe as
+      numpy matmuls: 339 s -> 36 s measured, vs 150 s for the
+      exact all-pairs baseline on the same corpus). Equality with
+      "expr" is test-pinned.
     """
+    if engine not in ("expr", "blocked"):
+        raise ValueError(f"unknown engine {engine!r}; expected 'expr' or 'blocked'")
+    if engine == "blocked" and metric != "cosine":
+        # the blocked kernel drops zero-norm/NULL rows as the cosine
+        # contract requires; dot keeps NULL-score rows in the window,
+        # a semantic only the expr path preserves
+        raise ValueError("engine='blocked' supports metric='cosine' only")
     cents = train_ivf_centroids(corpus, id_col, vec_col, n_cells, sample, iters)
     cents_q = _q_away(cents * scale)  # integer-valued float64
     cents_sq = (cents_q**2).sum(axis=1)  # (n_cells,)
@@ -437,16 +483,29 @@ def ivf_topk(
         order = np.argsort(d, axis=1, kind="stable")[:, :n_probe].astype(np.int32)
         return pd.Series(list(order))
 
+    # quantize (and, for cosine, norm) ONCE PER ROW before the cell
+    # join: the candidate set is |Q|·n_probe·avg-cell pairs and any
+    # per-pair array pass multiplies by that factor (round-7 stress:
+    # 3×10⁸ candidates). This also keys the re-rank to THIS call's
+    # ``scale`` (previously the re-rank always quantized at the
+    # default scale regardless of the index's).
     cb = spread(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_neighborv"),
+        quantize(vec_col, scale).alias("_neighborq"),
         _cell(F.col(vec_col)).alias("cell"),
     )
     qb = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_queryv"),
+        quantize(vec_col, scale).alias("_queryq"),
         F.explode(_probe_cells(F.col(vec_col))).alias("cell"),
     )
+    if engine == "blocked":
+        return _ivf_blocked_cosine_topk(cb, qb, k)
+    pair_cols = ["query_id", "neighbor_id", "_queryq", "_neighborq"]
+    if metric == "cosine":
+        cb = cb.withColumn("_nnorm", norm_sq(F.col("_neighborq")))
+        qb = qb.withColumn("_qnorm", norm_sq(F.col("_queryq")))
+        pair_cols += ["_qnorm", "_nnorm"]
     # broadcast_queries=True is the serving shape (|Q| << |C|: the
     # probe frame rides the wire, the corpus never shuffles); for the
     # queries ≈ corpus regime (e.g. the mutual-kNN graph's IVF swap)
@@ -459,8 +518,110 @@ def ivf_topk(
     )
     # a (query, neighbor) pair can only meet in ONE cell (the
     # neighbor's cell), so no distinct is needed before the re-rank
-    return _rerank_topk(
-        cand.select("query_id", "neighbor_id", "_queryv", "_neighborv"), k, metric
+    return _rerank_topk(cand.select(*pair_cols), k, metric)
+
+
+def _ivf_blocked_cosine_topk(cb: DataFrame, qb: DataFrame, k: int) -> DataFrame:
+    """ivf_topk's engine='blocked' probe: per-cell int64 matmul + local
+    top-k (all_pairs_topk_cosine's kernel applied within cells).
+
+    Both sides shuffle ONCE on the cell id into one packed row per
+    cell (members stay O(avg-cell) per row); the Arrow pass scores
+    each (probing queries × cell members) block as one numpy matmul
+    and keeps each query's first k under the (score desc, neighbor_id
+    asc) TOTAL order — a candidate pair meets in exactly one cell (the
+    neighbor's), so the global window over the ~|Q|·n_probe·k
+    survivors reproduces the expr engine's ranking bit-for-bit
+    (integer dots/norms exact in float64; norm product, sqrt and
+    divide are single IEEE ops on both paths). Zero-norm and NULL
+    vectors drop before the matmul — the cosine contract
+    (_rerank_topk's filter)."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    cpacked = cb.groupBy("cell").agg(
+        F.collect_list(
+            F.struct(F.col("neighbor_id").alias("i"), F.col("_neighborq").alias("v"))
+        ).alias("_crows")
+    )
+    qpacked = qb.groupBy("cell").agg(
+        F.collect_list(
+            F.struct(F.col("query_id").alias("i"), F.col("_queryq").alias("v"))
+        ).alias("_qrows")
+    )
+    cells = qpacked.join(cpacked, "cell").select("_qrows", "_crows")
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+
+    def _unpack(rows):
+        ids = [r["i"] for r in rows if r["v"] is not None]
+        vecs = [r["v"] for r in rows if r["v"] is not None]
+        if not ids:
+            return None, None
+        mi = np.array(ids, dtype=np.int64)
+        mm = np.array(vecs, dtype=np.int64)
+        nz = (mm * mm).sum(axis=1) > 0
+        if not nz.any():
+            return None, None
+        return mi[nz], mm[nz]
+
+    def batches(it):
+        for pdf in it:
+            out_q, out_n, out_s = [], [], []
+            for qrows, crows in zip(pdf["_qrows"], pdf["_crows"]):
+                qi, qm = _unpack(qrows)
+                ci, cm = _unpack(crows)
+                if qi is None or ci is None:
+                    continue
+                dots = (qm @ cm.T).astype(np.float64)
+                nq = (qm * qm).sum(axis=1).astype(np.float64)
+                nc = (cm * cm).sum(axis=1).astype(np.float64)
+                s = dots / np.sqrt(nq[:, None] * nc[None, :])
+                s[qi[:, None] == ci[None, :]] = -np.inf  # self-pairs out
+                # all_pairs_topk_cosine's pruning kernel: argpartition
+                # gives the k-th score, the >= threshold mask keeps
+                # boundary TIES, and ONE lexsort orders only the ~n·k
+                # survivors (a full-ravel lexsort over n_q·n_c pairs
+                # dominated the first cut of this engine ~10:1)
+                kk = min(k, s.shape[1])
+                part = np.argpartition(-s, kk - 1, axis=1)[:, :kk]
+                thresh = np.take_along_axis(s, part, 1).min(axis=1)
+                rows, cols = np.nonzero(s >= thresh[:, None])
+                sc = s[rows, cols]
+                order = np.lexsort((ci[cols], -sc, rows))
+                rows, cols, sc = rows[order], cols[order], sc[order]
+                boundary = np.r_[True, rows[1:] != rows[:-1]]
+                starts = np.maximum.accumulate(
+                    np.where(boundary, np.arange(len(rows)), 0)
+                )
+                keep = (np.arange(len(rows)) - starts < kk) & np.isfinite(sc)
+                out_q.append(qi[rows[keep]])
+                out_n.append(ci[cols[keep]])
+                out_s.append(sc[keep])
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(
+                        np.concatenate(out_q) if out_q else [], dtype="int64"
+                    ),
+                    "neighbor_id": pd.Series(
+                        np.concatenate(out_n) if out_n else [], dtype="int64"
+                    ),
+                    "score": pd.Series(
+                        np.concatenate(out_s) if out_s else [], dtype="float64"
+                    ),
+                }
+            )
+
+    local = cells.mapInPandas(batches, schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
     )
 
 
@@ -1030,6 +1191,7 @@ def mutual_knn_graph(
     index: str = "exact",
     n_cells: int = 16,
     n_probe: int = 4,
+    iters: int = 5,
 ) -> DataFrame:
     """Undirected mutual-kNN graph over an embedding table: edge
     (src, dst) iff each vector is among the other's k nearest by
@@ -1058,6 +1220,12 @@ def mutual_knn_graph(
     The mutualization self-join (one hash join on the directed edge
     set, O(n·k) rows) and everything downstream are identical for
     both retrievals.
+
+    ``iters`` is the IVF coarse-quantizer's Lloyd iteration count
+    (ignored for ``"exact"``): the default keeps the recall-tuned
+    refined cells; ``iters=0`` keeps the data-seeded sample centroids,
+    making the whole retrieval SQL-reproducible (the oracle pattern
+    ivf_topk documents — used by the embedding_lp_ivf_agreement gate).
     """
     if index == "exact":
         topk = all_pairs_topk_cosine(emb, id_col, vec_col, k=k, scale=scale)
@@ -1070,13 +1238,28 @@ def mutual_knn_graph(
             k=k,
             n_cells=n_cells,
             n_probe=n_probe,
+            iters=iters,
             scale=scale,
             broadcast_queries=False,
             metric="cosine",  # the exact baseline ranks by cosine
+            # queries ≈ corpus: probe via per-cell numpy matmuls, not
+            # a per-candidate JVM expression (bit-identical, test-
+            # pinned; 339 s -> 36 s at the 100k 8-of-256 stress,
+            # vs 150 s for the exact blocked-matmul baseline)
+            engine="blocked",
         )
     else:
         raise ValueError(f"unknown index {index!r}; expected 'exact' or 'ivf'")
-    d = topk.select("query_id", "neighbor_id")
+    d = (
+        topk.select("query_id", "neighbor_id")
+        # pin the O(n·k) directed edge set BEFORE the mutualization
+        # self-join: both join sides read it, and without the pin the
+        # retrieval (one full blocked-matmul or IVF probe pass) runs
+        # once PER SIDE — no ReusedExchange saves it (measured 2
+        # MapInPandas stages in the executed plan, ~2x the matmul at
+        # stress scale; the dedup_survivors/dbscan pin convention)
+        .localCheckpoint(eager=True)
+    )
     rev = d.select(
         F.col("neighbor_id").alias("query_id"), F.col("query_id").alias("neighbor_id")
     )

@@ -34,7 +34,7 @@ PRIORITY = (
     #   tier STALE-ORACLED — the oracled queries whose newest driver
     #     row is round 4 (the stalest tier after the r6 window refresh;
     #     all are judge-r6 value-exact green, this refreshes the
-    #     driver's own record). 47 of the 49 fit; the leftover two sit
+    #     driver's own record). 46 of the 49 fit; the leftover three sit
     #     just below the fold at newest=4, inside the rotation-period
     #     bound (latest-3 at 152 oracled / 50-row window).
     # Everything with a round-5/6 driver row sits below the fold.
@@ -43,6 +43,7 @@ PRIORITY = (
     "embedding_dbscan",
     "mm_image_dedup_clusters",
     "doc_mmr_rerank",
+    "embedding_lp_ivf_agreement",
     # -- tier STALE-ORACLED: newest driver row is round 4 ----------------
     "doc_chunk_packing",
     "corpus_token_cardinality",
@@ -90,14 +91,14 @@ PRIORITY = (
     "doc_exact_decontamination",
     "doc_dedup_clusters",
     "mm_real_decode",
-    "chain_crc_balances",
     # ------------------------------------------------------------------
-    # Below the ~50-row driver window: the two r4-tier leftovers (at
+    # Below the ~50-row driver window: the three r4-tier leftovers (at
     # the rotation-period bound), then every entry with a green round-5
     # or round-6 driver row (CORRECTNESS_r05/r06.json — the freshest
     # evidence in the record), then the rows-only production twins
     # (weakest signal, oracled twins fresh).
     # ------------------------------------------------------------------
+    "chain_crc_balances",
     "chain_classification_counts",
     "chain_current_trust",
     "mm_real_jpeg_420",

@@ -286,3 +286,56 @@ def test_mutual_knn_graph_ivf_swap_recall(spark):
     # structural sanity: IVF edges stay within clusters (diameter of
     # the 0.08-noise clusters is far below the inter-center gap)
     assert all(s % 8 == d % 8 for s, d in ivf)
+
+
+def test_mutual_knn_graph_pins_retrieval_before_mutualization(spark, sf_dir):
+    """The directed top-k frame is localCheckpointed before the
+    mutualization self-join: without the pin both join sides re-run
+    the retrieval (2 MapInPandas stages in the executed plan, ~2x the
+    matmul at stress scale). The pinned plan reads the materialized
+    RDD on both sides — no Arrow retrieval stage may remain."""
+    from blockchain_indexer_spark.operators.similarity import mutual_knn_graph
+    from blockchain_indexer_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = mutual_knn_graph(emb, "vec_id", "embedding", k=5)
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan, "retrieval re-runs per join side"
+
+
+def test_mutual_knn_graph_ivf_iters0_matches_data_seeded_index(spark):
+    """iters=0 (the SQL-replayable data-seeded quantizer, the
+    embedding_lp_ivf_agreement gate configuration) must equal wiring
+    ivf_topk(iters=0) + mutualization by hand."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from blockchain_indexer_spark.operators.similarity import (
+        ivf_topk,
+        mutual_knn_graph,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["src"], r["dst"])
+        for r in mutual_knn_graph(
+            emb, k=3, index="ivf", n_cells=8, n_probe=3, iters=0
+        ).collect()
+    }
+    topk = ivf_topk(
+        emb, emb, "vec_id", "embedding", k=3, n_cells=8, n_probe=3, iters=0,
+        broadcast_queries=False, metric="cosine",
+    ).select("query_id", "neighbor_id")
+    rev = topk.select(
+        F.col("neighbor_id").alias("query_id"), F.col("query_id").alias("neighbor_id")
+    )
+    want = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk.join(rev, ["query_id", "neighbor_id"])
+        .filter(F.col("query_id") < F.col("neighbor_id"))
+        .collect()
+    }
+    assert got == want and got

@@ -263,3 +263,34 @@ _mq = (_toks.filter((F.col("doc_id") % 1000 == 0) & (F.size("toks") >= 4))
        .select(F.col("doc_id").alias("query_id"),
                F.explode(F.slice(F.array_sort(F.array_distinct("toks")), 1, 4)).alias("term")))
 t("mmr_rerank_100k_q100", lambda: mmr_rerank(_toks, _mq, k=5, pool=10).count())
+
+# ---- round-7 operators -----------------------------------------------
+# lp-ivf agreement at 20x: the registered gate pins n_cells=16 for the
+# 500-row driver table; at 100k vectors the cell count scales with
+# sqrt(n)-ish corpus size (256 data-seeded cells here -> ~390-vector
+# cells, probe join ~3x10^8 candidate scorings) — the documented
+# ivf_topk posture. Exact graph remains the blocked-matmul baseline.
+def _lp_ivf_agree_100k():
+    from blockchain_indexer_spark.operators.cluster import label_propagation
+
+    ex = mutual_knn_graph(emb, "vec_id", "embedding", k=5).localCheckpoint(eager=True)
+    iv = mutual_knn_graph(
+        emb, "vec_id", "embedding", k=5, index="ivf",
+        n_cells=256, n_probe=8, iters=0,
+    ).localCheckpoint(eager=True)
+    seeds = emb.filter(F.col("vec_id") % 5 == 0).select("vec_id", "label")
+    pe = (label_propagation(ex, seeds, id_col="vec_id", label_col="label", iters=2)
+          .filter(~F.col("is_seed")).select("vec_id", F.col("label").alias("_le")))
+    pi = (label_propagation(iv, seeds, id_col="vec_id", label_col="label", iters=2)
+          .filter(~F.col("is_seed")).select("vec_id", F.col("label").alias("_li")))
+    r = (pe.join(pi, "vec_id")
+         .agg(F.count("*").alias("both"),
+              F.sum(F.when(F.col("_le") == F.col("_li"), 1).otherwise(0)).alias("agree"))
+         .collect()[0])
+    ex_n = ex.count(); iv_n = iv.count()
+    common = ex.join(iv, ["src", "dst"], "leftsemi").count()
+    print(f"  lp_ivf_agree detail: edges exact={ex_n} ivf={iv_n} common={common} "
+          f"recall={common/max(ex_n,1):.3f} label_agree={r['agree']}/{r['both']}",
+          flush=True)
+    return r["both"]
+t("lp_ivf_agreement_100k", _lp_ivf_agree_100k)
