@@ -25,11 +25,11 @@ EOBn runs), in decode_jpeg_progressive — and SUBSAMPLED progressive
 with factors in {1, 2} (MCU-interleaved DC scans over padded grids,
 per-component non-interleaved AC scans, the same pinned floor
 upsample as baseline). RESTART INTERVALS (DRI + RSTn, T.81 E.2.4)
-are honored in progressive FIRST scans — byte-aligned resync with
-marker-sequence checks, DC-predictor resets, EOB runs bounded by the
-interval — as well as in baseline scans. Sampling factors >2,
-non-dividing ratios, sampled single-component scans, and restart
-intervals inside progressive REFINEMENT scans raise
+are honored in every scan kind — baseline, progressive first AND
+refinement scans: byte-aligned resync with marker-sequence checks,
+DC-predictor resets, EOB runs (with their buffered refinement
+correction bits) bounded by the interval. Sampling factors >2,
+non-dividing ratios, and sampled single-component scans raise
 NotImplementedError and stay behind the PIL seam in
 decode_image_real (the same honest input-domain guard as non-24bpp
 BMP / non-PCM WAV).
@@ -766,12 +766,13 @@ def synth_jpeg_progressive_blob(doc_id: int) -> bytes:
     SA rows use a DC quant entry of 8, so the quantized DC equals
     v-128 (any parity) and the raw-bit DC refinement scans carry REAL
     bits while IDCT of dc*8 still reconstructs v exactly — one
-    closed-form oracle covers all six shapes. The spectral shapes
-    (0, 1, 4) additionally carry a RESTART INTERVAL of 2 MCUs (DRI +
-    RSTn markers with predictor resets and interval-bounded EOB runs
-    in every scan), so the driver also hashes the restart resync
-    path; restarts do not change decoded pixels, keeping the oracle
-    untouched. Solid blocks keep the
+    closed-form oracle covers all six shapes. ALL six shapes carry a
+    RESTART INTERVAL of 2 MCUs (DRI + RSTn markers with predictor
+    resets and interval-bounded EOBn runs in every scan — since
+    round 7 that includes the SA rows' raw-bit DC refinement and
+    correction-bit AC refinement scans), so the driver hashes the
+    restart resync path through every scan kind; restarts do not
+    change decoded pixels, keeping the oracle untouched. Solid blocks keep the
     decoded pixels closed-form, but the entropy layer is genuinely
     progressive: interleaved (MCU-ordered when subsampled) DC first
     scan with per-component predictors, per-component non-interleaved
@@ -795,7 +796,9 @@ def synth_jpeg_progressive_blob(doc_id: int) -> bytes:
         by = np.arange(nby, dtype=np.int64)[:, None]
         blocks = solid((7 * doc_id + 13 * bx + 3 * by) % 256, nby, nbx)
         if sa:
-            return encode_jpeg_progressive_sa([blocks], quant=qt, al=2)
+            return encode_jpeg_progressive_sa(
+                [blocks], quant=qt, al=2, restart_interval=2
+            )
         return encode_jpeg_progressive_gray(blocks, restart_interval=2)
     if shape in (1, 3):  # 4:4:4 color
         nbx, nby = 1 + doc_id % 3, 1 + doc_id % 2
@@ -807,7 +810,9 @@ def synth_jpeg_progressive_blob(doc_id: int) -> bytes:
 
         comps = [plane(5, 11, 3), plane(3, 7, 5), plane(2, 5, 7)]
         if sa:
-            return encode_jpeg_progressive_sa(comps, quant=qt, al=2)
+            return encode_jpeg_progressive_sa(
+                comps, quant=qt, al=2, restart_interval=2
+            )
         return encode_jpeg_progressive(comps, restart_interval=2)
     # shapes 4, 5: 4:2:0 (the synth_jpeg_420_blob closed form)
     nmx, nmy = 1 + doc_id % 2, 1 + doc_id % 3
@@ -820,7 +825,9 @@ def synth_jpeg_progressive_blob(doc_id: int) -> bytes:
     cr = solid((2 * doc_id + 7 * mx + 3 * my) % 256, nmy, nmx)
     s420 = [(2, 2), (1, 1), (1, 1)]
     if sa:
-        return encode_jpeg_progressive_sa([y, cb, cr], quant=qt, al=2, sampling=s420)
+        return encode_jpeg_progressive_sa(
+            [y, cb, cr], quant=qt, al=2, sampling=s420, restart_interval=2
+        )
     return encode_jpeg_progressive([y, cb, cr], sampling=s420, restart_interval=2)
 
 
@@ -1132,6 +1139,7 @@ def encode_jpeg_progressive_sa(
     quant: np.ndarray | None = None,
     al: int = 1,
     sampling: list[tuple[int, int]] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Progressive (SOF2) encoder with SUCCESSIVE APPROXIMATION for 1
     (grayscale) or 3 (YCbCr) components: first scans carry the
@@ -1157,14 +1165,28 @@ def encode_jpeg_progressive_sa(
                 q = np.round(coefs / qt).astype(np.int64)
                 zz_blocks.append(q.reshape(64)[ZIGZAG])
         zz_comps.append(zz_blocks)
-    return encode_progressive_sa_from_zz(zz_comps, mcuy, mcux, bands, qt, al, sampling=s)
+    return encode_progressive_sa_from_zz(
+        zz_comps, mcuy, mcux, bands, qt, al, sampling=s,
+        restart_interval=restart_interval,
+    )
 
 
-def _encode_ac_first_sa(bw: "BitWriter", blocks, ss: int, se: int, al: int, ac_enc) -> None:
+def _encode_ac_first_sa(
+    bw: "BitWriter",
+    blocks,
+    ss: int,
+    se: int,
+    al: int,
+    ac_enc,
+    restart_interval: int = 0,
+) -> None:
     """AC first scan (Ah=0, Al=al): the spectral-selection band coding
     of encode_progressive_from_zz over the point-transformed values
-    sign * (|coef| >> al), T.81 G.1.2.1."""
+    sign * (|coef| >> al), T.81 G.1.2.1. ``restart_interval`` emits a
+    RSTn every that many blocks (non-interleaved: one block per MCU),
+    flushing the pending EOBn run first (G.1.2.2)."""
     eobrun = 0
+    rst = 0
 
     def _flush(run: int) -> None:
         r = run.bit_length() - 1
@@ -1181,7 +1203,13 @@ def _encode_ac_first_sa(bw: "BitWriter", blocks, ss: int, se: int, al: int, ac_e
             t = abs(c) >> al
             v.append(-t if c < 0 else t)
         vals_per_block.append(v)
-    for v in vals_per_block:
+    for bidx, v in enumerate(vals_per_block):
+        if restart_interval and bidx and bidx % restart_interval == 0:
+            if eobrun:
+                _flush(eobrun)
+                eobrun = 0
+            bw.raw_marker(0xD0 + (rst & 7))
+            rst += 1
         if not any(v):
             eobrun += 1
             if eobrun == 63:  # table EOBn caps at r=5
@@ -1217,16 +1245,28 @@ def _encode_ac_first_sa(bw: "BitWriter", blocks, ss: int, se: int, al: int, ac_e
         _flush(eobrun)
 
 
-def _encode_ac_refine(bw: "BitWriter", blocks, ss: int, se: int, al: int, ac_enc) -> None:
+def _encode_ac_refine(
+    bw: "BitWriter",
+    blocks,
+    ss: int,
+    se: int,
+    al: int,
+    ac_enc,
+    restart_interval: int = 0,
+) -> None:
     """AC refinement scan (Ah=al+1, Al=al), T.81 G.1.2.3 (the libjpeg
     encode_mcu_AC_refine shape): per block, newly-significant
     coefficients (|c| >> al == 1) are coded as run/size-1 symbols
     whose runs count only ZERO-HISTORY positions, with a sign bit and
     the buffered correction bits of already-nonzero coefficients
     passed on the way; blocks with nothing new fold into EOBn runs
-    whose correction bits ride right after the EOBn symbol."""
+    whose correction bits ride right after the EOBn symbol.
+    ``restart_interval`` emits a RSTn every that many blocks, flushing
+    the pending EOBn run (and its buffered correction bits) first —
+    EOB runs shall not cross a restart boundary (G.1.2.2)."""
     eobrun = 0
     be_bits: list[int] = []
+    rst = 0
 
     def emit_eobrun() -> None:
         nonlocal eobrun, be_bits
@@ -1241,7 +1281,11 @@ def _encode_ac_refine(bw: "BitWriter", blocks, ss: int, se: int, al: int, ac_enc
             eobrun = 0
             be_bits = []
 
-    for zz in blocks:
+    for bidx, zz in enumerate(blocks):
+        if restart_interval and bidx and bidx % restart_interval == 0:
+            emit_eobrun()
+            bw.raw_marker(0xD0 + (rst & 7))
+            rst += 1
         absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
         # position of the last newly-significant coefficient: pending
         # ZRLs are only emitted up to here — beyond it, zero runs and
@@ -1297,6 +1341,7 @@ def encode_progressive_sa_from_zz(
     al: int = 1,
     sampling: list[tuple[int, int]] | None = None,
     size: tuple[int, int] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Assemble a successive-approximation progressive stream from
     pre-quantized zigzag blocks: one interleaved DC first scan at
@@ -1307,7 +1352,12 @@ def encode_progressive_sa_from_zz(
     value| <= 1 in first scans (i.e. |coef| < 2^(al+1)), which still
     drives every decode path: new significance at each level,
     correction bits of both values, ZRL runs and EOBn-carried
-    correction bits."""
+    correction bits. ``restart_interval`` emits a DRI segment and
+    RSTn markers every that many MCUs in EVERY scan — including the
+    refinement scans (T.81 E.2.4 puts restarts in any scan kind):
+    the raw-bit DC refinement byte-aligns at each boundary, and AC
+    refinement flushes its pending EOBn run + buffered correction
+    bits before the marker (G.1.2.2)."""
     if zz_comps and isinstance(zz_comps[0], np.ndarray):
         zz_comps = [zz_comps]
     if al < 1:
@@ -1344,10 +1394,16 @@ def encode_progressive_sa_from_zz(
         return fallback
 
     scans = []
+    bpm = sum(hs * vs for hs, vs in s)  # blocks per interleaved MCU
     # DC first scan (Ah=0, Al=al): diffs of arithmetic-shifted DC
     bw = BitWriter()
     preds = [0] * nf
-    for ci, bi in _prog_dc_order(nf, nby, nbx, s):
+    rst = 0
+    for bcnt, (ci, bi) in enumerate(_prog_dc_order(nf, nby, nbx, s)):
+        if restart_interval and bcnt and bcnt % (bpm * restart_interval) == 0:
+            bw.raw_marker(0xD0 + (rst & 7))
+            rst += 1
+            preds = [0] * nf  # E.2.4: predictors reset at every restart
         dc = _dc_at(ci, bi, preds[ci] << al) >> al
         diff = dc - preds[ci]
         size = _category(diff)
@@ -1365,7 +1421,9 @@ def encode_progressive_sa_from_zz(
     for ci in range(nf):
         for ss, se in bands:
             bw = BitWriter()
-            _encode_ac_first_sa(bw, zz_comps[ci], ss, se, al, ac_enc)
+            _encode_ac_first_sa(
+                bw, zz_comps[ci], ss, se, al, ac_enc, restart_interval
+            )
             bw.pad_align()
             scans.append(
                 (seg(0xDA, bytes((1, ci + 1, 0x00, ss, se, al))), bytes(bw.out))
@@ -1375,9 +1433,14 @@ def encode_progressive_sa_from_zz(
         ah = lvl + 1
         # DC refinement: one raw bit per block per component, same
         # interleaved MCU order as the first scan (padding blocks
-        # emit a 0 bit the decoder discards)
+        # emit a 0 bit the decoder discards); restart boundaries
+        # byte-align the raw-bit stream like any other scan
         bw = BitWriter()
-        for ci, bi in _prog_dc_order(nf, nby, nbx, s):
+        rst = 0
+        for bcnt, (ci, bi) in enumerate(_prog_dc_order(nf, nby, nbx, s)):
+            if restart_interval and bcnt and bcnt % (bpm * restart_interval) == 0:
+                bw.raw_marker(0xD0 + (rst & 7))
+                rst += 1
             bw.write((_dc_at(ci, bi, 0) >> lvl) & 1, 1)
         bw.pad_align()
         dcr_body = bytes((nf,)) + b"".join(
@@ -1388,7 +1451,9 @@ def encode_progressive_sa_from_zz(
         for ci in range(nf):
             for ss, se in bands:
                 bw = BitWriter()
-                _encode_ac_refine(bw, zz_comps[ci], ss, se, lvl, ac_enc)
+                _encode_ac_refine(
+                    bw, zz_comps[ci], ss, se, lvl, ac_enc, restart_interval
+                )
                 bw.pad_align()
                 scans.append(
                     (
@@ -1410,6 +1475,8 @@ def encode_progressive_sa_from_zz(
         + b"\x10" + bytes(SA_AC_BITS) + bytes(SA_AC_VALS),
     )
     parts = [b"\xff\xd8", seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"), dqt, sof, dht]
+    if restart_interval:
+        parts.append(seg(0xDD, struct.pack(">H", restart_interval)))
     for sos, data in scans:
         parts += [sos, data]
     parts.append(b"\xff\xd9")
@@ -1432,11 +1499,11 @@ def decode_jpeg_progressive(buf: bytes) -> tuple[int, int, int, np.ndarray]:
     bits ride inside EOBn runs too. Dequant + IDCT run once after
     the last scan, then the same JFIF matrix + floor(x+0.5) color
     transform as the baseline decoder. Restart intervals (DRI + RSTn
-    every Ri MCUs, T.81 E.2.4) are honored in first scans —
-    byte-align, marker-sequence check, DC-predictor reset, EOB runs
-    bounded by the interval. Honest guard (PIL seam): restart
-    intervals inside REFINEMENT scans (Ah > 0) raise
-    NotImplementedError."""
+    every Ri MCUs, T.81 E.2.4) are honored in EVERY scan kind —
+    byte-align, marker-sequence check, DC-predictor reset in DC first
+    scans, EOB runs (and their buffered refinement correction bits)
+    bounded by the interval in AC scans, plain byte-aligned resync in
+    the raw-bit DC refinement scans."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -1542,13 +1609,6 @@ def decode_jpeg_progressive(buf: bytes) -> tuple[int, int, int, np.ndarray]:
             ah, al = ahal >> 4, ahal & 0x0F
             if any(cid not in coefs for cid in scan_ids):
                 raise ValueError("SOS references unknown component")
-            if restart_interval and ah:
-                # refinement-scan restarts interleave correction-bit
-                # state with marker resync — untested territory, so
-                # behind the seam like the other input-domain guards
-                raise NotImplementedError(
-                    "restart intervals in refinement scans (PIL seam)"
-                )
             br = BitReader(buf, pos)
             rst_n = 0  # per-scan RSTn sequence (T.81 E.2.4)
             if ss == 0:  # DC scan
@@ -1604,7 +1664,20 @@ def decode_jpeg_progressive(buf: bytes) -> tuple[int, int, int, np.ndarray]:
                 else:  # refinement: one raw bit per block per component
                     if ah != al + 1:
                         raise ValueError("DC refinement must have Ah = Al+1")
-                    for _mcu, cid, _tt, by, bx in _dc_blocks():
+                    prev_mcu = 0
+                    for mcu, cid, _tt, by, bx in _dc_blocks():
+                        if (
+                            restart_interval
+                            and mcu != prev_mcu
+                            and mcu % restart_interval == 0
+                        ):
+                            # E.2.4: byte-align + RSTn; the raw-bit
+                            # stream carries no predictors or EOB
+                            # runs, so resync is the whole story
+                            if br.sync_restart() != (rst_n & 7):
+                                raise ValueError("restart marker out of sequence")
+                            rst_n += 1
+                        prev_mcu = mcu
                         if br.read_bit():
                             coefs[cid][by, bx, 0] += 1 << al
             else:  # AC band scan: non-interleaved per T.81 G.1
@@ -1662,6 +1735,24 @@ def decode_jpeg_progressive(buf: bytes) -> tuple[int, int, int, np.ndarray]:
                     p1, m1 = 1 << al, -1 << al
                     for by in range(cby):
                         for bx in range(cbx):
+                            if (
+                                restart_interval
+                                and bidx
+                                and bidx % restart_interval == 0
+                            ):
+                                if eobrun:
+                                    # G.1.2.2: an EOBn run (and its
+                                    # buffered correction bits) shall
+                                    # end within its restart interval
+                                    raise ValueError(
+                                        "EOB run crosses a restart boundary"
+                                    )
+                                if br.sync_restart() != (rst_n & 7):
+                                    raise ValueError(
+                                        "restart marker out of sequence"
+                                    )
+                                rst_n += 1
+                            bidx += 1
                             blk = cc[by, bx]
                             k = ss
                             if eobrun == 0:

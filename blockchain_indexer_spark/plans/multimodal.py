@@ -660,7 +660,10 @@ def mm_real_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
     "real raw-bit DC refinements via a DC quant of 8 plus AC "
     "refinement scans. ONE closed-form oracle covers all six, so "
     "the driver hashes every component path, both progressive "
-    "dimensions, and the subsampled-progressive walk. Solid blocks "
+    "dimensions, and the subsampled-progressive walk. All six shapes "
+    "embed DRI=2 restart streams (since round 7 the SA rows too: "
+    "RSTn resync through raw-bit DC refinement and correction-bit AC "
+    "refinement scans). Solid blocks "
     "keep the lossy pipeline bit-exact; per-block integer sums "
     "compare with one IEEE division.",
     survey_refs=("LLM-multimodal",),

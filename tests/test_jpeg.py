@@ -992,46 +992,133 @@ def test_progressive_restart_sequence_checked():
         decode_jpeg_progressive(bytes(buf))
 
 
-def test_progressive_restart_refinement_guarded():
-    """Restart intervals combined with successive-approximation
-    REFINEMENT scans stay behind the PIL seam: splicing a DRI segment
-    into an SA stream whose first scans fit one interval must raise on
-    the first Ah > 0 scan, not silently desync."""
+def test_progressive_sa_restart_intervals_round_trip():
+    """DRI + RSTn through REFINEMENT scans (the round-6 PIL seam,
+    closed in round 7): successive-approximation streams at several
+    intervals decode pixel-identical to the marker-free stream, with
+    markers genuinely present — so the raw-bit DC refinement resync
+    and the AC refinement's interval-bounded EOBn runs (with their
+    buffered correction bits) are all exercised."""
+    from blockchain_indexer_spark.operators.jpeg import (
+        decode_jpeg_progressive,
+        encode_jpeg_progressive_sa,
+    )
+
+    def solid(vals, nby, nbx):
+        v = np.array(vals, dtype=np.uint8).reshape(nby, nbx)
+        return np.ascontiguousarray(
+            np.broadcast_to(v[:, :, None, None], (nby, nbx, 8, 8))
+        )
+
+    qt = np.ones((8, 8), dtype=np.int64)
+    qt[0, 0] = 8  # quantized DC = v-128: real refinement bits
+    vals = [(7 * 3 + 13 * bx + 3 * by) % 256 for by in range(3) for bx in range(4)]
+    gray = solid(vals, 3, 4)
+    base = decode_jpeg_progressive(encode_jpeg_progressive_sa([gray], quant=qt, al=2))
+    for ri in (1, 2, 5):
+        buf = encode_jpeg_progressive_sa([gray], quant=qt, al=2, restart_interval=ri)
+        assert any(bytes((0xFF, 0xD0 + i)) in buf for i in range(8)), ri
+        got = decode_jpeg_progressive(buf)
+        assert got[:3] == base[:3] and np.array_equal(base[3], got[3]), ri
+
+    # 4:2:0 subsampled SA: restart MCU is the 4Y+Cb+Cr group in the
+    # DC scans (first AND raw-bit refinement) and one block in AC
+    nmx, nmy = 3, 2
+    y = solid(
+        [(5 + 7 * bx + 11 * by) % 256 for by in range(2 * nmy) for bx in range(2 * nmx)],
+        2 * nmy, 2 * nmx,
+    )
+    cb = solid([(3 + 5 * mx + 7 * my) % 256 for my in range(nmy) for mx in range(nmx)], nmy, nmx)
+    cr = solid([(2 + 7 * mx + 3 * my) % 256 for my in range(nmy) for mx in range(nmx)], nmy, nmx)
+    s420 = [(2, 2), (1, 1), (1, 1)]
+    base = decode_jpeg_progressive(
+        encode_jpeg_progressive_sa([y, cb, cr], quant=qt, al=2, sampling=s420)
+    )
+    for ri in (1, 2):
+        buf = encode_jpeg_progressive_sa(
+            [y, cb, cr], quant=qt, al=2, sampling=s420, restart_interval=ri
+        )
+        assert any(bytes((0xFF, 0xD0 + i)) in buf for i in range(8)), ri
+        got = decode_jpeg_progressive(buf)
+        assert got[:3] == base[:3] and np.array_equal(base[3], got[3]), ri
+
+
+def test_progressive_sa_restart_desync_rejected():
+    """Splicing a DRI segment into an SA stream ENCODED WITHOUT
+    restarts must fail loudly at the first missed boundary (the
+    decoder expects a marker that is not there), never silently
+    desync the refinement correction bits."""
     from blockchain_indexer_spark.operators.jpeg import (
         decode_jpeg_progressive,
         encode_progressive_sa_from_zz,
     )
 
-    zz = [np.zeros(64, dtype=np.int64)]
-    zz[0][0] = 100
-    buf = bytes(encode_progressive_sa_from_zz(zz, 1, 1, al=1))
+    zz = [np.zeros(64, dtype=np.int64) for _ in range(4)]
+    for i, b in enumerate(zz):
+        b[0] = 40 * (i + 1)
+    buf = bytes(encode_progressive_sa_from_zz(zz, 1, 4, al=1))
     sos = buf.index(b"\xff\xda")
-    dri = b"\xff\xdd\x00\x04\x00\x02"  # DRI: Ri = 2 (1-MCU image)
+    dri = b"\xff\xdd\x00\x04\x00\x01"  # DRI: Ri = 1, but no RSTn bytes
     spliced = buf[:sos] + dri + buf[sos:]
-    with pytest.raises(NotImplementedError, match="refinement scans"):
+    with pytest.raises(ValueError, match="restart marker"):
         decode_jpeg_progressive(spliced)
 
 
-def test_progressive_fixture_spectral_shapes_carry_restarts():
-    """The driver fixture's spectral shapes (doc_id%6 in 0,1,4) now
-    embed DRI=2 streams; their decoded pixels are unchanged (the gate
-    oracle is pixel-only) and the markers are really in the bytes."""
+def test_progressive_sa_refinement_restart_sequence_checked():
+    """An out-of-sequence RSTn inside a REFINEMENT scan is rejected —
+    the per-scan modulo-8 counter covers refinement scans too."""
+    from blockchain_indexer_spark.operators.jpeg import (
+        decode_jpeg_progressive,
+        encode_jpeg_progressive_sa,
+    )
+
+    def solid(vals, nby, nbx):
+        v = np.array(vals, dtype=np.uint8).reshape(nby, nbx)
+        return np.ascontiguousarray(
+            np.broadcast_to(v[:, :, None, None], (nby, nbx, 8, 8))
+        )
+
+    qt = np.ones((8, 8), dtype=np.int64)
+    qt[0, 0] = 8
+    buf = bytearray(
+        encode_jpeg_progressive_sa(
+            [solid([10, 70, 130, 190], 1, 4)], quant=qt, al=2, restart_interval=1
+        )
+    )
+    # find the LAST scan (an AC refinement scan at Ah=1, Al=0) and
+    # corrupt its first restart marker
+    raw = bytes(buf)
+    last_sos = raw.rindex(b"\xff\xda")
+    first_rst = raw.index(b"\xff\xd0", last_sos)
+    buf[first_rst + 1] = 0xD3  # claim RST3 where RST0 is due
+    with pytest.raises(ValueError, match="out of sequence"):
+        decode_jpeg_progressive(bytes(buf))
+
+
+def test_progressive_fixture_all_shapes_carry_restarts():
+    """ALL six driver fixture shapes embed DRI=2 streams (round 7
+    extended the restart coverage through the SA rows' refinement
+    scans); decoded pixels are unchanged (the gate oracle is
+    pixel-only) and the markers are really in the bytes."""
     from blockchain_indexer_spark.operators.jpeg import (
         decode_jpeg_progressive,
         synth_jpeg_progressive_blob,
     )
 
-    for doc_id in (6, 7, 10):  # shapes 0, 1, 4 with multi-MCU grids
+    for doc_id in (6, 7, 8, 9, 10, 11):  # all six shapes
         buf = synth_jpeg_progressive_blob(doc_id)
         assert b"\xff\xdd" in buf, doc_id
-        assert any(bytes((0xFF, 0xD0 + i)) in buf for i in range(8)), doc_id
-    # gray shape: pixels still the closed form (the six-shape pixel
-    # test covers the color/subsampled shapes through the same path)
-    assert np.array_equal(
-        decode_jpeg_progressive(synth_jpeg_progressive_blob(6))[3],
-        _expected_pixels(6),
-    )
-    # SA shapes keep marker-free streams (refinement + DRI is guarded)
-    for doc_id in (8, 9, 11):  # shapes 2, 3, 5
+    # every shape except 3 reaches a restart boundary; shape 3's
+    # closed form (id ≡ 3 mod 6 ⇒ 3 | id ⇒ nbx = 1+id%3 = 1, nby = 2)
+    # is always a 2-MCU grid, which DRI=2 never splits — the stream
+    # still carries the DRI segment and decodes through the same path
+    for doc_id in (6, 7, 8, 10, 11):
         buf = synth_jpeg_progressive_blob(doc_id)
-        assert b"\xff\xdd" not in buf, doc_id
+        assert any(bytes((0xFF, 0xD0 + i)) in buf for i in range(8)), doc_id
+    # gray shapes: pixels still the closed form (the six-shape pixel
+    # test covers the color/subsampled shapes through the same path)
+    for doc_id in (6, 8):  # spectral and SA gray
+        assert np.array_equal(
+            decode_jpeg_progressive(synth_jpeg_progressive_blob(doc_id))[3],
+            _expected_pixels(doc_id),
+        )
