@@ -1573,3 +1573,124 @@ def minhash_calibration(
             ).alias("mean_true"),
         )
     )
+
+
+def longest_repeat_ladder(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    base: int = 4,
+    levels: int = 5,
+) -> DataFrame:
+    """Corpus-level LONGEST-repeat report — the memorization scan that
+    generalizes ``cross_repeat_spans`` from one fixed window size to a
+    doubling ladder of sizes (base·2^l, l < levels; 4..64 by default):
+    per document, the largest rung at which some window of that length
+    occurs verbatim in ANOTHER document. A shared span of true length
+    L covers a full rung-k window for every k <= L, so the reported
+    ``longest_pow2_repeat`` is the largest power-of-two-scaled rung
+    <= L — a 2-approximation of the exact longest shared substring
+    (the suffix-array answer) at O(log L) corpus passes instead of a
+    distributed suffix array. Lee et al.'s exact-substring dedup uses
+    a single fixed threshold (50 tokens); the ladder reports how DEEP
+    each document's memorization runs.
+
+    Suffix-array DOUBLING supplies the hashes: rung ``base`` hashes
+    each base-token window string once (xxhash64); every later rung
+    derives its hashes as xxhash64(h_k[i], h_k[i+k]) — a window of
+    length 2k is exactly the pair of k-windows at i and i+k — so per
+    level the work is O(1) per window (a JVM HOF over the per-doc
+    hash array, shuffle-free), not O(k) string re-joins. Counts are
+    over hash-equality classes; the DuckDB oracle groups the raw
+    window STRINGS per rung, which is hash-agnostic and strictly
+    stronger (the ``cross_repeat_spans`` argument).
+
+    Returns one row per input document: (id, n_windows, n_repeated,
+    repeat_frac, longest_pow2_repeat) — the first three are the
+    base-rung cross_repeat_spans statistics (counts over DISTINCT
+    in-doc windows, cross-doc criterion: >= 2 distinct documents),
+    longest_pow2_repeat is the largest hit rung in tokens (0 when no
+    rung hits, including docs shorter than ``base``).
+
+    Scale: per level one distinct + one count agg keyed on a 64-bit
+    hash (uniform, skew-free) over O(total tokens) rows; the per-doc
+    hash arrays are localCheckpointed per level so the ladder is
+    O(levels) passes, not O(levels^2) lineage re-runs.
+    """
+    from blockchain_indexer_spark.functions.text import tokens
+    from blockchain_indexer_spark.sources.parquet import spread
+
+    rungs = [base << l for l in range(levels)]
+    b = spread(df, id_col).select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("_t")
+    )
+    t = F.col("_t")
+    h0 = F.when(
+        t.isNull() | (F.size(t) < base), F.array().cast("array<bigint>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - base + 1),
+            lambda i: F.xxhash64(F.array_join(F.slice(t, i, base), " ")),
+        )
+    )
+    cur = b.select("id", h0.alias("_h")).localCheckpoint(eager=True)
+
+    hits = []
+    base_counts = None
+    for level, k in enumerate(rungs):
+        if level > 0:
+            half = rungs[level - 1]
+            hh = F.col("_h")
+            doubled = F.when(
+                F.size(hh) <= half, F.array().cast("array<bigint>")
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(hh) - half),
+                    lambda i: F.xxhash64(
+                        F.element_at(hh, i), F.element_at(hh, i + half)
+                    ),
+                )
+            )
+            cur = cur.select("id", doubled.alias("_h")).localCheckpoint(eager=True)
+        w = cur.select("id", F.explode("_h").alias("_wh")).distinct()
+        shared = (
+            w.groupBy("_wh")
+            .agg(F.count("*").alias("_nd"))
+            .filter(F.col("_nd") >= 2)
+            .select("_wh")
+        )
+        if level == 0:
+            base_counts = (
+                w.join(shared.withColumn("_s", F.lit(1)), "_wh", "left")
+                .groupBy("id")
+                .agg(
+                    F.count("*").cast("bigint").alias("n_windows"),
+                    F.count("_s").cast("bigint").alias("n_repeated"),
+                )
+            )
+        hits.append(
+            w.join(shared, "_wh", "leftsemi")
+            .select("id")
+            .distinct()
+            .withColumn("_k", F.lit(k).cast("bigint"))
+        )
+    all_hits = hits[0]
+    for hdf in hits[1:]:
+        all_hits = all_hits.unionByName(hdf)
+    longest = all_hits.groupBy("id").agg(F.max("_k").alias("longest_pow2_repeat"))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(base_counts, "id", "left")
+        .join(longest, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_windows", F.lit(0)).cast("bigint").alias("n_windows"),
+            F.coalesce("n_repeated", F.lit(0)).cast("bigint").alias("n_repeated"),
+            F.when(F.coalesce("n_windows", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(F.col("n_repeated").cast("double") / F.col("n_windows"))
+            .alias("repeat_frac"),
+            F.coalesce("longest_pow2_repeat", F.lit(0))
+            .cast("bigint")
+            .alias("longest_pow2_repeat"),
+        )
+    )

@@ -294,3 +294,19 @@ def _lp_ivf_agree_100k():
           flush=True)
     return r["both"]
 t("lp_ivf_agreement_100k", _lp_ivf_agree_100k)
+
+# ---- round-7 banked (round-8 promotion) operators ---------------------
+from blockchain_indexer_spark.operators.multimodal import (
+    attach_avi_blob, attach_wav_blob, audio_dedup_clusters,
+    sample_frames_real, shot_boundaries,
+)
+from blockchain_indexer_spark.operators.dedup import longest_repeat_ladder
+
+t("audio_dedup_100k", lambda: audio_dedup_clusters(
+    attach_wav_blob(docs), bits=16, bands=4, max_hamming=2).count())
+
+t("video_shots_100k", lambda: shot_boundaries(
+    sample_frames_real(attach_avi_blob(docs), every=1), threshold=128).count())
+
+t("longest_repeat_ladder_100k", lambda: longest_repeat_ladder(
+    docs, "doc_id", "text", base=4, levels=5).count())
