@@ -231,6 +231,7 @@ def lsh_topk(
     k: int = 5,
     num_planes: int = 16,
     bands: int = 4,
+    fetch_join: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates must share ≥1 signature band
     (num_planes/bands bits each), re-ranked by exact quantized dot.
@@ -240,11 +241,21 @@ def lsh_topk(
     the latency); the signed frame is cached — it is the LSH index, and
     Spark's CacheManager canonicalization lets every band/probe branch
     (and repeated builds in one session) reuse one materialization.
-    Vectors ride along through the band join so re-rank needs no fetch
-    join — right when bucket fan-out is modest (selective buckets,
-    |probes| ≈ |candidates|). For huge fan-outs, dedup id-only pairs
-    first and fetch vectors back by hash join against the index
-    instead — two more joins but no vector payload in the band shuffle.
+
+    ``fetch_join`` picks the candidate-dedup strategy, same bits out
+    (equality test-pinned):
+
+    - False (default): vectors ride along through the band join so
+      the re-rank needs no fetch join — right when bucket fan-out is
+      modest (selective buckets, |candidates| ≈ |probes|).
+    - True: dedup ID-ONLY pairs first (24-byte rows through the
+      distinct exchange), then fetch both vectors back by hash join
+      against the cached index — two more joins but no vector payload
+      in the band shuffle. The huge-fan-out regime: at 16 planes / 4
+      bands over a 100k corpus each band bucket holds ~6k rows, so
+      1000 probes make ~2.5×10⁷ candidate pairs whose 2×64-int
+      payload is a ~25 GB distinct exchange (measured 53.7 s → 27.4 s
+      at that stress shape).
     """
     if num_planes % bands:
         raise ValueError(f"bands={bands} must divide num_planes={num_planes}")
@@ -262,14 +273,18 @@ def lsh_topk(
     )
     signed = signbit_signature(tagged, "_v", dim, num_planes).cache()
 
-    def banded(role: str, out_id: str, vec_alias: str) -> DataFrame:
+    def banded(role: str, out_id: str, vec_alias: str | None) -> DataFrame:
+        vec_cols = (
+            # quantize once per index/probe row, not per candidate
+            # pair in the re-rank (the _rerank_topk contract)
+            [quantize("_v").alias(vec_alias)] if vec_alias else []
+        )
+        out_cols = [out_id] + ([vec_alias] if vec_alias else [])
         return (
             signed.filter(F.col("_role") == role)
             .select(
                 F.col("_id").alias(out_id),
-                # quantize once per index/probe row, not per candidate
-                # pair in the re-rank (the _rerank_topk contract)
-                quantize("_v").alias(vec_alias),
+                *vec_cols,
                 F.explode(
                     F.array(
                         *[
@@ -284,17 +299,33 @@ def lsh_topk(
                     )
                 ).alias("bb"),
             )
-            .select(out_id, vec_alias, "bb.band", "bb.bucket")
+            .select(*out_cols, "bb.band", "bb.bucket")
         )
 
-    cand = (
-        banded("c", "neighbor_id", "_neighborq")
-        .join(banded("q", "query_id", "_queryq"), ["band", "bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "_queryq", "_neighborq")
-        .distinct()
-    )
-    return _rerank_topk(cand, k)
+    if fetch_join:
+        ids = (
+            banded("c", "neighbor_id", None)
+            .join(banded("q", "query_id", None), ["band", "bucket"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+            .distinct()
+        )
+        cidx = signed.filter(F.col("_role") == "c").select(
+            F.col("_id").alias("neighbor_id"), quantize("_v").alias("_neighborq")
+        )
+        qidx = signed.filter(F.col("_role") == "q").select(
+            F.col("_id").alias("query_id"), quantize("_v").alias("_queryq")
+        )
+        cand = ids.join(cidx, "neighbor_id").join(qidx, "query_id")
+    else:
+        cand = (
+            banded("c", "neighbor_id", "_neighborq")
+            .join(banded("q", "query_id", "_queryq"), ["band", "bucket"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", "_queryq", "_neighborq")
+            .distinct()
+        )
+    return _rerank_topk(cand.select("query_id", "neighbor_id", "_queryq", "_neighborq"), k)
 
 
 def _rerank_topk(cand: DataFrame, k: int, metric: str = "dot") -> DataFrame:

@@ -339,3 +339,25 @@ def test_mutual_knn_graph_ivf_iters0_matches_data_seeded_index(spark):
         .collect()
     }
     assert got == want and got
+
+
+def test_lsh_topk_fetch_join_equals_ride_along(spark, sf_dir):
+    """fetch_join=True (id-only candidate dedup + vector fetch joins,
+    the huge-fan-out scale path) must return the exact ride-along
+    result — same candidates, same quantized scores, same ties."""
+    from pyspark.sql import functions as F
+
+    from blockchain_indexer_spark.operators.similarity import lsh_topk
+    from blockchain_indexer_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    a = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.score)
+        for r in lsh_topk(emb, q, "vec_id", "embedding").collect()
+    )
+    b = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.score)
+        for r in lsh_topk(emb, q, "vec_id", "embedding", fetch_join=True).collect()
+    )
+    assert a == b and a

@@ -310,3 +310,11 @@ t("video_shots_100k", lambda: shot_boundaries(
 
 t("longest_repeat_ladder_100k", lambda: longest_repeat_ladder(
     docs, "doc_id", "text", base=4, levels=5).count())
+
+from blockchain_indexer_spark.operators.similarity import lsh_topk
+_lq = emb.filter(F.col("vec_id") % 100 == 0)
+# huge-fan-out serving shape: 1000 probes x 4 bands x ~6k-row buckets;
+# fetch_join dedups 24-byte id pairs instead of shuffling 2x64-int
+# vector payloads through the distinct (53.7 s ride-along -> 27.4 s)
+t("lsh_topk_100k_q1000_fetch", lambda: lsh_topk(
+    emb, _lq, "vec_id", "embedding", dim=64, k=5, fetch_join=True).count())
