@@ -1694,3 +1694,81 @@ def longest_repeat_ladder(
             .alias("longest_pow2_repeat"),
         )
     )
+
+
+def split_leakage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    split_col: str,
+    train_value: str = "train",
+    k: int = 8,
+) -> DataFrame:
+    """Train/eval SPLIT-LEAKAGE scan — decontamination applied at
+    split time: for every NON-train document, does any of its k-token
+    sliding windows occur verbatim in a TRAIN document (the Lee et
+    al. / GPT-3 exact-substring contamination criterion)? An eval set
+    that shares spans with training data inflates benchmarks; this is
+    the gate a pipeline runs right after ``hash_split`` and before
+    shipping an eval set.
+
+    Returns one row per non-train document: (id, split, n_windows,
+    n_leaked, leak_frac, leaked) — counts over the doc's DISTINCT
+    windows, ``leaked`` = at least one window also in train. Documents
+    with < k tokens have no windows and are clean by construction.
+
+    Scale shape: window construction is the shuffle-free JVM HOF
+    projection (cross_repeat_spans); the train side reduces to ONE
+    distinct 64-bit hash set — at 100 TB the train corpus dominates,
+    and everything it pays is two uniform-key hash exchanges (distinct
+    + the leak join); the eval side is tiny by construction (5-10% of
+    docs). Counts are over hash-equality classes; the oracle groups
+    raw window STRINGS (hash-agnostic, strictly stronger).
+    """
+    from blockchain_indexer_spark.functions.text import tokens
+    from blockchain_indexer_spark.sources.parquet import spread
+
+    base = spread(df, id_col).select(
+        F.col(id_col).alias("id"), F.col(split_col).alias("split"), tokens(text_col).alias("_t")
+    )
+    t = F.col("_t")
+    wins = F.when(
+        t.isNull() | (F.size(t) < k), F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - k + 1),
+            lambda i: F.array_join(F.slice(t, i, k), " "),
+        )
+    )
+    w = (
+        base.select("id", "split", F.explode(wins).alias("_w"))
+        .select("id", "split", F.xxhash64("_w").alias("_h"))
+        .distinct()
+    )
+    train_h = (
+        w.filter(F.col("split") == train_value).select("_h").distinct()
+    )
+    per = (
+        w.filter(F.col("split") != train_value)
+        .join(train_h.withColumn("_m", F.lit(1)), "_h", "left")
+        .groupBy("id", "split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_windows"),
+            F.count("_m").cast("bigint").alias("n_leaked"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(split_col).alias("split"))
+        .filter(F.col("split") != train_value)
+        .join(per, ["id", "split"], "left")
+        .select(
+            "id",
+            "split",
+            F.coalesce("n_windows", F.lit(0)).cast("bigint").alias("n_windows"),
+            F.coalesce("n_leaked", F.lit(0)).cast("bigint").alias("n_leaked"),
+            F.when(F.coalesce("n_windows", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(F.col("n_leaked").cast("double") / F.col("n_windows"))
+            .alias("leak_frac"),
+            (F.coalesce("n_leaked", F.lit(0)) > 0).alias("leaked"),
+        )
+    )

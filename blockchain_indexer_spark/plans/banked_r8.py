@@ -309,3 +309,84 @@ def doc_longest_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
         "repeat_frac",
         "longest_pow2_repeat",
     )
+
+
+# ---------------------------------------------------------------------------
+# doc_split_leakage: train/eval exact-substring contamination gate
+# ---------------------------------------------------------------------------
+
+_SPLIT_LEAKAGE_SQL = rf"""
+    WITH sp AS (
+      SELECT doc_id,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
+                  THEN 'train'
+                  WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 95
+                  THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    toks AS (
+      SELECT d.doc_id, sp.split, {_TOKS_SQL} AS t
+      FROM documents d JOIN sp USING (doc_id)
+    ),
+    w AS (
+      SELECT DISTINCT doc_id, split,
+             array_to_string(list_slice(t, i, i + 7), ' ') AS h
+      FROM toks, UNNEST(range(1, len(t) - 6)) AS r(i)
+      WHERE len(t) >= 8
+    ),
+    tr AS (SELECT DISTINCT h FROM w WHERE split = 'train'),
+    per AS (
+      SELECT w.doc_id, w.split,
+             CAST(COUNT(*) AS BIGINT) AS n_windows,
+             CAST(COUNT(tr.h) AS BIGINT) AS n_leaked
+      FROM w LEFT JOIN tr ON tr.h = w.h
+      WHERE w.split <> 'train'
+      GROUP BY 1, 2
+    )
+    SELECT sp.doc_id, sp.split,
+           CAST(COALESCE(p.n_windows, 0) AS BIGINT) AS n_windows,
+           CAST(COALESCE(p.n_leaked, 0) AS BIGINT) AS n_leaked,
+           CASE WHEN COALESCE(p.n_windows, 0) = 0 THEN 0.0
+                ELSE CAST(p.n_leaked AS DOUBLE) / p.n_windows
+           END AS leak_frac,
+           COALESCE(p.n_leaked, 0) > 0 AS leaked
+    FROM sp
+    LEFT JOIN per p ON p.doc_id = sp.doc_id
+    WHERE sp.split <> 'train'
+    """
+
+
+@_bank(
+    "doc_split_leakage",
+    oracle=_SPLIT_LEAKAGE_SQL,
+    doc="Train/eval SPLIT-LEAKAGE gate (operators.dedup.split_leakage "
+    "over sampling.hash_split's deterministic 90/5/5 assignment): for "
+    "every val/test document, whether any 8-token sliding window "
+    "occurs verbatim in a TRAIN document — the Lee et al. / GPT-3 "
+    "exact-substring contamination criterion applied at split time, "
+    "the check a pipeline runs before shipping an eval set (leaked "
+    "eval spans inflate benchmarks). One row per non-train doc with "
+    "distinct-window counts, leak fraction, and the boolean verdict. "
+    "The train side reduces to ONE distinct 64-bit hash set (counts "
+    "are hash-equality classes; the oracle groups raw window strings "
+    "— hash-agnostic and strictly stronger); at 100 TB the dominant "
+    "train corpus pays two uniform-key hash exchanges and the eval "
+    "side is 5-10% of docs by construction.",
+    survey_refs=("LLM-dedup", "LLM-sample", "LLM-text"),
+)
+def doc_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.dedup import split_leakage
+    from blockchain_indexer_spark.operators.sampling import hash_split
+
+    d = load_table(spark, sf_dir, "documents")
+    return split_leakage(
+        hash_split(d, "doc_id"), "doc_id", "text", "split", k=8
+    ).select(
+        F.col("id").alias("doc_id"),
+        "split",
+        "n_windows",
+        "n_leaked",
+        "leak_frac",
+        "leaked",
+    )

@@ -26,6 +26,7 @@ def test_banked_not_registered():
         "mm_audio_dedup_clusters",
         "mm_video_shots",
         "doc_longest_repeat",
+        "doc_split_leakage",
     }
 
 
@@ -298,3 +299,67 @@ def test_longest_repeat_ladder_null_and_empty_text(spark):
     }
     assert got[1] == (0, 0) and got[2] == (0, 0) and got[3] == (0, 0)
     assert got[4] == (5, 8) and got[5] == (5, 8)  # full 8-token dup
+
+
+# ---------------------------------------------------------------------------
+# split_leakage
+# ---------------------------------------------------------------------------
+
+
+def test_split_leakage_planted(spark):
+    from blockchain_indexer_spark.operators.dedup import split_leakage
+
+    span = " ".join(f"s{i}" for i in range(10))
+    rows = [
+        (1, "train", span + " extra tail words"),
+        (2, "val", "prefix " + span),                     # leaked via span
+        (3, "val", " ".join(f"u{i}" for i in range(12))), # clean
+        (4, "test", "tiny doc"),                          # < k tokens: clean
+        (5, "test", span),                                # leaked, fully
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, split string, text string")
+    got = {
+        r.id: (r.split, r.n_windows, r.n_leaked, r.leaked)
+        for r in split_leakage(df, "doc_id", "text", "split", k=8).collect()
+    }
+    assert set(got) == {2, 3, 4, 5}  # train rows are not reported
+    assert got[2] == ("val", 4, 3, True)   # 11 tokens -> 4 windows; 3 inside span
+    assert got[3] == ("val", 5, 0, False)
+    assert got[4] == ("test", 0, 0, False)
+    assert got[5] == ("test", 3, 3, True)
+
+
+def test_split_leakage_matches_python_reference(spark):
+    """Third implementation check: set-intersection leakage in plain
+    python over a seeded random corpus with planted contamination."""
+    from blockchain_indexer_spark.operators.dedup import split_leakage
+
+    rng = np.random.default_rng(41)
+    vocab = [f"w{i}" for i in range(30)]
+    toks = {
+        did: [str(w) for w in rng.choice(vocab, size=int(rng.integers(3, 25)))]
+        for did in range(30)
+    }
+    split = {did: ("train" if did % 5 else ("val" if did % 10 else "test")) for did in range(30)}
+    toks[10] = toks[1][:9] + toks[10][:3]  # val doc contaminated from train doc 1
+    df = spark.createDataFrame(
+        [(d, split[d], " ".join(t)) for d, t in toks.items()],
+        "doc_id long, split string, text string",
+    )
+    got = sorted(
+        (r.id, r.split, r.n_windows, r.n_leaked, r.leaked)
+        for r in split_leakage(df, "doc_id", "text", "split", k=8).collect()
+    )
+    k = 8
+    train_wins = set()
+    for d, t in toks.items():
+        if split[d] == "train" and len(t) >= k:
+            train_wins |= {" ".join(t[i : i + k]) for i in range(len(t) - k + 1)}
+    want = []
+    for d, t in toks.items():
+        if split[d] == "train":
+            continue
+        mine = {" ".join(t[i : i + k]) for i in range(len(t) - k + 1)} if len(t) >= k else set()
+        leaked = len(mine & train_wins)
+        want.append((d, split[d], len(mine), leaked, leaked > 0))
+    assert got == sorted(want)

@@ -318,3 +318,8 @@ _lq = emb.filter(F.col("vec_id") % 100 == 0)
 # vector payloads through the distinct (53.7 s ride-along -> 27.4 s)
 t("lsh_topk_100k_q1000_fetch", lambda: lsh_topk(
     emb, _lq, "vec_id", "embedding", dim=64, k=5, fetch_join=True).count())
+
+from blockchain_indexer_spark.operators.dedup import split_leakage
+from blockchain_indexer_spark.operators.sampling import hash_split
+t("split_leakage_100k", lambda: split_leakage(
+    hash_split(docs, "doc_id"), "doc_id", "text", "split", k=8).count())
