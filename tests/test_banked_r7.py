@@ -22,12 +22,29 @@ PROMOTED = (
 
 
 def test_promoted_gates_front_window():
-    # promotion contract: registered, oracled, and inside the driver's
-    # 50-row verification window
+    """Promotion contract: registered, oracled, and inside the
+    driver's 50-row verification window UNTIL a driver record proves
+    them — after that the normal staleness rotation
+    (tests/test_registry_order.py) owns their placement and they may
+    rotate below the fold like any other oracled gate."""
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    recorded: set[str] = set()
+    n = 1
+    while True:
+        path = os.path.join(repo, f"CORRECTNESS_r{n:02d}.json")
+        if not os.path.exists(path):
+            break
+        with open(path) as f:
+            recorded |= set(json.load(f))
+        n += 1
     for name in PROMOTED:
         assert name in REGISTRY
         assert REGISTRY[name].oracle is not None
-        assert PRIORITY.index(name) < 50
+        if name not in recorded:
+            assert PRIORITY.index(name) < 50, name
 
 
 @pytest.fixture(scope="module")
