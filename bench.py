@@ -174,6 +174,15 @@ BENCH_QUERIES = (
     "doc_mmr_rerank",
     # exact-vs-IVF mutual-kNN + label-propagation agreement monitor
     "embedding_lp_ivf_agreement",
+    # round-8 additions: the promoted round-7-banked gates — audio
+    # fingerprint dedup closure, AVI shot-boundary detection,
+    # suffix-doubling memorization ladder, split-leakage gate — plus
+    # the lsh_topk fetch_join serving path under the shared oracle
+    "mm_audio_dedup_clusters",
+    "mm_video_shots",
+    "doc_longest_repeat",
+    "doc_split_leakage",
+    "embedding_lsh_topk_fetch",
 )
 
 #: Driver-facing subset of BENCH_QUERIES for the printed JSON line
@@ -229,6 +238,10 @@ HEADLINE_QUERIES = (
     "embedding_dbscan",
     "mm_image_dedup_clusters",
     "doc_mmr_rerank",
+    # round-8 canaries: the heaviest of the promoted gates (ladder:
+    # five distinct rungs + count aggs; audio: decode + WHT + closure)
+    "doc_longest_repeat",
+    "mm_audio_dedup_clusters",
 )
 
 

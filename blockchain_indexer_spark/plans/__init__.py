@@ -27,24 +27,91 @@ from blockchain_indexer_spark.plans import multimodal as _multimodal  # noqa: E4
 #: Driver-facing iteration order (highest verification value first).
 PRIORITY = (
     # ------------------------------------------------------------------
-    # Round-7 rotation (VERDICT r6 "Next round" #1). The driver records
-    # exactly the first 50 entries per round; the front is now:
-    #   tier NEW — the three gates banked in round 6 (plans/banked_r7,
-    #     promoted this round) plus any gate added in round 7;
-    #   tier STALE-ORACLED — the oracled queries whose newest driver
-    #     row is round 4 (the stalest tier after the r6 window refresh;
-    #     all are judge-r6 value-exact green, this refreshes the
-    #     driver's own record). 46 of the 49 fit; the leftover three sit
-    #     just below the fold at newest=4, inside the rotation-period
-    #     bound (latest-3 at 152 oracled / 50-row window).
-    # Everything with a round-5/6 driver row sits below the fold.
+    # Round-8 rotation (VERDICT r7 "Next round" #1/#5/#6). The driver
+    # records exactly the first 50 entries per round; the front is now:
+    #   tier NEW — the four gates banked in round 7 (plans/banked_r8,
+    #     promoted this round) plus the lsh_topk fetch_join twin added
+    #     in round 8 — none has a driver row yet;
+    #   tier STALE-ORACLED — the three round-4-newest leftovers (at the
+    #     rotation-period bound after the r8 record lands), then the
+    #     round-5-newest tier in its prior relative order. 42 of the 50
+    #     fit; the leftover eight sit just below the fold at newest=5,
+    #     inside the rotation-period bound (158 oracled / 50-row window
+    #     -> period 4, bound latest-3).
+    # Everything with a round-6/7 driver row sits below the fold.
     # ------------------------------------------------------------------
-    # -- tier NEW: round-7 gates, never driver-verified ------------------
+    # -- tier NEW: round-8 gates, never driver-verified ------------------
+    "mm_audio_dedup_clusters",
+    "mm_video_shots",
+    "doc_longest_repeat",
+    "doc_split_leakage",
+    "embedding_lsh_topk_fetch",
+    # -- tier STALE-ORACLED: newest driver row is round 4 ----------------
+    "chain_crc_balances",
+    "chain_classification_counts",
+    "chain_current_trust",
+    # -- tier STALE-ORACLED: newest driver row is round 5 ----------------
+    "mm_real_jpeg_420",
+    "doc_sliding_chunks",
+    "doc_tfidf_keywords",
+    "minhash_estimate_calibration",
+    "chain_eth_transfer_stats",
+    "chain_hub_transfers_per_day",
+    "chain_safe_eth_transfers",
+    "chain_org_signups",
+    "chain_total_minted",
+    "chain_erc20_balances",
+    "chain_timeline_counts",
+    "chain_accepted_crc",
+    "chain_alive_accounts",
+    "chain_dead_accounts",
+    "chain_capacity_graph",
+    "chain_capacity_changes",
+    "chain_get_capacity",
+    "chain_signups_per_day",
+    "chain_balances_by_safe",
+    "chain_crc_minting",
+    "chain_formatted_transfers",
+    "chain_trust_reachability",
+    "mm_decode_stats",
+    "mm_thumbnail_geometry",
+    "mm_frame_sample",
+    "mm_feature_vectors",
+    "mm_feature_hist",
+    "doc_quota_sample",
+    "pricing_summary",
+    "broadcast_join_agg",
+    "dedup_first_seen",
+    "latest_event_per_user",
+    "version_disambiguation",
+    "tumbling_window_stats",
+    "sliding_window_stats",
+    "event_sessionization",
+    "asof_latest_purchase",
+    "range_join_active_sessions",
+    "doc_fingerprint_dedup",
+    "completeness_gate",
+    "anti_join_inactive",
+    "semi_join_parts",
+    # ------------------------------------------------------------------
+    # Below the ~50-row driver window: the eight r5-tier leftovers (at
+    # the rotation-period bound), then every entry with a green round-6
+    # or round-7 driver row (the freshest evidence in the record), then
+    # the rows-only production twins (weakest signal, oracled twins
+    # fresh).
+    # ------------------------------------------------------------------
+    "gap_detection",
+    "filtered_projection",
+    "json_payload",
+    "membership_collect",
+    "rollup_revenue_hierarchy",
+    "profile_orders",
+    "salted_join_segment_totals",
+    "stream_reassembly_join",
     "embedding_dbscan",
     "mm_image_dedup_clusters",
     "doc_mmr_rerank",
     "embedding_lp_ivf_agreement",
-    # -- tier STALE-ORACLED: newest driver row is round 4 ----------------
     "doc_chunk_packing",
     "corpus_token_cardinality",
     "doc_length_quantiles",
@@ -91,66 +158,6 @@ PRIORITY = (
     "doc_exact_decontamination",
     "doc_dedup_clusters",
     "mm_real_decode",
-    # ------------------------------------------------------------------
-    # Below the ~50-row driver window: the three r4-tier leftovers (at
-    # the rotation-period bound), then every entry with a green round-5
-    # or round-6 driver row (CORRECTNESS_r05/r06.json — the freshest
-    # evidence in the record), then the rows-only production twins
-    # (weakest signal, oracled twins fresh).
-    # ------------------------------------------------------------------
-    "chain_crc_balances",
-    "chain_classification_counts",
-    "chain_current_trust",
-    "mm_real_jpeg_420",
-    "doc_sliding_chunks",
-    "doc_tfidf_keywords",
-    "minhash_estimate_calibration",
-    "chain_eth_transfer_stats",
-    "chain_hub_transfers_per_day",
-    "chain_safe_eth_transfers",
-    "chain_org_signups",
-    "chain_total_minted",
-    "chain_erc20_balances",
-    "chain_timeline_counts",
-    "chain_accepted_crc",
-    "chain_alive_accounts",
-    "chain_dead_accounts",
-    "chain_capacity_graph",
-    "chain_capacity_changes",
-    "chain_get_capacity",
-    "chain_signups_per_day",
-    "chain_balances_by_safe",
-    "chain_crc_minting",
-    "chain_formatted_transfers",
-    "chain_trust_reachability",
-    "mm_decode_stats",
-    "mm_thumbnail_geometry",
-    "mm_frame_sample",
-    "mm_feature_vectors",
-    "mm_feature_hist",
-    "doc_quota_sample",
-    "pricing_summary",
-    "broadcast_join_agg",
-    "dedup_first_seen",
-    "latest_event_per_user",
-    "version_disambiguation",
-    "tumbling_window_stats",
-    "sliding_window_stats",
-    "event_sessionization",
-    "asof_latest_purchase",
-    "range_join_active_sessions",
-    "doc_fingerprint_dedup",
-    "completeness_gate",
-    "anti_join_inactive",
-    "semi_join_parts",
-    "gap_detection",
-    "filtered_projection",
-    "json_payload",
-    "membership_collect",
-    "rollup_revenue_hierarchy",
-    "profile_orders",
-    "salted_join_segment_totals",
-    "stream_reassembly_join",
     "mm_real_jpeg_progressive",
     "event_k_anonymity",
     "doc_perceptron_calibration",

@@ -782,3 +782,182 @@ def mm_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_dedup_clusters(
         attach_png_blob(docs), grid=6, bands=4, max_hamming=3
     )
+
+
+# ---------------------------------------------------------------------------
+# mm_audio_dedup_clusters: spectral-fingerprint audio dedup verdict
+# (promoted from plans/banked_r8.py — banked + parity-tested in round 7,
+# registered round 8 per VERDICT r7 "Next round" #1)
+# ---------------------------------------------------------------------------
+
+# The sample CTEs replay attach_wav_blob's closed form (n = 16+id%37,
+# s_i = (31·id + 17·i) mod 65536 − 32768, zero-padded to 64); the WHT
+# CTE computes the integer Walsh-Hadamard amplitudes for sequency bins
+# 1..17 via bit_count parity, the hash CTE codes adjacent band-energy
+# differences (chromaprint's rule, DC skipped), and the banding +
+# closure + label CTEs replay dedup.hamming_band_pairs over DISTINCT
+# fingerprints and multimodal.audio_dedup_clusters' hash-level
+# connected components (the image_dedup_clusters shape for the third
+# modality).
+_AUDIO_DEDUP_SQL = """
+    WITH RECURSIVE d AS (SELECT doc_id FROM documents),
+    s AS (
+      SELECT doc_id, i.x AS i,
+             CASE WHEN i.x < 16 + doc_id % 37
+                  THEN (doc_id * 31 + i.x * 17) % 65536 - 32768
+                  ELSE 0 END AS v
+      FROM d, UNNEST(range(0, 64)) AS i(x)
+    ),
+    amp AS (
+      SELECT doc_id, k.x AS k,
+             CAST(SUM(CASE WHEN bit_count(CAST(k.x AS BIGINT) & CAST(i AS BIGINT)) % 2 = 0
+                           THEN v ELSE -v END) AS BIGINT) AS a
+      FROM s, UNNEST(range(1, 18)) AS k(x)
+      GROUP BY 1, 2
+    ),
+    e AS (SELECT doc_id, k, a * a AS e FROM amp),
+    hsh AS (
+      SELECT lo.doc_id,
+             CAST(SUM(CASE WHEN lo.e > hi.e
+                           THEN CAST(1 AS BIGINT) << (lo.k - 1) ELSE 0 END)
+                  AS BIGINT) AS whash
+      FROM e lo JOIN e hi ON hi.doc_id = lo.doc_id AND hi.k = lo.k + 1
+      WHERE lo.k <= 16
+      GROUP BY 1
+    ),
+    hv AS (SELECT DISTINCT whash FROM hsh),
+    banded AS (
+      SELECT whash, r.b AS band, (whash >> (4 * r.b)) & 15 AS bucket
+      FROM hv, UNNEST(range(0, 4)) AS r(b)
+    ),
+    p AS (
+      SELECT DISTINCT a.whash AS ha, b.whash AS hb
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.whash < b.whash
+      WHERE bit_count(xor(a.whash, b.whash)) <= 2
+    ),
+    edges AS (SELECT ha AS a, hb AS b FROM p
+              UNION SELECT hb, ha FROM p),
+    reach(id, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, reach.r FROM edges e JOIN reach ON e.a = reach.id
+    ),
+    comp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+    hlab AS (
+      SELECT hv.whash, COALESCE(comp.cluster, hv.whash) AS hc
+      FROM hv LEFT JOIN comp ON comp.id = hv.whash
+    ),
+    dlab AS (SELECT hsh.doc_id, hlab.hc FROM hsh JOIN hlab USING (whash)),
+    cmin AS (SELECT hc, MIN(doc_id) AS cluster FROM dlab GROUP BY 1)
+    SELECT dlab.doc_id, cmin.cluster, dlab.doc_id = cmin.cluster AS keep
+    FROM dlab JOIN cmin USING (hc)
+    """
+
+
+@register(
+    "mm_audio_dedup_clusters",
+    oracle=_AUDIO_DEDUP_SQL,
+    doc="AUDIO dedup verdict end-to-end (operators.multimodal."
+    "audio_dedup_clusters): real RIFF/PCM decode (genuine chunk walk "
+    "incl. a planted LIST chunk) -> 16-bit spectral fingerprint "
+    "(integer WALSH-HADAMARD band energies, adjacent-band difference "
+    "coding — chromaprint's rule with the DC loudness bin skipped, "
+    "all int64-exact) -> banded hamming blocking over DISTINCT "
+    "fingerprints (dedup.hamming_band_pairs, 4 bands x 4 bits, "
+    "pigeonhole-COMPLETE for hamming <= 2) -> hash-level connected "
+    "components (star contraction: hamming balls chain) -> min-id "
+    "survivor keeps. Completes exact-dup -> near-dup coverage for the "
+    "third modality on the SAME banding + closure engines as text "
+    "and image dedup; the sawtooth fixture corpus is genuinely "
+    "dup-dense (7 distinct fingerprints over 500 docs chain into one "
+    "family), which is exactly the regime the hash-level factoring "
+    "exists for. One row per document at any scale.",
+    survey_refs=("LLM-multimodal", "LLM-dedup"),
+)
+def mm_audio_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.multimodal import (
+        attach_wav_blob,
+        audio_dedup_clusters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_dedup_clusters(
+        attach_wav_blob(docs), bits=16, bands=4, max_hamming=2
+    )
+
+
+# ---------------------------------------------------------------------------
+# mm_video_shots: shot-boundary detection over real decoded frames
+# (promoted from plans/banked_r8.py)
+# ---------------------------------------------------------------------------
+
+# The frame CTE replays attach_avi_blob's closed form (nf = 1+id%5,
+# constant fills B=(id+11f)%256 G=(3id+7f+1)%256 R=(5id+13f+2)%256);
+# the cut CTE replays shot_boundaries' L1 threshold rule over the
+# lagged per-frame channel means, and the shot CTE the running cut
+# sum + per-shot extent aggregation.
+_VIDEO_SHOTS_SQL = """
+    WITH d AS (SELECT doc_id, 1 + doc_id % 5 AS nf FROM documents),
+    fr AS (
+      SELECT doc_id, f.x AS f,
+             (doc_id + 11 * f.x) % 256 AS b,
+             (3 * doc_id + 7 * f.x + 1) % 256 AS g,
+             (5 * doc_id + 13 * f.x + 2) % 256 AS r
+      FROM d, UNNEST(range(0, nf)) AS f(x)
+    ),
+    cut AS (
+      SELECT doc_id, f,
+             CASE WHEN lag(b) OVER w IS NULL THEN 0
+                  WHEN abs(b - lag(b) OVER w) + abs(g - lag(g) OVER w)
+                       + abs(r - lag(r) OVER w) >= 128 THEN 1
+                  ELSE 0 END AS c
+      FROM fr
+      WINDOW w AS (PARTITION BY doc_id ORDER BY f)
+    ),
+    sh AS (
+      SELECT doc_id, f,
+             CAST(SUM(c) OVER (PARTITION BY doc_id ORDER BY f) AS BIGINT) AS shot
+      FROM cut
+    )
+    SELECT doc_id, shot AS shot_id,
+           CAST(MIN(f) AS BIGINT) AS start_frame,
+           CAST(MAX(f) AS BIGINT) AS end_frame,
+           CAST(COUNT(*) AS BIGINT) AS n_frames
+    FROM sh GROUP BY doc_id, shot
+    """
+
+
+@register(
+    "mm_video_shots",
+    oracle=_VIDEO_SHOTS_SQL,
+    doc="VIDEO shot-boundary detection end-to-end (operators."
+    "multimodal.shot_boundaries over sample_frames_real): real AVI "
+    "decode (nested RIFF walk, strf geometry, DIB stride) -> every "
+    "frame's per-channel pixel means -> the classic "
+    "sum-of-absolute-differences cut detector (a boundary before "
+    "frame f when the L1 distance of consecutive frames' quantized "
+    "features reaches 128 — on this fixture the channel-fill ramps "
+    "wrap mod 256, so cuts are the deterministic wrap events) -> "
+    "maximal boundary-free runs reported as SHOTS (id, shot_id, "
+    "start/end frame, length). The operator takes ANY per-frame "
+    "feature frame (hashes, motion stats); integer-exact lag window "
+    "+ running cut sum, bit-reproducible cross-engine. Scale: one "
+    "shuffle on the video id (lag + running sum share the "
+    "partitioning) + one (id, shot) groupBy — nothing quadratic in "
+    "frames.",
+    survey_refs=("LLM-multimodal", "W2", "T10"),
+)
+def mm_video_shots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.multimodal import (
+        attach_avi_blob,
+        sample_frames_real,
+        shot_boundaries,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames_real(attach_avi_blob(docs), every=1)
+    return shot_boundaries(frames, threshold=128).select(
+        "doc_id", "shot_id", "start_frame", "end_frame", "n_frames"
+    )

@@ -1,11 +1,10 @@
-"""Round-8 BANKED gates (plans/banked_r8.py): full Spark-vs-DuckDB
-parity through the exact same compare() the registered gates use, plus
-unit tests and independent third implementations for the new
-operators — so promotion in round 8 is a mechanical @register +
-PRIORITY slot, not new code.
-
-Banked and not registered because round 7's 50-row driver window is
-fully budgeted (4 new gates + 46 stale refreshes); see the module doc.
+"""Round-7-banked, round-8-PROMOTED gates (audio dedup clusters,
+video shot boundaries, longest-repeat ladder, split-leakage): full
+Spark-vs-DuckDB parity through the exact same compare() the driver
+uses, plus unit tests and independent third implementations for the
+operators. These were banked in plans/banked_r8.py during round 7
+(the driver window was fully budgeted) and promoted to @register +
+front PRIORITY slots in round 8 (VERDICT r7 "Next round" #1).
 """
 
 from __future__ import annotations
@@ -13,21 +12,41 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
-from blockchain_indexer_spark.plans import REGISTRY
-from blockchain_indexer_spark.plans.banked_r8 import BANKED
+from blockchain_indexer_spark.plans import PRIORITY, REGISTRY
 from tools.check_correctness import compare, duck_con
 
+PROMOTED = (
+    "mm_audio_dedup_clusters",
+    "mm_video_shots",
+    "doc_longest_repeat",
+    "doc_split_leakage",
+)
 
-def test_banked_not_registered():
-    # the whole point of banking: REGISTRY (and so PRIORITY and the
-    # driver window) must not see these until round 8 promotes them
-    assert not set(BANKED) & set(REGISTRY)
-    assert set(BANKED) == {
-        "mm_audio_dedup_clusters",
-        "mm_video_shots",
-        "doc_longest_repeat",
-        "doc_split_leakage",
-    }
+
+def test_promoted_gates_front_window():
+    """Promotion contract: registered, oracled, and inside the
+    driver's 50-row verification window UNTIL a driver record proves
+    them — after that the normal staleness rotation
+    (tests/test_registry_order.py) owns their placement and they may
+    rotate below the fold like any other oracled gate."""
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    recorded: set[str] = set()
+    n = 1
+    while True:
+        path = os.path.join(repo, f"CORRECTNESS_r{n:02d}.json")
+        if not os.path.exists(path):
+            break
+        with open(path) as f:
+            recorded |= set(json.load(f))
+        n += 1
+    for name in PROMOTED:
+        assert name in REGISTRY
+        assert REGISTRY[name].oracle is not None
+        if name not in recorded:
+            assert PRIORITY.index(name) < 50, name
 
 
 @pytest.fixture(scope="module")
@@ -35,9 +54,9 @@ def con(sf_dir):
     return duck_con(sf_dir)
 
 
-@pytest.mark.parametrize("name", sorted(BANKED))
-def test_banked_oracle_parity(spark, sf_dir, con, name):
-    q = BANKED[name]
+@pytest.mark.parametrize("name", sorted(PROMOTED))
+def test_promoted_oracle_parity(spark, sf_dir, con, name):
+    q = REGISTRY[name]
     spark_pdf = q.build(spark, sf_dir).toPandas()
     assert len(spark_pdf) > 0, f"{name}: empty result proves nothing"
     duck_pdf = con.sql(q.oracle).df()
