@@ -1405,10 +1405,15 @@ def image_near_dup_pairs(
     id_b, hamming) with id_a < id_b, all-integer and
     engine-reproducible from closed-form fixture pixels.
 
-    The grid default matches ``image_dedup_clusters`` (6×6 → 36-bit
-    signatures, 9-bit band buckets): a 16-bit hash with 16-value
-    band buckets collapses large corpora into huge buckets, turning
-    the candidate self-join near-quadratic (ADVICE r6).
+    .. versionchanged:: round 7
+        The ``grid`` default changed **4 → 6** (driver ADVICE r6; the
+        change itself flagged in ADVICE r7): 36-bit signatures with
+        9-bit band buckets instead of 16-bit/4-bit, because a 16-bit
+        hash with 16-value band buckets collapses large corpora into
+        huge buckets, turning the candidate self-join near-quadratic.
+        The pair set DIFFERS from grid=4 output — callers that relied
+        on the old 16-bit signatures must pin ``grid=4`` explicitly.
+        The default now matches ``image_dedup_clusters``.
     """
     from blockchain_indexer_spark.operators.dedup import hamming_band_pairs
 
@@ -1504,9 +1509,20 @@ def audio_whash(
     and emit one bit per adjacent band-energy comparison: bit b is set
     iff e_{b+1} > e_{b+2} with e_k = a_k² (chromaprint's differential
     band coding; the DC bin is skipped — it carries loudness, not
-    timbre). Re-encoded / resampled-then-padded / lightly-edited
-    copies keep most band-energy ORDERINGS even as absolute energies
-    move, which is exactly what a difference code preserves.
+    timbre).
+
+    SCOPE LIMITATION (driver ADVICE r7): only the FIRST ``n_fft``
+    (default 64) samples of channel 0 are fingerprinted — one WHT
+    window, not chromaprint's strided sequence of windows — so any
+    two clips sharing their first 64 samples hash identically
+    regardless of the rest, and edits past sample 64 are invisible.
+    That is exact for the closed-form fixture corpus (every blob is
+    ≤ 53 samples) and the right cost shape for the oracle gate, but
+    REAL audio dedup needs windowed/strided band energies (fingerprint
+    per window, then band over window sequences); within the single
+    window the differential coding does preserve band-energy orderings
+    under re-encoding/light edits, which is the property the banded
+    hamming closure exploits.
 
     All arithmetic is integer (popcount, int64 sums, squares,
     comparisons), so the fingerprint is bit-reproducible from the
@@ -1625,6 +1641,15 @@ def shot_boundaries(
     (id, shot_id, start_frame, end_frame, n_frames), shot_id counting
     from 0 in frame order.
 
+    NULL policy (driver ADVICE r7 — previously a NULL feature value
+    mid-stream made the L1 distance NULL, which fell through the
+    when-chain to 'no cut' and silently MERGED across the bad frame):
+    a transition whose distance cannot be computed (any feature NULL
+    on either side) is now an explicit BOUNDARY. Undecodable frames
+    over-segment — visible in the output as extra single-frame shots —
+    rather than silently gluing two real shots together; filter NULL
+    frames up front if the source marks them some other way.
+
     Scale shape: one shuffle on the id (window lag + running boundary
     sum ride the same partitioning), then one (id, shot) groupBy —
     both uniform-key; nothing is quadratic in frames per video."""
@@ -1644,7 +1669,9 @@ def shot_boundaries(
         "_id",
         "_f",
         F.when(F.lag("_f").over(w).isNull(), F.lit(0))
-        .when(dist >= threshold, F.lit(1))
+        # NULL dist = unmeasurable transition (bad frame on either
+        # side): boundary, not silent merge — see NULL policy above
+        .when(dist.isNull() | (dist >= threshold), F.lit(1))
         .otherwise(F.lit(0))
         .alias("_cut"),
     )

@@ -434,6 +434,7 @@ def ivf_topk(
     broadcast_queries: bool = True,
     metric: str = "dot",
     engine: str = "expr",
+    max_cell: int = 4096,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index: corpus rows
     bucket to their nearest coarse centroid, each query probes its
@@ -531,7 +532,7 @@ def ivf_topk(
         F.explode(_probe_cells(F.col(vec_col))).alias("cell"),
     )
     if engine == "blocked":
-        return _ivf_blocked_cosine_topk(cb, qb, k)
+        return _ivf_blocked_cosine_topk(cb, qb, k, max_cell=max_cell)
     pair_cols = ["query_id", "neighbor_id", "_queryq", "_neighborq"]
     if metric == "cosine":
         cb = cb.withColumn("_nnorm", norm_sq(F.col("_neighborq")))
@@ -552,7 +553,9 @@ def ivf_topk(
     return _rerank_topk(cand.select(*pair_cols), k, metric)
 
 
-def _ivf_blocked_cosine_topk(cb: DataFrame, qb: DataFrame, k: int) -> DataFrame:
+def _ivf_blocked_cosine_topk(
+    cb: DataFrame, qb: DataFrame, k: int, max_cell: int = 4096
+) -> DataFrame:
     """ivf_topk's engine='blocked' probe: per-cell int64 matmul + local
     top-k (all_pairs_topk_cosine's kernel applied within cells).
 
@@ -566,20 +569,47 @@ def _ivf_blocked_cosine_topk(cb: DataFrame, qb: DataFrame, k: int) -> DataFrame:
     (integer dots/norms exact in float64; norm product, sqrt and
     divide are single IEEE ops on both paths). Zero-norm and NULL
     vectors drop before the matmul — the cosine contract
-    (_rerank_topk's filter)."""
+    (_rerank_topk's filter).
+
+    SKEW GUARD (``max_cell``, driver ADVICE r7): a skewed coarse
+    quantizer (e.g. iters=0 data-seeded centroids on a clustered
+    corpus) can land the MAX cell — not the documented avg cell — in
+    one packed row/task, an unguarded single-executor OOM at index
+    scale. Cells over ``max_cell`` members split by a deterministic
+    member-id salt into ceil(n/max_cell) sub-cells; probing queries
+    replicate to every sub-cell of the cells they probe (a pair still
+    meets exactly once — the neighbor lives in exactly ONE sub-cell),
+    each sub-block keeps its local top-k with boundary ties, and the
+    existing global window merges. The true per-cell top-k is a subset
+    of the union of sub-block top-ks, so results stay bit-identical
+    (equality test-pinned vs engine='expr' at max_cell=7); only
+    oversized cells pay the replication. At max_cell=4096 a packed row
+    is ≤ 4096×64 int64 ≈ 2 MB — bounded per task regardless of
+    quantizer skew."""
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-    cpacked = cb.groupBy("cell").agg(
+    # per-cell member counts are one tiny row per cell: broadcast into
+    # both sides so the salting adds no extra shuffle of the big frames
+    ccnt = cb.groupBy("cell").agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(max_cell)).cast("int").alias("_nsub")
+    )
+    cb = cb.join(F.broadcast(ccnt), "cell").withColumn(
+        "_salt", F.pmod(F.xxhash64("neighbor_id"), F.col("_nsub")).cast("int")
+    )
+    qb = qb.join(F.broadcast(ccnt), "cell").withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.col("_nsub") - 1))
+    )
+    cpacked = cb.groupBy("cell", "_salt").agg(
         F.collect_list(
             F.struct(F.col("neighbor_id").alias("i"), F.col("_neighborq").alias("v"))
         ).alias("_crows")
     )
-    qpacked = qb.groupBy("cell").agg(
+    qpacked = qb.groupBy("cell", "_salt").agg(
         F.collect_list(
             F.struct(F.col("query_id").alias("i"), F.col("_queryq").alias("v"))
         ).alias("_qrows")
     )
-    cells = qpacked.join(cpacked, "cell").select("_qrows", "_crows")
+    cells = qpacked.join(cpacked, ["cell", "_salt"]).select("_qrows", "_crows")
     schema = StructType(
         [
             StructField("query_id", LongType()),

@@ -382,3 +382,32 @@ def test_split_leakage_matches_python_reference(spark):
         leaked = len(mine & train_wins)
         want.append((d, split[d], len(mine), leaked, leaked > 0))
     assert got == sorted(want)
+
+
+def test_shot_boundaries_null_feature_is_boundary_not_merge(spark):
+    """Driver ADVICE r7: a NULL feature mid-stream used to fall
+    through the when-chain to 'no cut', silently merging across the
+    bad frame. Unmeasurable transitions are now explicit boundaries —
+    the bad frame shows up as its own shot instead of gluing two real
+    shots together."""
+    from blockchain_indexer_spark.operators.multimodal import shot_boundaries
+
+    rows = [
+        (1, 0, 10.0, 10.0, 10.0),
+        (1, 1, 11.0, 10.0, 10.0),   # dist 1 -> same shot
+        (1, 2, None, 10.0, 10.0),   # bad frame: boundary INTO it...
+        (1, 3, 12.0, 10.0, 10.0),   # ...and boundary OUT of it
+        (1, 4, 13.0, 10.0, 10.0),   # dist 1 -> same shot as frame 3
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, frame_index int, mean_b double, mean_g double, mean_r double"
+    )
+    got = {
+        (r.doc_id, r.shot_id): (r.start_frame, r.end_frame, r.n_frames)
+        for r in shot_boundaries(df, threshold=128).collect()
+    }
+    assert got == {
+        (1, 0): (0, 1, 2),
+        (1, 1): (2, 2, 1),
+        (1, 2): (3, 4, 2),
+    }

@@ -361,3 +361,39 @@ def test_lsh_topk_fetch_join_equals_ride_along(spark, sf_dir):
         for r in lsh_topk(emb, q, "vec_id", "embedding", fetch_join=True).collect()
     )
     assert a == b and a
+
+
+def test_ivf_blocked_skew_guard_subsplit_bit_identical(spark):
+    """engine='blocked' with a tiny max_cell (force every cell to
+    sub-split) must stay bit-identical to engine='expr' — the skew
+    guard (driver ADVICE r7: an iters=0 quantizer on a clustered
+    corpus lands the MAX cell in one packed row/task) only changes the
+    blocking, never the ranking: a pair still meets in exactly one
+    sub-cell and the true per-cell top-k is a subset of the union of
+    sub-block top-ks."""
+    import numpy as np
+
+    from blockchain_indexer_spark.operators.similarity import ivf_topk
+
+    rng = np.random.RandomState(11)
+    # clustered corpus: one dense blob (skews the data-seeded
+    # quantizer's cells) + a light uniform background
+    blob = rng.normal(0, 0.05, (90, 8)) + np.ones(8)
+    rest = rng.normal(0, 1, (40, 8))
+    rows = [
+        (i, [float(x) for x in v])
+        for i, v in enumerate(np.vstack([blob, rest]))
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(k=4, n_cells=6, n_probe=3, iters=0, broadcast_queries=False,
+              metric="cosine")
+    want = (
+        ivf_topk(emb, emb, **kw, engine="expr")
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    for mc in (7, 1):  # both multi-way and degenerate one-member splits
+        got = (
+            ivf_topk(emb, emb, **kw, engine="blocked", max_cell=mc)
+            .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        assert got.equals(want), f"max_cell={mc} diverged"
