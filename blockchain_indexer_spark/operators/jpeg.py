@@ -8,7 +8,9 @@ de-zigzag, float64 IDCT, level shift — plus the fixture encoder that
 synthesizes real JPEG streams whose decoded pixels are closed-form.
 
 Scope: 8-bit baseline, GRAYSCALE, interleaved 4:4:4 color, and
-chroma-subsampled color with factors in {1, 2} (4:2:0 / 4:2:2) under
+chroma-subsampled color with factors in the full T.81 1..4 envelope
+(4:2:0 / 4:2:2 / 4:1:1 / 3:1:1 and friends — widened from {1, 2} in
+round 8) under
 a PINNED floor-replication upsample (decode_jpeg docstring) and the
 JFIF YCbCr matrix with floor(x+0.5) rounding — every rounding choice
 closed-form so the DuckDB oracles reproduce decoded pixels exactly —
@@ -24,13 +26,15 @@ already-nonzero history — including correction bits carried inside
 EOBn runs), in decode_jpeg_progressive — and SUBSAMPLED progressive
 with factors in {1, 2} (MCU-interleaved DC scans over padded grids,
 per-component non-interleaved AC scans, the same pinned floor
-upsample as baseline). RESTART INTERVALS (DRI + RSTn, T.81 E.2.4)
+upsample as baseline; same 1..4 envelope). RESTART INTERVALS (DRI +
+RSTn, T.81 E.2.4)
 are honored in every scan kind — baseline, progressive first AND
 refinement scans: byte-aligned resync with marker-sequence checks,
 DC-predictor resets, EOB runs (with their buffered refinement
-correction bits) bounded by the interval. Sampling factors >2,
-non-dividing ratios, and sampled single-component scans raise
-NotImplementedError and stay behind the PIL seam in
+correction bits) bounded by the interval. Sampling factors outside
+1..4 are malformed per T.81 B.2.2 (ValueError); non-dividing ratios
+(fractional chroma replication) and sampled single-component scans
+raise NotImplementedError and stay behind the PIL seam in
 decode_image_real (the same honest input-domain guard as non-24bpp
 BMP / non-PCM WAV).
 
@@ -442,11 +446,16 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, int, np.ndarray]:
     the (upsampled) integer planes with floor(x + 0.5) rounding — a
     closed-form expression a SQL oracle mirrors exactly (np.round's
     half-to-even vs SQL round's half-away would diverge on exact .5).
-    Sampling factors outside {1, 2} and ratios that do not divide
-    raise NotImplementedError (the PIL seam); progressive (SOF2)
-    streams dispatch to decode_jpeg_progressive, which handles
-    spectral selection, successive approximation, and the same
-    sampling envelope; malformed streams raise ValueError.
+    Sampling factors cover the full T.81 envelope 1..4 per axis
+    (4:2:0/4:2:2/4:1:1/3:1:1 and friends — the round-8 seam close);
+    factors outside 1..4 are malformed per T.81 B.2.2 and raise
+    ValueError, ratios that do not divide (e.g. mixed 3- and 2-factor
+    components) raise NotImplementedError (the PIL seam — T.81 allows
+    them but the floor-replication upsample does not express
+    fractional replication); progressive (SOF2) streams dispatch to
+    decode_jpeg_progressive, which handles spectral selection,
+    successive approximation, and the same sampling envelope;
+    malformed streams raise ValueError.
     """
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -516,10 +525,11 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, int, np.ndarray]:
                     raise NotImplementedError(
                         "sampled single-component scan (PIL seam)"
                     )
-                if hs not in (1, 2) or vs not in (1, 2):
-                    raise NotImplementedError(
-                        f"sampling factor {hs}x{vs} not supported "
-                        "in-repo (PIL seam)"
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    # T.81 B.2.2: H/V in 1..4; anything else is a
+                    # malformed frame, not a seam
+                    raise ValueError(
+                        f"sampling factor {hs}x{vs} outside T.81 range"
                     )
                 frame_comps.append((cid, tq, hs, vs))
         elif marker == 0xC2:
@@ -1570,10 +1580,11 @@ def decode_jpeg_progressive(buf: bytes) -> tuple[int, int, int, np.ndarray]:
                     raise NotImplementedError(
                         "sampled single-component progressive (PIL seam)"
                     )
-                if hs not in (1, 2) or vs not in (1, 2):
-                    raise NotImplementedError(
-                        f"sampling factor {hs}x{vs} progressive not "
-                        "supported in-repo (PIL seam)"
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    # T.81 B.2.2: H/V in 1..4; anything else is a
+                    # malformed frame, not a seam
+                    raise ValueError(
+                        f"sampling factor {hs}x{vs} outside T.81 range"
                     )
                 comp_order.append(cid)
                 comp_tq[cid] = tq

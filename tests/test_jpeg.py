@@ -215,8 +215,16 @@ def test_unsupported_sampling_factors_raise_not_implemented():
 
     buf = bytearray(synth_jpeg_color_blob(1))
     i = bytes(buf).index(b"\xff\xc0")
-    buf[i + 11] = 0x33  # Y component claims 3x3 sampling (outside {1,2})
-    with pytest.raises(NotImplementedError, match="sampling factor"):
+    buf[i + 11] = 0x55  # Y component claims 5x5 sampling (T.81 max is 4)
+    with pytest.raises(ValueError, match="outside T.81 range"):
+        decode_jpeg(bytes(buf))
+    # factors inside 1..4 that do NOT divide the max stay a seam:
+    # Y=3x1 with Cb=2x1 needs fractional chroma replication
+    buf = bytearray(synth_jpeg_color_blob(1))
+    i = bytes(buf).index(b"\xff\xc0")
+    buf[i + 11] = 0x31
+    buf[i + 14] = 0x21
+    with pytest.raises(NotImplementedError, match="non-dividing"):
         decode_jpeg(bytes(buf))
     # single-component scans are non-interleaved per T.81: sampling
     # factors there change the block walk this decoder does not do
@@ -392,10 +400,9 @@ def test_progressive_ac_bands_decode_planted_coefficients():
 
 
 def test_progressive_guards_stay_honest():
-    """Sampling factors outside {1,2} stay behind the PIL seam (2x2
-    subsampled progressive decodes in-repo as of round 6, SA as of
-    round 6 too); an SA scan with inconsistent Ah != Al+1 is rejected
-    as malformed."""
+    """Sampling factors outside the T.81 1..4 envelope are malformed
+    (factors 1..4 decode in-repo as of round 8); an SA scan with
+    inconsistent Ah != Al+1 is rejected as malformed."""
     from blockchain_indexer_spark.operators.jpeg import (
         decode_jpeg_progressive,
         encode_progressive_from_zz,
@@ -413,8 +420,8 @@ def test_progressive_guards_stay_honest():
         c[0][0] = 50
     buf = bytearray(encode_progressive_from_zz(zz3, 1, 1))
     i = bytes(buf).index(b"\xff\xc2")
-    buf[i + 2 + 2 + 5 + 2] = 0x33  # luma claims 3x3 sampling
-    with pytest.raises(NotImplementedError, match="sampling factor 3x3"):
+    buf[i + 2 + 2 + 5 + 2] = 0x55  # luma claims 5x5 sampling (max is 4)
+    with pytest.raises(ValueError, match="outside T.81 range"):
         decode_jpeg_progressive(bytes(buf))
     # sampled SINGLE-component progressive keeps its own guard
     buf = bytearray(encode_progressive_from_zz(zz, 1, 1))
@@ -1122,3 +1129,80 @@ def test_progressive_fixture_all_shapes_carry_restarts():
             decode_jpeg_progressive(synth_jpeg_progressive_blob(doc_id))[3],
             _expected_pixels(doc_id),
         )
+
+
+def _solid_blocks(rng, mby, mbx, hi, vi):
+    return np.ascontiguousarray(
+        np.broadcast_to(
+            rng.integers(0, 256, (mby * vi, mbx * hi, 1, 1), dtype=np.int64),
+            (mby * vi, mbx * hi, 8, 8),
+        ).astype(np.uint8)
+    )
+
+
+def _expect_rgb(y, cb, cr, sampling):
+    """Independent floor-replication + JFIF reference from solid-block
+    planes (one value per 8x8 block)."""
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    planes = []
+    for comp, (hi, vi) in zip((y, cb, cr), sampling):
+        p = np.repeat(np.repeat(comp[:, :, 0, 0], 8 * (vmax // vi), axis=0),
+                      8 * (hmax // hi), axis=1).astype(np.float64)
+        planes.append(p)
+    yf, cbf, crf = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    return np.clip(
+        np.floor(
+            np.stack(
+                [yf + 1.402 * crf,
+                 yf - 0.344136 * cbf - 0.714136 * crf,
+                 yf + 1.772 * cbf], axis=2
+            ) + 0.5
+        ), 0, 255,
+    ).astype(np.uint8)
+
+
+@pytest.mark.parametrize(
+    "sampling",
+    [
+        [(4, 1), (1, 1), (1, 1)],  # 4:1:1 (DV-style)
+        [(3, 1), (1, 1), (1, 1)],  # 3:1:1 — the round-8 seam close
+        [(1, 3), (1, 1), (1, 1)],  # vertical 3-factor twin
+        [(4, 2), (2, 1), (1, 1)],  # mixed dividing ladder 4/2/1
+        [(3, 3), (1, 1), (1, 1)],  # 3x3 luma
+    ],
+)
+def test_wide_sampling_factors_roundtrip(sampling):
+    """Round-8 seam close (VERDICT r7 'Next round' #4): sampling
+    factors in the full T.81 1..4 envelope decode bit-exact — the MCU
+    walk and floor-replication upsample were already generic in
+    (H, V); only the guards said {1, 2}."""
+    from blockchain_indexer_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(sum(h * 16 + v for h, v in sampling))
+    mby, mbx = 2, 3
+    h0, v0 = sampling[0]
+    comps = [_solid_blocks(rng, mby, mbx, hi, vi) for hi, vi in sampling]
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    w, h, nch, px = decode_jpeg(encode_jpeg(comps, sampling=sampling))
+    assert (w, h, nch) == (8 * hmax * mbx, 8 * vmax * mby, 3)
+    assert np.array_equal(px, _expect_rgb(*comps, sampling))
+
+
+def test_wide_sampling_factors_progressive_matches_baseline():
+    """Progressive decode under the widened envelope: 4:1:1 and 3:1:1
+    solid-block streams must equal their baseline twins pixel-exact."""
+    from blockchain_indexer_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    for sampling in ([(4, 1), (1, 1), (1, 1)], [(3, 1), (1, 1), (1, 1)]):
+        rng = np.random.default_rng(13 + sampling[0][0])
+        comps = [_solid_blocks(rng, 2, 2, hi, vi) for hi, vi in sampling]
+        base = decode_jpeg(encode_jpeg(comps, sampling=sampling))
+        prog = decode_jpeg(encode_jpeg_progressive(comps, sampling=sampling))
+        assert base[:3] == prog[:3]
+        assert np.array_equal(base[3], prog[3]), sampling
