@@ -684,3 +684,59 @@ def label_propagation(
         F.col("_l").alias(label_col),
         F.coalesce(F.col("is_seed"), F.lit(False)).alias("is_seed"),
     )
+
+
+def cross_modal_dedup_clusters(
+    universe: DataFrame,
+    evidence: list[DataFrame],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ONE multi-modal keep decision per document from per-modality
+    dup evidence: text, image, audio and video dedup each produce
+    either a VERDICT frame ((id, cluster, keep) — the
+    ``dedup_survivors`` / ``*_dedup_clusters`` contract) or a raw
+    near-dup PAIR frame ((doc_a, doc_b) / (id_a, id_b)); this unions
+    all of it into one doc-level graph and re-runs the survivor
+    closure, so a document that duplicates another in ANY modality
+    lands in the same cross-modal cluster and only the minimum id
+    survives (transitively: A≈B by image and B≈C by text drops both
+    B and C in favor of A).
+
+    Verdict frames contribute their STAR edges (cluster → member, one
+    edge per non-survivor doc) rather than raw pairs — O(docs) edges
+    per modality regardless of dup-group sizes, preserving each
+    modality's hash-level factoring (a dup-dense modality's doc-level
+    pair set is quadratic in group size; its star is linear and has
+    the same connected components). Pair frames are used as-is.
+
+    Scale: |edges| = Σ O(docs) + |text pairs|; one distinct, then the
+    ``dedup_survivors`` star-contraction closure — all uniform-key
+    shuffles, nothing quadratic."""
+    edges = []
+    for ev in evidence:
+        cols = set(ev.columns)
+        if "cluster" in cols:
+            idc = "id" if "id" in cols else id_col
+            edges.append(
+                ev.filter(F.col(idc) != F.col("cluster")).select(
+                    F.col("cluster").alias("doc_a"), F.col(idc).alias("doc_b")
+                )
+            )
+        elif {"doc_a", "doc_b"} <= cols:
+            edges.append(ev.select("doc_a", "doc_b"))
+        elif {"id_a", "id_b"} <= cols:
+            edges.append(
+                ev.select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+            )
+        else:
+            raise ValueError(
+                f"evidence frame with columns {sorted(cols)} is neither a "
+                "verdict (cluster/keep) nor a pair (doc_a/doc_b, id_a/id_b) "
+                "frame"
+            )
+    if not edges:
+        raise ValueError("at least one evidence frame required")
+    pairs = edges[0]
+    for e in edges[1:]:
+        pairs = pairs.unionByName(e)
+    return dedup_survivors(universe, pairs.distinct(), id_col)

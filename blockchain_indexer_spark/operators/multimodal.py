@@ -1616,6 +1616,51 @@ def audio_dedup_clusters(
 _SHOT_SCHEMA_DOC = """(id, shot_id, start_frame, end_frame, n_frames)"""
 
 
+def _shot_frames(
+    frames: DataFrame,
+    id_col: str,
+    order_col: str,
+    feature_cols: tuple[str, ...],
+    threshold: int,
+    scale: int,
+) -> DataFrame:
+    """Shared shot-assignment core of ``shot_boundaries`` and
+    ``shot_signatures``: every frame labeled with its running shot
+    index — (_id, _f, _shot, _q0.._qN quantized features). The cut
+    rule (L1 of quantized features >= threshold; NULL = boundary) is
+    defined ONCE here so extents and signatures can never diverge."""
+    q = [
+        F.floor(F.col(c).cast("double") * scale).cast("bigint").alias(f"_q{i}")
+        for i, c in enumerate(feature_cols)
+    ]
+    base = frames.select(
+        F.col(id_col).alias("_id"), F.col(order_col).alias("_f"), *q
+    )
+    w = Window.partitionBy("_id").orderBy("_f")
+    dist = None
+    for i in range(len(feature_cols)):
+        d = F.abs(F.col(f"_q{i}") - F.lag(f"_q{i}").over(w))
+        dist = d if dist is None else dist + d
+    marked = base.select(
+        "_id",
+        "_f",
+        *[f"_q{i}" for i in range(len(feature_cols))],
+        F.when(F.lag("_f").over(w).isNull(), F.lit(0))
+        # NULL dist = unmeasurable transition (bad frame on either
+        # side): boundary, not silent merge — see shot_boundaries'
+        # NULL policy
+        .when(dist.isNull() | (dist >= threshold), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("_cut"),
+    )
+    return marked.select(
+        "_id",
+        "_f",
+        *[f"_q{i}" for i in range(len(feature_cols))],
+        F.sum("_cut").over(w).cast("bigint").alias("_shot"),
+    )
+
+
 def shot_boundaries(
     frames: DataFrame,
     id_col: str = "doc_id",
@@ -1653,31 +1698,7 @@ def shot_boundaries(
     Scale shape: one shuffle on the id (window lag + running boundary
     sum ride the same partitioning), then one (id, shot) groupBy —
     both uniform-key; nothing is quadratic in frames per video."""
-    q = [
-        F.floor(F.col(c).cast("double") * scale).cast("bigint").alias(f"_q{i}")
-        for i, c in enumerate(feature_cols)
-    ]
-    base = frames.select(
-        F.col(id_col).alias("_id"), F.col(order_col).alias("_f"), *q
-    )
-    w = Window.partitionBy("_id").orderBy("_f")
-    dist = None
-    for i in range(len(feature_cols)):
-        d = F.abs(F.col(f"_q{i}") - F.lag(f"_q{i}").over(w))
-        dist = d if dist is None else dist + d
-    marked = base.select(
-        "_id",
-        "_f",
-        F.when(F.lag("_f").over(w).isNull(), F.lit(0))
-        # NULL dist = unmeasurable transition (bad frame on either
-        # side): boundary, not silent merge — see NULL policy above
-        .when(dist.isNull() | (dist >= threshold), F.lit(1))
-        .otherwise(F.lit(0))
-        .alias("_cut"),
-    )
-    shots = marked.select(
-        "_id", "_f", F.sum("_cut").over(w).cast("bigint").alias("_shot")
-    )
+    shots = _shot_frames(frames, id_col, order_col, feature_cols, threshold, scale)
     return (
         shots.groupBy("_id", "_shot")
         .agg(
@@ -1692,4 +1713,186 @@ def shot_boundaries(
             "end_frame",
             "n_frames",
         )
+    )
+
+
+def _video_masks(bits: int = 16, width: int = 30) -> list[int]:
+    """Deterministic parity-projection masks for ``video_whash``:
+    m_k = (2654435761 · (k+1)) mod 2^width (Knuth's multiplicative
+    constant) — fixed integer literals a SQL oracle reproduces by the
+    same arithmetic, the video analogue of audio_whash's closed-form
+    Walsh sign matrix. popcount-parity of (sig & m_k) is a uniform
+    XOR-subset projection of the signature bits."""
+    return [(2654435761 * (k + 1)) % (1 << width) for k in range(bits)]
+
+
+def shot_signatures(
+    frames: DataFrame,
+    id_col: str = "doc_id",
+    order_col: str = "frame_index",
+    feature_cols: tuple[str, ...] = ("mean_b", "mean_g", "mean_r"),
+    threshold: int = 128,
+    scale: int = 1,
+) -> DataFrame:
+    """Per-SHOT content signature over a per-frame feature stream —
+    the retrieval complement of ``shot_boundaries`` (both run the
+    SAME ``_shot_frames`` assignment, so extents and signatures can
+    never disagree on where shots are): each shot's signature packs
+    the floor-mean of every quantized feature channel over the shot's
+    frames into one integer, 10 bits per channel (floor-mean = integer
+    SUM DIV n_frames — exact and engine-reproducible; channel means
+    live in 0..255 so 10 bits never saturate).
+
+    NULL policy: a shot containing any NULL-feature frame gets a NULL
+    signature (sums over partial channels would silently fingerprint
+    a different shot than the cut rule saw); downstream fingerprints
+    drop NULL-signature shots explicitly.
+
+    Returns (id, shot_id, sig, n_frames). One uniform-key shuffle on
+    the video id shared with the shot assignment, then one
+    (id, shot) groupBy — nothing quadratic in frames."""
+    nf = len(feature_cols)
+    sf = _shot_frames(frames, id_col, order_col, feature_cols, threshold, scale)
+    per = sf.groupBy("_id", "_shot").agg(
+        *[F.sum(f"_q{i}").alias(f"_s{i}") for i in range(nf)],
+        *[F.count(f"_q{i}").alias(f"_c{i}") for i in range(nf)],
+        F.count(F.lit(1)).alias("n_frames"),
+    )
+    sig = None
+    for i in range(nf):
+        part = F.expr(f"_s{i} DIV n_frames") * F.lit(1 << (10 * (nf - 1 - i)))
+        sig = part if sig is None else sig + part
+    all_valid = None
+    for i in range(nf):
+        ok = F.col(f"_c{i}") == F.col("n_frames")
+        all_valid = ok if all_valid is None else all_valid & ok
+    return per.select(
+        F.col("_id").alias(id_col),
+        F.col("_shot").alias("shot_id"),
+        F.when(all_valid, sig).cast("bigint").alias("sig"),
+        F.col("n_frames").cast("bigint").alias("n_frames"),
+    )
+
+
+def video_whash(
+    frames: DataFrame,
+    id_col: str = "doc_id",
+    order_col: str = "frame_index",
+    feature_cols: tuple[str, ...] = ("mean_b", "mean_g", "mean_r"),
+    threshold: int = 128,
+    scale: int = 1,
+    bits: int = 16,
+) -> DataFrame:
+    """Per-VIDEO fingerprint from its shot signatures — SimHash with
+    deterministic parity projections, the video sibling of
+    ``audio_whash``/``image_ahash``: for bit k the weight is
+    Σ_shots n_frames · (1 − 2·parity(popcount(sig & m_k))) over the
+    ``_video_masks`` constants, and bit k is set iff the weight is
+    positive. Shot-length weighting makes the fingerprint robust to
+    re-encodes that perturb a few short shots while long shots agree
+    (the property the banded hamming closure exploits); everything is
+    int64 (popcount, ±n_frames sums, comparisons), so the fingerprint
+    is bit-reproducible from closed-form fixture frames by a SQL
+    oracle.
+
+    NULL-signature shots (NULL-feature frames, see shot_signatures)
+    are dropped from the vote explicitly; a video with NO valid shot
+    is excluded from the output (it has no content to fingerprint) —
+    the same contract as audio_whash's blob-NULL filter.
+
+    Returns (id, vhash, n_shots). Scale: shots×bits rows through two
+    uniform-key groupBys — linear in total shots, never quadratic."""
+    sigs = shot_signatures(
+        frames, id_col, order_col, feature_cols, threshold, scale
+    ).filter(F.col("sig").isNotNull())
+    masks = _video_masks(bits)
+    km = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(k).alias("k"), F.lit(m).alias("m"))
+                for k, m in enumerate(masks)
+            ]
+        )
+    ).alias("km")
+    per = sigs.select(F.col(id_col).alias("_id"), "sig", "n_frames", km).select(
+        "_id",
+        F.col("km.k").alias("k"),
+        (
+            F.col("n_frames")
+            * (
+                F.lit(1)
+                - F.lit(2)
+                * F.pmod(F.bit_count(F.col("sig").bitwiseAND(F.col("km.m"))), F.lit(2))
+            )
+        ).alias("w"),
+    )
+    wk = per.groupBy("_id", "k").agg(F.sum("w").alias("w"))
+    return (
+        wk.groupBy("_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("w") > 0,
+                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(k AS INT))"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("vhash"),
+        )
+        .join(
+            sigs.groupBy(F.col(id_col).alias("_id")).agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_shots")
+            ),
+            "_id",
+        )
+        .select(F.col("_id").alias(id_col), "vhash", "n_shots")
+    )
+
+
+def video_dedup_clusters(
+    frames: DataFrame,
+    id_col: str = "doc_id",
+    order_col: str = "frame_index",
+    feature_cols: tuple[str, ...] = ("mean_b", "mean_g", "mean_r"),
+    threshold: int = 128,
+    scale: int = 1,
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Full VIDEO near-dup verdict — shot segmentation → shot-level
+    fingerprint (``video_whash``) → banded hamming closure → one
+    (id, cluster, keep) row per fingerprintable video: completes
+    exact-dup → near-dup coverage for the FOURTH modality on the same
+    generic engines as text, image and audio (``dedup.
+    hamming_band_pairs``, pigeonhole-complete for max_hamming < bands;
+    hash-level connected components via star contraction — hamming
+    balls chain, and dup-dense video corpora collapse onto few
+    distinct fingerprints exactly like the image gradient corpus).
+    The decode/shot pass is linear in frames; the closure is bounded
+    by hash-space structure, never corpus size."""
+    from blockchain_indexer_spark.operators.cluster import connected_components_star
+    from blockchain_indexer_spark.operators.dedup import hamming_band_pairs
+
+    h = (
+        video_whash(
+            frames, id_col, order_col, feature_cols, threshold, scale, bits
+        )
+        .select(id_col, "vhash")
+        .localCheckpoint(eager=True)  # fingerprint once: distinct + label join
+    )
+    hv = h.select(F.col("vhash").alias("_hv")).distinct()
+    hpairs = hamming_band_pairs(
+        hv, "_hv", "_hv", bits, bands=bands, max_hamming=max_hamming
+    )
+    comp = connected_components_star(hpairs, "id_a", "id_b")
+    hlab = hv.join(comp, hv["_hv"] == comp["id"], "left").select(
+        "_hv", F.coalesce("cluster", "_hv").alias("_hc")
+    )
+    dlab = h.join(hlab, h["vhash"] == hlab["_hv"]).select(id_col, "_hc")
+    cmin = dlab.groupBy("_hc").agg(F.min(id_col).alias("cluster"))
+    return dlab.join(cmin, "_hc").select(
+        id_col,
+        "cluster",
+        (F.col(id_col) == F.col("cluster")).alias("keep"),
     )

@@ -1,0 +1,584 @@
+"""Round-9 BANKED gates — implemented, DuckDB-parity-tested, but NOT
+yet registered (VERDICT r7 "Next round" #3, the plans/banked_r7/_r8
+convention).
+
+Why banked: the driver records exactly the first 50 registry entries
+per round, and round 8's window budget is fully spoken for (5 new
+gates + 45 stale refreshes). Registering more new oracled gates this
+round would displace staleness-rotation slots and re-break the
+rotation invariant (tests/test_registry_order.py) by arithmetic.
+
+So these follow the banked convention: the OPERATOR code, the oracle
+SQL, and a full Spark-vs-DuckDB parity test land now
+(tests/test_banked_r9.py runs them through the exact same compare()
+as the registered gates); round 9 promotes each entry to a plans/*
+@register call plus a PRIORITY front-window slot — a mechanical move
+of the Query objects below.
+
+This module must NOT be imported by plans/__init__ until promotion:
+the registry invariants assert set(REGISTRY) == set(PRIORITY).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blockchain_indexer_spark.operators.multimodal import _video_masks
+from blockchain_indexer_spark.plans.registry import Query
+from blockchain_indexer_spark.sources.parquet import load_table
+
+BANKED: dict[str, Query] = {}
+
+
+def _bank(name: str, oracle: str | None, doc: str, survey_refs: tuple[str, ...] = ()):
+    def wrap(fn):
+        BANKED[name] = Query(
+            name=name, build=fn, oracle=oracle, doc=doc, survey_refs=survey_refs
+        )
+        return fn
+
+    return wrap
+
+
+# ---------------------------------------------------------------------------
+# mm_video_dedup_clusters: shot-level video near-dup verdict
+# ---------------------------------------------------------------------------
+
+#: (k, m) literal rows of the deterministic parity-projection masks —
+#: the SAME integers operators.multimodal._video_masks computes, so
+#: the oracle reproduces video fingerprints bit-for-bit (the
+#: _lsh_planes_values pattern).
+_VIDEO_MASKS_VALUES = ",".join(
+    f"({k},{m})" for k, m in enumerate(_video_masks(16))
+)
+
+#: Shared video chain: replays attach_avi_blob's closed form
+#: (nf = 1+id%5, constant fills B=(id+11f)%256 G=(3id+7f+1)%256
+#: R=(5id+13f+2)%256), the _shot_frames cut rule (L1 >= 128 over
+#: lagged per-frame channel means), per-shot signatures (floor-mean
+#: per channel, 10 bits each), the parity-projection SimHash
+#: (video_whash: w_k = sum n_frames * ±1 by popcount parity of
+#: sig & m_k), then dedup.hamming_band_pairs over DISTINCT
+#: fingerprints (4 bands x 4 bits, pigeonhole-complete for
+#: hamming <= 2) and the hash-level star-contraction closure
+#: (video_dedup_clusters). Ends at v_dlab (doc_id, v_hc) and
+#: v_cmin (v_hc, cluster).
+_VIDEO_CTES = f"""v_d AS (SELECT doc_id, 1 + doc_id % 5 AS nf FROM documents),
+    v_fr AS (
+      SELECT doc_id, f.x AS f,
+             (doc_id + 11 * f.x) % 256 AS b,
+             (3 * doc_id + 7 * f.x + 1) % 256 AS g,
+             (5 * doc_id + 13 * f.x + 2) % 256 AS r
+      FROM v_d, UNNEST(range(0, nf)) AS f(x)
+    ),
+    v_cut AS (
+      SELECT doc_id, f, b, g, r,
+             CASE WHEN lag(b) OVER w IS NULL THEN 0
+                  WHEN abs(b - lag(b) OVER w) + abs(g - lag(g) OVER w)
+                       + abs(r - lag(r) OVER w) >= 128 THEN 1
+                  ELSE 0 END AS c
+      FROM v_fr
+      WINDOW w AS (PARTITION BY doc_id ORDER BY f)
+    ),
+    v_sh AS (
+      SELECT doc_id, f, b, g, r,
+             CAST(SUM(c) OVER (PARTITION BY doc_id ORDER BY f) AS BIGINT) AS shot
+      FROM v_cut
+    ),
+    v_sig AS (
+      SELECT doc_id, shot,
+             (SUM(b) // COUNT(*)) * 1048576
+               + (SUM(g) // COUNT(*)) * 1024
+               + (SUM(r) // COUNT(*)) AS sig,
+             CAST(COUNT(*) AS BIGINT) AS n_frames
+      FROM v_sh GROUP BY doc_id, shot
+    ),
+    v_masks(k, m) AS (VALUES {_VIDEO_MASKS_VALUES}),
+    v_wk AS (
+      SELECT doc_id, k,
+             SUM(n_frames * (1 - 2 * (bit_count(CAST(sig AS BIGINT) & CAST(m AS BIGINT)) % 2))) AS w
+      FROM v_sig CROSS JOIN v_masks GROUP BY 1, 2
+    ),
+    v_hsh AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN w > 0 THEN CAST(1 AS BIGINT) << k ELSE 0 END)
+                  AS BIGINT) AS vhash
+      FROM v_wk GROUP BY 1
+    ),
+    v_hv AS (SELECT DISTINCT vhash FROM v_hsh),
+    v_banded AS (
+      SELECT vhash, r.b AS band, (vhash >> (4 * r.b)) & 15 AS bucket
+      FROM v_hv, UNNEST(range(0, 4)) AS r(b)
+    ),
+    v_p AS (
+      SELECT DISTINCT a.vhash AS ha, b.vhash AS hb
+      FROM v_banded a
+      JOIN v_banded b ON a.band = b.band AND a.bucket = b.bucket
+                     AND a.vhash < b.vhash
+      WHERE bit_count(xor(a.vhash, b.vhash)) <= 2
+    ),
+    v_edges AS (SELECT ha AS a, hb AS b FROM v_p
+                UNION SELECT hb, ha FROM v_p),
+    v_reach(id, r) AS (
+      SELECT a, a FROM v_edges
+      UNION
+      SELECT e.b, v_reach.r FROM v_edges e JOIN v_reach ON e.a = v_reach.id
+    ),
+    v_comp AS (SELECT id, MIN(r) AS cluster FROM v_reach GROUP BY id),
+    v_hlab AS (
+      SELECT v_hv.vhash, COALESCE(v_comp.cluster, v_hv.vhash) AS v_hc
+      FROM v_hv LEFT JOIN v_comp ON v_comp.id = v_hv.vhash
+    ),
+    v_dlab AS (SELECT v_hsh.doc_id, v_hlab.v_hc
+               FROM v_hsh JOIN v_hlab USING (vhash)),
+    v_cmin AS (SELECT v_hc, MIN(doc_id) AS cluster FROM v_dlab GROUP BY 1)"""
+
+_VIDEO_DEDUP_SQL = (
+    "WITH RECURSIVE "
+    + _VIDEO_CTES
+    + """
+    SELECT v_dlab.doc_id, v_cmin.cluster, v_dlab.doc_id = v_cmin.cluster AS keep
+    FROM v_dlab JOIN v_cmin USING (v_hc)
+    """
+)
+
+
+@_bank(
+    "mm_video_dedup_clusters",
+    oracle=_VIDEO_DEDUP_SQL,
+    doc="VIDEO near-dup verdict end-to-end (operators.multimodal."
+    "video_dedup_clusters): real AVI decode -> shot segmentation "
+    "(the SAME _shot_frames cut rule as mm_video_shots, shared core) "
+    "-> per-shot packed floor-mean signatures -> 16-bit per-video "
+    "SimHash with deterministic popcount-parity projections "
+    "(video_whash; shot-LENGTH-weighted votes, so re-encodes that "
+    "perturb short shots agree on long ones) -> banded hamming "
+    "blocking over DISTINCT fingerprints (dedup.hamming_band_pairs, "
+    "4 bands x 4 bits, pigeonhole-COMPLETE for hamming <= 2) -> "
+    "hash-level star-contraction closure -> min-id survivor keeps. "
+    "Completes exact-dup -> near-dup coverage for the FOURTH modality "
+    "on the same banding + closure engines as text, image and audio "
+    "(VERDICT r7 'Next round' #3c). All arithmetic int64 (floor-mean "
+    "= SUM DIV n, popcount parity, comparisons), bit-reproducible by "
+    "the oracle from the closed-form fixture frames. One row per "
+    "video at any scale; the closure is bounded by hash space, never "
+    "corpus size.",
+    survey_refs=("LLM-multimodal", "LLM-dedup"),
+)
+def mm_video_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.multimodal import (
+        attach_avi_blob,
+        sample_frames_real,
+        video_dedup_clusters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames_real(attach_avi_blob(docs), every=1)
+    return video_dedup_clusters(
+        frames, bits=16, bands=4, max_hamming=2
+    ).select("doc_id", "cluster", "keep")
+
+
+# ---------------------------------------------------------------------------
+# mm_cross_modal_dedup: ONE keep decision across text+image+video
+# ---------------------------------------------------------------------------
+
+#: Image chain (i_ prefix): mm_image_dedup_clusters' oracle CTEs —
+#: closed-form PNG gradient pixels -> 36-bit ahash -> banded hamming
+#: pairs over DISTINCT hashes -> hash closure. Ends at i_dlab
+#: (doc_id, i_hc) and i_cmin (i_hc, cluster).
+_IMAGE_CTES = """i_d AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 9 AS h FROM documents
+    ),
+    i_px AS (
+      SELECT doc_id, w, h,
+             (6 * r.x) // h * 6 + (6 * c.x) // w AS cell,
+             (doc_id + 3 * r.x + 7 * c.x) % 256
+               + (2 * doc_id + 5 * r.x + 11 * c.x) % 256
+               + (3 * doc_id + r.x + 13 * c.x) % 256 AS lum
+      FROM i_d, UNNEST(range(0, h)) AS r(x), UNNEST(range(0, w)) AS c(x)
+    ),
+    i_cells AS (
+      SELECT doc_id, cell,
+             CAST(SUM(lum) AS BIGINT) AS csum,
+             CAST(COUNT(*) AS BIGINT) AS ccnt
+      FROM i_px GROUP BY 1, 2
+    ),
+    i_tot AS (
+      SELECT doc_id, CAST(SUM(csum) AS BIGINT) AS tsum,
+             CAST(SUM(ccnt) AS BIGINT) AS tcnt
+      FROM i_cells GROUP BY 1
+    ),
+    i_hsh AS (
+      SELECT c.doc_id,
+             CAST(SUM(CASE WHEN c.csum * t.tcnt > t.tsum * c.ccnt
+                           THEN CAST(1 AS BIGINT) << c.cell ELSE 0 END)
+                  AS BIGINT) AS ahash
+      FROM i_cells c JOIN i_tot t USING (doc_id) GROUP BY 1
+    ),
+    i_hv AS (SELECT DISTINCT ahash FROM i_hsh),
+    i_banded AS (
+      SELECT ahash, r.b AS band, (ahash >> (9 * r.b)) & 511 AS bucket
+      FROM i_hv, UNNEST(range(0, 4)) AS r(b)
+    ),
+    i_p AS (
+      SELECT DISTINCT a.ahash AS ha, b.ahash AS hb
+      FROM i_banded a
+      JOIN i_banded b ON a.band = b.band AND a.bucket = b.bucket
+                     AND a.ahash < b.ahash
+      WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+    ),
+    i_edges AS (SELECT ha AS a, hb AS b FROM i_p
+                UNION SELECT hb, ha FROM i_p),
+    i_reach(id, r) AS (
+      SELECT a, a FROM i_edges
+      UNION
+      SELECT e.b, i_reach.r FROM i_edges e JOIN i_reach ON e.a = i_reach.id
+    ),
+    i_comp AS (SELECT id, MIN(r) AS cluster FROM i_reach GROUP BY id),
+    i_hlab AS (
+      SELECT i_hv.ahash, COALESCE(i_comp.cluster, i_hv.ahash) AS i_hc
+      FROM i_hv LEFT JOIN i_comp ON i_comp.id = i_hv.ahash
+    ),
+    i_dlab AS (SELECT i_hsh.doc_id, i_hlab.i_hc
+               FROM i_hsh JOIN i_hlab USING (ahash)),
+    i_cmin AS (SELECT i_hc, MIN(doc_id) AS cluster FROM i_dlab GROUP BY 1)"""
+
+#: Text chain: doc_dedup_clusters' pair CTEs (3-gram jaccard >= 0.2,
+#: capped postings) up to the doc-level edge list t_edges0.
+_TEXT_CTES = r"""t_toks AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS t FROM documents
+    ),
+    t_sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM t_toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+      WHERE len(t) >= 3
+    ),
+    t_sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM t_sh GROUP BY doc_id),
+    t_kept AS (
+      SELECT t_sh.* FROM t_sh
+      JOIN (SELECT shingle FROM t_sh GROUP BY shingle HAVING COUNT(*) <= 100) f
+        USING (shingle)
+    ),
+    t_pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM t_kept a JOIN t_kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    t_edges0 AS (
+      SELECT p.doc_a, p.doc_b
+      FROM t_pairs p
+      JOIN t_sizes sa ON sa.doc_id = p.doc_a
+      JOIN t_sizes sb ON sb.doc_id = p.doc_b
+      WHERE CAST(p.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.n_common) >= 0.2
+    )"""
+
+_CROSS_MODAL_SQL = (
+    "WITH RECURSIVE "
+    + _TEXT_CTES
+    + ",\n    "
+    + _IMAGE_CTES
+    + ",\n    "
+    + _VIDEO_CTES
+    + """,
+    x_star AS (
+      SELECT doc_a, doc_b FROM t_edges0
+      UNION
+      SELECT i_cmin.cluster AS doc_a, i_dlab.doc_id AS doc_b
+      FROM i_dlab JOIN i_cmin USING (i_hc)
+      WHERE i_dlab.doc_id != i_cmin.cluster
+      UNION
+      SELECT v_cmin.cluster AS doc_a, v_dlab.doc_id AS doc_b
+      FROM v_dlab JOIN v_cmin USING (v_hc)
+      WHERE v_dlab.doc_id != v_cmin.cluster
+    ),
+    x_edges AS (SELECT doc_a AS a, doc_b AS b FROM x_star
+                UNION SELECT doc_b, doc_a FROM x_star),
+    x_reach(id, r) AS (
+      SELECT a, a FROM x_edges
+      UNION
+      SELECT e.b, x_reach.r FROM x_edges e JOIN x_reach ON e.a = x_reach.id
+    ),
+    x_comp AS (SELECT id, MIN(r) AS cluster FROM x_reach GROUP BY id)
+    SELECT d.doc_id,
+           COALESCE(x.cluster, d.doc_id) AS cluster,
+           COALESCE(x.cluster, d.doc_id) = d.doc_id AS keep
+    FROM documents d LEFT JOIN x_comp x ON x.id = d.doc_id
+    """
+)
+
+
+@_bank(
+    "mm_cross_modal_dedup",
+    oracle=_CROSS_MODAL_SQL,
+    doc="CROSS-MODAL dedup verdict (operators.cluster."
+    "cross_modal_dedup_clusters, VERDICT r7 'Next round' #3a): the "
+    "text (3-gram jaccard >= 0.2), image (36-bit ahash hamming <= 3) "
+    "and video (16-bit shot SimHash hamming <= 2) dup engines' "
+    "evidence unioned into ONE doc-level graph and re-closed, so a "
+    "document that duplicates another in ANY modality joins its "
+    "cross-modal cluster and only the minimum id survives — "
+    "transitively (A~B by image, B~C by text drops B and C for A). "
+    "Verdict frames contribute STAR edges (cluster -> member, O(docs) "
+    "per modality) rather than raw pairs, preserving each modality's "
+    "hash-level factoring on dup-dense corpora; the same components "
+    "come out (a star and its pair set are co-connected). The audio "
+    "modality is deliberately absent: its fixture corpus chains into "
+    "ONE family (mm_audio_dedup_clusters' doc), which would collapse "
+    "the union by construction — the unit suite pins that behavior. "
+    "Oracle: all three engines' closed-form chains + one recursive "
+    "closure, fully independent of the Spark iteration.",
+    survey_refs=("LLM-multimodal", "LLM-dedup"),
+)
+def mm_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.cluster import cross_modal_dedup_clusters
+    from blockchain_indexer_spark.operators.dedup import ngram_jaccard_pairs
+    from blockchain_indexer_spark.operators.multimodal import (
+        attach_avi_blob,
+        attach_png_blob,
+        image_dedup_clusters,
+        sample_frames_real,
+        video_dedup_clusters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    img = image_dedup_clusters(attach_png_blob(docs), grid=6, bands=4, max_hamming=3)
+    vid = video_dedup_clusters(
+        sample_frames_real(attach_avi_blob(docs), every=1),
+        bits=16, bands=4, max_hamming=2,
+    )
+    txt = ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.2, max_doc_freq=100
+    ).select("doc_a", "doc_b")
+    return cross_modal_dedup_clusters(docs, [txt, img, vid]).select(
+        F.col("id").alias("doc_id"), "cluster", "keep"
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_pq_adc_agreement: exact-vs-IVFPQ top-k agreement monitor
+# ---------------------------------------------------------------------------
+
+#: The registered embedding_ivfpq_topk oracle chain (duplicated — the
+#: banked convention keeps this module import-independent of llmops'
+#: register() side effects), wrapped as the `ipq` CTE, followed by an
+#: exact integer-L2 top-5 chain and the agreement aggregation. Heavily
+#: MATERIALIZED: DuckDB re-evaluates multiply-referenced CTEs.
+_PQ_ADC_AGREEMENT_SQL = """
+    WITH vq AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    samp AS (
+      SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS rn
+      FROM vq ORDER BY vec_id LIMIT 256
+    ),
+    cents AS MATERIALIZED (
+      SELECT CAST(rn // 16 AS INT) AS cell, v,
+             list_sum(list_transform(v, x -> CAST(x * x AS DOUBLE))) AS csq
+      FROM samp WHERE rn % 16 = 0
+    ),
+    assign AS MATERIALIZED (
+      SELECT vq.vec_id, c.cell,
+             c.csq - 2 * list_sum(list_transform(range(1, len(vq.v) + 1),
+                                                 i -> CAST(vq.v[i] * c.v[i] AS DOUBLE))) AS d
+      FROM vq CROSS JOIN cents c
+    ),
+    corpus_cell AS MATERIALIZED (
+      SELECT vec_id, cell
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM assign)
+      WHERE rn = 1
+    ),
+    resid AS MATERIALIZED (
+      SELECT cc.vec_id, cc.cell,
+             list_transform(range(1, len(vq.v) + 1),
+                            i -> vq.v[i] - c.v[i]) AS r
+      FROM corpus_cell cc
+      JOIN vq USING (vec_id)
+      JOIN cents c ON c.cell = cc.cell
+    ),
+    seeds AS (
+      SELECT r, row_number() OVER (ORDER BY vec_id) - 1 AS code
+      FROM resid ORDER BY vec_id LIMIT 32
+    ),
+    book AS MATERIALIZED (
+      SELECT p.j, s.code, list_slice(s.r, p.j * 4 + 1, p.j * 4 + 4) AS bv
+      FROM seeds s CROSS JOIN (SELECT unnest(range(0, 16)) AS j) p
+    ),
+    rsubs AS (
+      SELECT resid.vec_id, resid.cell, p.j,
+             list_slice(resid.r, p.j * 4 + 1, p.j * 4 + 4) AS rs
+      FROM resid CROSS JOIN (SELECT unnest(range(0, 16)) AS j) p
+    ),
+    codes AS MATERIALIZED (
+      SELECT vec_id, cell, j, code
+      FROM (SELECT r.vec_id, r.cell, r.j, b.code,
+                   row_number() OVER (PARTITION BY r.vec_id, r.j ORDER BY
+                     list_sum(list_transform(range(1, 5),
+                       i -> CAST((r.rs[i] - b.bv[i]) * (r.rs[i] - b.bv[i]) AS DOUBLE))),
+                     b.code) AS rn
+            FROM rsubs r JOIN book b ON b.j = r.j)
+      WHERE rn = 1
+    ),
+    probes AS MATERIALIZED (
+      SELECT vec_id AS query_id, cell
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM assign WHERE vec_id % 50 = 0)
+      WHERE rn <= 6
+    ),
+    lut AS MATERIALIZED (
+      SELECT p.query_id, p.cell, b.j, b.code,
+             list_sum(list_transform(range(1, 5),
+               i -> CAST((list_slice(qr.r, b.j * 4 + 1, b.j * 4 + 4)[i] - b.bv[i])
+                       * (list_slice(qr.r, b.j * 4 + 1, b.j * 4 + 4)[i] - b.bv[i]) AS DOUBLE)
+             )) AS ld
+      FROM probes p
+      JOIN (SELECT vq.vec_id, c.cell,
+                   list_transform(range(1, len(vq.v) + 1), i -> vq.v[i] - c.v[i]) AS r
+            FROM vq CROSS JOIN cents c) qr
+        ON qr.vec_id = p.query_id AND qr.cell = p.cell
+      CROSS JOIN book b
+    ),
+    adc AS MATERIALIZED (
+      SELECT l.query_id, cd.vec_id AS neighbor_id,
+             CAST(SUM(l.ld) AS BIGINT) AS adc_dist
+      FROM codes cd
+      JOIN lut l ON l.cell = cd.cell AND l.j = cd.j AND l.code = cd.code
+      WHERE l.query_id != cd.vec_id
+      GROUP BY l.query_id, cd.vec_id
+    ),
+    short AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY adc_dist, neighbor_id) AS rn
+            FROM adc)
+      WHERE rn <= 50
+    ),
+    rer AS (
+      SELECT s.query_id, s.neighbor_id,
+             CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+               i -> CAST((a.v[i] - b.v[i]) * (a.v[i] - b.v[i]) AS DOUBLE))) AS BIGINT) AS l2_dist
+      FROM short s
+      JOIN vq a ON a.vec_id = s.query_id
+      JOIN vq b ON b.vec_id = s.neighbor_id
+    ),
+    ipq AS MATERIALIZED (
+      SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY l2_dist, neighbor_id) AS rn
+            FROM rer)
+      WHERE rn <= 5
+    ),
+    ex_all AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+               i -> CAST((a.v[i] - b.v[i]) * (a.v[i] - b.v[i]) AS DOUBLE))) AS BIGINT) AS l2_dist
+      FROM vq a JOIN vq b ON b.vec_id != a.vec_id
+      WHERE a.vec_id % 50 = 0
+    ),
+    ex AS MATERIALIZED (
+      SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY l2_dist, neighbor_id) AS rn
+            FROM ex_all)
+      WHERE rn <= 5
+    ),
+    common AS MATERIALIZED (
+      SELECT ex.query_id, ex.neighbor_id,
+             CASE WHEN ex.rank = ipq.rank THEN 1 ELSE 0 END AS rank_agree
+      FROM ex JOIN ipq USING (query_id, neighbor_id)
+    ),
+    nq AS (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries FROM ex),
+    ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM ex),
+    na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_adc FROM ipq),
+    nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_common,
+                  CAST(COALESCE(SUM(rank_agree), 0) AS BIGINT) AS n_rank_agree
+           FROM common)
+    SELECT nq.n_queries, ne.n_exact, na.n_adc, nc.n_common,
+           CASE WHEN ne.n_exact = 0 THEN CAST(-1 AS BIGINT)
+                ELSE CAST(floor(1e9 * (CAST(nc.n_common AS DOUBLE)
+                                       / CAST(ne.n_exact AS DOUBLE))) AS BIGINT)
+           END AS recall_nano,
+           nc.n_rank_agree,
+           CASE WHEN nc.n_common = 0 THEN CAST(-1 AS BIGINT)
+                ELSE CAST(floor(1e9 * (CAST(nc.n_rank_agree AS DOUBLE)
+                                       / CAST(nc.n_common AS DOUBLE))) AS BIGINT)
+           END AS rank_agree_nano
+    FROM nq CROSS JOIN ne CROSS JOIN na CROSS JOIN nc
+    """
+
+
+@_bank(
+    "embedding_pq_adc_agreement",
+    oracle=_PQ_ADC_AGREEMENT_SQL,
+    doc="ANN index-quality monitor for the IVF-PQ serving path "
+    "(VERDICT r7 'Next round' #3b, the embedding_lp_ivf_agreement "
+    "pattern): runs the EXACT integer-L2 top-5 scan and the IVF-PQ "
+    "ADC pipeline (coarse prune 6-of-16 cells, residual PQ m=16/32 "
+    "codes, 50-candidate shortlist, exact re-rank — the registered "
+    "embedding_ivfpq_topk configuration) over the SAME query set and "
+    "reports one all-integer row: pair recall of the ADC path against "
+    "the exact scan and how many common pairs agree on RANK — the "
+    "codebook-drift gate a pipeline alarms on before serving an index "
+    "(codebooks trained on drifted data keep high self-consistency "
+    "while recall vs exact quietly decays). Expensive by construction "
+    "(it runs the baseline too); only the monitor pays that cost. "
+    "Every stage is integer-exact with lowest-index tie-breaks, so "
+    "the oracle replays BOTH sides decision-for-decision.",
+    survey_refs=("LLM-sim",),
+)
+def embedding_pq_adc_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_pq_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    ex = brute_force_topk(
+        emb, queries, "vec_id", "embedding", k=5, metric="quantized_neg_l2"
+    ).select("query_id", F.col("rank").cast("bigint").alias("rank"), "neighbor_id")
+    ipq = ivf_pq_topk(
+        emb, queries, "vec_id", "embedding",
+        k=5, n_cells=16, n_probe=6, m=16, n_codes=32, rerank=50,
+    ).select("query_id", F.col("rank").cast("bigint").alias("rank"), "neighbor_id")
+    ex = ex.localCheckpoint(eager=True)    # each side feeds two aggregates —
+    ipq = ipq.localCheckpoint(eager=True)  # pin the retrieval passes
+    common = ex.alias("e").join(
+        ipq.alias("p"), ["query_id", "neighbor_id"]
+    ).select(
+        (F.col("e.rank") == F.col("p.rank")).cast("bigint").alias("rank_agree")
+    )
+    nq = ex.agg(
+        F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+    )
+    na = ipq.agg(F.count(F.lit(1)).cast("bigint").alias("n_adc"))
+    nc = common.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        F.coalesce(F.sum("rank_agree"), F.lit(0)).cast("bigint").alias("n_rank_agree"),
+    )
+
+    def _nano(num: str, den: str):
+        return F.when(F.col(den) == 0, F.lit(-1).cast("bigint")).otherwise(
+            F.floor(
+                F.lit(1e9) * F.col(num).cast("double") / F.col(den).cast("double")
+            ).cast("bigint")
+        )
+
+    return (
+        nq.crossJoin(na)
+        .crossJoin(nc)
+        .select(
+            "n_queries",
+            "n_exact",
+            "n_adc",
+            "n_common",
+            _nano("n_common", "n_exact").alias("recall_nano"),
+            "n_rank_agree",
+            _nano("n_rank_agree", "n_common").alias("rank_agree_nano"),
+        )
+    )

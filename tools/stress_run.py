@@ -323,3 +323,55 @@ from blockchain_indexer_spark.operators.dedup import split_leakage
 from blockchain_indexer_spark.operators.sampling import hash_split
 t("split_leakage_100k", lambda: split_leakage(
     hash_split(docs, "doc_id"), "doc_id", "text", "split", k=8).count())
+
+# ---- round-8 banked (round-9 promotion) operators ---------------------
+from blockchain_indexer_spark.operators.multimodal import (
+    attach_png_blob, image_dedup_clusters, video_dedup_clusters,
+)
+from blockchain_indexer_spark.operators.cluster import cross_modal_dedup_clusters
+from blockchain_indexer_spark.operators.similarity import brute_force_topk, ivf_pq_topk as _ivfpq
+
+t("video_dedup_100k", lambda: video_dedup_clusters(
+    sample_frames_real(attach_avi_blob(docs), every=1),
+    bits=16, bands=4, max_hamming=2).count())
+
+# union of three modality engines + one star-contraction closure: the
+# cost is ~the sum of the engines (each runs once; star edges are
+# O(docs) per modality so the union closure adds only uniform-key work)
+def _cross_modal_100k():
+    img = image_dedup_clusters(attach_png_blob(docs), grid=6, bands=4, max_hamming=3)
+    vid = video_dedup_clusters(
+        sample_frames_real(attach_avi_blob(docs), every=1),
+        bits=16, bands=4, max_hamming=2)
+    txt = ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.5, max_doc_freq=200, shingles=sh
+    ).select("doc_a", "doc_b")
+    return cross_modal_dedup_clusters(docs, [txt, img, vid]).count()
+t("cross_modal_dedup_100k", _cross_modal_100k)
+
+# exact-vs-ADC agreement at 20x (the stress ivfpq config): the monitor
+# pays the exact 100k x 100-query scan PLUS the index path, like the
+# lp_ivf agreement row — only the monitor pays the baseline cost
+def _pq_adc_agree_100k():
+    _q = emb.filter(F.col("vec_id") % 1000 == 0)
+    ex = brute_force_topk(emb, _q, k=5, metric="quantized_neg_l2").localCheckpoint(eager=True)
+    pq = _ivfpq(emb, _q, k=5, n_cells=64, n_probe=8, m=16, n_codes=64,
+                rerank=100).localCheckpoint(eager=True)
+    common = ex.join(pq, ["query_id", "neighbor_id"], "leftsemi").count()
+    ex_n = ex.count(); pq_n = pq.count()
+    print(f"  pq_adc_agree detail: exact={ex_n} adc={pq_n} common={common} "
+          f"recall={common/max(ex_n,1):.3f}", flush=True)
+    return common
+t("pq_adc_agreement_100k", _pq_adc_agree_100k)
+
+# IVF blocked-engine skew guard: max_cell=256 forces every ~390-member
+# data-seeded cell to sub-split ~2-way — measures the replication
+# overhead the guard costs when it fires (it is free when cells fit)
+from blockchain_indexer_spark.operators.similarity import ivf_topk as _ivft
+_sq = emb.filter(F.col("vec_id") % 1000 == 0)
+t("ivf_blocked_guard_100k_mc256", lambda: _ivft(
+    emb, _sq, k=5, n_cells=256, n_probe=8, iters=0, broadcast_queries=False,
+    metric="cosine", engine="blocked", max_cell=256).count())
+t("ivf_blocked_guard_100k_default", lambda: _ivft(
+    emb, _sq, k=5, n_cells=256, n_probe=8, iters=0, broadcast_queries=False,
+    metric="cosine", engine="blocked").count())
