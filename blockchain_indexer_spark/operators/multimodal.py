@@ -1498,6 +1498,8 @@ def audio_whash(
     id_col: str = "doc_id",
     bits: int = 16,
     n_fft: int = 64,
+    n_windows: int = 1,
+    hop: int | None = None,
 ) -> DataFrame:
     """Spectral-band energy fingerprint over REAL decoded audio — the
     audio sibling of ``image_ahash`` and the integer-exact core of the
@@ -1511,18 +1513,24 @@ def audio_whash(
     band coding; the DC bin is skipped — it carries loudness, not
     timbre).
 
-    SCOPE LIMITATION (driver ADVICE r7): only the FIRST ``n_fft``
-    (default 64) samples of channel 0 are fingerprinted — one WHT
-    window, not chromaprint's strided sequence of windows — so any
-    two clips sharing their first 64 samples hash identically
-    regardless of the rest, and edits past sample 64 are invisible.
-    That is exact for the closed-form fixture corpus (every blob is
-    ≤ 53 samples) and the right cost shape for the oracle gate, but
-    REAL audio dedup needs windowed/strided band energies (fingerprint
-    per window, then band over window sequences); within the single
-    window the differential coding does preserve band-energy orderings
-    under re-encoding/light edits, which is the property the banded
-    hamming closure exploits.
+    SCOPE LIMITATION at the default ``n_windows=1`` (driver ADVICE
+    r7): only the FIRST ``n_fft`` (default 64) samples of channel 0
+    are fingerprinted — one WHT window — so any two clips sharing
+    their first 64 samples hash identically regardless of the rest,
+    and edits past sample 64 are invisible. That is exact for the
+    closed-form fixture corpus (every blob is ≤ 53 samples) and the
+    right cost shape for the oracle gate. REAL audio dedup sets
+    ``n_windows > 1``: the chromaprint-style strided mode computes the
+    per-window difference code over windows starting at multiples of
+    ``hop`` (default ``n_fft``, i.e. non-overlapping) and MAJORITY-
+    votes each bit across windows (SimHash over the window sequence;
+    vote ties clear the bit), so the fingerprint covers
+    ``hop·(n_windows−1)+n_fft`` samples and an edit in any window
+    shifts only that window's vote. ``n_windows=1`` is bit-identical
+    to the pre-round-8 behavior (test-pinned); within each window the
+    differential coding preserves band-energy orderings under
+    re-encoding/light edits, which is the property the banded hamming
+    closure exploits.
 
     All arithmetic is integer (popcount, int64 sums, squares,
     comparisons), so the fingerprint is bit-reproducible from the
@@ -1541,19 +1549,27 @@ def audio_whash(
         dtype=np.int64,
     )
 
+    step = n_fft if hop is None else hop
+    if n_windows < 1 or step < 1:
+        raise ValueError("n_windows and hop must be >= 1")
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, hashes, counts = [], [], []
             for did, b in zip(pdf[id_col], pdf["blob"]):
                 _rate, _ch, samples = decode_wav(bytes(b))
                 mono = samples[:, 0].astype(np.int64)
-                s = np.zeros(n_fft, dtype=np.int64)
-                s[: min(len(mono), n_fft)] = mono[:n_fft]
-                e = (sgn @ s) ** 2  # (bits+1,) exact int64 energies
-                h = 0
-                for k in range(bits):
-                    if e[k] > e[k + 1]:
-                        h |= 1 << k
+                votes = np.zeros(bits, dtype=np.int64)
+                for wi in range(n_windows):
+                    lo = wi * step
+                    s = np.zeros(n_fft, dtype=np.int64)
+                    chunk = mono[lo : lo + n_fft]
+                    s[: len(chunk)] = chunk
+                    e = (sgn @ s) ** 2  # (bits+1,) exact int64 energies
+                    votes += e[:bits] > e[1 : bits + 1]
+                # majority vote across windows (ties clear the bit);
+                # n_windows=1 degenerates to the plain difference code
+                h = int(sum(1 << k for k in range(bits) if 2 * votes[k] > n_windows))
                 ids.append(did)
                 hashes.append(h)
                 counts.append(samples.shape[0])

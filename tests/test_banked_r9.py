@@ -304,3 +304,78 @@ def test_pq_adc_agreement_stats_recompute(spark, sf_dir):
         assert got["rank_agree_nano"] == int(
             np.floor(1e9 * want["n_rank_agree"] / want["n_common"])
         )
+
+
+# ---------------------------------------------------------------------------
+# audio_whash windowed mode (the ADVICE-r7 'real audio' path)
+# ---------------------------------------------------------------------------
+
+
+def _wav_blob(samples: list[int]) -> bytes:
+    import struct
+
+    pcm = np.array(samples, dtype="<i2").tobytes()
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    data = b"data" + struct.pack("<I", len(pcm)) + pcm
+    body = b"WAVE" + fmt + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_audio_whash_windowed_default_is_bit_identical(spark, sf_dir):
+    """n_windows=1 must reproduce the pre-round-8 single-window code
+    exactly — the registered mm_audio_dedup_clusters oracle pins it."""
+    from blockchain_indexer_spark.operators.multimodal import (
+        attach_wav_blob,
+        audio_whash,
+    )
+    from blockchain_indexer_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    blobs = attach_wav_blob(docs)
+    plain = {r.doc_id: r.whash for r in audio_whash(blobs).collect()}
+    windowed = {
+        r.doc_id: r.whash for r in audio_whash(blobs, n_windows=1).collect()
+    }
+    assert plain == windowed
+
+
+def test_audio_whash_windowed_sees_past_first_window(spark):
+    """The single-window scope limitation, and its windowed fix: two
+    clips sharing their first 64 samples but differing afterwards are
+    indistinguishable at n_windows=1 and distinguishable at
+    n_windows=4."""
+    from blockchain_indexer_spark.operators.multimodal import audio_whash
+
+    rng = np.random.default_rng(23)
+    head = rng.integers(-32768, 32767, 64).tolist()
+    tail_a = rng.integers(-32768, 32767, 192).tolist()
+    # tail_b: strongly different spectral shape (alternating square)
+    tail_b = [(-20000 if i % 2 else 20000) for i in range(192)]
+    df = spark.createDataFrame(
+        [(1, _wav_blob(head + tail_a)), (2, _wav_blob(head + tail_b))],
+        "doc_id long, blob binary",
+    )
+    one = {r.doc_id: r.whash for r in audio_whash(df, n_windows=1).collect()}
+    assert one[1] == one[2]  # the documented blind spot
+    four = {r.doc_id: r.whash for r in audio_whash(df, n_windows=4).collect()}
+    assert four[1] != four[2]
+
+
+def test_audio_whash_windowed_majority_is_edit_robust(spark):
+    """A local edit confined to ONE of four windows flips at most that
+    window's votes — the majority fingerprint moves only a few bits
+    while the single-window-on-the-edit hash may move many."""
+    from blockchain_indexer_spark.operators.multimodal import audio_whash
+
+    rng = np.random.default_rng(31)
+    base = rng.integers(-32768, 32767, 256).tolist()
+    edited = list(base)
+    edited[128:160] = rng.integers(-32768, 32767, 32).tolist()  # window 3 only
+    df = spark.createDataFrame(
+        [(1, _wav_blob(base)), (2, _wav_blob(edited))],
+        "doc_id long, blob binary",
+    )
+    got = {r.doc_id: r.whash for r in audio_whash(df, n_windows=4).collect()}
+    ham = bin(got[1] ^ got[2]).count("1")
+    assert ham <= 6, ham  # one window of four can swing at most its votes
