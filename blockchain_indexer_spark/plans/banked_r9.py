@@ -582,3 +582,129 @@ def embedding_pq_adc_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             _nano("n_rank_agree", "n_common").alias("rank_agree_nano"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# mm_audio_windowed_dedup: strided-window audio near-dup verdict
+# (fourth gate, beyond the VERDICT r7 #3 ask — the r7 precedent)
+# ---------------------------------------------------------------------------
+
+# The sample CTE replays attach_wav_blob's closed form per (window,
+# offset) pair — window w sees samples 16w .. 16w+63, zero-padded past
+# n = 16+id%37 — the amp/e CTEs the integer Walsh-Hadamard band
+# energies PER WINDOW, the vote CTE audio_whash's per-bit majority
+# across the 4 windows (2*votes > 4, ties clear), and the banding +
+# closure + label CTEs the same hash-level verdict engines as the
+# registered audio gate.
+_AUDIO_WINDOWED_SQL = """
+    WITH RECURSIVE d AS (SELECT doc_id, 16 + doc_id % 37 AS n FROM documents),
+    s AS (
+      SELECT doc_id, w.x AS w, i.x AS i,
+             CASE WHEN 16 * w.x + i.x < n
+                  THEN (doc_id * 31 + (16 * w.x + i.x) * 17) % 65536 - 32768
+                  ELSE 0 END AS v
+      FROM d, UNNEST(range(0, 4)) AS w(x), UNNEST(range(0, 64)) AS i(x)
+    ),
+    amp AS (
+      SELECT doc_id, w, k.x AS k,
+             CAST(SUM(CASE WHEN bit_count(CAST(k.x AS BIGINT) & CAST(i AS BIGINT)) % 2 = 0
+                           THEN v ELSE -v END) AS BIGINT) AS a
+      FROM s, UNNEST(range(1, 18)) AS k(x)
+      GROUP BY 1, 2, 3
+    ),
+    e AS (SELECT doc_id, w, k, a * a AS e FROM amp),
+    wbits AS (
+      SELECT lo.doc_id, lo.w, lo.k,
+             CASE WHEN lo.e > hi.e THEN 1 ELSE 0 END AS bit
+      FROM e lo JOIN e hi ON hi.doc_id = lo.doc_id AND hi.w = lo.w
+                         AND hi.k = lo.k + 1
+      WHERE lo.k <= 16
+    ),
+    votes AS (
+      SELECT doc_id, k, SUM(bit) AS v FROM wbits GROUP BY 1, 2
+    ),
+    hsh AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN 2 * v > 4
+                           THEN CAST(1 AS BIGINT) << (k - 1) ELSE 0 END)
+                  AS BIGINT) AS whash
+      FROM votes GROUP BY 1
+    ),
+    hv AS (SELECT DISTINCT whash FROM hsh),
+    banded AS (
+      SELECT whash, r.b AS band, (whash >> (4 * r.b)) & 15 AS bucket
+      FROM hv, UNNEST(range(0, 4)) AS r(b)
+    ),
+    p AS (
+      SELECT DISTINCT a.whash AS ha, b.whash AS hb
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.whash < b.whash
+      WHERE bit_count(xor(a.whash, b.whash)) <= 2
+    ),
+    edges AS (SELECT ha AS a, hb AS b FROM p
+              UNION SELECT hb, ha FROM p),
+    reach(id, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e2.b, reach.r FROM edges e2 JOIN reach ON e2.a = reach.id
+    ),
+    comp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+    hlab AS (
+      SELECT hv.whash, COALESCE(comp.cluster, hv.whash) AS hc
+      FROM hv LEFT JOIN comp ON comp.id = hv.whash
+    ),
+    dlab AS (SELECT hsh.doc_id, hlab.hc FROM hsh JOIN hlab USING (whash)),
+    cmin AS (SELECT hc, MIN(doc_id) AS cluster FROM dlab GROUP BY 1)
+    SELECT dlab.doc_id, cmin.cluster, dlab.doc_id = cmin.cluster AS keep
+    FROM dlab JOIN cmin USING (hc)
+    """
+
+
+@_bank(
+    "mm_audio_windowed_dedup",
+    oracle=_AUDIO_WINDOWED_SQL,
+    doc="STRIDED-WINDOW audio near-dup verdict (audio_whash's "
+    "n_windows=4/hop=16 chromaprint mode, added for driver ADVICE "
+    "r7's first-64-samples blind spot, under the full dedup engine "
+    "stack): four overlapping WHT windows at sample offsets "
+    "0/16/32/48, per-window adjacent-band difference codes, each "
+    "fingerprint bit MAJORITY-voted across windows (2v > 4, ties "
+    "clear) -> banded hamming blocking over DISTINCT fingerprints -> "
+    "hash-level star-contraction closure -> min-id survivor keeps. "
+    "Unlike the single-window registered gate, an edit anywhere in "
+    "the covered 112 samples shifts votes — the fixture's short "
+    "clips (16..52 samples) make windows 1-3 partially/fully zero, "
+    "so vote majorities genuinely differ from the single-window code "
+    "(the unit suite pins both the blind spot and its windowed fix "
+    "on planted PCM). All int64-exact; the oracle replays every "
+    "window, vote and closure decision.",
+    survey_refs=("LLM-multimodal", "LLM-dedup"),
+)
+def mm_audio_windowed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.cluster import connected_components_star
+    from blockchain_indexer_spark.operators.dedup import hamming_band_pairs
+    from blockchain_indexer_spark.operators.multimodal import (
+        attach_wav_blob,
+        audio_whash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = (
+        audio_whash(attach_wav_blob(docs), bits=16, n_windows=4, hop=16)
+        .select("doc_id", "whash")
+        .localCheckpoint(eager=True)  # decode once: distinct + label join
+    )
+    hv = h.select(F.col("whash").alias("_hv")).distinct()
+    hpairs = hamming_band_pairs(hv, "_hv", "_hv", 16, bands=4, max_hamming=2)
+    comp = connected_components_star(hpairs, "id_a", "id_b")
+    hlab = hv.join(comp, hv["_hv"] == comp["id"], "left").select(
+        "_hv", F.coalesce("cluster", "_hv").alias("_hc")
+    )
+    dlab = h.join(hlab, h["whash"] == hlab["_hv"]).select("doc_id", "_hc")
+    cmin = dlab.groupBy("_hc").agg(F.min("doc_id").alias("cluster"))
+    return dlab.join(cmin, "_hc").select(
+        "doc_id",
+        "cluster",
+        (F.col("doc_id") == F.col("cluster")).alias("keep"),
+    )

@@ -26,6 +26,7 @@ def test_banked_not_registered():
         "mm_video_dedup_clusters",
         "mm_cross_modal_dedup",
         "embedding_pq_adc_agreement",
+        "mm_audio_windowed_dedup",
     }
 
 

@@ -375,3 +375,21 @@ t("ivf_blocked_guard_100k_mc256", lambda: _ivft(
 t("ivf_blocked_guard_100k_default", lambda: _ivft(
     emb, _sq, k=5, n_cells=256, n_probe=8, iters=0, broadcast_queries=False,
     metric="cosine", engine="blocked").count())
+
+# strided-window audio fingerprint (4 windows, hop 16) through the
+# full dedup stack — ~4x the WHT matmul work of the single-window gate
+def _audio_windowed_100k():
+    from blockchain_indexer_spark.operators.cluster import connected_components_star
+    from blockchain_indexer_spark.operators.dedup import hamming_band_pairs
+    from blockchain_indexer_spark.operators.multimodal import audio_whash
+    h = (audio_whash(attach_wav_blob(docs), bits=16, n_windows=4, hop=16)
+         .select("doc_id", "whash").localCheckpoint(eager=True))
+    hv = h.select(F.col("whash").alias("_hv")).distinct()
+    hp = hamming_band_pairs(hv, "_hv", "_hv", 16, bands=4, max_hamming=2)
+    comp = connected_components_star(hp, "id_a", "id_b")
+    hlab = hv.join(comp, hv["_hv"] == comp["id"], "left").select(
+        "_hv", F.coalesce("cluster", "_hv").alias("_hc"))
+    dlab = h.join(hlab, h["whash"] == hlab["_hv"]).select("doc_id", "_hc")
+    cmin = dlab.groupBy("_hc").agg(F.min("doc_id").alias("cluster"))
+    return dlab.join(cmin, "_hc").count()
+t("audio_windowed_dedup_100k", _audio_windowed_100k)
