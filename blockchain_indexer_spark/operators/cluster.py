@@ -94,6 +94,7 @@ def connected_components_star(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    local_threshold: int = 0,
 ) -> DataFrame:
     """Connected components via alternating large-star/small-star
     contraction (Kiveris et al., "Connected Components in MapReduce
@@ -115,6 +116,20 @@ def connected_components_star(
     Returns (id, cluster) for every vertex in an edge — identical
     contract to connected_components; equality on random graphs and
     pathological chains is test-pinned.
+
+    ``local_threshold`` (round 8): when > 0 and the deduped edge count
+    is at or under it, the closure runs as ONE bounded collect +
+    driver-side union-find + one createDataFrame, instead of ~40-50
+    iterative micro-jobs — the fast path for HASH-LEVEL closures whose
+    graph is bounded by hash-space structure, never corpus size (the
+    image/audio/video dedup verdicts: a 16-bit fingerprint space
+    cannot exceed 2^16 vertices no matter how many documents hash into
+    it, and the distinct-hash pair frame is already materialized for
+    the count). Identical (id, min-id cluster) bits out — equality
+    with the distributed rounds is test-pinned — and graphs over the
+    threshold fall through to the distributed path unchanged, so the
+    flag is safe on any caller; it only defaults on where the bound is
+    structural. 0 disables (the pre-round-8 behavior).
     """
     raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     e = (
@@ -131,6 +146,38 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+
+    if local_threshold and e.count() <= local_threshold:
+        # bounded collect (both frames are materialized checkpoints):
+        # classic union-find with path compression, min-id labels
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in e.collect():
+            ra, rb = find(row.u), find(row.v)
+            if ra != rb:
+                # attach the larger root under the smaller: roots stay
+                # component minima, so labels are min-ids for free
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        id_type = vertices.schema["id"].dataType
+        from pyspark.sql.types import StructField, StructType  # noqa: PLC0415
+
+        rows = [(v.id, find(v.id)) for v in vertices.collect()]
+        return edges.sparkSession.createDataFrame(
+            rows,
+            StructType(
+                [StructField("id", id_type), StructField("cluster", id_type)]
+            ),
+        )
 
     def _star(cur: DataFrame, large: bool) -> DataFrame:
         sym = cur.unionByName(

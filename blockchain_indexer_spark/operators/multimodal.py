@@ -1471,7 +1471,14 @@ def image_dedup_clusters(
     # CHAIN across the hash space (h1~h2~h3... each <= max_hamming
     # apart), so component diameter grows with corpus diversity —
     # measured > 25 on the 500-doc gradient corpus already
-    comp = connected_components_star(hpairs, "id_a", "id_b")
+    comp = connected_components_star(
+        # hash-level graph: vertex count bounded by hash space, not
+        # corpus size — under the threshold one bounded collect +
+        # union-find replaces ~40-50 iterative micro-jobs (bit-
+        # identical, test-pinned); larger graphs fall through to the
+        # distributed rounds unchanged
+        hpairs, "id_a", "id_b", local_threshold=200_000
+    )
     hlab = hv.join(comp, hv["_hv"] == comp["id"], "left").select(
         "_hv", F.coalesce("cluster", "_hv").alias("_hc")
     )
@@ -1616,7 +1623,14 @@ def audio_dedup_clusters(
     hpairs = hamming_band_pairs(
         hv, "_hv", "_hv", bits, bands=bands, max_hamming=max_hamming
     )
-    comp = connected_components_star(hpairs, "id_a", "id_b")
+    comp = connected_components_star(
+        # hash-level graph: vertex count bounded by hash space, not
+        # corpus size — under the threshold one bounded collect +
+        # union-find replaces ~40-50 iterative micro-jobs (bit-
+        # identical, test-pinned); larger graphs fall through to the
+        # distributed rounds unchanged
+        hpairs, "id_a", "id_b", local_threshold=200_000
+    )
     hlab = hv.join(comp, hv["_hv"] == comp["id"], "left").select(
         "_hv", F.coalesce("cluster", "_hv").alias("_hc")
     )
@@ -1901,7 +1915,14 @@ def video_dedup_clusters(
     hpairs = hamming_band_pairs(
         hv, "_hv", "_hv", bits, bands=bands, max_hamming=max_hamming
     )
-    comp = connected_components_star(hpairs, "id_a", "id_b")
+    comp = connected_components_star(
+        # hash-level graph: vertex count bounded by hash space, not
+        # corpus size — under the threshold one bounded collect +
+        # union-find replaces ~40-50 iterative micro-jobs (bit-
+        # identical, test-pinned); larger graphs fall through to the
+        # distributed rounds unchanged
+        hpairs, "id_a", "id_b", local_threshold=200_000
+    )
     hlab = hv.join(comp, hv["_hv"] == comp["id"], "left").select(
         "_hv", F.coalesce("cluster", "_hv").alias("_hc")
     )

@@ -697,7 +697,7 @@ def mm_audio_windowed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hv = h.select(F.col("whash").alias("_hv")).distinct()
     hpairs = hamming_band_pairs(hv, "_hv", "_hv", 16, bands=4, max_hamming=2)
-    comp = connected_components_star(hpairs, "id_a", "id_b")
+    comp = connected_components_star(hpairs, "id_a", "id_b", local_threshold=200_000)
     hlab = hv.join(comp, hv["_hv"] == comp["id"], "left").select(
         "_hv", F.coalesce("cluster", "_hv").alias("_hc")
     )

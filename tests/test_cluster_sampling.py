@@ -353,3 +353,48 @@ def test_mutual_knn_graph_requires_both_directions(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     got = {(r["src"], r["dst"]) for r in mutual_knn_graph(df, k=1).collect()}
     assert got == {(1, 2), (3, 4)}
+
+
+def test_star_local_fast_path_equals_distributed(spark):
+    """local_threshold's bounded-collect union-find must produce the
+    exact (id, min-id cluster) rows of the distributed star rounds on
+    random graphs, chains, self-loops and isolated-self-loop vertices."""
+    import numpy as np
+
+    from blockchain_indexer_spark.operators.cluster import connected_components_star
+
+    rng = np.random.default_rng(47)
+    cases = []
+    # random sparse graph
+    cases.append([(int(rng.integers(0, 60)), int(rng.integers(0, 60))) for _ in range(80)])
+    # long chain (the star algorithm's reason to exist)
+    cases.append([(i, i + 1) for i in range(100)])
+    # self-loops only + a disjoint pair
+    cases.append([(5, 5), (9, 9), (1, 2)])
+    for rows in cases:
+        e = spark.createDataFrame(rows, "src long, dst long")
+        dist = {
+            (r.id, r.cluster)
+            for r in connected_components_star(e, "src", "dst").collect()
+        }
+        local = {
+            (r.id, r.cluster)
+            for r in connected_components_star(
+                e, "src", "dst", local_threshold=10**6
+            ).collect()
+        }
+        assert local == dist
+
+
+def test_star_local_threshold_falls_through_when_exceeded(spark):
+    """A graph bigger than the threshold must take the distributed
+    path (same results; this pins the guard, not the algebra)."""
+    from blockchain_indexer_spark.operators.cluster import connected_components_star
+
+    rows = [(i, i + 1) for i in range(50)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    got = {
+        (r.id, r.cluster)
+        for r in connected_components_star(e, "src", "dst", local_threshold=3).collect()
+    }
+    assert got == {(i, 0) for i in range(51)}

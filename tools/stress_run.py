@@ -386,7 +386,7 @@ def _audio_windowed_100k():
          .select("doc_id", "whash").localCheckpoint(eager=True))
     hv = h.select(F.col("whash").alias("_hv")).distinct()
     hp = hamming_band_pairs(hv, "_hv", "_hv", 16, bands=4, max_hamming=2)
-    comp = connected_components_star(hp, "id_a", "id_b")
+    comp = connected_components_star(hp, "id_a", "id_b", local_threshold=200_000)
     hlab = hv.join(comp, hv["_hv"] == comp["id"], "left").select(
         "_hv", F.coalesce("cluster", "_hv").alias("_hc"))
     dlab = h.join(hlab, h["whash"] == hlab["_hv"]).select("doc_id", "_hc")
