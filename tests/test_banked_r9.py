@@ -27,6 +27,7 @@ def test_banked_not_registered():
         "mm_cross_modal_dedup",
         "embedding_pq_adc_agreement",
         "mm_audio_windowed_dedup",
+        "embedding_dbscan_lsh_agreement",
     }
 
 

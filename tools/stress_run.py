@@ -393,3 +393,35 @@ def _audio_windowed_100k():
     cmin = dlab.groupBy("_hc").agg(F.min("doc_id").alias("cluster"))
     return dlab.join(cmin, "_hc").count()
 t("audio_windowed_dedup_100k", _audio_windowed_100k)
+
+# DBSCAN scale-path swap at 20x — the HIGH-similarity regime (eps=0.9
+# semantic-dedup, the seam's documented 100 TB use) on a 20k uniform
+# SAMPLE: an exact eps-threshold graph materializes O(sum family^2)
+# pairs, so at index scale the agreement monitor certifies the swap on
+# a sample (the full corpus only ever sees the subquadratic LSH
+# engine) — the first 100k attempt OOMed the exact side, which is the
+# measurement that forced this posture. LSH at 64 planes / 4
+# sixteen-bit bands (the lsh_neardup_100k_p64 config) keeps buckets
+# selective; partial boundary agreement is the measurement, like the
+# pq_adc 0.640 recall row.
+def _dbscan_lsh_agree_20k():
+    from blockchain_indexer_spark.operators.cluster import dbscan_clusters
+    from blockchain_indexer_spark.operators.dedup import cosine_near_dup_pairs
+    samp = emb.filter(F.col("vec_id") % 5 == 0).localCheckpoint(eager=True)
+    exp = (cosine_near_dup_pairs(samp, "vec_id", "embedding", threshold=0.9)
+           .select("vec_a", "vec_b").localCheckpoint(eager=True))
+    lsp = (lsh_near_dup_pairs(samp, "vec_id", "embedding", dim=64, threshold=0.9,
+                              num_planes=64, bands=4)
+           .select("vec_a", "vec_b").localCheckpoint(eager=True))
+    ex = dbscan_clusters(samp, "vec_id", "embedding", eps=0.9, min_pts=4,
+                         pairs=exp).localCheckpoint(eager=True)
+    ap = dbscan_clusters(samp, "vec_id", "embedding", eps=0.9, min_pts=4,
+                         pairs=lsp).localCheckpoint(eager=True)
+    agree = (ex.alias("e").join(ap.alias("l"), "id")
+             .filter((F.col("e.role") == F.col("l.role"))
+                     & (F.col("e.cluster") == F.col("l.cluster"))).count())
+    pe, pl = exp.count(), lsp.count()
+    print(f"  dbscan_lsh_agree detail: pairs exact={pe} lsh={pl} "
+          f"recall={pl/max(pe,1):.3f} verdict_agree={agree}", flush=True)
+    return agree
+t("dbscan_lsh_agreement_20k_sample", _dbscan_lsh_agree_20k)
