@@ -1206,3 +1206,27 @@ def test_wide_sampling_factors_progressive_matches_baseline():
         prog = decode_jpeg(encode_jpeg_progressive(comps, sampling=sampling))
         assert base[:3] == prog[:3]
         assert np.array_equal(base[3], prog[3]), sampling
+
+
+def test_wide_sampling_envelope_randomized():
+    """Seeded sweep across the whole T.81 envelope: random dividing
+    (H, V) ladders, random MCU grids, random solid-block values — the
+    decode must equal the independent replication+JFIF reference for
+    every draw. Complements the five hand-picked configs above."""
+    from blockchain_indexer_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(97)
+    dividers = {1: [1], 2: [1, 2], 3: [1, 3], 4: [1, 2, 4]}
+    for trial in range(20):
+        hmax = int(rng.integers(1, 5))
+        vmax = int(rng.integers(1, 5))
+        sampling = [(hmax, vmax)]
+        for _ in range(2):
+            sampling.append(
+                (int(rng.choice(dividers[hmax])), int(rng.choice(dividers[vmax])))
+            )
+        mby, mbx = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+        comps = [_solid_blocks(rng, mby, mbx, hi, vi) for hi, vi in sampling]
+        w, h, nch, px = decode_jpeg(encode_jpeg(comps, sampling=sampling))
+        assert (w, h, nch) == (8 * hmax * mbx, 8 * vmax * mby, 3), (trial, sampling)
+        assert np.array_equal(px, _expect_rgb(*comps, sampling)), (trial, sampling)
