@@ -571,45 +571,60 @@ def _ivf_blocked_cosine_topk(
     vectors drop before the matmul — the cosine contract
     (_rerank_topk's filter).
 
-    SKEW GUARD (``max_cell``, driver ADVICE r7): a skewed coarse
-    quantizer (e.g. iters=0 data-seeded centroids on a clustered
-    corpus) can land the MAX cell — not the documented avg cell — in
-    one packed row/task, an unguarded single-executor OOM at index
-    scale. Cells over ``max_cell`` members split by a deterministic
-    member-id salt into ceil(n/max_cell) sub-cells; probing queries
-    replicate to every sub-cell of the cells they probe (a pair still
-    meets exactly once — the neighbor lives in exactly ONE sub-cell),
-    each sub-block keeps its local top-k with boundary ties, and the
-    existing global window merges. The true per-cell top-k is a subset
-    of the union of sub-block top-ks, so results stay bit-identical
-    (equality test-pinned vs engine='expr' at max_cell=7); only
-    oversized cells pay the replication. At max_cell=4096 a packed row
-    is ≤ 4096×64 int64 ≈ 2 MB — bounded per task regardless of
-    quantizer skew."""
+    SKEW GUARD (``max_cell``, driver ADVICE r7; made two-sided in the
+    same round): a skewed coarse quantizer (e.g. iters=0 data-seeded
+    centroids on a clustered corpus) can land the MAX cell — not the
+    documented avg cell — in one packed row/task, an unguarded
+    single-executor OOM at index scale; symmetrically, in the
+    queries ≈ corpus regime a POPULAR cell's whole probe set would
+    pack into one row even when the cell itself is small. Both sides
+    split by a deterministic id salt into ceil(n/max_cell) groups;
+    the block join keys on the cell alone, so each query sub-group
+    scores against every corpus sub-cell of the cells it probes — a
+    pair still meets in exactly ONE block (the neighbor lives in one
+    sub-cell, the query in one sub-group). Each block keeps its local
+    top-k with boundary ties and the existing global window merges;
+    the true per-cell top-k is a subset of the union of block
+    top-ks, so results stay bit-identical (equality test-pinned vs
+    engine='expr' at max_cell=7 and 1, where BOTH sides split
+    multi-way). Only oversized cells/probe-sets pay the replication.
+    At max_cell=4096 a packed row is ≤ 4096×64 int64 ≈ 2 MB — bounded
+    per task regardless of quantizer or probe skew."""
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-    # per-cell member counts are one tiny row per cell: broadcast into
-    # both sides so the salting adds no extra shuffle of the big frames
+    # per-cell member/probe counts are one tiny row per cell: broadcast
+    # into both sides so the salting adds no extra shuffle of the big
+    # frames. BOTH sides split: the corpus side by member-id salt (a
+    # skewed quantizer's max cell), and the QUERY side by query-id salt
+    # (the symmetric hazard — in the queries ≈ corpus regime a popular
+    # cell's whole probe set would otherwise pack into one row). Each
+    # query sub-group joins every corpus sub-cell of the cells it
+    # probes, so a pair still meets in exactly ONE block.
     ccnt = cb.groupBy("cell").agg(
         F.ceil(F.count(F.lit(1)) / F.lit(max_cell)).cast("int").alias("_nsub")
+    )
+    qcnt = qb.groupBy("cell").agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(max_cell)).cast("int").alias("_nqsub")
     )
     cb = cb.join(F.broadcast(ccnt), "cell").withColumn(
         "_salt", F.pmod(F.xxhash64("neighbor_id"), F.col("_nsub")).cast("int")
     )
-    qb = qb.join(F.broadcast(ccnt), "cell").withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.col("_nsub") - 1))
+    qb = qb.join(F.broadcast(qcnt), "cell").withColumn(
+        "_qsalt", F.pmod(F.xxhash64("query_id"), F.col("_nqsub")).cast("int")
     )
     cpacked = cb.groupBy("cell", "_salt").agg(
         F.collect_list(
             F.struct(F.col("neighbor_id").alias("i"), F.col("_neighborq").alias("v"))
         ).alias("_crows")
     )
-    qpacked = qb.groupBy("cell", "_salt").agg(
+    qpacked = qb.groupBy("cell", "_qsalt").agg(
         F.collect_list(
             F.struct(F.col("query_id").alias("i"), F.col("_queryq").alias("v"))
         ).alias("_qrows")
     )
-    cells = qpacked.join(cpacked, ["cell", "_salt"]).select("_qrows", "_crows")
+    # join on cell alone: nsub × nqsub blocks per cell, each one
+    # bounded numpy matmul task
+    cells = qpacked.join(cpacked, "cell").select("_qrows", "_crows")
     schema = StructType(
         [
             StructField("query_id", LongType()),
