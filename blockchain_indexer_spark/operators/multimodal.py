@@ -1530,14 +1530,22 @@ def audio_whash(
     ``n_windows > 1``: the chromaprint-style strided mode computes the
     per-window difference code over windows starting at multiples of
     ``hop`` (default ``n_fft``, i.e. non-overlapping) and MAJORITY-
-    votes each bit across windows (SimHash over the window sequence;
-    vote ties clear the bit), so the fingerprint covers
-    ``hop·(n_windows−1)+n_fft`` samples and an edit in any window
-    shifts only that window's vote. ``n_windows=1`` is bit-identical
-    to the pre-round-8 behavior (test-pinned); within each window the
-    differential coding preserves band-energy orderings under
-    re-encoding/light edits, which is the property the banded hamming
-    closure exploits.
+    votes each bit across the COVERED windows (SimHash over the
+    window sequence; vote ties clear the bit), so the fingerprint
+    covers up to ``hop·(n_windows−1)+n_fft`` samples and an edit in
+    any window shifts only that window's vote. Only windows that
+    overlap actual samples (start offset < n_samples) vote — the
+    majority denominator is the covered-window count, not
+    ``n_windows`` (driver ADVICE r8: windows entirely past a short
+    clip's end carry all-zero energies, voting 0 on every bit, which
+    biased short-clip fingerprints toward zero bits and made
+    unrelated short clips collide at large ``n_windows``). A clip
+    shorter than ``hop`` therefore hashes identically at any
+    ``n_windows`` — the single covered window IS the majority.
+    ``n_windows=1`` is bit-identical to the pre-round-8 behavior
+    (test-pinned); within each window the differential coding
+    preserves band-energy orderings under re-encoding/light edits,
+    which is the property the banded hamming closure exploits.
 
     All arithmetic is integer (popcount, int64 sums, squares,
     comparisons), so the fingerprint is bit-reproducible from the
@@ -1567,16 +1575,20 @@ def audio_whash(
                 _rate, _ch, samples = decode_wav(bytes(b))
                 mono = samples[:, 0].astype(np.int64)
                 votes = np.zeros(bits, dtype=np.int64)
-                for wi in range(n_windows):
+                # only windows overlapping actual samples vote (ADVICE
+                # r8) — ceil(len/hop) capped at n_windows, floor 1 so
+                # an empty clip still yields the (all-zero) h=0 hash
+                covered = max(1, min(n_windows, -(-len(mono) // step)))
+                for wi in range(covered):
                     lo = wi * step
                     s = np.zeros(n_fft, dtype=np.int64)
                     chunk = mono[lo : lo + n_fft]
                     s[: len(chunk)] = chunk
                     e = (sgn @ s) ** 2  # (bits+1,) exact int64 energies
                     votes += e[:bits] > e[1 : bits + 1]
-                # majority vote across windows (ties clear the bit);
-                # n_windows=1 degenerates to the plain difference code
-                h = int(sum(1 << k for k in range(bits) if 2 * votes[k] > n_windows))
+                # majority vote across covered windows (ties clear the
+                # bit); n_windows=1 degenerates to the difference code
+                h = int(sum(1 << k for k in range(bits) if 2 * votes[k] > covered))
                 ids.append(did)
                 hashes.append(h)
                 counts.append(samples.shape[0])
@@ -1770,13 +1782,19 @@ def shot_signatures(
     never disagree on where shots are): each shot's signature packs
     the floor-mean of every quantized feature channel over the shot's
     frames into one integer, 10 bits per channel (floor-mean = integer
-    SUM DIV n_frames — exact and engine-reproducible; channel means
-    live in 0..255 so 10 bits never saturate).
+    SUM DIV n_frames — exact and engine-reproducible; 0..255 channel
+    means at the default ``scale=1`` never saturate the field).
 
     NULL policy: a shot containing any NULL-feature frame gets a NULL
     signature (sums over partial channels would silently fingerprint
     a different shot than the cut rule saw); downstream fingerprints
-    drop NULL-signature shots explicitly.
+    drop NULL-signature shots explicitly. The same policy guards the
+    10-bit packing (driver ADVICE r8): a quantized floor-mean outside
+    0..1023 — possible with ``scale > 1`` or feature values outside
+    0..255 — would silently bleed into the adjacent channel's bit
+    field, so any out-of-range channel mean makes the signature NULL
+    instead of corrupt. Callers needing wider features should rescale
+    them into 0..1023 before fingerprinting.
 
     Returns (id, shot_id, sig, n_frames). One uniform-key shuffle on
     the video id shared with the shot assignment, then one
@@ -1794,7 +1812,14 @@ def shot_signatures(
         sig = part if sig is None else sig + part
     all_valid = None
     for i in range(nf):
-        ok = F.col(f"_c{i}") == F.col("n_frames")
+        mean_i = F.expr(f"_s{i} DIV n_frames")
+        # complete channel AND floor-mean fits its 10-bit field (ADVICE
+        # r8: out-of-range means would bleed into the adjacent channel)
+        ok = (
+            (F.col(f"_c{i}") == F.col("n_frames"))
+            & (mean_i >= 0)
+            & (mean_i <= 1023)
+        )
         all_valid = ok if all_valid is None else all_valid & ok
     return per.select(
         F.col("_id").alias(id_col),

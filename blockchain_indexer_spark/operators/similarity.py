@@ -475,6 +475,10 @@ def ivf_topk(
     """
     if engine not in ("expr", "blocked"):
         raise ValueError(f"unknown engine {engine!r}; expected 'expr' or 'blocked'")
+    if engine == "blocked" and max_cell < 1:
+        # fail at the call, before centroid training — not as an opaque
+        # ceil/pmod-by-zero deep in the executed plan (driver ADVICE r8)
+        raise ValueError(f"max_cell must be >= 1, got {max_cell}")
     if engine == "blocked" and metric != "cosine":
         # the blocked kernel drops zero-norm/NULL rows as the cosine
         # contract requires; dot keeps NULL-score rows in the window,
@@ -589,8 +593,13 @@ def _ivf_blocked_cosine_topk(
     engine='expr' at max_cell=7 and 1, where BOTH sides split
     multi-way). Only oversized cells/probe-sets pay the replication.
     At max_cell=4096 a packed row is ≤ 4096×64 int64 ≈ 2 MB — bounded
-    per task regardless of quantizer or probe skew."""
+    per task regardless of quantizer or probe skew. ``max_cell`` must
+    be >= 1 (driver ADVICE r8: <= 0 previously surfaced as an opaque
+    ceil/pmod-by-zero deep in the plan)."""
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    if max_cell < 1:
+        raise ValueError(f"max_cell must be >= 1, got {max_cell}")
 
     # per-cell member/probe counts are one tiny row per cell: broadcast
     # into both sides so the salting adds no extra shuffle of the big

@@ -593,9 +593,12 @@ def embedding_pq_adc_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 # offset) pair — window w sees samples 16w .. 16w+63, zero-padded past
 # n = 16+id%37 — the amp/e CTEs the integer Walsh-Hadamard band
 # energies PER WINDOW, the vote CTE audio_whash's per-bit majority
-# across the 4 windows (2*votes > 4, ties clear), and the banding +
-# closure + label CTEs the same hash-level verdict engines as the
-# registered audio gate.
+# across the COVERED windows (2*votes > LEAST(4, ceil(n/16)), ties
+# clear — windows starting past the clip's end don't vote, driver
+# ADVICE r8; their all-zero energies contribute no set bits, so only
+# the denominator needs the covered count), and the banding + closure
+# + label CTEs the same hash-level verdict engines as the registered
+# audio gate.
 _AUDIO_WINDOWED_SQL = """
     WITH RECURSIVE d AS (SELECT doc_id, 16 + doc_id % 37 AS n FROM documents),
     s AS (
@@ -624,11 +627,11 @@ _AUDIO_WINDOWED_SQL = """
       SELECT doc_id, k, SUM(bit) AS v FROM wbits GROUP BY 1, 2
     ),
     hsh AS (
-      SELECT doc_id,
-             CAST(SUM(CASE WHEN 2 * v > 4
+      SELECT votes.doc_id,
+             CAST(SUM(CASE WHEN 2 * v > LEAST(4, (n + 15) // 16)
                            THEN CAST(1 AS BIGINT) << (k - 1) ELSE 0 END)
                   AS BIGINT) AS whash
-      FROM votes GROUP BY 1
+      FROM votes JOIN d USING (doc_id) GROUP BY 1
     ),
     hv AS (SELECT DISTINCT whash FROM hsh),
     banded AS (
@@ -669,8 +672,10 @@ _AUDIO_WINDOWED_SQL = """
     "r7's first-64-samples blind spot, under the full dedup engine "
     "stack): four overlapping WHT windows at sample offsets "
     "0/16/32/48, per-window adjacent-band difference codes, each "
-    "fingerprint bit MAJORITY-voted across windows (2v > 4, ties "
-    "clear) -> banded hamming blocking over DISTINCT fingerprints -> "
+    "fingerprint bit MAJORITY-voted across the COVERED windows "
+    "(2v > ceil(n/16) capped at 4, ties clear; windows past the "
+    "clip's end don't vote — ADVICE r8) -> banded hamming blocking "
+    "over DISTINCT fingerprints -> "
     "hash-level star-contraction closure -> min-id survivor keeps. "
     "Unlike the single-window registered gate, an edit anywhere in "
     "the covered 112 samples shifts votes — the fixture's short "

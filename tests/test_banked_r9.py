@@ -381,3 +381,63 @@ def test_audio_whash_windowed_majority_is_edit_robust(spark):
     got = {r.doc_id: r.whash for r in audio_whash(df, n_windows=4).collect()}
     ham = bin(got[1] ^ got[2]).count("1")
     assert ham <= 6, ham  # one window of four can swing at most its votes
+
+
+def test_shot_signatures_out_of_range_mean_nulls_not_bleeds(spark):
+    """10-bit packing guard (driver ADVICE r8): a quantized channel
+    floor-mean outside 0..1023 (scale > 1 here) must yield a NULL
+    signature, never silently bleed into the adjacent channel's bit
+    field — and in-range shots are unaffected by the guard."""
+    from blockchain_indexer_spark.operators.multimodal import shot_signatures
+
+    rows = [
+        (1, 0, 200.0, 10.0, 10.0),  # 200*8=1600 > 1023: overflow
+        (2, 0, 100.0, 20.0, 30.0),  # 100*8=800 fits: valid at scale=8
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, frame_index int, mean_b double, mean_g double, mean_r double",
+    )
+    sigs = {r.doc_id: r.sig for r in shot_signatures(df, scale=8).collect()}
+    assert sigs[1] is None  # not (1600<<20)+... with 1600 bleeding out
+    assert sigs[2] == (800 << 20) + (160 << 10) + 240
+    # scale=1 fixture shapes (0..255 means) keep their exact packing
+    base = {r.doc_id: r.sig for r in shot_signatures(df).collect()}
+    assert base[1] == (200 << 20) + (10 << 10) + 10
+
+
+def test_audio_whash_windowed_majority_over_covered_windows(spark):
+    """Covered-window denominator (driver ADVICE r8): windows entirely
+    past a short clip's end don't dilute the majority. A 128-sample
+    clip under n_windows=4/hop=64 covers exactly 2 windows; when both
+    agree the bit must be SET (2v=4 > covered=2), where the old
+    n_windows denominator cleared it (4 > 4 false, biasing short
+    clips toward all-zero fingerprints)."""
+    from blockchain_indexer_spark.operators.multimodal import audio_whash
+
+    rng = np.random.default_rng(47)
+    w0 = rng.integers(-32768, 32767, 64).tolist()
+    df = spark.createDataFrame(
+        [(1, _wav_blob(w0 + w0))], "doc_id long, blob binary"
+    )
+    one = audio_whash(df, n_windows=1).collect()[0].whash
+    four = audio_whash(df, n_windows=4).collect()[0].whash
+    assert four == one  # unanimous covered windows == single-window code
+    assert one != 0  # and the hash genuinely carries bits
+
+
+def test_audio_whash_sub_hop_clip_invariant_in_n_windows(spark):
+    """A clip shorter than hop covers ONE window, so its fingerprint
+    is identical at any n_windows — the covered-window majority makes
+    the single window decisive instead of drowned by empty votes."""
+    from blockchain_indexer_spark.operators.multimodal import audio_whash
+
+    rng = np.random.default_rng(53)
+    clip = rng.integers(-32768, 32767, 50).tolist()
+    df = spark.createDataFrame([(1, _wav_blob(clip))], "doc_id long, blob binary")
+    hashes = {
+        n: audio_whash(df, n_windows=n, hop=64).collect()[0].whash
+        for n in (1, 4, 16)
+    }
+    assert hashes[1] == hashes[4] == hashes[16]
+    assert hashes[1] != 0

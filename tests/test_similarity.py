@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from blockchain_indexer_spark.operators.similarity import (
@@ -397,3 +398,20 @@ def test_ivf_blocked_skew_guard_subsplit_bit_identical(spark):
             .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
         )
         assert got.equals(want), f"max_cell={mc} diverged"
+
+
+def test_ivf_blocked_max_cell_validated(spark):
+    """max_cell <= 0 must fail fast with a clear ValueError at plan
+    build (driver ADVICE r8), not a ceil/pmod-by-zero deep in the
+    executed plan."""
+    from blockchain_indexer_spark.operators.similarity import ivf_topk
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    for bad in (0, -4):
+        with pytest.raises(ValueError, match="max_cell"):
+            ivf_topk(
+                emb, emb, k=1, n_cells=1, metric="cosine",
+                engine="blocked", max_cell=bad,
+            )
