@@ -183,6 +183,14 @@ BENCH_QUERIES = (
     "doc_longest_repeat",
     "doc_split_leakage",
     "embedding_lsh_topk_fetch",
+    # round-9 additions: the promoted round-8-banked gates — video
+    # near-dup closure, cross-modal dedup union, IVF-PQ ADC agreement,
+    # strided-window audio dedup, DBSCAN exact-vs-LSH certification
+    "mm_video_dedup_clusters",
+    "mm_cross_modal_dedup",
+    "embedding_pq_adc_agreement",
+    "mm_audio_windowed_dedup",
+    "embedding_dbscan_lsh_agreement",
 )
 
 #: Driver-facing subset of BENCH_QUERIES for the printed JSON line
@@ -242,6 +250,11 @@ HEADLINE_QUERIES = (
     # five distinct rungs + count aggs; audio: decode + WHT + closure)
     "doc_longest_repeat",
     "mm_audio_dedup_clusters",
+    # round-9 canaries: the two heaviest promoted gates — both pay an
+    # exact baseline by construction (agreement monitors), so they are
+    # the natural drift watch for the quadratic-engine cost envelope
+    "embedding_dbscan_lsh_agreement",
+    "mm_cross_modal_dedup",
 )
 
 

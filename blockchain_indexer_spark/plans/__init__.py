@@ -27,30 +27,110 @@ from blockchain_indexer_spark.plans import multimodal as _multimodal  # noqa: E4
 #: Driver-facing iteration order (highest verification value first).
 PRIORITY = (
     # ------------------------------------------------------------------
-    # Round-8 rotation (VERDICT r7 "Next round" #1/#5/#6). The driver
+    # Round-9 rotation (VERDICT r8 "Next round" #1/#5). The driver
     # records exactly the first 50 entries per round; the front is now:
-    #   tier NEW — the four gates banked in round 7 (plans/banked_r8,
-    #     promoted this round) plus the lsh_topk fetch_join twin added
-    #     in round 8 — none has a driver row yet;
-    #   tier STALE-ORACLED — the three round-4-newest leftovers (at the
-    #     rotation-period bound after the r8 record lands), then the
-    #     round-5-newest tier in its prior relative order. 42 of the 50
-    #     fit; the leftover eight sit just below the fold at newest=5,
-    #     inside the rotation-period bound (158 oracled / 50-row window
-    #     -> period 4, bound latest-3).
-    # Everything with a round-6/7 driver row sits below the fold.
+    #   tier NEW — the five gates banked in round 8 (plans/banked_r9,
+    #     promoted this round): video near-dup verdict, cross-modal
+    #     dedup union, IVF-PQ ADC agreement monitor, strided-window
+    #     audio dedup, and the DBSCAN exact-vs-LSH swap certification
+    #     — none has a driver row yet;
+    #   tier ROWS-ONLY DEBUT — minhash_incremental / minhash_calibration
+    #     (VERDICT r8 "Next round" #5): the two production twins that
+    #     never had a driver row of any kind. Their md5/estimate twins
+    #     are oracled and green; this one rows-only slot each closes the
+    #     "unexplained absence of driver evidence" nit permanently.
+    #   tier STALE-ORACLED — the eight round-5-newest leftovers (at the
+    #     rotation-period bound after the r9 record lands), then 35 of
+    #     the round-6-newest tier in prior relative order. The leftover
+    #     15 r6 entries sit just below the fold at newest=6, inside the
+    #     rotation-period bound (163 oracled / 50-row window -> period
+    #     4, bound latest-3) and lead the round-10 window.
+    # Everything with a round-7/8 driver row sits below them.
     # ------------------------------------------------------------------
-    # -- tier NEW: round-8 gates, never driver-verified ------------------
+    # -- tier NEW: round-9 promotions, never driver-verified ------------
+    "mm_video_dedup_clusters",
+    "mm_cross_modal_dedup",
+    "embedding_pq_adc_agreement",
+    "mm_audio_windowed_dedup",
+    "embedding_dbscan_lsh_agreement",
+    # -- tier STALE-ORACLED: newest driver row is round 5 ----------------
+    "gap_detection",
+    "filtered_projection",
+    "json_payload",
+    "membership_collect",
+    "rollup_revenue_hierarchy",
+    "profile_orders",
+    "salted_join_segment_totals",
+    "stream_reassembly_join",
+    # -- tier ROWS-ONLY DEBUT: first driver row ever (rows-only check) ---
+    "minhash_incremental",
+    "minhash_calibration",
+    # -- tier STALE-ORACLED: newest driver row is round 6 ----------------
+    "mm_real_jpeg_progressive",
+    "event_k_anonymity",
+    "doc_perceptron_calibration",
+    "embedding_pq_distortion",
+    "doc_trigram_fluency",
+    "corpus_classifier_agreement",
+    "minhash_incremental_md5",
+    "embedding_pq_topk",
+    "embedding_ivfpq_topk",
+    "embedding_lsh_near_dups",
+    "embedding_kmeans_clusters",
+    "embedding_semantic_dedup",
+    "doc_unigram_stats",
+    "corpus_mixture_rebalance",
+    "doc_pii_scrub",
+    "corpus_token_cardinality_bound",
+    "doc_length_quantiles_approx_bound",
+    "mm_real_audio",
+    "mm_real_frames",
+    "embedding_knn_label_probe",
+    "corpus_prep_report",
+    "fuzzy_name_matches",
+    "snapshot_diff_orders",
+    "embedding_pca_covariance",
+    "doc_bpe_merges",
+    "doc_bpe_token_stats",
+    "doc_bpe_vocab",
+    "minhash_lsh_candidates_md5",
+    "simhash_near_dups_md5",
+    "doc_decontamination",
+    "embedding_topk_qcosine",
+    "embedding_topk_mips",
+    "embedding_lsh_topk",
+    "embedding_ivf_topk",
+    "doc_token_stats",
+    # ------------------------------------------------------------------
+    # Below the ~50-row driver window: the fifteen r6-tier leftovers
+    # (at the rotation-period bound, first in line for round 10), then
+    # every entry with a green round-7 or round-8 driver row (the
+    # freshest evidence in the record), then the remaining rows-only
+    # production twins (weakest signal, oracled twins fresh).
+    # ------------------------------------------------------------------
+    "doc_lang_id",
+    "doc_quality_score",
+    "doc_repetition_stats",
+    "doc_train_split",
+    "doc_top_terms",
+    "doc_rolling_fingerprint",
+    "corpus_mixture_report",
+    "embedding_cosine_near_dups",
+    "minhash_signatures_md5",
+    "simhash_signatures_md5",
+    "per_day_counts",
+    "double_entry_ledger",
+    "multi_join_revenue",
+    "topk_per_group",
+    "union_activity_timeline",
     "mm_audio_dedup_clusters",
     "mm_video_shots",
     "doc_longest_repeat",
     "doc_split_leakage",
     "embedding_lsh_topk_fetch",
-    # -- tier STALE-ORACLED: newest driver row is round 4 ----------------
     "chain_crc_balances",
     "chain_classification_counts",
     "chain_current_trust",
-    # -- tier STALE-ORACLED: newest driver row is round 5 ----------------
     "mm_real_jpeg_420",
     "doc_sliding_chunks",
     "doc_tfidf_keywords",
@@ -93,21 +173,6 @@ PRIORITY = (
     "completeness_gate",
     "anti_join_inactive",
     "semi_join_parts",
-    # ------------------------------------------------------------------
-    # Below the ~50-row driver window: the eight r5-tier leftovers (at
-    # the rotation-period bound), then every entry with a green round-6
-    # or round-7 driver row (the freshest evidence in the record), then
-    # the rows-only production twins (weakest signal, oracled twins
-    # fresh).
-    # ------------------------------------------------------------------
-    "gap_detection",
-    "filtered_projection",
-    "json_payload",
-    "membership_collect",
-    "rollup_revenue_hierarchy",
-    "profile_orders",
-    "salted_join_segment_totals",
-    "stream_reassembly_join",
     "embedding_dbscan",
     "mm_image_dedup_clusters",
     "doc_mmr_rerank",
@@ -158,59 +223,7 @@ PRIORITY = (
     "doc_exact_decontamination",
     "doc_dedup_clusters",
     "mm_real_decode",
-    "mm_real_jpeg_progressive",
-    "event_k_anonymity",
-    "doc_perceptron_calibration",
-    "embedding_pq_distortion",
-    "doc_trigram_fluency",
-    "corpus_classifier_agreement",
-    "minhash_incremental_md5",
-    "embedding_pq_topk",
-    "embedding_ivfpq_topk",
-    "embedding_lsh_near_dups",
-    "embedding_kmeans_clusters",
-    "embedding_semantic_dedup",
-    "doc_unigram_stats",
-    "corpus_mixture_rebalance",
-    "doc_pii_scrub",
-    "corpus_token_cardinality_bound",
-    "doc_length_quantiles_approx_bound",
-    "mm_real_audio",
-    "mm_real_frames",
-    "embedding_knn_label_probe",
-    "corpus_prep_report",
-    "fuzzy_name_matches",
-    "snapshot_diff_orders",
-    "embedding_pca_covariance",
-    "doc_bpe_merges",
-    "doc_bpe_token_stats",
-    "doc_bpe_vocab",
-    "minhash_lsh_candidates_md5",
-    "simhash_near_dups_md5",
-    "doc_decontamination",
-    "embedding_topk_qcosine",
-    "embedding_topk_mips",
-    "embedding_lsh_topk",
-    "embedding_ivf_topk",
-    "doc_token_stats",
-    "doc_lang_id",
-    "doc_quality_score",
-    "doc_repetition_stats",
-    "doc_train_split",
-    "doc_top_terms",
-    "doc_rolling_fingerprint",
-    "corpus_mixture_report",
-    "embedding_cosine_near_dups",
-    "minhash_signatures_md5",
-    "simhash_signatures_md5",
-    "per_day_counts",
-    "double_entry_ledger",
-    "multi_join_revenue",
-    "topk_per_group",
-    "union_activity_timeline",
     "embedding_pca_project",
-    "minhash_incremental",
-    "minhash_calibration",
     "corpus_token_cardinality_approx",
     "minhash_lsh_candidates",
     "simhash_signatures",

@@ -1,11 +1,11 @@
-"""Round-9 BANKED gates (plans/banked_r9.py): full Spark-vs-DuckDB
-parity through the exact same compare() the registered gates use, plus
-unit tests and independent third implementations for the new
-operators — so promotion in round 9 is a mechanical @register +
-PRIORITY slot, not new code.
-
-Banked and not registered because round 8's 50-row driver window is
-fully budgeted (5 new gates + 45 stale refreshes); see the module doc.
+"""Round-8-banked, round-9-PROMOTED gates (video near-dup verdict,
+cross-modal dedup union, IVF-PQ ADC agreement monitor, strided-window
+audio dedup, DBSCAN exact-vs-LSH swap certification): full
+Spark-vs-DuckDB parity through the exact same compare() the driver
+uses, plus unit tests and independent third implementations for the
+operators. These were banked in plans/banked_r9.py during round 8
+(the driver window was fully budgeted) and promoted to @register +
+front PRIORITY slots in round 9 (VERDICT r8 "Next round" #1).
 """
 
 from __future__ import annotations
@@ -13,22 +13,42 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
-from blockchain_indexer_spark.plans import REGISTRY
-from blockchain_indexer_spark.plans.banked_r9 import BANKED
+from blockchain_indexer_spark.plans import PRIORITY, REGISTRY
 from tools.check_correctness import compare, duck_con
 
+PROMOTED = (
+    "mm_video_dedup_clusters",
+    "mm_cross_modal_dedup",
+    "embedding_pq_adc_agreement",
+    "mm_audio_windowed_dedup",
+    "embedding_dbscan_lsh_agreement",
+)
 
-def test_banked_not_registered():
-    # the whole point of banking: REGISTRY (and so PRIORITY and the
-    # driver window) must not see these until round 9 promotes them
-    assert not set(BANKED) & set(REGISTRY)
-    assert set(BANKED) == {
-        "mm_video_dedup_clusters",
-        "mm_cross_modal_dedup",
-        "embedding_pq_adc_agreement",
-        "mm_audio_windowed_dedup",
-        "embedding_dbscan_lsh_agreement",
-    }
+
+def test_promoted_gates_front_window():
+    """Promotion contract: registered, oracled, and inside the
+    driver's 50-row verification window UNTIL a driver record proves
+    them — after that the normal staleness rotation
+    (tests/test_registry_order.py) owns their placement and they may
+    rotate below the fold like any other oracled gate."""
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    recorded: set[str] = set()
+    n = 1
+    while True:
+        path = os.path.join(repo, f"CORRECTNESS_r{n:02d}.json")
+        if not os.path.exists(path):
+            break
+        with open(path) as f:
+            recorded |= set(json.load(f))
+        n += 1
+    for name in PROMOTED:
+        assert name in REGISTRY
+        assert REGISTRY[name].oracle is not None
+        if name not in recorded:
+            assert PRIORITY.index(name) < 50, name
 
 
 @pytest.fixture(scope="module")
@@ -36,9 +56,9 @@ def con(sf_dir):
     return duck_con(sf_dir)
 
 
-@pytest.mark.parametrize("name", sorted(BANKED))
-def test_banked_oracle_parity(spark, sf_dir, con, name):
-    q = BANKED[name]
+@pytest.mark.parametrize("name", sorted(PROMOTED))
+def test_promoted_oracle_parity(spark, sf_dir, con, name):
+    q = REGISTRY[name]
     spark_pdf = q.build(spark, sf_dir).toPandas()
     assert len(spark_pdf) > 0, f"{name}: empty result proves nothing"
     duck_pdf = con.sql(q.oracle).df()
@@ -246,7 +266,7 @@ def test_cross_modal_rejects_unrecognized_evidence(spark):
 
 
 def test_cross_modal_audio_modality_collapses_fixture(spark, sf_dir):
-    """Pins WHY the banked gate excludes audio: the audio fixture
+    """Pins WHY the cross-modal gate excludes audio: the audio fixture
     corpus chains into ONE hamming family (mm_audio_dedup_clusters'
     doc), so a union that includes it degenerates to a single
     cross-modal cluster — correct but uninformative."""
@@ -276,7 +296,6 @@ def test_pq_adc_agreement_stats_recompute(spark, sf_dir):
         brute_force_topk,
         ivf_pq_topk,
     )
-    from blockchain_indexer_spark.plans.banked_r9 import BANKED
     from blockchain_indexer_spark.sources.parquet import load_table
     from pyspark.sql import functions as F
 
@@ -298,7 +317,7 @@ def test_pq_adc_agreement_stats_recompute(spark, sf_dir):
         "recall_nano": int(np.floor(1e9 * len(j) / len(ex))) if len(ex) else -1,
         "n_rank_agree": int((j["rank_e"] == j["rank_p"]).sum()),
     }
-    got = BANKED["embedding_pq_adc_agreement"].build(spark, sf_dir).collect()[0]
+    got = REGISTRY["embedding_pq_adc_agreement"].build(spark, sf_dir).collect()[0]
     for k, v in want.items():
         assert got[k] == v, (k, got[k], v)
     assert 0 <= got["recall_nano"] <= 10**9
