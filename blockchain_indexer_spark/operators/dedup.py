@@ -1696,6 +1696,38 @@ def longest_repeat_ladder(
     )
 
 
+def _leak_windows(
+    df: DataFrame, id_col: str, text_col: str, split_col: str, k: int
+) -> DataFrame:
+    """Shared window core of ``split_leakage`` and its incremental
+    twin ``split_leakage_index_update``: one distinct
+    (id, split, _h) row per k-token sliding window of each document
+    (xxhash64 of the space-joined window; documents with < k tokens
+    contribute no rows). Defined ONCE so the batch gate and the
+    per-batch index maintenance can never disagree on what a window
+    is."""
+    from blockchain_indexer_spark.functions.text import tokens
+    from blockchain_indexer_spark.sources.parquet import spread
+
+    base = spread(df, id_col).select(
+        F.col(id_col).alias("id"), F.col(split_col).alias("split"), tokens(text_col).alias("_t")
+    )
+    t = F.col("_t")
+    wins = F.when(
+        t.isNull() | (F.size(t) < k), F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - k + 1),
+            lambda i: F.array_join(F.slice(t, i, k), " "),
+        )
+    )
+    return (
+        base.select("id", "split", F.explode(wins).alias("_w"))
+        .select("id", "split", F.xxhash64("_w").alias("_h"))
+        .distinct()
+    )
+
+
 def split_leakage(
     df: DataFrame,
     id_col: str,
@@ -1725,26 +1757,7 @@ def split_leakage(
     docs). Counts are over hash-equality classes; the oracle groups
     raw window STRINGS (hash-agnostic, strictly stronger).
     """
-    from blockchain_indexer_spark.functions.text import tokens
-    from blockchain_indexer_spark.sources.parquet import spread
-
-    base = spread(df, id_col).select(
-        F.col(id_col).alias("id"), F.col(split_col).alias("split"), tokens(text_col).alias("_t")
-    )
-    t = F.col("_t")
-    wins = F.when(
-        t.isNull() | (F.size(t) < k), F.array().cast("array<string>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - k + 1),
-            lambda i: F.array_join(F.slice(t, i, k), " "),
-        )
-    )
-    w = (
-        base.select("id", "split", F.explode(wins).alias("_w"))
-        .select("id", "split", F.xxhash64("_w").alias("_h"))
-        .distinct()
-    )
+    w = _leak_windows(df, id_col, text_col, split_col, k)
     train_h = (
         w.filter(F.col("split") == train_value).select("_h").distinct()
     )
@@ -1770,5 +1783,127 @@ def split_leakage(
             .otherwise(F.col("n_leaked").cast("double") / F.col("n_windows"))
             .alias("leak_frac"),
             (F.coalesce("n_leaked", F.lit(0)) > 0).alias("leaked"),
+        )
+    )
+
+def split_leakage_index_update(
+    state: tuple[DataFrame, DataFrame] | None,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    split_col: str,
+    train_value: str = "train",
+    k: int = 8,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Incremental eval-contamination maintenance — ``split_leakage``
+    run as per-batch index updates, the ``minhash_index_update``
+    convention applied to the decontamination stack (reference T8
+    stale-key refresh philosophy, 0.0.64.sql:2272-2376, paired with
+    the Lee et al. exact-substring criterion): a streaming corpus
+    lands in micro-batches of mixed train/eval documents, and the
+    contamination verdict must stay current WITHOUT re-scanning the
+    train corpus per batch.
+
+    ``state`` is ``(train_index, eval_index)`` from prior batches
+    (None bootstraps both empty): ``train_index`` the distinct window
+    hashes (_h) of every TRAIN document so far, ``eval_index`` the
+    distinct (id, split, _h) window rows of every NON-train document
+    so far. Returns ``(train_rows, eval_rows, leak_events)``:
+
+    - ``train_rows`` / ``eval_rows`` — this batch's increments, to
+      APPEND to the two indexes (both only ever grow by the batch).
+    - ``leak_events`` — (id, _h) pairs newly discovered leaked BY
+      THIS BATCH: new-eval windows hitting the train set as of this
+      batch (prior index + this batch's train rows), plus PRIOR eval
+      windows hit by this batch's NEW train rows — the retroactive
+      half a one-directional scan would miss (an eval doc is
+      contaminated by a train doc that arrives later, too).
+
+    Union-equivalence: the distinct union of ``leak_events`` across
+    batches equals the full-corpus ``split_leakage`` leak set for any
+    batch partition of the corpus (a window leaked by train batch j
+    and eval batch i is emitted at batch max(i, j), exactly once per
+    direction) — pinned in tests and by the banked
+    ``doc_split_leakage_incremental`` gate, whose DuckDB oracle is
+    the FULL-corpus scan. Events may repeat ACROSS batches when a
+    window leaked earlier is matched again by later train arrivals;
+    ``split_leakage_finalize`` applies one distinct. Production
+    deployments that persist the accumulated leak set can anti-join
+    it here instead (same verdict, earlier dedup).
+
+    Per-batch work is O(|batch| windows) joined against hash indexes
+    — uniform 64-bit keys, never a corpus rescan; at 100 TB the train
+    index is the big side and both probes are standard broadcast-or-
+    shuffle hash joins on it.
+    """
+    new_w = _leak_windows(
+        new_docs, id_col, text_col, split_col, k
+    ).localCheckpoint(eager=True)  # feeds train rows, eval rows, both probes
+    train_rows = new_w.filter(F.col("split") == train_value).select("_h").distinct()
+    eval_rows = new_w.filter(F.col("split") != train_value).select(
+        "id", "split", "_h"
+    )
+    train_now = (
+        train_rows
+        if state is None
+        else state[0].select("_h").unionByName(train_rows).distinct()
+    )
+    leaks = eval_rows.join(train_now, "_h", "left_semi").select("id", "_h")
+    if state is not None:
+        leaks = leaks.unionByName(
+            state[1]
+            .select("id", "_h")
+            .join(train_rows, "_h", "left_semi")
+            .select("id", "_h")
+        )
+    return train_rows, eval_rows, leaks
+
+
+def split_leakage_finalize(
+    docs: DataFrame,
+    eval_index: DataFrame,
+    leak_events: DataFrame,
+    id_col: str,
+    split_col: str,
+    train_value: str = "train",
+) -> DataFrame:
+    """Verdict assembly for the incremental split-leakage index: fold
+    the accumulated ``eval_index`` (distinct per-doc window rows) and
+    ``leak_events`` (possibly repeated across batches — one distinct
+    here) into exactly ``split_leakage``'s output contract: one row
+    per non-train document — (id, split, n_windows, n_leaked,
+    leak_frac, leaked), zero-windowed documents included."""
+    n_w = eval_index.groupBy("id", "split").agg(
+        F.count("*").cast("bigint").alias("n_windows")
+    )
+    n_l = (
+        leak_events.distinct()
+        .groupBy("id")
+        .agg(F.count("*").cast("bigint").alias("n_leaked"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"), F.col(split_col).alias("split"))
+        .filter(F.col("split") != train_value)
+        .join(n_w, ["id", "split"], "left")
+        .join(n_l, "id", "left")
+        # unlike split_leakage's single aggregate, n_windows and
+        # n_leaked join in independently here: a doc with windows but
+        # no leak events has NULL n_leaked, so coalesce BOTH before
+        # the division
+        .select(
+            "id",
+            "split",
+            F.coalesce("n_windows", F.lit(0)).cast("bigint").alias("n_windows"),
+            F.coalesce("n_leaked", F.lit(0)).cast("bigint").alias("n_leaked"),
+        )
+        .select(
+            "id",
+            "split",
+            "n_windows",
+            "n_leaked",
+            F.when(F.col("n_windows") == 0, F.lit(0.0))
+            .otherwise(F.col("n_leaked").cast("double") / F.col("n_windows"))
+            .alias("leak_frac"),
+            (F.col("n_leaked") > 0).alias("leaked"),
         )
     )

@@ -1,0 +1,211 @@
+"""Round-10 BANKED gates (plans/banked_r10.py): full Spark-vs-DuckDB
+parity through the exact same compare() the registered gates use, plus
+unit tests and independent implementations for the new operators — so
+promotion in round 10 is a mechanical @register + PRIORITY slot, not
+new code.
+
+Banked and not registered because round 9's 50-row driver window is
+fully budgeted (5 promoted gates + 2 rows-only debuts + 43 stale
+refreshes); see the module doc.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from blockchain_indexer_spark.plans import REGISTRY
+from blockchain_indexer_spark.plans.banked_r10 import BANKED
+from tools.check_correctness import compare, duck_con
+
+
+def test_banked_not_registered():
+    # the whole point of banking: REGISTRY (and so PRIORITY and the
+    # driver window) must not see these until round 10 promotes them
+    assert not set(BANKED) & set(REGISTRY)
+    assert set(BANKED) == {
+        "doc_split_leakage_incremental",
+        "embedding_opq_distortion",
+        "minhash_union_calibration",
+    }
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    return duck_con(sf_dir)
+
+
+@pytest.mark.parametrize("name", sorted(BANKED))
+def test_banked_oracle_parity(spark, sf_dir, con, name):
+    q = BANKED[name]
+    spark_pdf = q.build(spark, sf_dir).toPandas()
+    assert len(spark_pdf) > 0, f"{name}: empty result proves nothing"
+    duck_pdf = con.sql(q.oracle).df()
+    problems = compare(name, spark_pdf, duck_pdf)
+    assert not problems, f"{name}: {problems}"
+
+
+# ---------------------------------------------------------------------------
+# split_leakage_index_update / split_leakage_finalize
+# ---------------------------------------------------------------------------
+
+LEAK_SCHEMA = "doc_id long, text string, split string"
+
+#: Planted corpus: eval doc 2 leaks from train doc 1 (same batch 0 at
+#: two-way %-batching), eval doc 5 leaks RETROACTIVELY from train doc
+#: 7 (arriving two batches later), eval doc 8 is clean, doc 9 is
+#: sub-window short, doc 10 has NULL text.
+LEAK_ROWS = [
+    (1, "a b c d e f g h tail one", "train"),
+    (2, "x a b c d e f g h", "val"),  # window 'a..h' leaked from doc 1
+    (5, "p q r s t u v w extra", "test"),  # leaked by doc 7 (later batch)
+    (7, "p q r s t u v w", "train"),
+    (8, "one two three four five six seven eight", "val"),  # clean
+    (9, "too short", "test"),  # < 8 tokens: zero windows, clean
+    (10, None, "val"),
+    (11, "m n o p q r s t filler filler2", "train"),
+]
+
+
+def _run_incremental(spark, docs, batch_of, n_batches, k=8):
+    from blockchain_indexer_spark.operators.dedup import (
+        split_leakage_finalize,
+        split_leakage_index_update,
+    )
+
+    state = None
+    leak_parts = []
+    per_batch = []
+    for b in range(n_batches):
+        batch = docs.filter(batch_of(F.col("doc_id")) == b)
+        tr, ev, lk = split_leakage_index_update(
+            state, batch, "doc_id", "text", "split", k=k
+        )
+        leak_parts.append(lk)
+        per_batch.append(lk)
+        state = (
+            (tr, ev)
+            if state is None
+            else (state[0].unionByName(tr), state[1].unionByName(ev))
+        )
+    leaks = leak_parts[0]
+    for lk in leak_parts[1:]:
+        leaks = leaks.unionByName(lk)
+    out = split_leakage_finalize(docs, state[1], leaks, "doc_id", "split")
+    return out, per_batch
+
+
+def _verdicts(df):
+    return {
+        r["id"]: (r["split"], r["n_windows"], r["n_leaked"], r["leaked"])
+        for r in df.collect()
+    }
+
+
+def test_split_leakage_incremental_equals_batch(spark):
+    """Union-equivalence: any batch partition of the corpus must fold
+    to exactly the one-shot split_leakage verdict."""
+    from blockchain_indexer_spark.operators.dedup import split_leakage
+
+    docs = spark.createDataFrame(LEAK_ROWS, LEAK_SCHEMA)
+    want = _verdicts(split_leakage(docs, "doc_id", "text", "split", k=8))
+    for n in (2, 3, 4):
+        got, _ = _run_incremental(spark, docs, lambda c, n=n: F.pmod(c, F.lit(n)), n)
+        assert _verdicts(got) == want, f"{n}-way batching diverged"
+    assert want[2][3] and want[5][3]  # both planted leaks present
+    assert not want[8][3] and want[9] == ("test", 0, 0, False)
+
+
+def test_split_leakage_retroactive_event_emitted_at_train_arrival(spark):
+    """Eval doc 5 arrives in batch 0 (5 % 4 == 1 -> use %4 so doc 7
+    lands in batch 3): its leak event must appear only when train doc
+    7 arrives — the old-eval x new-train probe, the half a
+    one-directional scan misses."""
+    docs = spark.createDataFrame(LEAK_ROWS, LEAK_SCHEMA)
+    got, per_batch = _run_incremental(
+        spark, docs, lambda c: F.pmod(c, F.lit(4)), 4
+    )
+    events = [sorted(r["id"] for r in lk.collect()) for lk in per_batch]
+    # doc 5 arrives in batch 1 (5 % 4), doc 7 in batch 3: no event for
+    # doc 5 before batch 3, exactly one at batch 3
+    assert 5 not in set(events[0] + events[1] + events[2])
+    assert 5 in events[3]
+    assert _verdicts(got)[5][3] is True
+
+
+def test_split_leakage_incremental_streaming_foreachbatch(
+    spark, tmp_path_factory
+):
+    """The deployment shape: a parquet file stream drained one file
+    per trigger through foreachBatch, each batch appending its index
+    and leak increments to persisted parquet dirs — the final verdict
+    read back from the dirs must equal the batch twin."""
+    from blockchain_indexer_spark.operators.dedup import (
+        split_leakage,
+        split_leakage_finalize,
+        split_leakage_index_update,
+    )
+
+    root = str(tmp_path_factory.mktemp("sleak"))
+    feed = os.path.join(root, "feed")
+    ckpt = os.path.join(root, "ckpt")
+    tr_dir = os.path.join(root, "train_idx")
+    ev_dir = os.path.join(root, "eval_idx")
+    lk_dir = os.path.join(root, "leaks")
+    os.makedirs(feed)
+    docs = spark.createDataFrame(LEAK_ROWS, LEAK_SCHEMA)
+    # three arrival files appended flat into ONE stream dir (one part
+    # file each via repartition(1)); maxFilesPerTrigger=1 then drains
+    # them as separate micro-batches. Ingestion order is whatever the
+    # source lists — union-equivalence must hold under ANY batching,
+    # which is exactly what this asserts.
+    for b in range(3):
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == b).repartition(
+            1
+        ).write.mode("append").parquet(feed)
+
+    def sink(batch_df, epoch_id):
+        have_state = os.path.isdir(os.path.join(tr_dir))
+        state = (
+            (spark.read.parquet(tr_dir), spark.read.parquet(ev_dir))
+            if have_state
+            else None
+        )
+        tr, ev, lk = split_leakage_index_update(
+            state, batch_df, "doc_id", "text", "split", k=8
+        )
+        # materialize increments BEFORE appending (they read the
+        # state dirs being appended to)
+        tr, ev, lk = (
+            tr.localCheckpoint(eager=True),
+            ev.localCheckpoint(eager=True),
+            lk.localCheckpoint(eager=True),
+        )
+        tr.write.mode("append").parquet(tr_dir)
+        ev.write.mode("append").parquet(ev_dir)
+        lk.write.mode("append").parquet(lk_dir)
+
+    stream = (
+        spark.readStream.schema(LEAK_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = split_leakage_finalize(
+        docs,
+        spark.read.parquet(ev_dir),
+        spark.read.parquet(lk_dir),
+        "doc_id",
+        "split",
+    )
+    want = split_leakage(docs, "doc_id", "text", "split", k=8)
+    assert _verdicts(got) == _verdicts(want)
