@@ -209,3 +209,108 @@ def test_split_leakage_incremental_streaming_foreachbatch(
     )
     want = split_leakage(docs, "doc_id", "text", "split", k=8)
     assert _verdicts(got) == _verdicts(want)
+
+
+# ---------------------------------------------------------------------------
+# opq_rotate / embedding_opq_distortion
+# ---------------------------------------------------------------------------
+
+
+def _hd_matrix(dim):
+    import numpy as np
+
+    from blockchain_indexer_spark.operators.similarity import _hd_signs
+
+    h = np.array(
+        [[1 - 2 * (bin(a & b).count("1") % 2) for b in range(dim)] for a in range(dim)],
+        dtype=np.int64,
+    )
+    return h * np.array(_hd_signs(dim), dtype=np.int64)[None, :]
+
+
+def test_opq_rotate_matches_reference_and_is_isometric(spark):
+    """Independent recomputation: the operator output must equal a
+    plain numpy H*D matmul of the quantized vectors, and rotated
+    pairwise squared L2 must be EXACTLY dim x the original (R*R^T =
+    dim*I) — the property that makes the rotation ranking-safe."""
+    import numpy as np
+
+    from blockchain_indexer_spark.operators.similarity import opq_rotate
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    vecs = rng.normal(0, 1, (6, dim))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id: np.array(r.embedding)
+        for r in opq_rotate(emb, dim=dim, scale=1000).collect()
+    }
+    rot = _hd_matrix(dim)
+    q = np.floor(np.abs(vecs) * 1000 + 0.5).astype(np.int64) * np.sign(vecs).astype(
+        np.int64
+    )  # HALF AWAY FROM ZERO, the quantize() contract
+    for i in range(len(vecs)):
+        assert np.array_equal(got[i], rot @ q[i]), i
+    for a in range(len(vecs)):
+        for b in range(a + 1, len(vecs)):
+            d0 = int(((q[a] - q[b]) ** 2).sum())
+            d1 = int(((got[a] - got[b]) ** 2).sum())
+            assert d1 == dim * d0, (a, b)
+
+
+def test_opq_rotate_wins_on_anisotropic_corpus(spark):
+    """The point of the pre-step: on a corpus with exponentially
+    decaying per-dimension variance (the classic PCA-ordered embedding
+    shape OPQ targets — leading subspaces hog the energy), the HD
+    rotation spreads it and total distortion drops by ~5% after
+    removing the exact dim factor. (Energy planted EXACTLY in dims
+    0..3 is a measured tie, not a win: the Hadamard block structure
+    maps it to sixteen identical per-subspace problems, 64x by
+    construction — the decay shape is the honest test.)"""
+    import numpy as np
+
+    from blockchain_indexer_spark.operators.similarity import (
+        opq_rotate,
+        pq_distortion,
+    )
+
+    rng = np.random.default_rng(11)
+    dim = 64
+    vecs = rng.normal(0, 1, (200, dim)) * (
+        2.0 ** (-np.arange(dim) / 8)
+    )[None, :]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    plain = sum(
+        r.total_sq_error
+        for r in pq_distortion(emb, m=16, n_codes=32).collect()
+    )
+    rotated = sum(
+        r.total_sq_error
+        for r in pq_distortion(
+            opq_rotate(emb, dim=dim, scale=1000), m=16, n_codes=32, scale=1
+        ).collect()
+    )
+    assert rotated / dim < 0.98 * plain, (rotated / dim, plain)
+
+
+def test_opq_rotate_null_passthrough_and_validation(spark):
+    import numpy as np
+
+    from blockchain_indexer_spark.operators.similarity import opq_rotate
+
+    emb = spark.createDataFrame(
+        [(0, [1.0] * 16), (1, None)], "vec_id long, embedding array<double>"
+    )
+    got = {r.vec_id: r.embedding for r in opq_rotate(emb, dim=16).collect()}
+    assert got[1] is None and got[0] is not None
+    with pytest.raises(ValueError, match="power of two"):
+        opq_rotate(emb, dim=12)
+    import py4j
+
+    bad = spark.createDataFrame(
+        [(0, [1.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="vector length"):
+        opq_rotate(bad, dim=16).collect()
