@@ -1575,6 +1575,155 @@ def minhash_calibration(
     )
 
 
+def minhash_union_calibration(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n_buckets: int = 8,
+    hash_fn: str = "xxhash64",
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Calibration monitor for the MERGE operation of the MinHash
+    sketch — ``minhash_calibration``'s sibling for the property that
+    makes incremental/cluster-level dedup work at 100 TB: the
+    element-wise MIN of two signatures IS the signature of the
+    shingle-set UNION (min-stability: min over A∪B = min(min A,
+    min B) per component), so per-batch index maintenance and
+    per-cluster survivor checks merge sketches instead of rereading
+    text. This gate answers "is the MERGED estimator still calibrated
+    on MY data?": for every LSH candidate pair, the estimated
+    CONTAINMENT of each side in the union — matching components
+    between the side's signature and the merged one, which reduces to
+    #{h: sig_a[h] <= sig_b[h]} for side a, an unbiased estimator of
+    |A| / |A∪B| — is compared against the exact shingle containment,
+    aggregated into estimate buckets (two estimator rows per pair,
+    one per side).
+
+    Returns one row per non-empty bucket: (bucket, n_pairs, mean_est,
+    mean_true) with bucket = matches * n_buckets div num_hashes —
+    ``minhash_calibration``'s exact output contract and determinism
+    rules (true containment floored to the 1e-9 grid as BIGINT before
+    summing; each mean ONE IEEE division of exact integer sums).
+    ``hash_fn="md5_60"`` runs the engine-portable stack the DuckDB
+    oracle reproduces cell-for-cell; xxhash64 is the production twin
+    at the same seam. A side whose shingles are a SUBSET of the
+    other's has estimated containment exactly 1.0 (every component of
+    the larger side survives the merge) — pinned in tests.
+
+    Scale: identical bound to ``minhash_calibration`` — candidates
+    come from banding, the exact-containment join touches only
+    candidate docs' shingles, output is <= n_buckets + 1 rows.
+    """
+    sh = (
+        shingles
+        if shingles is not None
+        else _distinct_shingles(df, id_col, text_col, k, hash_shingles=hash_fn != "md5_60")
+    )
+    sigs = minhash_signatures(
+        df, id_col, text_col, k, num_hashes, shingles=sh, hash_fn=hash_fn
+    ).localCheckpoint(eager=True)  # feeds banding and both side estimators
+    cand = minhash_lsh_candidates(
+        df, id_col, text_col, k, num_hashes, bands,
+        shingles=sh, hash_fn=hash_fn, signatures=sigs,
+    ).localCheckpoint(eager=True)  # feeds est join, doc set, exact join
+    sa = sigs.select(F.col("_id").alias("doc_a"), F.col("signature").alias("_sig_a"))
+    sb = sigs.select(F.col("_id").alias("doc_b"), F.col("signature").alias("_sig_b"))
+
+    def _matches(side_sig: str, other_sig: str):
+        # component h matches the merged (min) signature iff the
+        # side's value is the min, i.e. <= the other's
+        return F.size(
+            F.filter(
+                F.zip_with(side_sig, other_sig, lambda x, y: x <= y), lambda m: m
+            )
+        ).cast("bigint")
+
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            _matches("_sig_a", "_sig_b").alias("_ma"),
+            _matches("_sig_b", "_sig_a").alias("_mb"),
+        )
+    )
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("n_shingles"))
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("_id")))
+        .distinct()
+    )
+    sh_c = sh.join(cand_docs, "_id", "left_semi")
+    a = sh_c.select(F.col("_id").alias("doc_a"), "shingle")
+    b = sh_c.select(F.col("_id").alias("doc_b"), "shingle")
+    common = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    na = sizes.select(F.col("_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    nb = sizes.select(F.col("_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    union_sz = (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+
+    def _true_nano(n_side: str):
+        return F.floor(
+            F.lit(1e9) * F.col(n_side).cast("double") / union_sz
+        ).cast("bigint")
+
+    pairs = (
+        est.join(common, ["doc_a", "doc_b"], "left")
+        .withColumn("n_common", F.coalesce("n_common", F.lit(0)).cast("bigint"))
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("_ma").alias("matches"),
+                        _true_nano("n_a").alias("_true_nano"),
+                    ),
+                    F.struct(
+                        F.col("_mb").alias("matches"),
+                        _true_nano("n_b").alias("_true_nano"),
+                    ),
+                )
+            ).alias("s")
+        )
+        .select(
+            F.col("s.matches").alias("matches"),
+            F.col("s._true_nano").alias("_true_nano"),
+            F.expr(f"(s.matches * {int(n_buckets)}) div {int(num_hashes)}").alias(
+                "bucket"
+            ),
+        )
+    )
+    return (
+        pairs.groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("matches").alias("_sum_matches"),
+            F.sum("_true_nano").alias("_sum_true_nano"),
+        )
+        .select(
+            "bucket",
+            "n_pairs",
+            (
+                F.col("_sum_matches").cast("double")
+                / (F.col("n_pairs") * num_hashes).cast("double")
+            ).alias("mean_est"),
+            (
+                F.col("_sum_true_nano").cast("double")
+                / (F.col("n_pairs") * F.lit(1_000_000_000)).cast("double")
+            ).alias("mean_true"),
+        )
+    )
+
+
 def longest_repeat_ladder(
     df: DataFrame,
     id_col: str,

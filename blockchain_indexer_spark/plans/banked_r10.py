@@ -253,3 +253,109 @@ def embedding_opq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plain.select(F.lit("identity").alias("variant"), *cols).unionByName(
         rotated.select(F.lit("hd_rotation").alias("variant"), *cols)
     )
+
+
+# ---------------------------------------------------------------------------
+# minhash_union_calibration: the sketch-MERGE estimator, calibrated
+# ---------------------------------------------------------------------------
+
+# The registered minhash_estimate_calibration oracle's md5_60 stack
+# (shared _MD5_SH CTEs: shingles + seeded 60-bit minhash signatures),
+# with the pair estimator swapped from equality-matches (jaccard) to
+# per-side min-survival matches (containment of each side in the
+# UNION sketch), two estimator rows per candidate pair.
+from blockchain_indexer_spark.plans.llmops import _MD5_SH  # noqa: E402
+
+_UNION_CALIBRATION_SQL = (
+    _MD5_SH
+    + """
+    , bands AS (
+      SELECT doc_id, seed // 4 AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS bucket
+      FROM sig GROUP BY doc_id, seed // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    m AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(SUM(CASE WHEN sa.minhash <= sb.minhash THEN 1 ELSE 0 END) AS BIGINT)
+               AS ma,
+             CAST(SUM(CASE WHEN sb.minhash <= sa.minhash THEN 1 ELSE 0 END) AS BIGINT)
+               AS mb
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+    com AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    sided AS (
+      SELECT m.doc_a, m.doc_b, m.ma, m.mb,
+             COALESCE(com.n_common, 0) AS nc, sa.n AS na, sb.n AS nb
+      FROM m
+      LEFT JOIN com ON com.doc_a = m.doc_a AND com.doc_b = m.doc_b
+      JOIN sizes sa ON sa.doc_id = m.doc_a
+      JOIN sizes sb ON sb.doc_id = m.doc_b
+    ),
+    pairs AS (
+      SELECT ma AS matches,
+             CAST(floor(1e9 * (CAST(na AS DOUBLE)
+               / CAST(na + nb - nc AS DOUBLE))) AS BIGINT) AS true_nano,
+             (ma * 8) // 64 AS bucket
+      FROM sided
+      UNION ALL
+      SELECT mb,
+             CAST(floor(1e9 * (CAST(nb AS DOUBLE)
+               / CAST(na + nb - nc AS DOUBLE))) AS BIGINT),
+             (mb * 8) // 64
+      FROM sided
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(matches) AS DOUBLE) / CAST(COUNT(*) * 64 AS DOUBLE) AS mean_est,
+           CAST(SUM(true_nano) AS DOUBLE)
+             / CAST(COUNT(*) * 1000000000 AS DOUBLE) AS mean_true
+    FROM pairs GROUP BY 1
+    """
+)
+
+
+@_bank(
+    "minhash_union_calibration",
+    oracle=_UNION_CALIBRATION_SQL,
+    doc="MinHash sketch-MERGE calibration monitor (operators.dedup."
+    "minhash_union_calibration, md5_60 engine-portable stack — "
+    "xxhash64 is the production twin at the same seam; VERDICT r8 "
+    "'Next round' #4c): element-wise MIN of two signatures IS the "
+    "signature of the shingle-set union (min-stability), which is "
+    "what incremental index maintenance and cluster-level survivor "
+    "checks exploit instead of rereading text — so the merged "
+    "estimator needs its own calibration gate. For every LSH "
+    "candidate pair, the estimated containment of EACH side in the "
+    "union (components where the side's value survives the merge, "
+    "#{h: sig_a[h] <= sig_b[h]} / 64 — unbiased for |A|/|A-union-B|) "
+    "is compared against the exact shingle containment, two "
+    "estimator rows per pair, bucketed by estimate with "
+    "minhash_calibration's exact determinism rules. A drifting "
+    "corpus shows mean_true diverging from mean_est inside a bucket "
+    "before cluster merges go wrong. Candidates from banding (never "
+    "all-pairs); output <= n_buckets + 1 rows.",
+    survey_refs=("LLM-dedup",),
+)
+def minhash_union_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.dedup import minhash_union_calibration
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_union_calibration(
+        d, "doc_id", "text", k=3, num_hashes=64, bands=16, n_buckets=8,
+        hash_fn="md5_60",
+    )

@@ -314,3 +314,116 @@ def test_opq_rotate_null_passthrough_and_validation(spark):
     )
     with pytest.raises(Exception, match="vector length"):
         opq_rotate(bad, dim=16).collect()
+
+
+# ---------------------------------------------------------------------------
+# minhash_union_calibration
+# ---------------------------------------------------------------------------
+
+
+def _md5_minhash(shingles, num_hashes=64):
+    import hashlib
+
+    sig = []
+    for seed in range(num_hashes):
+        sig.append(
+            min(
+                int(
+                    hashlib.md5(f"{s}:{seed}".encode()).hexdigest()[:15], 16
+                )
+                for s in shingles
+            )
+        )
+    return sig
+
+
+def _shingles(text, k=3):
+    t = [x for x in text.strip().lower().split() if x]
+    return {" ".join(t[i : i + k]) for i in range(len(t) - k + 1)}
+
+
+UNION_ROWS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "the quick brown fox jumps over the lazy dog again and again today now"),  # superset of 1
+    (3, "the quick brown fox jumps over a sleepy dog again and again"),  # near-dup of 1
+    (4, "completely unrelated text about spark physical plans and shuffles here"),
+]
+
+
+def test_minhash_merge_law_and_superset_estimator(spark):
+    """Min-stability: the element-wise min of two signatures must
+    EQUAL the md5_60 signature of the shingle-set union — and when
+    one side's shingles are a superset of the other's, that side's
+    union-containment estimator is exactly 1.0 (every component
+    survives the merge)."""
+    from blockchain_indexer_spark.operators.dedup import minhash_signatures
+
+    docs = spark.createDataFrame(UNION_ROWS, "doc_id long, text string")
+    sigs = {
+        r["_id"]: list(r["signature"])
+        for r in minhash_signatures(
+            docs, "doc_id", "text", k=3, hash_fn="md5_60"
+        ).collect()
+    }
+    sh1, sh2 = _shingles(UNION_ROWS[0][1]), _shingles(UNION_ROWS[1][1])
+    assert sh1 < sh2  # genuinely a strict superset
+    # operator signatures match the independent python md5 chain
+    assert sigs[1] == _md5_minhash(sh1) and sigs[2] == _md5_minhash(sh2)
+    # merge law: min(sig1, sig2) == signature of the union
+    merged = [min(a, b) for a, b in zip(sigs[1], sigs[2])]
+    assert merged == _md5_minhash(sh1 | sh2)
+    # superset side: sig2 == merged componentwise -> estimator 1.0
+    assert merged == sigs[2]
+
+
+def test_minhash_union_calibration_matches_python_reference(spark):
+    """Independent recomputation of the whole gate on the planted
+    corpus: candidates (all three similar docs band-collide), per-side
+    min-survival estimates, exact containments, buckets."""
+    import hashlib
+
+    from blockchain_indexer_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_union_calibration,
+    )
+
+    docs = spark.createDataFrame(UNION_ROWS, "doc_id long, text string")
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates(
+            docs, "doc_id", "text", k=3, hash_fn="md5_60"
+        ).select("doc_a", "doc_b").collect()
+    }
+    assert (1, 2) in cand  # the superset pair must candidate
+    sh = {i: _shingles(t) for i, t in UNION_ROWS}
+    sigs = {i: _md5_minhash(s) for i, s in sh.items()}
+    import collections
+
+    buckets = collections.defaultdict(lambda: [0, 0, 0])  # n, sum_m, sum_tn
+    import math
+
+    for a, b in cand:
+        u = len(sh[a] | sh[b])
+        for side, other in ((a, b), (b, a)):
+            m = sum(
+                1 for x, y in zip(sigs[side], sigs[other]) if x <= y
+            )
+            tn = math.floor(1e9 * len(sh[side]) / u)
+            bk = (m * 8) // 64
+            buckets[bk][0] += 1
+            buckets[bk][1] += m
+            buckets[bk][2] += tn
+    want = {
+        bk: (n, sm / (n * 64), stn / (n * 1e9))
+        for bk, (n, sm, stn) in buckets.items()
+    }
+    got = {
+        r["bucket"]: (r["n_pairs"], r["mean_est"], r["mean_true"])
+        for r in minhash_union_calibration(
+            docs, "doc_id", "text", k=3, hash_fn="md5_60"
+        ).collect()
+    }
+    assert got == want
+    # the superset pair's superset side lands in the top bucket at
+    # estimate exactly 1.0 -> bucket 8 exists
+    assert 8 in got
