@@ -425,3 +425,45 @@ def _dbscan_lsh_agree_20k():
           f"recall={pl/max(pe,1):.3f} verdict_agree={agree}", flush=True)
     return agree
 t("dbscan_lsh_agreement_20k_sample", _dbscan_lsh_agree_20k)
+
+# ---- round-9 banked (round-10 promotion) operators --------------------
+from blockchain_indexer_spark.operators.dedup import (
+    minhash_union_calibration,
+    split_leakage_finalize,
+    split_leakage_index_update,
+)
+from blockchain_indexer_spark.operators.similarity import opq_rotate
+
+
+def _split_leakage_incremental_100k():
+    # three-batch incremental drive of the 100k corpus: per-batch work
+    # is O(|batch| windows) of hash probes against the growing indexes
+    d = hash_split(docs, "doc_id")
+    state, leak_parts = None, []
+    for b in range(3):
+        batch = d.filter(F.pmod(F.col("doc_id"), F.lit(3)) == b)
+        tr, ev, lk = split_leakage_index_update(
+            state, batch, "doc_id", "text", "split", k=8)
+        leak_parts.append(lk)
+        state = (tr, ev) if state is None else (
+            state[0].unionByName(tr), state[1].unionByName(ev))
+    leaks = leak_parts[0]
+    for lk in leak_parts[1:]:
+        leaks = leaks.unionByName(lk)
+    return split_leakage_finalize(d, state[1], leaks, "doc_id", "split").count()
+
+
+t("split_leakage_incremental_100k", _split_leakage_incremental_100k)
+
+# HD rotation + PQ distortion on both variants (the banked gate shape):
+# one Arrow matmul pass per variant, then the m*n_codes-bounded report
+t("opq_distortion_100k", lambda: pq_distortion(
+    opq_rotate(emb, "vec_id", "embedding"), "vec_id", "embedding",
+    m=16, n_codes=32, scale=1).count() + pq_distortion(
+    emb, "vec_id", "embedding", m=16, n_codes=32).count())
+
+# merge-estimator calibration at 100k: candidates from banding, exact
+# containment join bounded to candidate docs' shingles (xxhash64
+# production engine at stress scale; md5_60 is the gate twin)
+t("minhash_union_calibration_100k", lambda: minhash_union_calibration(
+    docs, "doc_id", "text", k=3, shingles=sh).count())
