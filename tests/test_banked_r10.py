@@ -28,6 +28,7 @@ def test_banked_not_registered():
     assert set(BANKED) == {
         "doc_split_leakage_incremental",
         "embedding_opq_distortion",
+        "embedding_opq_recall",
         "minhash_union_calibration",
     }
 
@@ -427,3 +428,58 @@ def test_minhash_union_calibration_matches_python_reference(spark):
     # the superset pair's superset side lands in the top bucket at
     # estimate exactly 1.0 -> bucket 8 exists
     assert 8 in got
+
+
+def test_opq_recall_stats_recompute(spark, sf_dir):
+    """Independent recomputation: the one-row recall stats must equal
+    a plain pandas join of the exact frame with each PQ variant — and
+    the exact frame genuinely serves both variants (isometry: the
+    rotated exact top-5 IS the plain exact top-5)."""
+    import numpy as np
+
+    from blockchain_indexer_spark.operators.similarity import (
+        brute_force_topk,
+        opq_rotate,
+        pq_topk,
+    )
+    from blockchain_indexer_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    ex = brute_force_topk(
+        emb, q, "vec_id", "embedding", k=5, metric="quantized_neg_l2"
+    ).toPandas()
+    rot = opq_rotate(emb, "vec_id", "embedding")
+    ex_rot = brute_force_topk(
+        rot, rot.filter(F.col("vec_id") % 50 == 0), "vec_id", "embedding",
+        k=5, metric="quantized_neg_l2", scale=1,
+    ).toPandas()
+    keyed = lambda df: sorted(  # noqa: E731
+        map(tuple, df[["query_id", "rank", "neighbor_id"]].itertuples(index=False))
+    )
+    assert keyed(ex) == keyed(ex_rot)  # isometry, end to end
+    pq_p = pq_topk(
+        emb, q, "vec_id", "embedding", k=5, m=16, n_codes=32, rerank=50
+    ).toPandas()
+    pq_r = pq_topk(
+        rot, rot.filter(F.col("vec_id") % 50 == 0), "vec_id", "embedding",
+        k=5, m=16, n_codes=32, rerank=50, scale=1,
+    ).toPandas()
+    on = ["query_id", "neighbor_id"]
+    want = {
+        "n_queries": ex["query_id"].nunique(),
+        "n_exact": len(ex),
+        "n_pq_plain": len(pq_p),
+        "n_pq_rot": len(pq_r),
+        "n_common_plain": len(ex.merge(pq_p[on], on=on)),
+        "n_common_rot": len(ex.merge(pq_r[on], on=on)),
+    }
+    got = BANKED["embedding_opq_recall"].build(spark, sf_dir).collect()[0]
+    for k_, v in want.items():
+        assert got[k_] == v, (k_, got[k_], v)
+    assert got["recall_plain_nano"] == int(
+        np.floor(1e9 * want["n_common_plain"] / want["n_exact"])
+    )
+    assert got["recall_rot_nano"] == int(
+        np.floor(1e9 * want["n_common_rot"] / want["n_exact"])
+    )

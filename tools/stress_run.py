@@ -467,3 +467,30 @@ t("opq_distortion_100k", lambda: pq_distortion(
 # production engine at stress scale; md5_60 is the gate twin)
 t("minhash_union_calibration_100k", lambda: minhash_union_calibration(
     docs, "doc_id", "text", k=3, shingles=sh).count())
+
+# exact scan once (isometry serves both variants) + two full PQ
+# pipelines at 100k/100q: the recall certification the rotation ships
+# behind
+from blockchain_indexer_spark.operators.similarity import brute_force_topk as _bft, pq_topk as _pqt
+
+
+def _opq_recall_100k():
+    q100 = emb.filter(F.col("vec_id") % 1000 == 0)
+    ex = _bft(emb, q100, "vec_id", "embedding", k=5,
+              metric="quantized_neg_l2").select("query_id", "neighbor_id")
+    ex = ex.localCheckpoint(eager=True)
+    rot = opq_rotate(emb, "vec_id", "embedding")
+    pq_p = _pqt(emb, q100, "vec_id", "embedding", k=5, m=16, n_codes=32,
+                rerank=50).select("query_id", "neighbor_id")
+    pq_r = _pqt(rot, rot.filter(F.col("vec_id") % 1000 == 0), "vec_id",
+                "embedding", k=5, m=16, n_codes=32, rerank=50,
+                scale=1).select("query_id", "neighbor_id")
+    cp = ex.join(pq_p, ["query_id", "neighbor_id"]).count()
+    cr = ex.join(pq_r, ["query_id", "neighbor_id"]).count()
+    n = ex.count()
+    print(f"  opq_recall_100k: exact={n} plain={cp} rot={cr} "
+          f"(recall {cp/n:.3f} -> {cr/n:.3f})", flush=True)
+    return n
+
+
+t("opq_recall_100k_q100", _opq_recall_100k)
