@@ -33,10 +33,14 @@ refinement scans: byte-aligned resync with marker-sequence checks,
 DC-predictor resets, EOB runs (with their buffered refinement
 correction bits) bounded by the interval. Sampling factors outside
 1..4 are malformed per T.81 B.2.2 (ValueError); non-dividing ratios
-(fractional chroma replication) and sampled single-component scans
-raise NotImplementedError and stay behind the PIL seam in
-decode_image_real (the same honest input-domain guard as non-24bpp
-BMP / non-PCM WAV).
+(fractional chroma replication) raise NotImplementedError and stay
+behind the PIL seam in decode_image_real (the same honest
+input-domain guard as non-24bpp BMP / non-PCM WAV). Sampled
+SINGLE-component frames decode natively as of round 9: with one
+component the declared factors cancel (T.81 A.1.1, x_i =
+ceil(X·H_i/Hmax) with H = Hmax) and one-component scans are
+non-interleaved anyway, so the factors normalize to 1x1 —
+test-pinned equal to the 1x1-declared twin on patched SOF bytes.
 
 Exactness contract (what makes a LOSSY format oracle-gateable): the
 fixture encoder emits solid 8x8 blocks with an all-ones quantization
@@ -518,19 +522,24 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, int, np.ndarray]:
             for ci in range(nf):
                 cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 hs, vs = sampling >> 4, sampling & 0x0F
-                if nf == 1 and sampling != 0x11:
-                    # single-component scans are non-interleaved per
-                    # T.81 (the MCU is one block regardless of H/V) —
-                    # a different walk this decoder does not implement
-                    raise NotImplementedError(
-                        "sampled single-component scan (PIL seam)"
-                    )
                 if not (1 <= hs <= 4 and 1 <= vs <= 4):
                     # T.81 B.2.2: H/V in 1..4; anything else is a
                     # malformed frame, not a seam
                     raise ValueError(
                         f"sampling factor {hs}x{vs} outside T.81 range"
                     )
+                if nf == 1:
+                    # T.81 A.1.1: with a single component H = Hmax and
+                    # V = Vmax, so the declared factors cancel in
+                    # x_i = ceil(X·H_i/Hmax) — the component raster is
+                    # full-size — and a one-component scan is
+                    # non-interleaved (MCU = one data unit, A.2.3)
+                    # regardless of H/V: the 1x1 walk IS the correct
+                    # walk. Normalize instead of raising (the former
+                    # "sampled single-component (PIL seam)" guard —
+                    # closed in round 9; equality with the 1x1-declared
+                    # twin is test-pinned on patched SOF bytes).
+                    hs = vs = 1
                 frame_comps.append((cid, tq, hs, vs))
         elif marker == 0xC2:
             # progressive: multi-scan coefficient accumulation — its
@@ -1576,16 +1585,17 @@ def decode_jpeg_progressive(buf: bytes) -> tuple[int, int, int, np.ndarray]:
             for ci in range(nf):
                 cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 hs, vs = sampling >> 4, sampling & 0x0F
-                if nf == 1 and sampling != 0x11:
-                    raise NotImplementedError(
-                        "sampled single-component progressive (PIL seam)"
-                    )
                 if not (1 <= hs <= 4 and 1 <= vs <= 4):
                     # T.81 B.2.2: H/V in 1..4; anything else is a
                     # malformed frame, not a seam
                     raise ValueError(
                         f"sampling factor {hs}x{vs} outside T.81 range"
                     )
+                if nf == 1:
+                    # same normalization as the baseline walk (T.81
+                    # A.1.1: single-component factors cancel; scans
+                    # are non-interleaved) — round-9 seam close
+                    hs = vs = 1
                 comp_order.append(cid)
                 comp_tq[cid] = tq
                 comp_hv[cid] = (hs, vs)

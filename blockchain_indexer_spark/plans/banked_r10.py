@@ -571,3 +571,142 @@ def embedding_opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             _nano("n_common_rot", "n_exact").alias("recall_rot_nano"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# doc_retrieval_eval: rank-metric harness over the BM25 run
+# ---------------------------------------------------------------------------
+
+from blockchain_indexer_spark.plans.llmops import _TOKS_SQL  # noqa: E402
+
+#: The registered doc_bm25_topk oracle chain (every-83rd-doc queries,
+#: 4 lexicographically-first distinct terms, integer log-free BM25,
+#: top 5 with doc_id ties) feeding `run`, plus term-overlap qrels
+#: (>= 3 of the 4 query terms) and the exact rational rank metrics.
+_RETRIEVAL_EVAL_SQL = rf"""
+    WITH d AS (
+      SELECT doc_id, COALESCE({_TOKS_SQL}, []) AS toks FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+    corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(len(toks)) AS BIGINT) AS s FROM d),
+    dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    q AS (
+      SELECT doc_id AS query_id, unnest(list_sort(list_distinct(toks))[1:4]) AS term
+      FROM d WHERE doc_id % 83 = 0 AND len(toks) >= 4
+    ),
+    hits AS (
+      SELECT q.query_id, tf.doc_id, tf.tf, dft.df, dl.dl, c.n, c.s
+      FROM q JOIN tf USING (term) JOIN dft USING (term)
+             JOIN dl ON dl.doc_id = tf.doc_id
+             CROSS JOIN corpus c
+    ),
+    scored AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(CAST(floor(1e9 * (
+               CAST(CAST(22 * s * tf * (2 * n - 2 * df + 1) AS BIGINT) AS DOUBLE)
+               / CAST(CAST((10 * s * tf + 3 * s + 9 * dl * n) * (2 * df + 1)
+                           AS BIGINT) AS DOUBLE)
+             )) AS BIGINT)) AS BIGINT) AS score_nano
+      FROM hits GROUP BY 1, 2
+    ),
+    run AS (
+      SELECT query_id, doc_id, CAST(rn AS BIGINT) AS rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score_nano DESC, doc_id) AS rn
+            FROM scored)
+      WHERE rn <= 5
+    ),
+    dterm AS (SELECT DISTINCT doc_id, term FROM tok),
+    qrels AS (
+      SELECT q.query_id, dterm.doc_id
+      FROM (SELECT DISTINCT query_id, term FROM q) q
+      JOIN dterm USING (term)
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ),
+    per_rel AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+                FROM qrels GROUP BY 1),
+    per_ret AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_ret
+                FROM run GROUP BY 1),
+    hit2 AS (
+      SELECT run.query_id, run.doc_id, run.rank
+      FROM run JOIN qrels USING (query_id, doc_id)
+    ),
+    per_hit AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hit,
+             MIN(rank) AS first_rel
+      FROM hit2 GROUP BY 1
+    )
+    SELECT r.query_id,
+           r.n_rel,
+           CAST(COALESCE(t.n_ret, 0) AS BIGINT) AS n_ret,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+           CAST(floor(1e9 * CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / 5.0)
+                AS BIGINT) AS p_at_k_nano,
+           CASE WHEN r.n_rel = 0 THEN CAST(-1 AS BIGINT)
+                ELSE CAST(floor(1e9 * CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+                                / CAST(r.n_rel AS DOUBLE)) AS BIGINT)
+           END AS r_at_k_nano,
+           CAST(COALESCE(CAST(floor(1e9 / CAST(h.first_rel AS DOUBLE)) AS BIGINT),
+                         0) AS BIGINT) AS rr_nano
+    FROM per_rel r
+    LEFT JOIN per_ret t USING (query_id)
+    LEFT JOIN per_hit h USING (query_id)
+    """
+
+
+@_bank(
+    "doc_retrieval_eval",
+    oracle=_RETRIEVAL_EVAL_SQL,
+    doc="Retrieval-quality evaluation harness (operators.textprep."
+    "retrieval_eval — fifth gate, beyond the VERDICT r8 #4 ask): the "
+    "registered doc_bm25_topk run graded against deterministic "
+    "term-overlap relevance judgments (a doc is relevant to a query "
+    "iff it contains >= 3 of the query's 4 terms — computable exactly "
+    "by both engines, independent of the scorer), one row per query "
+    "with precision@5, recall@5 and reciprocal rank as nano-floored "
+    "integer rationals (macro-averaging is one more division away; "
+    "log2-discounted nDCG is deliberately excluded from the oracled "
+    "surface — libm last-ulp drift breaks hash-exactness). The "
+    "operator is generic over ANY (query, doc, rank) run frame — the "
+    "eval seam a RAG pipeline points at BM25, hybrid RRF or ANN runs "
+    "alike; a query the engine silently drops reports as a zero-row "
+    "miss, not an absent row. Scale: one rank<=k x qrels equi-join + "
+    "per-query aggregate, uniform keys, one output row per query.",
+    survey_refs=("LLM-text", "LLM-sim"),
+)
+def doc_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.functions.text import tokens
+    from blockchain_indexer_spark.operators.textprep import bm25_topk, retrieval_eval
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.coalesce(tokens("text"), F.array().cast("array<string>")).alias("toks"),
+    )
+    qterms = (
+        base.filter((F.col("doc_id") % 83 == 0) & (F.size("toks") >= 4))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice(F.array_sort(F.array_distinct("toks")), 1, 4)).alias(
+                "term"
+            ),
+        )
+        .localCheckpoint(eager=True)  # feeds the run AND the qrels join
+    )
+    run = bm25_topk(base, qterms, k=5, tokens_col="toks").select(
+        "query_id", "doc_id", F.col("rank").cast("bigint").alias("rank")
+    )
+    dterm = base.select("doc_id", F.explode(F.array_distinct("toks")).alias("term"))
+    qrels = (
+        qterms.distinct()
+        .join(dterm, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= 3)
+        .select("query_id", "doc_id")
+    )
+    return retrieval_eval(run, qrels, k=5)

@@ -30,6 +30,7 @@ def test_banked_not_registered():
         "embedding_opq_distortion",
         "embedding_opq_recall",
         "minhash_union_calibration",
+        "doc_retrieval_eval",
     }
 
 
@@ -483,3 +484,71 @@ def test_opq_recall_stats_recompute(spark, sf_dir):
     assert got["recall_rot_nano"] == int(
         np.floor(1e9 * want["n_common_rot"] / want["n_exact"])
     )
+
+
+# ---------------------------------------------------------------------------
+# retrieval_eval
+# ---------------------------------------------------------------------------
+
+
+def test_retrieval_eval_hand_built(spark):
+    """Planted run/qrels covering every metric branch: perfect query,
+    partial query, first-relevant-at-rank-3, dropped query (in qrels,
+    absent from run -> zero-valued row, not a missing row), and a
+    short run (n_ret < k)."""
+    import math
+
+    from blockchain_indexer_spark.operators.textprep import retrieval_eval
+
+    run = spark.createDataFrame(
+        [
+            # q1: rel docs 10,11 at ranks 1,2 of a full run
+            (1, 10, 1), (1, 11, 2), (1, 12, 3), (1, 13, 4), (1, 14, 5),
+            # q2: first relevant at rank 3, one hit, short run
+            (2, 20, 1), (2, 21, 2), (2, 22, 3),
+            # q3 in qrels but NOT in the run (engine dropped it)
+            # q4: run exists but nothing relevant retrieved
+            (4, 40, 1), (4, 41, 2),
+        ],
+        "query_id long, doc_id long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 22), (2, 99), (3, 30), (4, 99)],
+        "query_id long, doc_id long",
+    )
+    got = {
+        r["query_id"]: (
+            r["n_rel"], r["n_ret"], r["n_hit"],
+            r["p_at_k_nano"], r["r_at_k_nano"], r["rr_nano"],
+        )
+        for r in retrieval_eval(run, qrels, k=5).collect()
+    }
+    nano = lambda x: math.floor(1e9 * x)  # noqa: E731
+    assert got[1] == (2, 5, 2, nano(2 / 5), nano(1.0), nano(1.0))
+    assert got[2] == (2, 3, 1, nano(1 / 5), nano(1 / 2), nano(1 / 3))
+    assert got[3] == (1, 0, 0, 0, 0, 0)  # dropped query reports a miss
+    assert got[4] == (1, 2, 0, 0, 0, 0)
+    # ranks beyond k are excluded
+    run6 = run.unionByName(
+        spark.createDataFrame([(4, 99, 6)], "query_id long, doc_id long, rank long")
+    )
+    got6 = {
+        r["query_id"]: r["n_hit"]
+        for r in retrieval_eval(run6, qrels, k=5).collect()
+    }
+    assert got6[4] == 0
+    with pytest.raises(ValueError, match="k must be"):
+        retrieval_eval(run, qrels, k=0)
+
+
+def test_retrieval_eval_qrels_self_hit(spark, sf_dir):
+    """On the harness corpus every query doc is relevant to itself
+    (it carries all 4 of its own terms), and BM25 retrieves it — so
+    no query may report rr_nano == 0, and the per-query rows must be
+    internally consistent (n_hit <= min(n_ret, n_rel))."""
+    got = BANKED["doc_retrieval_eval"].build(spark, sf_dir).collect()
+    assert got  # sf0.001 has % 83 == 0 docs with >= 4 tokens
+    for r in got:
+        assert r["n_hit"] <= min(r["n_ret"], r["n_rel"])
+        assert r["rr_nano"] > 0, r  # self-doc found
+        assert 0 <= r["p_at_k_nano"] <= 10**9

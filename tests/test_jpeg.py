@@ -226,12 +226,24 @@ def test_unsupported_sampling_factors_raise_not_implemented():
     buf[i + 14] = 0x21
     with pytest.raises(NotImplementedError, match="non-dividing"):
         decode_jpeg(bytes(buf))
-    # single-component scans are non-interleaved per T.81: sampling
-    # factors there change the block walk this decoder does not do
-    buf = bytearray(synth_jpeg_blob(1))
+    # single-component scans are non-interleaved per T.81 and the
+    # declared factors cancel (A.1.1: H = Hmax with one component):
+    # any declared sampling must decode IDENTICALLY to the 1x1 twin
+    # (round-9 seam close; formerly a NotImplementedError guard)
+    base = synth_jpeg_blob(1)
+    want = decode_jpeg(base)
+    for patched in (0x22, 0x21, 0x14):
+        buf = bytearray(base)
+        i = bytes(buf).index(b"\xff\xc0")
+        buf[i + 11] = patched
+        got = decode_jpeg(bytes(buf))
+        assert got[:3] == want[:3]
+        assert (got[3] == want[3]).all(), hex(patched)
+    # out-of-range factors on a single component stay malformed
+    buf = bytearray(base)
     i = bytes(buf).index(b"\xff\xc0")
-    buf[i + 11] = 0x22
-    with pytest.raises(NotImplementedError, match="single-component"):
+    buf[i + 11] = 0x52
+    with pytest.raises(ValueError, match="outside T.81 range"):
         decode_jpeg(bytes(buf))
 
 
@@ -423,12 +435,15 @@ def test_progressive_guards_stay_honest():
     buf[i + 2 + 2 + 5 + 2] = 0x55  # luma claims 5x5 sampling (max is 4)
     with pytest.raises(ValueError, match="outside T.81 range"):
         decode_jpeg_progressive(bytes(buf))
-    # sampled SINGLE-component progressive keeps its own guard
-    buf = bytearray(encode_progressive_from_zz(zz, 1, 1))
+    # sampled SINGLE-component progressive normalizes to the 1x1 walk
+    # (T.81 A.1.1 — round-9 seam close, same rule as baseline)
+    base = encode_progressive_from_zz(zz, 1, 1)
+    want = decode_jpeg_progressive(base)
+    buf = bytearray(base)
     i = bytes(buf).index(b"\xff\xc2")
     buf[i + 2 + 2 + 5 + 2] = 0x22  # nf == 1 with sampling != 1x1
-    with pytest.raises(NotImplementedError, match="single-component"):
-        decode_jpeg_progressive(bytes(buf))
+    got = decode_jpeg_progressive(bytes(buf))
+    assert got[:3] == want[:3] and (got[3] == want[3]).all()
 
 
 def test_progressive_color_matches_baseline():
