@@ -494,3 +494,31 @@ def _opq_recall_100k():
 
 
 t("opq_recall_100k_q100", _opq_recall_100k)
+
+# retrieval-eval harness at 100k: BM25 run (inverted-index joins) +
+# term-overlap qrels + one rank<=k equi-join per metric row
+from blockchain_indexer_spark.functions.text import tokens as _tokens
+from blockchain_indexer_spark.operators.textprep import bm25_topk as _bm25, retrieval_eval as _reval
+
+
+def _retrieval_eval_100k():
+    base = docs.select(
+        "doc_id",
+        F.coalesce(_tokens("text"), F.array().cast("array<string>")).alias("toks"),
+    )
+    qterms = (
+        base.filter((F.col("doc_id") % 997 == 0) & (F.size("toks") >= 4))
+        .select(F.col("doc_id").alias("query_id"),
+                F.explode(F.slice(F.array_sort(F.array_distinct("toks")), 1, 4)).alias("term"))
+        .localCheckpoint(eager=True)
+    )
+    run = _bm25(base, qterms, k=5, tokens_col="toks").select(
+        "query_id", "doc_id", F.col("rank").cast("bigint").alias("rank"))
+    dterm = base.select("doc_id", F.explode(F.array_distinct("toks")).alias("term"))
+    qrels = (qterms.distinct().join(dterm, "term")
+             .groupBy("query_id", "doc_id").agg(F.count("*").alias("_n"))
+             .filter(F.col("_n") >= 3).select("query_id", "doc_id"))
+    return _reval(run, qrels, k=5).count()
+
+
+t("retrieval_eval_100k_q100", _retrieval_eval_100k)
