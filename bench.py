@@ -246,15 +246,19 @@ HEADLINE_QUERIES = (
     "embedding_dbscan",
     "mm_image_dedup_clusters",
     "doc_mmr_rerank",
+    # round-9 canaries: the two heaviest promoted gates — both pay an
+    # exact baseline by construction (agreement monitors), so they are
+    # the natural drift watch for the quadratic-engine cost envelope.
+    # Listed BEFORE the round-8 canaries: the 1.4 KB line cap drops
+    # from the tail, and the newest canaries are the ones a fresh
+    # driver record must actually show (the r8 pair had its cycle and
+    # stays benched in BENCH_FULL either way).
+    "embedding_dbscan_lsh_agreement",
+    "mm_cross_modal_dedup",
     # round-8 canaries: the heaviest of the promoted gates (ladder:
     # five distinct rungs + count aggs; audio: decode + WHT + closure)
     "doc_longest_repeat",
     "mm_audio_dedup_clusters",
-    # round-9 canaries: the two heaviest promoted gates — both pay an
-    # exact baseline by construction (agreement monitors), so they are
-    # the natural drift watch for the quadratic-engine cost envelope
-    "embedding_dbscan_lsh_agreement",
-    "mm_cross_modal_dedup",
 )
 
 
