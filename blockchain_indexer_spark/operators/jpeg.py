@@ -32,15 +32,18 @@ are honored in every scan kind — baseline, progressive first AND
 refinement scans: byte-aligned resync with marker-sequence checks,
 DC-predictor resets, EOB runs (with their buffered refinement
 correction bits) bounded by the interval. Sampling factors outside
-1..4 are malformed per T.81 B.2.2 (ValueError); non-dividing ratios
-(fractional chroma replication) raise NotImplementedError and stay
-behind the PIL seam in decode_image_real (the same honest
-input-domain guard as non-24bpp BMP / non-PCM WAV). Sampled
-SINGLE-component frames decode natively as of round 9: with one
-component the declared factors cancel (T.81 A.1.1, x_i =
-ceil(X·H_i/Hmax) with H = Hmax) and one-component scans are
-non-interleaved anyway, so the factors normalize to 1x1 —
-test-pinned equal to the 1x1-declared twin on patched SOF bytes.
+1..4 are malformed per T.81 B.2.2 (ValueError). Two former seams
+closed in round 9: sampled SINGLE-component frames decode natively
+(with one component the declared factors cancel — T.81 A.1.1, x_i =
+ceil(X·H_i/Hmax) with H = Hmax — and one-component scans are
+non-interleaved anyway, so the factors normalize to 1x1, test-pinned
+equal to the 1x1-declared twin on patched SOF bytes); and
+NON-DIVIDING sampling ratios (e.g. Y 3x1 against Cb 2x1) decode
+natively too — the pinned floor-replication upsample was always an
+index formula, (x·H_i // Hmax, y·V_i // Vmax), which expresses
+fractional replication as naturally as integral, so the divisibility
+guard was the only blocker (the gather form is bit-identical to the
+old np.repeat for dividing ratios, test-pinned).
 
 Exactness contract (what makes a LOSSY format oracle-gateable): the
 fixture encoder emits solid 8x8 blocks with an all-ones quantization
@@ -451,12 +454,11 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, int, np.ndarray]:
     closed-form expression a SQL oracle mirrors exactly (np.round's
     half-to-even vs SQL round's half-away would diverge on exact .5).
     Sampling factors cover the full T.81 envelope 1..4 per axis
-    (4:2:0/4:2:2/4:1:1/3:1:1 and friends — the round-8 seam close);
-    factors outside 1..4 are malformed per T.81 B.2.2 and raise
-    ValueError, ratios that do not divide (e.g. mixed 3- and 2-factor
-    components) raise NotImplementedError (the PIL seam — T.81 allows
-    them but the floor-replication upsample does not express
-    fractional replication); progressive (SOF2) streams dispatch to
+    (4:2:0/4:2:2/4:1:1/3:1:1 and friends — the round-8 seam close),
+    INCLUDING non-dividing ratios like Y 3x1 with Cb 2x1 (round 9:
+    the floor-replication index formula expresses fractional
+    replication directly); factors outside 1..4 are malformed per
+    T.81 B.2.2 and raise ValueError; progressive (SOF2) streams dispatch to
     decode_jpeg_progressive, which handles spectral selection,
     successive approximation, and the same sampling envelope;
     malformed streams raise ValueError.
@@ -575,10 +577,6 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, int, np.ndarray]:
     comp_hv = {cid: (hs, vs) for cid, _, hs, vs in frame_comps}
     hmax = max(hs for _, _, hs, _ in frame_comps)
     vmax = max(vs for _, _, _, vs in frame_comps)
-    if any(hmax % hs or vmax % vs for _, _, hs, vs in frame_comps):
-        raise NotImplementedError(
-            "non-dividing sampling ratio (PIL seam)"
-        )
 
     # MCU grid covers the image at FULL resolution in hmax*8 x vmax*8
     # tiles; each component stores its own (possibly smaller) plane.
@@ -633,12 +631,20 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, int, np.ndarray]:
                         ).astype(np.uint8)
             mcu += 1
     # Floor-replication upsample of subsampled planes (see docstring:
-    # pinned convention), then crop every component to the image size.
+    # pinned convention) — output pixel (x, y) reads chroma sample
+    # (x·H_i // Hmax, y·V_i // Vmax). Index-gather instead of
+    # np.repeat (round 9): the same bits for dividing ratios (y·vs //
+    # vmax == y // (vmax/vs) when vs | vmax) AND the natural
+    # fractional replication for non-dividing ones (the former
+    # "non-dividing sampling ratio (PIL seam)" guard), sized to the
+    # image directly so no separate crop is needed.
     cropped = []
     for cid, _, hs, vs in frame_comps:
         p = planes[cid]
         if hs != hmax or vs != vmax:
-            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+            yi = (np.arange(h, dtype=np.int64) * vs) // vmax
+            xi = (np.arange(w, dtype=np.int64) * hs) // hmax
+            p = p[yi[:, None], xi[None, :]]
         cropped.append(p[:h, :w])
     if len(cropped) == 1:
         return w, h, 1, cropped[0]
@@ -1601,10 +1607,6 @@ def decode_jpeg_progressive(buf: bytes) -> tuple[int, int, int, np.ndarray]:
                 comp_hv[cid] = (hs, vs)
             hmax = max(hs for hs, _ in comp_hv.values())
             vmax = max(vs for _, vs in comp_hv.values())
-            if any(hmax % hs or vmax % vs for hs, vs in comp_hv.values()):
-                raise NotImplementedError(
-                    "non-dividing sampling ratio (PIL seam)"
-                )
             mcux = (w + 8 * hmax - 1) // (8 * hmax)
             mcuy = (h + 8 * vmax - 1) // (8 * vmax)
             coefs = {}
@@ -1844,10 +1846,13 @@ def decode_jpeg_progressive(buf: bytes) -> tuple[int, int, int, np.ndarray]:
                     np.round(spatial), 0, 255
                 ).astype(np.uint8)
         # crop to the component's true size, then the baseline path's
-        # pinned floor-replication upsample (decode_jpeg docstring)
+        # pinned floor-replication upsample (decode_jpeg docstring) —
+        # the same index-gather form, covering non-dividing ratios
         plane = plane[: -(-(h * vs) // vmax), : -(-(w * hs) // hmax)]
         if hs != hmax or vs != vmax:
-            plane = np.repeat(np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1)
+            yi = (np.arange(h, dtype=np.int64) * vs) // vmax
+            xi = (np.arange(w, dtype=np.int64) * hs) // hmax
+            plane = plane[yi[:, None], xi[None, :]]
         planes.append(plane[:h, :w])
     if len(planes) == 1:
         return w, h, 1, planes[0]

@@ -218,14 +218,86 @@ def test_unsupported_sampling_factors_raise_not_implemented():
     buf[i + 11] = 0x55  # Y component claims 5x5 sampling (T.81 max is 4)
     with pytest.raises(ValueError, match="outside T.81 range"):
         decode_jpeg(bytes(buf))
-    # factors inside 1..4 that do NOT divide the max stay a seam:
-    # Y=3x1 with Cb=2x1 needs fractional chroma replication
-    buf = bytearray(synth_jpeg_color_blob(1))
-    i = bytes(buf).index(b"\xff\xc0")
-    buf[i + 11] = 0x31
-    buf[i + 14] = 0x21
-    with pytest.raises(NotImplementedError, match="non-dividing"):
-        decode_jpeg(bytes(buf))
+    # NOTE: patching a 1x1-encoded stream's SOF to a non-dividing
+    # ratio would desync the entropy walk — genuine non-dividing
+    # coverage lives in test_non_dividing_sampling_decodes_exactly,
+    # which ENCODES Y 3x1 / Cb 2x1 / Cr 1x1 streams (round-9 close
+    # of the former NotImplementedError seam)
+
+
+def _nondividing_expected():
+    """Closed-form expected RGB for the Y 3x1 / Cb 2x1 / Cr 1x1
+    fixture (2x1 MCUs, solid blocks): the pinned floor-replication
+    formula — output x reads component sample x*H//Hmax — plus the
+    JFIF matrix with floor(x+0.5), computed independently of the
+    decoder's plane/gather machinery."""
+    h, w = 8, 48
+    yv = [10 + 7 * j for j in range(6)]
+    cbv = [100 + 9 * j for j in range(4)]
+    crv = [200 + 5 * j for j in range(2)]
+    rgb = np.zeros((h, w, 3), dtype=np.uint8)
+    for x in range(w):
+        yy = float(yv[x // 8])
+        cb = float(cbv[(x * 2 // 3) // 8]) - 128.0
+        cr = float(crv[(x * 1 // 3) // 8]) - 128.0
+        r = np.floor(yy + 1.402 * cr + 0.5)
+        g = np.floor(yy - 0.344136 * cb - 0.714136 * cr + 0.5)
+        b = np.floor(yy + 1.772 * cb + 0.5)
+        rgb[:, x] = np.clip([r, g, b], 0, 255).astype(np.uint8)
+    return yv, cbv, crv, rgb
+
+
+def test_non_dividing_sampling_decodes_exactly():
+    """Round-9 seam close: Y 3x1 against Cb 2x1 (hmax=3, 3%2 != 0 —
+    fractional chroma replication) decodes exactly under the pinned
+    floor-replication index formula, baseline AND progressive, against
+    an independent closed-form expectation."""
+    from blockchain_indexer_spark.operators.jpeg import (
+        decode_jpeg,
+        decode_jpeg_progressive,
+        encode_jpeg,
+        encode_progressive_from_zz,
+    )
+
+    yv, cbv, crv, want = _nondividing_expected()
+    sampling = [(3, 1), (2, 1), (1, 1)]
+
+    def solid_blocks(vals, n):
+        return np.ascontiguousarray(
+            np.stack([np.full((8, 8), v, dtype=np.uint8) for v in vals]).reshape(
+                1, n, 8, 8
+            )
+        )
+
+    comps = [
+        solid_blocks(yv, 6),
+        solid_blocks(cbv, 4),
+        solid_blocks(crv, 2),
+    ]
+    w_, h_, nch, got = decode_jpeg(encode_jpeg(comps, sampling=sampling))
+    assert (w_, h_, nch) == (48, 8, 3)
+    assert np.array_equal(got, want)
+    # restart markers through the non-dividing interleaved walk
+    _, _, _, got_rst = decode_jpeg(
+        encode_jpeg(comps, sampling=sampling, restart_interval=1)
+    )
+    assert np.array_equal(got_rst, want)
+    # progressive twin: DC-only solid blocks (DC = 8*(v-128) under the
+    # orthonormal DCT with all-ones quant), same closed-form output
+    def zz_list(vals):
+        out = []
+        for v in vals:
+            zz = np.zeros(64, dtype=np.int64)
+            zz[0] = 8 * (v - 128)
+            out.append(zz)
+        return out
+
+    buf = encode_progressive_from_zz(
+        [zz_list(yv), zz_list(cbv), zz_list(crv)], 1, 2, sampling=sampling
+    )
+    w_, h_, nch, gotp = decode_jpeg_progressive(buf)
+    assert (w_, h_, nch) == (48, 8, 3)
+    assert np.array_equal(gotp, want)
     # single-component scans are non-interleaved per T.81 and the
     # declared factors cancel (A.1.1: H = Hmax with one component):
     # any declared sampling must decode IDENTICALLY to the 1x1 twin
