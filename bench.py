@@ -198,14 +198,17 @@ BENCH_QUERIES = (
 #: value — the size cap drops from the tail — with the round-4 drift
 #: watchlist and the five most expensive plans first.
 HEADLINE_QUERIES = (
+    # Four long-stable cheap entries retired in round 9 (the 1.4 KB
+    # line cap was dropping the NEWEST canaries from the tail
+    # instead): mm_decode_stats, chain_capacity_graph, doc_winnowing,
+    # event_funnel_conversion — all still benched in BENCH_FULL, and
+    # each family keeps other headline representation.
     # drift watchlist (VERDICT r4 "What's wrong")
     "doc_dedup_clusters",
     "ngram_jaccard_near_dups",
     "chain_timeline_counts",
     "stream_reassembly_join",
-    "chain_capacity_graph",
     "rollup_revenue_hierarchy",
-    "mm_decode_stats",
     # the expensive plans
     "embedding_label_propagation",
     "embedding_knn_triangles",
@@ -225,7 +228,6 @@ HEADLINE_QUERIES = (
     "doc_exact_decontamination",
     "doc_bm25_topk",
     "doc_bpe_merges",
-    "doc_winnowing",
     "embedding_ivfpq_topk",
     "embedding_ann_recall",
     "mm_real_png",
@@ -236,7 +238,6 @@ HEADLINE_QUERIES = (
     # 5-table trigram scoring join
     "mm_real_jpeg_progressive",
     "doc_trigram_fluency",
-    "event_funnel_conversion",
     "corpus_cms_heavy_hitters",
     # round-7 canaries (displacing chain_crc_balances,
     # chain_current_trust and gap_detection — the three cheapest
