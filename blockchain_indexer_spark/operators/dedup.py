@@ -850,6 +850,133 @@ def hamming_band_pairs(
     )
 
 
+def hamming_index_update(
+    index: DataFrame | None,
+    new_hashes: DataFrame,
+    id_col: str,
+    hash_col: str,
+    n_bits: int,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental maintenance for the banded hamming index — the
+    ``minhash_index_update`` convention applied to the FIXED-WIDTH
+    hash engine behind ``simhash_candidates``, ``image_ahash``,
+    ``audio_whash`` and ``video_whash``: one generic per-batch update
+    serves every hash modality (reference T8 stale-key refresh,
+    0.0.64.sql:2272-2376).
+
+    ``index`` is the persisted banded-row frame from prior batches
+    (``(_hid, _h, band, bucket)``; None bootstraps an empty index).
+    Returns ``(new_rows, new_pairs)``:
+
+    - ``new_rows`` — banded rows for ``new_hashes``, to APPEND to the
+      index (the index only ever grows by the batch).
+    - ``new_pairs`` — verified near-dup pairs (id_a < id_b, exact
+      hamming <= max_hamming) involving AT LEAST ONE new id: new×new
+      via the one-shot engine on the batch, plus new×index via an
+      equi-join on (band, bucket). old×old pairs were emitted by
+      earlier batches, so per-batch work is O(|batch| × bucket
+      occupancy) — independent of corpus age. The pigeonhole
+      completeness guarantee (bands >= max_hamming + 1) holds
+      per-pair and therefore batch-by-batch: whichever batch brings
+      the second id of a true pair emits it, exactly once per
+      direction.
+
+    Union-equivalence (incremental pairs across batches == one full
+    run of ``hamming_band_pairs``) is pinned in tests and by the
+    banked ``simhash_incremental_md5`` gate, whose DuckDB oracle is
+    the FULL-corpus brute-force pair scan.
+    """
+    if n_bits % bands:
+        raise ValueError(f"bands={bands} must divide n_bits={n_bits}")
+    rows = n_bits // bands
+    mask = (1 << rows) - 1
+    new_rows = (
+        new_hashes.select(
+            F.col(id_col).alias("_hid"),
+            F.col(hash_col).alias("_h"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftrightunsigned(F.col(hash_col), b * rows)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("_hid", "_h", "bb.band", "bb.bucket")
+        # feeds new×new (both sides), new×index, and the caller's
+        # index append — in production this frame IS the persisted
+        # index increment (the minhash_index_update rationale)
+        .localCheckpoint(eager=True)
+    )
+    a = new_rows.select(
+        F.col("_hid").alias("id_a"), F.col("_h").alias("_ha"), "band", "bucket"
+    )
+    b = new_rows.select(
+        F.col("_hid").alias("id_b"), F.col("_h").alias("_hb"), "band", "bucket"
+    )
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).alias("hamming"),
+        )
+    )
+    if index is not None:
+        cross = (
+            new_rows.select(
+                F.col("_hid").alias("_new"), F.col("_h").alias("_hn"), "band", "bucket"
+            )
+            .join(
+                index.select(
+                    F.col("_hid").alias("_old"),
+                    F.col("_h").alias("_ho"),
+                    "band",
+                    "bucket",
+                ),
+                ["band", "bucket"],
+            )
+            .filter(F.col("_new") != F.col("_old"))
+            .select(
+                F.least("_new", "_old").alias("id_a"),
+                F.greatest("_new", "_old").alias("id_b"),
+                F.bit_count(F.col("_hn").bitwiseXOR(F.col("_ho"))).alias("hamming"),
+            )
+        )
+        pairs = pairs.unionByName(cross)
+    return new_rows, pairs.distinct().filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_index_update(
+    index: DataFrame | None,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    hash_fn: str = "xxhash64",
+) -> tuple[DataFrame, DataFrame]:
+    """``simhash_candidates`` as per-batch index maintenance: compute
+    the batch's SimHash signatures, then delegate to the generic
+    ``hamming_index_update``. Returns ``(new_rows, new_pairs)`` with
+    pairs as (id_a, id_b, hamming), id_a < id_b — the one-shot
+    operator's contract, accumulated incrementally."""
+    n_bits = 60 if hash_fn == "md5_60" else 64
+    sig = simhash64(new_docs, id_col, text_col, hash_fn=hash_fn)
+    return hamming_index_update(
+        index, sig, "_id", "simhash", n_bits, bands, max_hamming
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -710,3 +710,72 @@ def doc_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "doc_id")
     )
     return retrieval_eval(run, qrels, k=5)
+
+
+# ---------------------------------------------------------------------------
+# simhash_incremental_md5: hamming-index maintenance, gated against
+# the full-corpus scan (the minhash_incremental_md5 pattern for the
+# fixed-width-hash engine shared by text/image/audio/video)
+# ---------------------------------------------------------------------------
+
+# The registered simhash_near_dups_md5 oracle: md5_60 signatures +
+# brute-force ALL-pairs hamming <= 3 — the incremental union must
+# converge to exactly the one-shot scan, so the strongest oracle for
+# it IS the one-shot oracle (the doc_split_leakage_incremental rule).
+from blockchain_indexer_spark.plans.llmops import _MD5_SIMHASH  # noqa: E402
+
+_SIMHASH_INCREMENTAL_SQL = (
+    _MD5_SIMHASH
+    + """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+)
+
+
+@_bank(
+    "simhash_incremental_md5",
+    oracle=_SIMHASH_INCREMENTAL_SQL,
+    doc="Incremental HAMMING-index maintenance (operators.dedup."
+    "hamming_index_update via simhash_index_update — sixth gate, "
+    "beyond the VERDICT r8 #4 ask): the corpus arrives in three "
+    "batches (doc_id % 3); each batch appends its banded signature "
+    "rows to the persisted index and emits verified near-dup pairs "
+    "involving at least one new doc (new x new through the one-shot "
+    "engine, new x index through the (band, bucket) equi-join — "
+    "never old x old). The accumulated union must equal the "
+    "FULL-corpus scan, which is exactly what the oracle computes by "
+    "brute force: per-batch maintenance of the banding engine shared "
+    "by SimHash text, image ahash, audio whash and video whash is "
+    "lossless (pigeonhole completeness holds batch-by-batch — "
+    "whichever batch brings a true pair's second id emits it). The "
+    "minhash_incremental_md5 / doc_split_leakage_incremental pattern "
+    "completing T8 coverage for the third near-dup engine family; "
+    "per-batch cost O(|batch| x bucket occupancy), independent of "
+    "corpus age.",
+    survey_refs=("LLM-dedup", "T8"),
+)
+def simhash_incremental_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blockchain_indexer_spark.operators.dedup import simhash_index_update
+
+    d = load_table(spark, sf_dir, "documents")
+    index = None
+    parts: list[DataFrame] = []
+    for b in range(3):
+        batch = d.filter(F.pmod(F.col("doc_id"), F.lit(3)) == b)
+        rows, pairs = simhash_index_update(
+            index, batch, "doc_id", "text", max_hamming=3, bands=4,
+            hash_fn="md5_60",
+        )
+        parts.append(pairs)
+        index = rows if index is None else index.unionByName(rows)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct().select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.col("hamming").cast("bigint").alias("hamming"),
+    )

@@ -31,6 +31,7 @@ def test_banked_not_registered():
         "embedding_opq_recall",
         "minhash_union_calibration",
         "doc_retrieval_eval",
+        "simhash_incremental_md5",
     }
 
 
@@ -552,3 +553,88 @@ def test_retrieval_eval_qrels_self_hit(spark, sf_dir):
         assert r["n_hit"] <= min(r["n_ret"], r["n_rel"])
         assert r["rr_nano"] > 0, r  # self-doc found
         assert 0 <= r["p_at_k_nano"] <= 10**9
+
+
+# ---------------------------------------------------------------------------
+# hamming_index_update / simhash_index_update
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_incremental_equals_full(spark):
+    """Union-equivalence for the banded hamming engine: any batch
+    partition must accumulate to exactly the one-shot
+    simhash_candidates pair set, with cross-batch pairs discovered at
+    the later arrival."""
+    from blockchain_indexer_spark.operators.dedup import (
+        simhash_candidates,
+        simhash_index_update,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),   # near-dup of 1
+        (3, "one two three four five six"),
+        (4, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+        (5, "one two three four five seven"),        # near-dup of 3
+        (6, "completely different content in this document"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_candidates(docs, "doc_id", "text").collect()
+    }
+    assert any(a == 1 and b == 4 and h == 0 for a, b, h in want)  # exact dup
+    for n in (2, 3, 4):
+        index, parts = None, []
+        for b in range(n):
+            batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(n)) == b)
+            nr, np_ = simhash_index_update(index, batch, "doc_id", "text")
+            parts.append(np_)
+            index = nr if index is None else index.unionByName(nr)
+        got = set()
+        for p in parts:
+            got |= {
+                (r["id_a"], r["id_b"], r["hamming"]) for r in p.collect()
+            }
+        assert got == want, f"{n}-way batching diverged"
+
+
+def test_hamming_index_update_generic_and_validated(spark):
+    """The generic engine: planted 16-bit hashes (the image/audio/
+    video modality shape) maintain incrementally; whichever batch
+    brings a true pair's second id emits it exactly once. bands must
+    divide n_bits."""
+    from blockchain_indexer_spark.operators.dedup import (
+        hamming_band_pairs,
+        hamming_index_update,
+    )
+
+    rows = [
+        (1, 0b1111000011110000),
+        (2, 0b1111000011110001),  # hamming 1 from id 1
+        (3, 0b0000111100001111),
+        (4, 0b0000111100001011),  # hamming 1 from id 3
+        (5, 0b1010101010101010),
+    ]
+    hashes = spark.createDataFrame(rows, "hid long, h long")
+    want = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_band_pairs(hashes, "hid", "h", 16, bands=4, max_hamming=2).collect()
+    }
+    assert {(1, 2, 1), (3, 4, 1)} <= want
+    index = None
+    got = set()
+    batch_events = []
+    for b in range(2):
+        batch = hashes.filter(F.pmod(F.col("hid"), F.lit(2)) == b)
+        nr, np_ = hamming_index_update(index, batch, "hid", "h", 16, bands=4, max_hamming=2)
+        evts = {(r["id_a"], r["id_b"], r["hamming"]) for r in np_.collect()}
+        batch_events.append(evts)
+        got |= evts
+        index = nr if index is None else index.unionByName(nr)
+    assert got == want
+    # ids 1 (batch 1) and 2 (batch 0): the pair appears only when the
+    # SECOND side arrives (batch 1), via the new x index probe
+    assert (1, 2, 1) not in batch_events[0] and (1, 2, 1) in batch_events[1]
+    with pytest.raises(ValueError, match="must divide"):
+        hamming_index_update(None, hashes, "hid", "h", 16, bands=5)

@@ -522,3 +522,21 @@ def _retrieval_eval_100k():
 
 
 t("retrieval_eval_100k_q100", _retrieval_eval_100k)
+
+# hamming-index maintenance at 100k (xxhash64 production engine):
+# three batches, each O(|batch| x bucket occupancy) — the banding
+# engine shared by simhash text / image ahash / audio+video whash
+from blockchain_indexer_spark.operators.dedup import simhash_index_update
+
+
+def _simhash_incremental_100k():
+    index, total = None, 0
+    for b in range(3):
+        batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == b)
+        nr, np_ = simhash_index_update(index, batch, "doc_id", "text")
+        total += np_.count()
+        index = nr if index is None else index.unionByName(nr)
+    return total
+
+
+t("simhash_incremental_100k", _simhash_incremental_100k)
