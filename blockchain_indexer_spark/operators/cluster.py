@@ -31,11 +31,47 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _collected_union_find(
+    edge_rows, vertex_ids, spark, id_type
+) -> DataFrame:
+    """Driver-side closure over a BOUNDED, already-collected edge list:
+    classic union-find with path compression, roots kept at component
+    minima so labels are min-ids for free. Shared by the two
+    connected-components engines' ``local_threshold`` fast paths —
+    bit-identical output to their distributed rounds (test-pinned)."""
+    from pyspark.sql.types import StructField, StructType  # noqa: PLC0415
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in edge_rows:
+        ra, rb = find(u), find(v)
+        if ra != rb:
+            # attach the larger root under the smaller: roots stay
+            # component minima, so labels are min-ids for free
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    rows = [(v, find(v)) for v in vertex_ids]
+    return spark.createDataFrame(
+        rows,
+        StructType([StructField("id", id_type), StructField("cluster", id_type)]),
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    local_threshold: int = 0,
 ) -> DataFrame:
     """Resolve undirected ``edges`` into components.
 
@@ -44,6 +80,16 @@ def connected_components(
     deterministic canonical survivor. Raises if propagation hasn't
     converged after ``max_iter`` rounds (component diameter > max_iter
     — pick large-star/small-star instead of raising the cap).
+
+    ``local_threshold`` (round 9, optimization): same contract as
+    ``connected_components_star``'s — when > 0 and the symmetrized
+    edge count is at or under 2x the threshold, the closure is ONE
+    bounded collect + driver union-find + one createDataFrame instead
+    of O(diameter) iterative rounds at ~3 scheduled jobs per round
+    (profiled: the rounds are almost pure job-scheduling overhead at
+    any graph size the collect bound admits). Identical (id, min-id
+    cluster) bits out; larger graphs fall through to the distributed
+    rounds unchanged, so the flag is safe on any caller.
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -51,6 +97,19 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if local_threshold and sym.count() <= 2 * local_threshold:
+        # sym carries both orientations (2 rows per undirected edge)
+        # and keeps self-loops, so its endpoint set IS the vertex set:
+        # one bounded collect serves both the edges and the vertices
+        rows = sym.collect()
+        vertex_ids = {r[0] for r in rows}
+        vertex_ids.update(r[1] for r in rows)
+        return _collected_union_find(
+            ((r[0], r[1]) for r in rows),
+            vertex_ids,
+            edges.sparkSession,
+            sym.schema["a"].dataType,
+        )
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
@@ -148,35 +207,12 @@ def connected_components_star(
     )
 
     if local_threshold and e.count() <= local_threshold:
-        # bounded collect (both frames are materialized checkpoints):
-        # classic union-find with path compression, min-id labels
-        parent: dict = {}
-
-        def find(x):
-            r = x
-            while parent.get(r, r) != r:
-                r = parent[r]
-            while parent.get(x, x) != r:
-                parent[x], x = r, parent[x]
-            return r
-
-        for row in e.collect():
-            ra, rb = find(row.u), find(row.v)
-            if ra != rb:
-                # attach the larger root under the smaller: roots stay
-                # component minima, so labels are min-ids for free
-                if rb < ra:
-                    ra, rb = rb, ra
-                parent[rb] = ra
-        id_type = vertices.schema["id"].dataType
-        from pyspark.sql.types import StructField, StructType  # noqa: PLC0415
-
-        rows = [(v.id, find(v.id)) for v in vertices.collect()]
-        return edges.sparkSession.createDataFrame(
-            rows,
-            StructType(
-                [StructField("id", id_type), StructField("cluster", id_type)]
-            ),
+        # bounded collect (both frames are materialized checkpoints)
+        return _collected_union_find(
+            ((row.u, row.v) for row in e.collect()),
+            [v.id for v in vertices.collect()],
+            edges.sparkSession,
+            vertices.schema["id"].dataType,
         )
 
     def _star(cur: DataFrame, large: bool) -> DataFrame:
@@ -231,20 +267,34 @@ def connected_components_star(
 
 
 def dedup_survivors(
-    df: DataFrame, pairs: DataFrame, id_col: str, left: str = "doc_a", right: str = "doc_b"
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    left: str = "doc_a",
+    right: str = "doc_b",
+    local_threshold: int = 200_000,
 ) -> DataFrame:
     """Full-corpus dedup verdict from a near-dup pair frame.
 
     Returns (id, cluster, keep): every row of ``df`` labeled with its
     duplicate cluster (its own id when it has no near-dups) and whether
     it is the cluster's survivor (the minimum id).
+
+    ``local_threshold`` (round 9, optimization): forwarded to the
+    closure — the pair frame is pinned here anyway, so the bounded
+    count is a local scan, and a near-dup pair set under the bound
+    closes in one driver union-find instead of O(diameter) iterative
+    rounds (bit-identical, test-pinned). Larger pair sets fall through
+    to the distributed rounds unchanged — the 100 TB posture is
+    untouched because the threshold is a hard row-count gate, not a
+    heuristic.
     """
     # pin the O(pairs) frame: connected_components' symmetrization
     # union reads it twice, and the pair generators' post-checkpoint
     # tail (size joins + threshold filter) would otherwise run per
     # branch
     pairs = pairs.localCheckpoint(eager=True)
-    comp = connected_components(pairs, left, right)
+    comp = connected_components(pairs, left, right, local_threshold=local_threshold)
     return (
         df.select(F.col(id_col).alias("id"))
         .join(comp, "id", "left")
@@ -336,8 +386,11 @@ def dbscan_clusters(
     # within eps), so core-core component diameter grows with data
     # shape and blows past propagation's round cap — the same failure
     # mode that moved image_dedup_clusters to star contraction
-    # (ADVICE r6; identical (id, cluster=min-id) contract).
-    comp = connected_components_star(ce, "a", "b")
+    # (ADVICE r6; identical (id, cluster=min-id) contract). Bounded
+    # core-core graphs close in one driver union-find (round 9: the
+    # star rounds profiled as ~90% job-scheduling overhead at any size
+    # the collect bound admits); larger graphs fall through unchanged.
+    comp = connected_components_star(ce, "a", "b", local_threshold=200_000)
     core_lab = core.join(comp, "id", "left").select(
         "id", F.coalesce("cluster", "id").alias("cluster")
     )
@@ -543,9 +596,10 @@ def cluster_representatives(
     profiler surfaces, not a plan hazard).
     """
     # same pin as dedup_survivors: the closure's symmetrization union
-    # reads the pair frame twice
+    # reads the pair frame twice (and the same bounded union-find fast
+    # path with distributed fall-through — see dedup_survivors)
     pairs = pairs.localCheckpoint(eager=True)
-    comp = connected_components(pairs, left, right)
+    comp = connected_components(pairs, left, right, local_threshold=200_000)
     labeled = (
         df.select(F.col(id_col).alias("id"), F.col(score_col).alias("score"))
         .join(comp, "id", "left")

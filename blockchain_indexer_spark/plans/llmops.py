@@ -4966,28 +4966,33 @@ _LP_IVF_SQL = """
 )
 def embedding_lp_ivf_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blockchain_indexer_spark.operators.cluster import label_propagation
+    from blockchain_indexer_spark.operators.overlap import build_concurrently
     from blockchain_indexer_spark.operators.similarity import mutual_knn_graph
 
     emb = load_table(spark, sf_dir, "embeddings")
     # pin both O(n*k) edge frames: each feeds LP (adjacency union) AND
-    # two scalar-count consumers below
-    ex = mutual_knn_graph(emb, "vec_id", "embedding", k=5, index="exact")
-    ex = ex.localCheckpoint(eager=True)
-    iv = mutual_knn_graph(
-        emb, "vec_id", "embedding", k=5, index="ivf", n_cells=16, n_probe=4, iters=0
-    ).localCheckpoint(eager=True)
+    # two scalar-count consumers below. The exact and IVF retrievals
+    # are independent — overlap their eager builds (guide §2.6), then
+    # the two label propagations likewise; frames and bits unchanged.
+    ex, iv = build_concurrently(
+        lambda: mutual_knn_graph(
+            emb, "vec_id", "embedding", k=5, index="exact"
+        ).localCheckpoint(eager=True),
+        lambda: mutual_knn_graph(
+            emb, "vec_id", "embedding", k=5, index="ivf",
+            n_cells=16, n_probe=4, iters=0,
+        ).localCheckpoint(eager=True),
+    )
     seeds = emb.filter(F.col("vec_id") % 5 == 0).select("vec_id", "label")
-    prop_e = (
-        label_propagation(ex, seeds, id_col="vec_id", label_col="label", iters=2)
+    prop_e, prop_i = build_concurrently(
+        lambda: label_propagation(ex, seeds, id_col="vec_id", label_col="label", iters=2)
         .filter(~F.col("is_seed"))
         .select("vec_id", F.col("label").alias("_le"))
-        .localCheckpoint(eager=True)  # count + agreement join below
-    )
-    prop_i = (
-        label_propagation(iv, seeds, id_col="vec_id", label_col="label", iters=2)
+        .localCheckpoint(eager=True),  # count + agreement join below
+        lambda: label_propagation(iv, seeds, id_col="vec_id", label_col="label", iters=2)
         .filter(~F.col("is_seed"))
         .select("vec_id", F.col("label").alias("_li"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True),
     )
     ecnt = ex.agg(F.count("*").cast("bigint").alias("n_edges_exact"))
     icnt = iv.agg(F.count("*").cast("bigint").alias("n_edges_ivf"))
@@ -5392,17 +5397,26 @@ def embedding_pq_adc_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_pq_topk,
     )
 
+    from blockchain_indexer_spark.operators.overlap import build_concurrently
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    ex = brute_force_topk(
-        emb, queries, "vec_id", "embedding", k=5, metric="quantized_neg_l2"
-    ).select("query_id", F.col("rank").cast("bigint").alias("rank"), "neighbor_id")
-    ipq = ivf_pq_topk(
-        emb, queries, "vec_id", "embedding",
-        k=5, n_cells=16, n_probe=6, m=16, n_codes=32, rerank=50,
-    ).select("query_id", F.col("rank").cast("bigint").alias("rank"), "neighbor_id")
-    ex = ex.localCheckpoint(eager=True)    # each side feeds two aggregates —
-    ipq = ipq.localCheckpoint(eager=True)  # pin the retrieval passes
+    # each side feeds two aggregates — pin the retrieval passes; the
+    # exact scan and the IVF-PQ pipeline (codebook training included)
+    # are independent, so their eager builds overlap (guide §2.6)
+    ex, ipq = build_concurrently(
+        lambda: brute_force_topk(
+            emb, queries, "vec_id", "embedding", k=5, metric="quantized_neg_l2"
+        )
+        .select("query_id", F.col("rank").cast("bigint").alias("rank"), "neighbor_id")
+        .localCheckpoint(eager=True),
+        lambda: ivf_pq_topk(
+            emb, queries, "vec_id", "embedding",
+            k=5, n_cells=16, n_probe=6, m=16, n_codes=32, rerank=50,
+        )
+        .select("query_id", F.col("rank").cast("bigint").alias("rank"), "neighbor_id")
+        .localCheckpoint(eager=True),
+    )
     common = ex.alias("e").join(
         ipq.alias("p"), ["query_id", "neighbor_id"]
     ).select(
@@ -5606,29 +5620,34 @@ _DBSCAN_LSH_AGREEMENT_SQL = (
 def embedding_dbscan_lsh_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blockchain_indexer_spark.operators.cluster import dbscan_clusters
     from blockchain_indexer_spark.operators.dedup import cosine_near_dup_pairs
+    from blockchain_indexer_spark.operators.overlap import build_concurrently
     from blockchain_indexer_spark.operators.similarity import lsh_near_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # pin each pair frame once: it feeds both its count and its closure
-    exp = (
-        cosine_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.3)
+    # pin each pair frame once (it feeds both its count and its
+    # closure); the two pair engines are independent, so their eager
+    # builds overlap on driver threads (guide §2.6) — same frames,
+    # same bits, better executor occupancy during each engine's tail
+    exp, lsp = build_concurrently(
+        lambda: cosine_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.3)
         .select("vec_a", "vec_b")
-        .localCheckpoint(eager=True)
-    )
-    lsp = (
-        lsh_near_dup_pairs(
-        emb, "vec_id", "embedding", dim=64, threshold=0.3,
-        num_planes=48, bands=16,
-    )
+        .localCheckpoint(eager=True),
+        lambda: lsh_near_dup_pairs(
+            emb, "vec_id", "embedding", dim=64, threshold=0.3,
+            num_planes=48, bands=16,
+        )
         .select("vec_a", "vec_b")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True),
     )
-    ex = dbscan_clusters(
-        emb, "vec_id", "embedding", eps=0.3, min_pts=4, pairs=exp
-    ).localCheckpoint(eager=True)
-    ap = dbscan_clusters(
-        emb, "vec_id", "embedding", eps=0.3, min_pts=4, pairs=lsp
-    ).localCheckpoint(eager=True)
+    # the two closures are independent too — overlap them the same way
+    ex, ap = build_concurrently(
+        lambda: dbscan_clusters(
+            emb, "vec_id", "embedding", eps=0.3, min_pts=4, pairs=exp
+        ).localCheckpoint(eager=True),
+        lambda: dbscan_clusters(
+            emb, "vec_id", "embedding", eps=0.3, min_pts=4, pairs=lsp
+        ).localCheckpoint(eager=True),
+    )
 
     np_ = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
     pe = exp.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs_exact"))

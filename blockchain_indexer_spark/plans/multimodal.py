@@ -1272,15 +1272,29 @@ def mm_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         video_dedup_clusters,
     )
 
+    from blockchain_indexer_spark.operators.overlap import build_concurrently
+
     docs = load_table(spark, sf_dir, "documents")
-    img = image_dedup_clusters(attach_png_blob(docs), grid=6, bands=4, max_hamming=3)
-    vid = video_dedup_clusters(
-        sample_frames_real(attach_avi_blob(docs), every=1),
-        bits=16, bands=4, max_hamming=2,
+    # the three modality engines are independent (each decodes its own
+    # blobs / shingles its own text and runs its own eager closure):
+    # overlap their builds on driver threads (guide §2.6). The text
+    # pair frame is pinned inside its builder so its shingle+join work
+    # overlaps too instead of firing inside the final closure's pin.
+    # Evidence frames and the final verdict are bit-identical.
+    txt, img, vid = build_concurrently(
+        lambda: ngram_jaccard_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.2, max_doc_freq=100
+        )
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True),
+        lambda: image_dedup_clusters(
+            attach_png_blob(docs), grid=6, bands=4, max_hamming=3
+        ),
+        lambda: video_dedup_clusters(
+            sample_frames_real(attach_avi_blob(docs), every=1),
+            bits=16, bands=4, max_hamming=2,
+        ),
     )
-    txt = ngram_jaccard_pairs(
-        docs, "doc_id", "text", k=3, threshold=0.2, max_doc_freq=100
-    ).select("doc_a", "doc_b")
     return cross_modal_dedup_clusters(docs, [txt, img, vid]).select(
         F.col("id").alias("doc_id"), "cluster", "keep"
     )

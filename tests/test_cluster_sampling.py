@@ -398,3 +398,75 @@ def test_star_local_threshold_falls_through_when_exceeded(spark):
         for r in connected_components_star(e, "src", "dst", local_threshold=3).collect()
     }
     assert got == {(i, 0) for i in range(51)}
+
+
+def test_propagation_local_fast_path_equals_distributed(spark):
+    """Round 9: connected_components' local_threshold fast path (one
+    bounded collect + union-find) must produce the exact (id, min-id
+    cluster) rows of the distributed propagation rounds — random
+    graphs, self-loops, and vertices appearing only in self-loops."""
+    import numpy as np
+
+    from blockchain_indexer_spark.operators.cluster import connected_components
+
+    rng = np.random.default_rng(48)
+    cases = [
+        [(int(rng.integers(0, 60)), int(rng.integers(0, 60))) for _ in range(80)],
+        [(i, i + 1) for i in range(20)],
+        [(5, 5), (9, 9), (1, 2)],
+    ]
+    for rows in cases:
+        e = spark.createDataFrame(rows, "src long, dst long")
+        dist = {
+            (r.id, r.cluster)
+            for r in connected_components(e, "src", "dst").collect()
+        }
+        local = {
+            (r.id, r.cluster)
+            for r in connected_components(
+                e, "src", "dst", local_threshold=10**6
+            ).collect()
+        }
+        assert local == dist
+
+
+def test_propagation_local_threshold_falls_through_when_exceeded(spark):
+    """Above the bound the distributed propagation path must run
+    (same results; pins the guard)."""
+    from blockchain_indexer_spark.operators.cluster import connected_components
+
+    rows = [(i, i + 1) for i in range(10)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    got = {
+        (r.id, r.cluster)
+        for r in connected_components(e, "src", "dst", local_threshold=2).collect()
+    }
+    assert got == {(i, 0) for i in range(11)}
+
+
+def test_build_concurrently_order_results_and_errors(spark):
+    """Round 9: build_concurrently returns results in argument order,
+    produces the same frames as a serial build, and propagates the
+    first builder exception."""
+    import pytest
+
+    from blockchain_indexer_spark.operators.overlap import build_concurrently
+
+    df = spark.range(100)
+    a, b, c = build_concurrently(
+        lambda: df.selectExpr("sum(id) as s").localCheckpoint(eager=True),
+        lambda: df.selectExpr("count(*) as c").localCheckpoint(eager=True),
+        lambda: 42,
+    )
+    assert a.collect()[0].s == 4950
+    assert b.collect()[0].c == 100
+    assert c == 42
+    # single-builder form runs inline
+    (only,) = build_concurrently(lambda: 7)
+    assert only == 7
+
+    def boom():
+        raise ValueError("builder failed")
+
+    with pytest.raises(ValueError, match="builder failed"):
+        build_concurrently(lambda: 1, boom)
