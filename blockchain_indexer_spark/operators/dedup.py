@@ -1032,23 +1032,52 @@ def cosine_near_dup_pairs(
         .filter(norm_sq(F.col("_v")) > 0)
     )
     n = q.count()  # one bounded scalar action to size the blocking
-    nblocks = max(1, -(-n // block_size))
+    # Scale-adaptive blocking (round 9, guide §2.5/§2.6): the natural
+    # ⌈n/block_size⌉ puts a ≲2k-vector corpus in ONE block, and AQE
+    # coalesces the tiny packed frame to ONE partition — so the whole
+    # O(n²·d) matmul ran as a single task (profiled). Derive a minimum
+    # block count from defaultParallelism (adapts to the driver's core
+    # count), capped at 64-row blocks. The pair set is blocking-
+    # independent: every unordered pair lands in exactly one block
+    # pair with identical per-pair arithmetic.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    nblocks = max(1, -(-n // block_size), min(2 * par, -(-n // 64)))
     packed = (
         q.withColumn("_blk", F.pmod(F.xxhash64("_id"), F.lit(nblocks)).cast("int"))
         .groupBy("_blk")
         .agg(F.collect_list(F.struct("_id", "_v")).alias("_rows"))
         .localCheckpoint(eager=True)  # both sides of the pair join
     )
-    pairs = (
-        packed.alias("A")
-        .join(packed.alias("B"), F.col("A._blk") <= F.col("B._blk"))
-        .select(
-            F.col("A._blk").alias("ba"),
-            F.col("B._blk").alias("bb"),
-            F.col("A._rows").alias("ra"),
-            F.col("B._rows").alias("rb"),
+    if n <= 262_144:
+        # small-corpus regime: broadcast the packed corpus (≤ ~128 MB
+        # at d=64) and range-repartition the stream side to one block
+        # per partition, pinning matmul parallelism to nblocks tasks
+        # instead of whatever AQE coalesced the tiny frame to.
+        # Partitioning only — the emitted pair set is unchanged.
+        pairs = (
+            packed.repartitionByRange(nblocks, "_blk")
+            .alias("A")
+            .join(F.broadcast(packed).alias("B"), F.col("A._blk") <= F.col("B._blk"))
+            .select(
+                F.col("A._blk").alias("ba"),
+                F.col("B._blk").alias("bb"),
+                F.col("A._rows").alias("ra"),
+                F.col("B._rows").alias("rb"),
+            )
         )
-    )
+    else:
+        # index-scale regime: no broadcast; the replicate join is
+        # already wide because nblocks ≳ n/block_size is large here
+        pairs = (
+            packed.alias("A")
+            .join(packed.alias("B"), F.col("A._blk") <= F.col("B._blk"))
+            .select(
+                F.col("A._blk").alias("ba"),
+                F.col("B._blk").alias("bb"),
+                F.col("A._rows").alias("ra"),
+                F.col("B._rows").alias("rb"),
+            )
+        )
     schema = StructType(
         [
             StructField("vec_a", LongType()),

@@ -1568,7 +1568,19 @@ def all_pairs_topk_cosine(
             F.col("_id").alias("neighbor_id"),
             F.lit(0.0).alias("score"),
         ).limit(0)
-    nblocks = max(1, -(-n // block_size))
+    # Scale-adaptive blocking (round 9, guide §2.5/§2.6): the natural
+    # ⌈n/block_size⌉ puts a ≲2k-vector corpus in ONE block and AQE
+    # coalesces the tiny packed frame to ONE partition — profiled as a
+    # single task holding the whole O(n²·d) matmul for 10 s while the
+    # rest of the cluster idles. Derive a minimum block count from
+    # defaultParallelism (adapts to the core count the driver runs at)
+    # so the stream side always carries ≥ ~2 blocks per core, capped
+    # at 64-row blocks so tiny corpora don't drown in per-block
+    # overhead. The pair set / top-k result is blocking-independent:
+    # every (query, corpus) pair is scored in exactly one block pair
+    # with identical arithmetic, and local top-k keeps boundary ties.
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    nblocks = max(1, -(-n // block_size), min(2 * par, -(-n // 64)))
 
     def _pack(df: DataFrame) -> DataFrame:
         return (
@@ -1582,14 +1594,32 @@ def all_pairs_topk_cosine(
 
     packed_c = _pack(c)
     packed_q = packed_c if queries is None else _pack(_prep(queries))
-    pairs = (
-        packed_q.alias("A")
-        .join(packed_c.alias("B"))
-        .select(
-            F.col("A._rows").alias("ra"),
-            F.col("B._rows").alias("rb"),
+    if n <= 262_144:
+        # small-corpus regime: the packed corpus (≤ ~128 MB at d=64)
+        # broadcasts, and range-repartitioning the query side to one
+        # block per partition pins the matmul parallelism to nblocks
+        # tasks — partitioning only; no row changes hands differently
+        pairs = (
+            packed_q.repartitionByRange(nblocks, "_blk")
+            .alias("A")
+            .join(F.broadcast(packed_c).alias("B"))
+            .select(
+                F.col("A._rows").alias("ra"),
+                F.col("B._rows").alias("rb"),
+            )
         )
-    )
+    else:
+        # index-scale regime: no broadcast (the packed corpus is too
+        # big); the replicate join's own partitioning is already wide
+        # because nblocks ≳ n/block_size is large here
+        pairs = (
+            packed_q.alias("A")
+            .join(packed_c.alias("B"))
+            .select(
+                F.col("A._rows").alias("ra"),
+                F.col("B._rows").alias("rb"),
+            )
+        )
     schema = StructType(
         [
             StructField("query_id", LongType()),
