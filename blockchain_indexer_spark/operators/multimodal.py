@@ -156,7 +156,14 @@ def attach_bmp_blob(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
     # ~1 s on the PNG/ahash gates at sf0.1). Hash-partitioned on the
     # id so repeated uses of the blob subplan canonicalize to one
     # ReusedExchange. No-op at production scale (scan already wide).
-    return spread(documents.select(id_col), id_col).withColumn("blob", _bmp(id_col)).withColumn(
+    # asNondeterministic on the synth UDF (round 9, guide §4.4; same
+    # on every attach_*_blob below): the synth is pure, but without it
+    # the optimizer pushes downstream isnotnull(blob) filters BELOW
+    # this Exchange and re-evaluates the UDF there — the whole corpus
+    # synth ran twice, once serially on the single scan partition
+    # (profiled: a 1-task 6-9 s stage per decode gate). Blob values
+    # are unchanged; only duplication/reordering is blocked.
+    return spread(documents.select(id_col), id_col).withColumn("blob", _bmp.asNondeterministic()(id_col)).withColumn(
         "media_meta",
         F.struct(
             F.lit("image/bmp").alias("mime"),
@@ -374,7 +381,7 @@ def attach_png_blob(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
     # ~1 s on the PNG/ahash gates at sf0.1). Hash-partitioned on the
     # id so repeated uses of the blob subplan canonicalize to one
     # ReusedExchange. No-op at production scale (scan already wide).
-    return spread(documents.select(id_col), id_col).withColumn("blob", _png(id_col)).withColumn(
+    return spread(documents.select(id_col), id_col).withColumn("blob", _png.asNondeterministic()(id_col)).withColumn(
         "media_meta",
         F.struct(
             F.lit("image/png").alias("mime"),
@@ -578,7 +585,7 @@ def attach_gif_blob(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
         return ids.map(mk)
 
     return spread(documents.select(id_col), id_col).withColumn(
-        "blob", _gif(id_col)
+        "blob", _gif.asNondeterministic()(id_col)
     ).withColumn(
         "media_meta",
         F.struct(
@@ -614,7 +621,7 @@ def attach_jpeg_blob(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
         return ids.map(lambda i: synth_jpeg_blob(int(i)))
 
     return spread(documents.select(id_col), id_col).withColumn(
-        "blob", _jpeg(id_col)
+        "blob", _jpeg.asNondeterministic()(id_col)
     ).withColumn(
         "media_meta",
         F.struct(
@@ -640,7 +647,7 @@ def attach_jpeg_color_blob(documents: DataFrame, id_col: str = "doc_id") -> Data
         return ids.map(lambda i: synth_jpeg_color_blob(int(i)))
 
     return spread(documents.select(id_col), id_col).withColumn(
-        "blob", _jpeg(id_col)
+        "blob", _jpeg.asNondeterministic()(id_col)
     ).withColumn(
         "media_meta",
         F.struct(
@@ -669,7 +676,7 @@ def attach_jpeg_420_blob(documents: DataFrame, id_col: str = "doc_id") -> DataFr
         return ids.map(lambda i: synth_jpeg_420_blob(int(i)))
 
     return spread(documents.select(id_col), id_col).withColumn(
-        "blob", _jpeg(id_col)
+        "blob", _jpeg.asNondeterministic()(id_col)
     ).withColumn(
         "media_meta",
         F.struct(
@@ -697,7 +704,7 @@ def attach_jpeg_progressive_blob(documents: DataFrame, id_col: str = "doc_id") -
         return ids.map(lambda i: synth_jpeg_progressive_blob(int(i)))
 
     return spread(documents.select(id_col), id_col).withColumn(
-        "blob", _jpeg(id_col)
+        "blob", _jpeg.asNondeterministic()(id_col)
     ).withColumn(
         "media_meta",
         F.struct(
@@ -853,7 +860,7 @@ def attach_wav_blob(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
     # ~1 s on the PNG/ahash gates at sf0.1). Hash-partitioned on the
     # id so repeated uses of the blob subplan canonicalize to one
     # ReusedExchange. No-op at production scale (scan already wide).
-    return spread(documents.select(id_col), id_col).withColumn("blob", _wav(id_col)).withColumn(
+    return spread(documents.select(id_col), id_col).withColumn("blob", _wav.asNondeterministic()(id_col)).withColumn(
         "media_meta",
         F.struct(
             F.lit("audio/wav").alias("mime"),
@@ -1087,7 +1094,7 @@ def attach_avi_blob(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
     # ~1 s on the PNG/ahash gates at sf0.1). Hash-partitioned on the
     # id so repeated uses of the blob subplan canonicalize to one
     # ReusedExchange. No-op at production scale (scan already wide).
-    return spread(documents.select(id_col), id_col).withColumn("blob", _avi(id_col)).withColumn(
+    return spread(documents.select(id_col), id_col).withColumn("blob", _avi.asNondeterministic()(id_col)).withColumn(
         "media_meta",
         F.struct(
             F.lit("video/x-msvideo").alias("mime"),

@@ -4040,51 +4040,64 @@ def corpus_classifier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from blockchain_indexer_spark.operators.tree import best_stump
 
+    from blockchain_indexer_spark.operators.overlap import build_concurrently
+
     d = load_table(spark, sf_dir, "documents")
-    base = spread(d, "doc_id").select(
-        "doc_id",
-        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(-1)).cast("long").alias("y"),
-        F.coalesce(tokens("text"), F.array().cast("array<string>")).alias("toks"),
-    )
-    feats = hashed_features(base, n_buckets=256, hash_fn="md5_60").localCheckpoint(eager=True)
-    w = perceptron_train(feats, epochs=2, n_buckets=256)
-    pa = perceptron_score(feats, w).select(
-        "doc_id", (F.col("margin") > 0).alias("pred_a")
-    )
-    dd = d.filter(F.col("lang").isNotNull())
-    sfeats = dd.select(
-        "n_chars",
-        F.coalesce(token_count("text"), F.lit(0)).alias("n_tokens"),
-        F.size(F.array_distinct(F.coalesce(tokens("text"), F.array().cast("array<string>"))))
-        .cast("long")
-        .alias("n_distinct"),
-        (F.col("lang") == "en").alias("is_en"),
-    )
-    stump = (
-        best_stump(sfeats, ["n_chars", "n_distinct", "n_tokens"], "is_en")
-        .filter(F.col("rank") == 1)
-        .select("feature", "threshold", "predict_left", "predict_right")
-    )
-    docf = spread(dd, "doc_id").select(
-        "doc_id",
-        F.col("n_chars").cast("double").alias("f_n_chars"),
-        F.coalesce(token_count("text"), F.lit(0)).cast("double").alias("f_n_tokens"),
-        F.size(F.array_distinct(F.coalesce(tokens("text"), F.array().cast("array<string>"))))
-        .cast("double")
-        .alias("f_n_distinct"),
-    )
-    fv = (
-        F.when(F.col("feature") == "n_chars", F.col("f_n_chars"))
-        .when(F.col("feature") == "n_tokens", F.col("f_n_tokens"))
-        .otherwise(F.col("f_n_distinct"))
-    )
-    pb = docf.crossJoin(F.broadcast(stump)).select(
-        "doc_id",
-        fv.alias("fv"),
-        F.when(fv <= F.col("threshold"), F.col("predict_left"))
-        .otherwise(F.col("predict_right"))
-        .alias("pred_b"),
-    ).filter(F.col("fv").isNotNull()).select("doc_id", "pred_b")
+
+    # the two classifier chains are independent until the kappa join:
+    # build each side's verdict frame on its own driver thread (guide
+    # §2.6) — the perceptron's epoch passes and the stump's histogram
+    # passes interleave on the executors instead of serializing.
+    # Verdict frames (one boolean per doc) pin eagerly; bits unchanged.
+    def _perceptron_side():
+        base = spread(d, "doc_id").select(
+            "doc_id",
+            F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(-1)).cast("long").alias("y"),
+            F.coalesce(tokens("text"), F.array().cast("array<string>")).alias("toks"),
+        )
+        feats = hashed_features(base, n_buckets=256, hash_fn="md5_60").localCheckpoint(eager=True)
+        w = perceptron_train(feats, epochs=2, n_buckets=256)
+        return perceptron_score(feats, w).select(
+            "doc_id", (F.col("margin") > 0).alias("pred_a")
+        ).localCheckpoint(eager=True)
+
+    def _stump_side():
+        dd = d.filter(F.col("lang").isNotNull())
+        sfeats = dd.select(
+            "n_chars",
+            F.coalesce(token_count("text"), F.lit(0)).alias("n_tokens"),
+            F.size(F.array_distinct(F.coalesce(tokens("text"), F.array().cast("array<string>"))))
+            .cast("long")
+            .alias("n_distinct"),
+            (F.col("lang") == "en").alias("is_en"),
+        )
+        stump = (
+            best_stump(sfeats, ["n_chars", "n_distinct", "n_tokens"], "is_en")
+            .filter(F.col("rank") == 1)
+            .select("feature", "threshold", "predict_left", "predict_right")
+        )
+        docf = spread(dd, "doc_id").select(
+            "doc_id",
+            F.col("n_chars").cast("double").alias("f_n_chars"),
+            F.coalesce(token_count("text"), F.lit(0)).cast("double").alias("f_n_tokens"),
+            F.size(F.array_distinct(F.coalesce(tokens("text"), F.array().cast("array<string>"))))
+            .cast("double")
+            .alias("f_n_distinct"),
+        )
+        fv = (
+            F.when(F.col("feature") == "n_chars", F.col("f_n_chars"))
+            .when(F.col("feature") == "n_tokens", F.col("f_n_tokens"))
+            .otherwise(F.col("f_n_distinct"))
+        )
+        return docf.crossJoin(F.broadcast(stump)).select(
+            "doc_id",
+            fv.alias("fv"),
+            F.when(fv <= F.col("threshold"), F.col("predict_left"))
+            .otherwise(F.col("predict_right"))
+            .alias("pred_b"),
+        ).filter(F.col("fv").isNotNull()).select("doc_id", "pred_b").localCheckpoint(eager=True)
+
+    pa, pb = build_concurrently(_perceptron_side, _stump_side)
     return agreement_kappa(pa.join(pb, "doc_id"), "pred_a", "pred_b")
 
 

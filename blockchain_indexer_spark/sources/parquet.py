@@ -156,7 +156,13 @@ def spread(df: DataFrame, key: str | None = None) -> DataFrame:
     expensive stage once (round-robin blocks that).
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # probe via the JVM-side InternalRow RDD: `df.rdd` builds the whole
+    # Python RDD wrapper (serializer setup included) and measured
+    # ~360 ms per cold call — at ~2 spread sites per query build the
+    # probe alone taxed every bench run by tens of driver seconds.
+    # toRdd() returns the same partition count for ~160 ms cold / ~1 ms
+    # warm (round 9, guide §5: the driver should do almost no work).
+    if df._jdf.queryExecution().toRdd().getNumPartitions() < target:
         return df.repartition(target, F.col(key)) if key else df.repartition(target)
     return df
 
