@@ -131,13 +131,27 @@ def _resplit_path(spark: SparkSession, sf_dir: str, name: str) -> str | None:
         return _RESPLIT_DONE[key]
 
 
+#: DataFrame-OBJECT memo, keyed (applicationId, resolved path). This
+#: caches the logical plan handle only — scans still read parquet at
+#: every action, nothing is persisted — but reusing one DataFrame per
+#: table makes the JVM queryExecution (schema resolution, file index,
+#: spread()'s partition probe) warm after the first build instead of
+#: re-paid by all ~2 builds × 100+ queries of a bench run (round 9,
+#: guide §5: measured ~160 ms cold probe + footer read per call).
+#: Safe because TABLES name immutable driver fixtures.
+_DF_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     resplit = _resplit_path(spark, sf_dir, name)
-    if resplit is not None:
-        return _raw_load(spark, resplit)
-    return _raw_load(spark, os.path.join(sf_dir, f"{name}.parquet"))
+    path = resplit if resplit is not None else os.path.join(sf_dir, f"{name}.parquet")
+    key = (spark.sparkContext.applicationId, path)
+    df = _DF_MEMO.get(key)
+    if df is None:
+        df = _DF_MEMO[key] = _raw_load(spark, path)
+    return df
 
 
 def spread(df: DataFrame, key: str | None = None) -> DataFrame:
