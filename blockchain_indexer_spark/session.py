@@ -33,6 +33,18 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesces by BYTES, but several pipelines shuffle tiny
+        # frames whose per-row cost is CPU (posting-list combination
+        # explodes, shot/window signatures, packed vector blocks): the
+        # default 1m floor collapsed those stages to 1-3 tasks while
+        # the cluster idled (round 9, profiled). A 64k floor keeps
+        # them wide; at production scale post-shuffle partitions are
+        # MBs+, where the floor is inert and coalescing behaves as
+        # default. Override via SPARK_GRAFT_AQE_MIN_PARTITION.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
