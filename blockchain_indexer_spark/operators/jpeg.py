@@ -136,12 +136,48 @@ def idct_block(coefs: np.ndarray) -> np.ndarray:
     return _A.T @ coefs.astype(np.float64) @ _A
 
 
+def _fdct_zz_blocks(comp: np.ndarray, qt: np.ndarray) -> list:
+    """FDCT + quantize + zigzag every 8x8 block of a (nby, nbx, 8, 8)
+    component in one batched matmul; returns raster-order rows of 64
+    quantized zigzag coefficients. Bit-identical to the former
+    per-block ``_A @ s @ _A.T`` loop: numpy's stacked matmul runs the
+    same dgemm per slice (round 10, guide §4.2)."""
+    spatial = comp.reshape(-1, 8, 8).astype(np.float64) - 128.0
+    coefs = np.matmul(np.matmul(_A, spatial), _A.T)
+    q = np.round(coefs / qt).astype(np.int64)
+    return list(q.reshape(-1, 64)[:, ZIGZAG])
+
+
 # ----------------------------------------------------------- huffman bits
+
+
+class _HuffTable(dict):
+    """Canonical Huffman table {(length, code): symbol} carrying a
+    16-bit-window lookup list for the fast decoder: ``lut[w]`` packs
+    (code_length << 8) | symbol for every 16-bit window ``w`` whose
+    prefix is that code, 0 where no code matches. Plain-dict reads
+    behave exactly as before; the LUT is an access-path optimization
+    only (round 10, guide §4.2 — the per-bit dict walk dominated the
+    JPEG entropy decode)."""
+
+    __slots__ = ("lut",)
+
+
+#: build_huffman is a pure function of its (bits, vals) spec; the
+#: fixture streams reuse a handful of tables across every blob, so the
+#: table (and its 64k-entry LUT) is built once per Python worker
+#: instead of once per blob. This caches decoder STRUCTURE derived
+#: from the table spec — never data or results.
+_HUFF_CACHE: dict[tuple[tuple[int, ...], tuple[int, ...]], _HuffTable] = {}
 
 
 def build_huffman(bits: tuple[int, ...], vals: tuple[int, ...]) -> dict[tuple[int, int], int]:
     """Canonical Huffman table per T.81 C.2: {(length, code): symbol}."""
-    table: dict[tuple[int, int], int] = {}
+    key = (tuple(bits), tuple(vals))
+    cached = _HUFF_CACHE.get(key)
+    if cached is not None:
+        return cached
+    table = _HuffTable()
     code = 0
     k = 0
     for length in range(1, 17):
@@ -152,6 +188,14 @@ def build_huffman(bits: tuple[int, ...], vals: tuple[int, ...]) -> dict[tuple[in
         code <<= 1
     if k != len(vals):
         raise ValueError("BITS/HUFFVAL length mismatch")
+    lut = [0] * 65536
+    for (length, c), sym in table.items():
+        start = c << (16 - length)
+        lut[start : start + (1 << (16 - length))] = [(length << 8) | sym] * (
+            1 << (16 - length)
+        )
+    table.lut = lut
+    _HUFF_CACHE[key] = table
     return table
 
 
@@ -169,15 +213,22 @@ class BitWriter:
         self._n = 0
 
     def write(self, value: int, nbits: int) -> None:
-        for i in range(nbits - 1, -1, -1):
-            self._acc = (self._acc << 1) | ((value >> i) & 1)
-            self._n += 1
-            if self._n == 8:
-                self.out.append(self._acc)
-                if self._acc == 0xFF:
-                    self.out.append(0x00)
-                self._acc = 0
-                self._n = 0
+        # multi-bit accumulate (round 10): drains whole bytes instead
+        # of shifting bit-at-a-time — same bits out, ~nbits x fewer
+        # interpreted steps (the writer was the synth UDFs' hot path)
+        if not nbits:
+            return
+        acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        n = self._n + nbits
+        out = self.out
+        while n >= 8:
+            n -= 8
+            b = (acc >> n) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+        self._acc = acc & ((1 << n) - 1)
+        self._n = n
 
     def pad_align(self) -> None:
         """Fill the current byte with 1-bits (T.81 F.1.2.3)."""
@@ -192,68 +243,138 @@ class BitWriter:
 
 class BitReader:
     """MSB-first reader over entropy-coded data: unstuffs 0xFF00,
-    stops at markers, surfaces RSTn for the MCU loop."""
+    stops at markers, surfaces RSTn for the MCU loop.
+
+    Round 10 (guide §4.2): instead of a per-bit loop with per-byte
+    stuffing/marker logic, the whole entropy SEGMENT (up to the next
+    real marker) is unstuffed once with C-speed ``bytes`` primitives,
+    bits are served from a Python-int accumulator, and Huffman symbols
+    resolve through the table's 16-bit-window LUT in O(1). Same bits,
+    same EOFError/ValueError behavior on malformed streams, same
+    ``pos`` contract (``pos`` = one past the last byte consumed, which
+    at a segment boundary is the 0xFF of the pending marker)."""
 
     def __init__(self, buf: bytes, pos: int) -> None:
         self.buf = buf
-        self.pos = pos
-        self._acc = 0
-        self._n = 0
+        self._bitbuf = 0
+        self._nbits = 0
         self.marker: int | None = None  # pending non-RST marker
+        self._seg_start = pos
+        self._load_segment()
 
-    def _next_byte(self) -> int | None:
+    def _load_segment(self) -> None:
+        """Unstuff from _seg_start to the next real marker (or EOF):
+        every 0xFF00 becomes a 0xFF data byte; a 0xFF followed by
+        anything else (or by nothing) ends the segment."""
+        buf = self.buf
+        i = start = self._seg_start
+        n = len(buf)
+        chunks = []
         while True:
-            if self.pos >= len(self.buf):
-                return None
-            b = self.buf[self.pos]
-            self.pos += 1
-            if b != 0xFF:
-                return b
-            nxt = self.buf[self.pos] if self.pos < len(self.buf) else None
-            if nxt == 0x00:
-                self.pos += 1
-                return 0xFF
-            # a real marker: do not consume here, record and stop
-            self.marker = nxt
-            self.pos -= 1
-            return None
+            j = buf.find(b"\xff", i)
+            if j < 0:
+                chunks.append(buf[start:n])
+                break
+            if j + 1 < n and buf[j + 1] == 0x00:
+                chunks.append(buf[start : j + 1])  # keep 0xFF, drop stuffing
+                i = start = j + 2
+                continue
+            chunks.append(buf[start:j])  # marker (or trailing 0xFF): stop
+            break
+        self._data = b"".join(chunks)
+        self._dpos = 0
+
+    @property
+    def pos(self) -> int:
+        # original-buffer offset after the last consumed byte: each
+        # consumed 0xFF data byte also consumed its stuffed 0x00
+        d = self._dpos
+        return self._seg_start + d + self._data.count(0xFF, 0, d)
+
+    def _fill(self, need: int) -> None:
+        take = (need - self._nbits + 7) >> 3
+        p = self._dpos
+        avail = len(self._data) - p
+        if take > avail:
+            take = avail
+        if take > 0:
+            self._bitbuf = (self._bitbuf << (8 * take)) | int.from_bytes(
+                self._data[p : p + take], "big"
+            )
+            self._nbits += 8 * take
+            self._dpos = p + take
 
     def read_bit(self) -> int:
-        if self._n == 0:
-            b = self._next_byte()
-            if b is None:
+        n = self._nbits
+        if n == 0:
+            self._fill(1)
+            n = self._nbits
+            if n == 0:
                 raise EOFError("entropy data exhausted")
-            self._acc = b
-            self._n = 8
-        self._n -= 1
-        return (self._acc >> self._n) & 1
+        n -= 1
+        self._nbits = n
+        v = (self._bitbuf >> n) & 1
+        self._bitbuf &= (1 << n) - 1
+        return v
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        if self._nbits < n:
+            self._fill(n)
+            if self._nbits < n:
+                raise EOFError("entropy data exhausted")
+        rem = self._nbits - n
+        self._nbits = rem
+        v = self._bitbuf >> rem
+        self._bitbuf &= (1 << rem) - 1
         return v
 
     def decode_symbol(self, table: dict[tuple[int, int], int]) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.read_bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code in scan")
+        lut = getattr(table, "lut", None)
+        if lut is None:  # externally-built plain dict: original walk
+            code = 0
+            for length in range(1, 17):
+                code = (code << 1) | self.read_bit()
+                sym = table.get((length, code))
+                if sym is not None:
+                    return sym
+            raise ValueError("invalid Huffman code in scan")
+        n = self._nbits
+        if n < 16:
+            self._fill(16)
+            n = self._nbits
+        window = (
+            (self._bitbuf >> (n - 16)) if n >= 16 else (self._bitbuf << (16 - n))
+        ) & 0xFFFF
+        entry = lut[window]
+        length = entry >> 8
+        if length == 0 or length > n:
+            if n < 16:
+                # ran out of data before any code could complete
+                raise EOFError("entropy data exhausted")
+            raise ValueError("invalid Huffman code in scan")
+        rem = n - length
+        self._nbits = rem
+        self._bitbuf &= (1 << rem) - 1
+        return entry & 0xFF
 
     def sync_restart(self) -> int:
         """Byte-align and consume an expected RSTn; return its index."""
-        self._n = 0
+        self._bitbuf = 0
+        self._nbits = 0
+        buf = self.buf
+        p = self.pos
         if (
-            self.pos + 1 < len(self.buf)
-            and self.buf[self.pos] == 0xFF
-            and 0xD0 <= self.buf[self.pos + 1] <= 0xD7
+            self._dpos == len(self._data)
+            and p + 1 < len(buf)
+            and buf[p] == 0xFF
+            and 0xD0 <= buf[p + 1] <= 0xD7
         ):
-            m = self.buf[self.pos + 1]
-            self.pos += 2
+            m = buf[p + 1]
             self.marker = None
+            self._seg_start = p + 2
+            self._load_segment()
             return m - 0xD0
         raise ValueError("expected restart marker")
 
@@ -285,7 +406,10 @@ def _encode_block(
 ) -> int:
     """Entropy-code one zigzagged quantized block; returns the new DC
     predictor."""
-    diff = int(zz[0]) - pred
+    if isinstance(zz, np.ndarray):
+        zz = zz.tolist()  # the run loops below are per-element: Python
+        # ints beat numpy scalar reads ~5x (round 10, guide §4.2)
+    diff = zz[0] - pred
     size = _category(diff)
     ln, code = dc_enc[size]
     bw.write(code, ln)
@@ -306,7 +430,7 @@ def _encode_block(
             ln, code = ac_enc[0xF0]  # ZRL
             bw.write(code, ln)
             run -= 16
-        v = int(zz[k])
+        v = zz[k]
         size = _category(v)
         sym = (run << 4) | size
         if sym not in ac_enc:
@@ -315,7 +439,7 @@ def _encode_block(
         bw.write(code, ln)
         bw.write(_magnitude_bits(v, size), size)
         k += 1
-    return int(zz[0])
+    return zz[0]
 
 
 def encode_jpeg(
@@ -360,6 +484,18 @@ def encode_jpeg(
     dc_enc = _encode_table(DC_BITS, DC_VALS)
     ac_enc = _encode_table(AC_BITS, AC_VALS)
 
+    # FDCT + quantize + zigzag for ALL blocks per component in one
+    # batched matmul (round 10, guide §4.2) — numpy's stacked matmul
+    # runs the identical dgemm per 8x8 slice, so the quantized
+    # coefficients are bit-identical to the former per-block loop
+    # (synth outputs byte-compared against the old path, test-pinned)
+    zz_all = []
+    for comp in components:
+        spatial = comp.reshape(-1, 8, 8).astype(np.float64) - 128.0
+        coefs = np.matmul(np.matmul(_A, spatial), _A.T)
+        q = np.round(coefs / qt).astype(np.int64)
+        zz_all.append(q.reshape(-1, 64)[:, ZIGZAG].tolist())
+
     bw = BitWriter()
     preds = [0] * nf
     mcu = 0
@@ -370,17 +506,14 @@ def encode_jpeg(
                 bw.raw_marker(0xD0 + rst)
                 rst = (rst + 1) % 8
                 preds = [0] * nf
-            for ci, comp in enumerate(components):
+            for ci in range(nf):
                 hi, vi = sampling[ci]
+                row_blocks = mbx * hi
                 for vy in range(vi):
                     for vx in range(hi):
-                        spatial = (
-                            comp[by * vi + vy, bx * hi + vx].astype(np.float64)
-                            - 128.0
-                        )
-                        coefs = _A @ spatial @ _A.T  # forward DCT (orthonormal)
-                        q = np.round(coefs / qt).astype(np.int64)
-                        zz = q.reshape(64)[ZIGZAG]
+                        zz = zz_all[ci][
+                            (by * vi + vy) * row_blocks + bx * hi + vx
+                        ]
                         preds[ci] = _encode_block(bw, zz, preds[ci], dc_enc, ac_enc)
             mcu += 1
     bw.pad_align()
@@ -587,6 +720,7 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, int, np.ndarray]:
     }
     br = BitReader(buf, pos)
     preds = {cid: 0 for cid in scan_order}
+    pend: dict[int, list] = {cid: [] for cid in scan_order}
     expected_rst = 0
     mcu = 0
     for by in range(mby):
@@ -603,7 +737,8 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, int, np.ndarray]:
                 hs, vs = comp_hv[cid]
                 for vy in range(vs):
                     for vx in range(hs):
-                        zz = np.zeros(64, dtype=np.int64)
+                        zz = [0] * 64  # Python ints: the scatter below
+                        # converts once, beats 64 numpy scalar writes
                         size = br.decode_symbol(dc_tab)
                         diff = _extend(br.read_bits(size), size) if size else 0
                         preds[cid] += diff
@@ -622,14 +757,22 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, int, np.ndarray]:
                             sz = rs & 0x0F
                             zz[k] = _extend(br.read_bits(sz), sz)
                             k += 1
-                        coefs = np.zeros(64, dtype=np.int64)
-                        coefs[ZIGZAG] = zz
-                        spatial = idct_block(coefs.reshape(8, 8) * comp_qt[cid]) + 128.0
-                        py, px = (by * vs + vy) * 8, (bx * hs + vx) * 8
-                        planes[cid][py : py + 8, px : px + 8] = np.clip(
-                            np.round(spatial), 0, 255
-                        ).astype(np.uint8)
+                        # defer dequant + IDCT: batched per component
+                        # after the walk (one stacked matmul — same
+                        # dgemm per slice, bit-identical; round 10)
+                        pend[cid].append((by * vs + vy, bx * hs + vx, zz))
             mcu += 1
+    for cid, items in pend.items():
+        if not items:
+            continue
+        dez = np.zeros((len(items), 64), dtype=np.int64)
+        dez[:, ZIGZAG] = np.array([zz for _, _, zz in items], dtype=np.int64)
+        blocks8 = (dez.reshape(-1, 8, 8) * comp_qt[cid]).astype(np.float64)
+        spatial = np.matmul(np.matmul(_A.T, blocks8), _A) + 128.0
+        out8 = np.clip(np.round(spatial), 0, 255).astype(np.uint8)
+        pl = planes[cid]
+        for (byy, bxx, _), blk in zip(items, out8):
+            pl[byy * 8 : byy * 8 + 8, bxx * 8 : bxx * 8 + 8] = blk
     # Floor-replication upsample of subsampled planes (see docstring:
     # pinned convention) — output pixel (x, y) reads chroma sample
     # (x·H_i // Hmax, y·V_i // Vmax). Index-gather instead of
@@ -942,16 +1085,7 @@ def encode_jpeg_progressive(
         raise ValueError("1 (gray) or 3 (YCbCr) components")
     s, mcuy, mcux = _prog_mcu_grid(components, sampling)
     qt = np.ones((8, 8), dtype=np.int64) if quant is None else quant.astype(np.int64)
-    zz_comps = []
-    for comp in components:
-        zz_blocks = []
-        for by in range(comp.shape[0]):
-            for bx in range(comp.shape[1]):
-                spatial = comp[by, bx].astype(np.float64) - 128.0
-                coefs = _A @ spatial @ _A.T
-                q = np.round(coefs / qt).astype(np.int64)
-                zz_blocks.append(q.reshape(64)[ZIGZAG])
-        zz_comps.append(zz_blocks)
+    zz_comps = [_fdct_zz_blocks(comp, qt) for comp in components]
     return encode_progressive_from_zz(
         zz_comps, mcuy, mcux, bands, qt, sampling=s,
         restart_interval=restart_interval,
@@ -1028,6 +1162,7 @@ def encode_progressive_from_zz(
     preds = [0] * nf
     rst = 0
     bpm = sum(hs * vs for hs, vs in s)  # blocks per interleaved MCU
+    _dc0 = [[int(z[0]) for z in comp] for comp in zz_comps]
     for bcnt, (ci, bi) in enumerate(_prog_dc_order(nf, nby, nbx, s)):
         if restart_interval and bcnt and bcnt % (bpm * restart_interval) == 0:
             bw.raw_marker(0xD0 + (rst & 7))
@@ -1037,7 +1172,7 @@ def encode_progressive_from_zz(
         pbx = nbx * s[ci][0]  # padded grid row stride
         by, bx = bi // pbx, bi % pbx
         if by < cby and bx < cbx:
-            dc = int(zz_comps[ci][by * cbx + bx][0])
+            dc = _dc0[ci][by * cbx + bx]
         else:
             dc = preds[ci]  # padding block: zero diff
         diff = dc - preds[ci]
@@ -1054,6 +1189,12 @@ def encode_progressive_from_zz(
     scans = [(seg(0xDA, dc_body), bytes(bw.out))]
     # AC band scans per component: EOBn runs over all-zero bands
     for ci in range(nf):
+        # one tolist per block instead of per-element numpy scalar
+        # reads in the run loops below (round 10, guide §4.2)
+        _zzl = [
+            z.tolist() if isinstance(z, np.ndarray) else list(z)
+            for z in zz_comps[ci]
+        ]
         for ss, se in bands:
             bw = BitWriter()
             eobrun = 0
@@ -1068,7 +1209,7 @@ def encode_progressive_from_zz(
                 if r:
                     bw.write(run - (1 << r), r)
 
-            for bidx, zz in enumerate(zz_comps[ci]):
+            for bidx, zz in enumerate(_zzl):
                 if restart_interval and bidx and bidx % restart_interval == 0:
                     # the pending EOBn run belongs to the previous
                     # interval: flush it before the marker (G.1.2.2 —
@@ -1078,8 +1219,7 @@ def encode_progressive_from_zz(
                         eobrun = 0
                     bw.raw_marker(0xD0 + (rst & 7))
                     rst += 1
-                band = zz[ss : se + 1]
-                if not band.any():
+                if not any(zz[ss : se + 1]):
                     eobrun += 1
                     # bounded by the table's largest EOBn (r=2 → run ≤ 7)
                     if eobrun == 7:
@@ -1102,7 +1242,7 @@ def encode_progressive_from_zz(
                         ln, code = ac_enc[0xF0]  # ZRL
                         bw.write(code, ln)
                         run -= 16
-                    v = int(zz[k])
+                    v = zz[k]
                     size = _category(v)
                     sym = (run << 4) | size
                     if sym not in ac_enc:
@@ -1180,16 +1320,7 @@ def encode_jpeg_progressive_sa(
         raise ValueError("1 (gray) or 3 (YCbCr) components")
     s, mcuy, mcux = _prog_mcu_grid(components, sampling)
     qt = np.ones((8, 8), dtype=np.int64) if quant is None else quant.astype(np.int64)
-    zz_comps = []
-    for comp in components:
-        zz_blocks = []
-        for by in range(comp.shape[0]):
-            for bx in range(comp.shape[1]):
-                spatial = comp[by, bx].astype(np.float64) - 128.0
-                coefs = _A @ spatial @ _A.T
-                q = np.round(coefs / qt).astype(np.int64)
-                zz_blocks.append(q.reshape(64)[ZIGZAG])
-        zz_comps.append(zz_blocks)
+    zz_comps = [_fdct_zz_blocks(comp, qt) for comp in components]
     return encode_progressive_sa_from_zz(
         zz_comps, mcuy, mcux, bands, qt, al, sampling=s,
         restart_interval=restart_interval,
@@ -1220,14 +1351,15 @@ def _encode_ac_first_sa(
         if r:
             bw.write(run - (1 << r), r)
 
-    vals_per_block = []
-    for zz in blocks:
-        v = []
-        for k in range(ss, se + 1):
-            c = int(zz[k])
-            t = abs(c) >> al
-            v.append(-t if c < 0 else t)
-        vals_per_block.append(v)
+    if len(blocks):
+        # vectorized point transform sign * (|coef| >> al) across the
+        # whole scan (round 10): one numpy pass + tolist instead of a
+        # per-element Python loop per block
+        arr = np.stack([np.asarray(z) for z in blocks])[:, ss : se + 1]
+        t = np.abs(arr) >> al
+        vals_per_block = np.where(arr < 0, -t, t).tolist()
+    else:
+        vals_per_block = []
     for bidx, v in enumerate(vals_per_block):
         if restart_interval and bidx and bidx % restart_interval == 0:
             if eobrun:
@@ -1306,12 +1438,19 @@ def _encode_ac_refine(
             eobrun = 0
             be_bits = []
 
-    for bidx, zz in enumerate(blocks):
+    if len(blocks):
+        # same vectorization as the first scan: |coef| >> al and signs
+        # for every block in one numpy pass
+        _arr = np.stack([np.asarray(z) for z in blocks])[:, ss : se + 1]
+        _absv_all = (np.abs(_arr) >> al).tolist()
+        _neg_all = (_arr < 0).tolist()
+    else:
+        _absv_all, _neg_all = [], []
+    for bidx, absv in enumerate(_absv_all):
         if restart_interval and bidx and bidx % restart_interval == 0:
             emit_eobrun()
             bw.raw_marker(0xD0 + (rst & 7))
             rst += 1
-        absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
         # position of the last newly-significant coefficient: pending
         # ZRLs are only emitted up to here — beyond it, zero runs and
         # correction bits fold into the EOB run (T.81 figure G.7 /
@@ -1344,7 +1483,7 @@ def _encode_ac_refine(
             emit_eobrun()
             ln, code = ac_enc[(r << 4) | 1]
             bw.write(code, ln)
-            bw.write(0 if int(zz[ss + i]) < 0 else 1, 1)
+            bw.write(0 if _neg_all[bidx][i] else 1, 1)
             for b in br_bits:
                 bw.write(b, 1)
             br_bits = []
@@ -1415,9 +1554,10 @@ def encode_progressive_sa_from_zz(
         pbx = nbx * s[ci][0]
         by, bx = bi // pbx, bi % pbx
         if by < cby and bx < cbx:
-            return int(zz_comps[ci][by * cbx + bx][0])
+            return _dc0[ci][by * cbx + bx]
         return fallback
 
+    _dc0 = [[int(z[0]) for z in comp] for comp in zz_comps]
     scans = []
     bpm = sum(hs * vs for hs, vs in s)  # blocks per interleaved MCU
     # DC first scan (Ah=0, Al=al): diffs of arithmetic-shifted DC
@@ -1832,19 +1972,25 @@ def decode_jpeg_progressive(buf: bytes) -> tuple[int, int, int, np.ndarray]:
     if coefs is None:
         raise ValueError("no SOF2 frame")
     planes = []
-    dez = np.zeros(64, dtype=np.int64)
     for cid in comp_order:
         qt = qtables[comp_tq[cid]]
         hs, vs = comp_hv[cid]
         cby, cbx = comp_dims[cid]
-        plane = np.zeros((cby * 8, cbx * 8), dtype=np.uint8)
-        for by in range(cby):
-            for bx in range(cbx):
-                dez[ZIGZAG] = coefs[cid][by, bx]
-                spatial = idct_block((dez * qt).reshape(8, 8)) + 128.0
-                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                    np.round(spatial), 0, 255
-                ).astype(np.uint8)
+        # dequant + IDCT batched over the component's non-padded grid
+        # (one stacked matmul — same dgemm per slice, bit-identical to
+        # the former per-block idct_block loop; round 10)
+        cc = coefs[cid][:cby, :cbx].reshape(-1, 64)
+        dez = np.zeros((len(cc), 64), dtype=np.int64)
+        dez[:, ZIGZAG] = cc
+        blocks8 = (dez * qt).reshape(-1, 8, 8).astype(np.float64)
+        spatial = np.matmul(np.matmul(_A.T, blocks8), _A) + 128.0
+        plane = (
+            np.clip(np.round(spatial), 0, 255)
+            .astype(np.uint8)
+            .reshape(cby, cbx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(cby * 8, cbx * 8)
+        )
         # crop to the component's true size, then the baseline path's
         # pinned floor-replication upsample (decode_jpeg docstring) —
         # the same index-gather form, covering non-dividing ratios

@@ -105,6 +105,40 @@ def test_bit_layer_stuffs_and_unstuffs_ff_bytes():
     assert br.read_bits(3) == 0b101
 
 
+def test_decode_symbol_lut_matches_plain_dict_walk():
+    """Round 10: the 16-bit-LUT symbol decoder must consume exactly
+    the same bits and return the same symbols as the per-bit dict walk
+    (which still serves plain dicts), including the invalid-code and
+    exhausted-stream error behavior."""
+    from blockchain_indexer_spark.operators.jpeg import (
+        DC_BITS,
+        DC_VALS,
+        build_huffman,
+    )
+
+    table = build_huffman(DC_BITS, DC_VALS)
+    assert hasattr(table, "lut")
+    plain = dict(table)  # no .lut -> exercises the fallback walk
+    # encode a few symbols with the canonical codes, then decode both ways
+    enc = {sym: lc for lc, sym in table.items()}
+    bw = BitWriter()
+    syms = [DC_VALS[0], DC_VALS[-1], DC_VALS[len(DC_VALS) // 2], DC_VALS[1]]
+    for s in syms:
+        ln, code = enc[s]
+        bw.write(code, ln)
+    bw.pad_align()
+    raw = bytes(bw.out)
+    fast = BitReader(raw, 0)
+    slow = BitReader(raw, 0)
+    for s in syms:
+        assert fast.decode_symbol(table) == s
+        assert slow.decode_symbol(plain) == s
+    # exhausted stream: both raise EOFError once padding runs out
+    for br, t in ((BitReader(b"", 0), table), (BitReader(b"", 0), plain)):
+        with pytest.raises(EOFError):
+            br.decode_symbol(t)
+
+
 def test_planted_com_and_app0_are_skipped():
     buf = synth_jpeg_blob(3)
     assert b"synthetic fixture" in buf  # COM really present
