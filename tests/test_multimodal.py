@@ -219,6 +219,38 @@ def test_png_decode_rgba_drops_alpha():
     assert np.array_equal(got, px[:, :, ::-1])
 
 
+def test_png_decode_batch_bit_identical_to_single():
+    """decode_png_batch (round-10 cross-image vectorized defilter)
+    must reproduce decode_png bit-for-bit on a mixed batch: RGB and
+    RGBA, varied geometries, every filter type, shuffled order."""
+    import random
+
+    from blockchain_indexer_spark.operators.multimodal import (
+        decode_png,
+        decode_png_batch,
+    )
+
+    rng = np.random.RandomState(42)
+    bufs = []
+    for w, h in [(5, 3), (1, 1), (7, 6), (3, 8), (16, 12), (2, 9)]:
+        px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4], [4, 3, 1]):
+            bufs.append(_mk_png(px, filters))
+        alpha = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+        bufs.append(_mk_png(px, [0, 1, 2, 3, 4], alpha=alpha))
+    random.Random(7).shuffle(bufs)
+    ref = [decode_png(b) for b in bufs]
+    got = decode_png_batch(bufs)
+    assert len(ref) == len(got)
+    for (rw, rh, rpx), (gw, gh, gpx) in zip(ref, got):
+        assert (rw, rh) == (gw, gh)
+        assert np.array_equal(rpx, gpx)
+    # empty batch and error propagation
+    assert decode_png_batch([]) == []
+    with pytest.raises(ValueError):
+        decode_png_batch([bufs[0], b"BM" + b"\x00" * 64])
+
+
 def test_png_decode_rejects_bad_payloads():
     import struct
 
