@@ -52,6 +52,14 @@ def _collected_union_find(
         return r
 
     for u, v in edge_rows:
+        if u is None or v is None:
+            # a NULL endpoint never joins anything in the distributed
+            # rounds (SQL join semantics: NULL matches nothing), so the
+            # edge is inert there; skip it here too instead of letting
+            # the `rb < ra` comparison raise on None (ADVICE r9). The
+            # NULL vertex itself still emits (NULL, NULL) via find(),
+            # exactly like the propagation path's unmatched left join.
+            continue
         ra, rb = find(u), find(v)
         if ra != rb:
             # attach the larger root under the smaller: roots stay
@@ -542,13 +550,18 @@ def pagerank(
             "id", F.lit(0).cast("bigint").alias("rank_scaled"),
             F.lit(0.0).alias("rank"),
         )
-    deg = e.groupBy("_s").agg(F.count("*").alias("_deg"))
+    # out-degree is loop-invariant: fold it into the edge frame ONCE
+    # (round 10, guide §2.4 — the former per-round e ⋈ r ⋈ deg paid the
+    # deg join iters times; same rows, same arithmetic, one join and
+    # one groupBy per round now)
+    e = e.join(e.groupBy("_s").agg(F.count("*").alias("_deg")), "_s").localCheckpoint(
+        eager=True
+    )
     base = ((damping_den - damping_num) * scale) // (damping_den * n)
     r = vertices.select("id", F.lit(scale // n).cast("bigint").alias("_r"))
     for _ in range(iters):
         contrib = (
             e.join(r.withColumnRenamed("id", "_s"), "_s")
-            .join(deg, "_s")
             .select(F.col("_d").alias("id"), F.expr("_r div _deg").alias("_c"))
             .groupBy("id")
             .agg(F.sum("_c").cast("bigint").alias("_sum"))

@@ -430,6 +430,29 @@ def test_propagation_local_fast_path_equals_distributed(spark):
         assert local == dist
 
 
+def test_propagation_fast_path_tolerates_null_endpoints(spark):
+    """ADVICE r9: a NULL endpoint must not crash the collected
+    union-find (None vs int comparison) — it behaves exactly like the
+    distributed rounds, where NULL matches nothing in the joins: the
+    edge is inert and the NULL vertex emits a (NULL, NULL) row."""
+    from blockchain_indexer_spark.operators.cluster import connected_components
+
+    rows = [(1, 2), (2, 3), (None, 4), (5, None), (7, 7)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    dist = {
+        (r.id, r.cluster)
+        for r in connected_components(e, "src", "dst").collect()
+    }
+    local = {
+        (r.id, r.cluster)
+        for r in connected_components(
+            e, "src", "dst", local_threshold=10**6
+        ).collect()
+    }
+    assert local == dist
+    assert (1, 1) in local and (3, 1) in local and (7, 7) in local
+
+
 def test_propagation_local_threshold_falls_through_when_exceeded(spark):
     """Above the bound the distributed propagation path must run
     (same results; pins the guard)."""
