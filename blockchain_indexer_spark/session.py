@@ -33,17 +33,23 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # AQE coalesces by BYTES, but several pipelines shuffle tiny
-        # frames whose per-row cost is CPU (posting-list combination
-        # explodes, shot/window signatures, packed vector blocks): the
-        # default 1m floor collapsed those stages to 1-3 tasks while
-        # the cluster idled (round 9, profiled). A 64k floor keeps
-        # them wide; at production scale post-shuffle partitions are
-        # MBs+, where the floor is inert and coalescing behaves as
-        # default. Override via SPARK_GRAFT_AQE_MIN_PARTITION.
+        # Round 10: back to Spark's default 1m floor. Round 9 lowered
+        # this to 64k for CPU-heavy micro-shuffles, but the driver's
+        # round-9 record showed the overhead-bound iterative paths
+        # regressing at local[32] (graph_supplier_pagerank 2.41 ->
+        # 7.05 s), and two independent round-10 interleaved A/Bs
+        # (tools/ab_aqe_floor.py; min-of-3 and min-of-4, alternating
+        # order, one JVM) found NO remaining 64k winner — pagerank
+        # 4.8-5.7 s @64k vs 3.1-3.5 s @1m, and the former winners
+        # (doc_dedup_clusters 4.5 vs 5.2, ngram_jaccard 3.3 vs 3.5,
+        # mm_cross_modal 6.2 vs 7.6, event_sessionization wash) now
+        # favor the default: the round-9 union-find collapse + engine
+        # overlap removed the micro-shuffle stages the 64k floor was
+        # widening, leaving only its tiny-task scheduling cost.
+        # Override via SPARK_GRAFT_AQE_MIN_PARTITION.
         .config(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "1m"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
