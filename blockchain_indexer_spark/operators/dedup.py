@@ -1031,7 +1031,11 @@ def cosine_near_dup_pairs(
         .select(F.col(id_col).alias("_id"), quantize(vec_col, scale).alias("_v"))
         .filter(norm_sq(F.col("_v")) > 0)
     )
-    n = q.count()  # one bounded scalar action to size the blocking
+    # one bounded scalar action sizing the blocking AND the broadcast
+    # gate: row count plus the vector width (ADVICE r9 — a row-count
+    # gate alone would let a high-dimensional corpus balloon the
+    # broadcast, e.g. d=1024 at n just under 262k -> ~2 GB)
+    n, _d = q.agg(F.count(F.lit(1)), F.first(F.size("_v"))).first()
     # Scale-adaptive blocking (round 9, guide §2.5/§2.6): the natural
     # ⌈n/block_size⌉ puts a ≲2k-vector corpus in ONE block, and AQE
     # coalesces the tiny packed frame to ONE partition — so the whole
@@ -1048,10 +1052,12 @@ def cosine_near_dup_pairs(
         .agg(F.collect_list(F.struct("_id", "_v")).alias("_rows"))
         .localCheckpoint(eager=True)  # both sides of the pair join
     )
-    if n <= 262_144:
-        # small-corpus regime: broadcast the packed corpus (≤ ~128 MB
-        # at d=64) and range-repartition the stream side to one block
-        # per partition, pinning matmul parallelism to nblocks tasks
+    if n * max(int(_d or 0), 1) * 8 <= 128 * 1024 * 1024:
+        # small-corpus regime, gated on ESTIMATED BYTES n*d*8 ≤ 128 MB
+        # (ADVICE r9; identical to the former n ≤ 262,144 gate at the
+        # fixture d=64): broadcast the packed corpus and
+        # range-repartition the stream side to one block per
+        # partition, pinning matmul parallelism to nblocks tasks
         # instead of whatever AQE coalesced the tiny frame to.
         # Partitioning only — the emitted pair set is unchanged.
         pairs = (

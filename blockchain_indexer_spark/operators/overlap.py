@@ -42,12 +42,18 @@ def build_concurrently(*builders: Callable[[], Any]) -> list[Any]:
     results in argument order. One builder → run inline (no pool)."""
     if len(builders) == 1:
         return [builders[0]()]
-    from pyspark.sql.utils import is_remote  # noqa: PLC0415
-
-    if is_remote():  # connect mode: the wrapper takes the session first
-        wrap = inheritable_thread_target(SparkSession.getActiveSession())
-    else:  # classic mode: the wrapper takes the target function itself
-        wrap = inheritable_thread_target
+    # Pass the active session in BOTH modes (ADVICE r9): on PySpark 4.x
+    # the bare classic-mode form emits a UserWarning per call ("Spark
+    # session is not provided. Tags will not be inherited.") and skips
+    # session-tag inheritance. With a session the wrapper is the
+    # session-first curried form under classic AND connect; fall back
+    # to the bare form only when no session is active.
+    session = SparkSession.getActiveSession()
+    wrap = (
+        inheritable_thread_target(session)
+        if session is not None
+        else inheritable_thread_target
+    )
     with ThreadPoolExecutor(max_workers=len(builders)) as pool:
         futures = [pool.submit(wrap(b)) for b in builders]
         return [f.result() for f in futures]

@@ -1560,7 +1560,9 @@ def all_pairs_topk_cosine(
         )
 
     c = _prep(emb)
-    n = c.count()  # bounded scalar action sizing the blocking
+    # one bounded scalar action sizing the blocking AND the broadcast
+    # gate: row count plus vector width (ADVICE r9 — byte-based gate)
+    n, _d = c.agg(F.count(F.lit(1)), F.first(F.size("_v"))).first()
     if n == 0:
         return c.select(
             F.col("_id").alias("query_id"),
@@ -1594,11 +1596,13 @@ def all_pairs_topk_cosine(
 
     packed_c = _pack(c)
     packed_q = packed_c if queries is None else _pack(_prep(queries))
-    if n <= 262_144:
-        # small-corpus regime: the packed corpus (≤ ~128 MB at d=64)
-        # broadcasts, and range-repartitioning the query side to one
-        # block per partition pins the matmul parallelism to nblocks
-        # tasks — partitioning only; no row changes hands differently
+    if n * max(int(_d or 0), 1) * 8 <= 128 * 1024 * 1024:
+        # small-corpus regime, gated on ESTIMATED BYTES n*d*8 ≤ 128 MB
+        # (ADVICE r9; identical to the former n ≤ 262,144 gate at the
+        # fixture d=64): the packed corpus broadcasts, and
+        # range-repartitioning the query side to one block per
+        # partition pins the matmul parallelism to nblocks tasks —
+        # partitioning only; no row changes hands differently
         pairs = (
             packed_q.repartitionByRange(nblocks, "_blk")
             .alias("A")

@@ -138,8 +138,17 @@ def _resplit_path(spark: SparkSession, sf_dir: str, name: str) -> str | None:
 #: spread()'s partition probe) warm after the first build instead of
 #: re-paid by all ~2 builds × 100+ queries of a bench run (round 9,
 #: guide §5: measured ~160 ms cold probe + footer read per call).
-#: Safe because TABLES name immutable driver fixtures.
+#:
+#: IMMUTABILITY ASSUMPTION (ADVICE r9): the memo pins the analyzed
+#: plan's FILE INDEX for the application's lifetime, so parquet files
+#: under a memoized path must not be rewritten within one session —
+#: true for the driver fixtures (TABLES name immutable testdata) and
+#: the resplit cache (rebuilt only under a fresh mtime, which changes
+#: the resolved path decision before any memo hit). Sessions that DO
+#: regenerate fixtures in place can disable the memo with
+#: SPARK_GRAFT_DF_MEMO=0.
 _DF_MEMO: dict[tuple[str, str], DataFrame] = {}
+_DF_MEMO_ON = os.environ.get("SPARK_GRAFT_DF_MEMO", "1") != "0"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -147,6 +156,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     resplit = _resplit_path(spark, sf_dir, name)
     path = resplit if resplit is not None else os.path.join(sf_dir, f"{name}.parquet")
+    if not _DF_MEMO_ON:
+        return _raw_load(spark, path)
     key = (spark.sparkContext.applicationId, path)
     df = _DF_MEMO.get(key)
     if df is None:
@@ -168,6 +179,13 @@ def spread(df: DataFrame, key: str | None = None) -> DataFrame:
     several times in one query: hash partitioning is deterministic, so
     Catalyst canonicalizes the copies and ReusedExchange computes the
     expensive stage once (round-robin blocks that).
+
+    Probe caveat (ADVICE r9): the fast partition probe goes through the
+    JVM queryExecution and assumes the input is a RAW SCAN (every call
+    site here) — on a plan containing exchanges, ``toRdd()`` would
+    trigger stage execution, so do not point spread() at a shuffled
+    frame. Under Spark Connect ``_jdf`` is absent; the probe falls back
+    to the public (slower) ``df.rdd`` path.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     # probe via the JVM-side InternalRow RDD: `df.rdd` builds the whole
@@ -176,7 +194,11 @@ def spread(df: DataFrame, key: str | None = None) -> DataFrame:
     # probe alone taxed every bench run by tens of driver seconds.
     # toRdd() returns the same partition count for ~160 ms cold / ~1 ms
     # warm (round 9, guide §5: the driver should do almost no work).
-    if df._jdf.queryExecution().toRdd().getNumPartitions() < target:
+    try:
+        nparts = df._jdf.queryExecution().toRdd().getNumPartitions()
+    except AttributeError:  # Spark Connect: no _jdf — public RDD probe
+        nparts = df.rdd.getNumPartitions()
+    if nparts < target:
         return df.repartition(target, F.col(key)) if key else df.repartition(target)
     return df
 
