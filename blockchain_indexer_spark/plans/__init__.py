@@ -27,87 +27,22 @@ from blockchain_indexer_spark.plans import multimodal as _multimodal  # noqa: E4
 #: Driver-facing iteration order (highest verification value first).
 PRIORITY = (
     # ------------------------------------------------------------------
-    # Round-9 rotation (VERDICT r8 "Next round" #1/#5). The driver
-    # records exactly the first 50 entries per round; the front is now:
-    #   tier NEW — the five gates banked in round 8 (plans/banked_r9,
-    #     promoted this round): video near-dup verdict, cross-modal
-    #     dedup union, IVF-PQ ADC agreement monitor, strided-window
-    #     audio dedup, and the DBSCAN exact-vs-LSH swap certification
-    #     — none has a driver row yet;
-    #   tier ROWS-ONLY DEBUT — minhash_incremental / minhash_calibration
-    #     (VERDICT r8 "Next round" #5): the two production twins that
-    #     never had a driver row of any kind. Their md5/estimate twins
-    #     are oracled and green; this one rows-only slot each closes the
-    #     "unexplained absence of driver evidence" nit permanently.
-    #   tier STALE-ORACLED — the eight round-5-newest leftovers (at the
-    #     rotation-period bound after the r9 record lands), then 35 of
-    #     the round-6-newest tier in prior relative order. The leftover
-    #     15 r6 entries sit just below the fold at newest=6, inside the
-    #     rotation-period bound (163 oracled / 50-row window -> period
-    #     4, bound latest-3) and lead the round-10 window.
-    # Everything with a round-7/8 driver row sits below them.
+    # Round-10 rotation (VERDICT r9 "Next round" #6 + the standing
+    # rotation policy). The driver records exactly the first 50
+    # entries per round; after the round-9 record the staleness
+    # histogram over the 163 oracled queries is {6: 15, 7: 50, 8: 50,
+    # 9: 48} — rotation period ceil(163/50) = 4, so the post-r10 bound
+    # is "newest driver row >= round 7" for every below-fold oracled
+    # query. The window is therefore the 15 round-6-tier leftovers
+    # (at the bound — they MUST rotate in now) plus the first 35 of
+    # the round-7 tier in prior relative order. The two rows-only
+    # production twins (minhash_incremental / minhash_calibration)
+    # rotate OUT: their r9 debut rows exist, rows-only is the weakest
+    # signal (no oracle -> err=no_oracle costs a green row), and their
+    # md5/estimate twins are oracled and fresh.
     # ------------------------------------------------------------------
-    # -- tier NEW: round-9 promotions, never driver-verified ------------
-    "mm_video_dedup_clusters",
-    "mm_cross_modal_dedup",
-    "embedding_pq_adc_agreement",
-    "mm_audio_windowed_dedup",
-    "embedding_dbscan_lsh_agreement",
-    # -- tier STALE-ORACLED: newest driver row is round 5 ----------------
-    "gap_detection",
-    "filtered_projection",
-    "json_payload",
-    "membership_collect",
-    "rollup_revenue_hierarchy",
-    "profile_orders",
-    "salted_join_segment_totals",
-    "stream_reassembly_join",
-    # -- tier ROWS-ONLY DEBUT: first driver row ever (rows-only check) ---
-    "minhash_incremental",
-    "minhash_calibration",
-    # -- tier STALE-ORACLED: newest driver row is round 6 ----------------
-    "mm_real_jpeg_progressive",
-    "event_k_anonymity",
-    "doc_perceptron_calibration",
-    "embedding_pq_distortion",
-    "doc_trigram_fluency",
-    "corpus_classifier_agreement",
-    "minhash_incremental_md5",
-    "embedding_pq_topk",
-    "embedding_ivfpq_topk",
-    "embedding_lsh_near_dups",
-    "embedding_kmeans_clusters",
-    "embedding_semantic_dedup",
-    "doc_unigram_stats",
-    "corpus_mixture_rebalance",
-    "doc_pii_scrub",
-    "corpus_token_cardinality_bound",
-    "doc_length_quantiles_approx_bound",
-    "mm_real_audio",
-    "mm_real_frames",
-    "embedding_knn_label_probe",
-    "corpus_prep_report",
-    "fuzzy_name_matches",
-    "snapshot_diff_orders",
-    "embedding_pca_covariance",
-    "doc_bpe_merges",
-    "doc_bpe_token_stats",
-    "doc_bpe_vocab",
-    "minhash_lsh_candidates_md5",
-    "simhash_near_dups_md5",
-    "doc_decontamination",
-    "embedding_topk_qcosine",
-    "embedding_topk_mips",
-    "embedding_lsh_topk",
-    "embedding_ivf_topk",
-    "doc_token_stats",
-    # ------------------------------------------------------------------
-    # Below the ~50-row driver window: the fifteen r6-tier leftovers
-    # (at the rotation-period bound, first in line for round 10), then
-    # every entry with a green round-7 or round-8 driver row (the
-    # freshest evidence in the record), then the remaining rows-only
-    # production twins (weakest signal, oracled twins fresh).
-    # ------------------------------------------------------------------
+    # -- tier STALE-ORACLED: newest driver row is round 6 (at bound) ----
+
     "doc_lang_id",
     "doc_quality_score",
     "doc_repetition_stats",
@@ -123,6 +58,63 @@ PRIORITY = (
     "multi_join_revenue",
     "topk_per_group",
     "union_activity_timeline",
+    "embedding_dbscan",
+    "mm_image_dedup_clusters",
+    "doc_mmr_rerank",
+    "embedding_lp_ivf_agreement",
+    "doc_chunk_packing",
+    "corpus_token_cardinality",
+    "doc_length_quantiles",
+    "scalar_total",
+    "mm_real_png",
+    "doc_boilerplate_scrub",
+    "doc_bm25_topk",
+    "doc_token_budget_sample",
+    "mm_image_ahash",
+    "graph_supplier_pagerank",
+    "doc_bigram_fluency",
+    "corpus_cms_heavy_hitters",
+    "mm_real_gif",
+    "corpus_perceptron_weights",
+    "doc_perceptron_margin",
+    "doc_intra_dedup",
+    "doc_cluster_best",
+    "doc_shard_plan",
+    "embedding_knn_triangles",
+    "doc_cross_repeat_spans",
+    "doc_winnowing",
+    "ngram_containment_near_dups",
+    "doc_dsir_weights",
+    "corpus_source_ks_drift",
+    "corpus_source_pair_jaccard",
+    "mm_real_jpeg",
+    "doc_cdc_chunks",
+    "embedding_hard_negatives",
+    "event_funnel_conversion",
+    "event_cohort_retention",
+    "doc_hybrid_rrf",
+    # ------------------------------------------------------------------
+    # Below the 50-row driver window: the fifteen round-7-tier
+    # leftovers (first in line for round 11), then the round-8 and
+    # round-9 tiers (freshest evidence), then the rows-only production
+    # twins (weakest signal; each sits behind its oracled twin).
+    # ------------------------------------------------------------------
+
+    "corpus_quality_stump",
+    "event_decayed_engagement",
+    "event_type_transitions",
+    "embedding_label_propagation",
+    "corpus_source_distinctive_terms",
+    "event_funnel_windowed",
+    "embedding_ann_recall",
+    "event_volume_trend",
+    "event_cusum_changepoint",
+    "event_conversion_attribution",
+    "mm_real_jpeg_color",
+    "ngram_jaccard_near_dups",
+    "doc_exact_decontamination",
+    "doc_dedup_clusters",
+    "mm_real_decode",
     "mm_audio_dedup_clusters",
     "mm_video_shots",
     "doc_longest_repeat",
@@ -173,56 +165,56 @@ PRIORITY = (
     "completeness_gate",
     "anti_join_inactive",
     "semi_join_parts",
-    "embedding_dbscan",
-    "mm_image_dedup_clusters",
-    "doc_mmr_rerank",
-    "embedding_lp_ivf_agreement",
-    "doc_chunk_packing",
-    "corpus_token_cardinality",
-    "doc_length_quantiles",
-    "scalar_total",
-    "mm_real_png",
-    "doc_boilerplate_scrub",
-    "doc_bm25_topk",
-    "doc_token_budget_sample",
-    "mm_image_ahash",
-    "graph_supplier_pagerank",
-    "doc_bigram_fluency",
-    "corpus_cms_heavy_hitters",
-    "mm_real_gif",
-    "corpus_perceptron_weights",
-    "doc_perceptron_margin",
-    "doc_intra_dedup",
-    "doc_cluster_best",
-    "doc_shard_plan",
-    "embedding_knn_triangles",
-    "doc_cross_repeat_spans",
-    "doc_winnowing",
-    "ngram_containment_near_dups",
-    "doc_dsir_weights",
-    "corpus_source_ks_drift",
-    "corpus_source_pair_jaccard",
-    "mm_real_jpeg",
-    "doc_cdc_chunks",
-    "embedding_hard_negatives",
-    "event_funnel_conversion",
-    "event_cohort_retention",
-    "doc_hybrid_rrf",
-    "corpus_quality_stump",
-    "event_decayed_engagement",
-    "event_type_transitions",
-    "embedding_label_propagation",
-    "corpus_source_distinctive_terms",
-    "event_funnel_windowed",
-    "embedding_ann_recall",
-    "event_volume_trend",
-    "event_cusum_changepoint",
-    "event_conversion_attribution",
-    "mm_real_jpeg_color",
-    "ngram_jaccard_near_dups",
-    "doc_exact_decontamination",
-    "doc_dedup_clusters",
-    "mm_real_decode",
+    "mm_video_dedup_clusters",
+    "mm_cross_modal_dedup",
+    "embedding_pq_adc_agreement",
+    "mm_audio_windowed_dedup",
+    "embedding_dbscan_lsh_agreement",
+    "gap_detection",
+    "filtered_projection",
+    "json_payload",
+    "membership_collect",
+    "rollup_revenue_hierarchy",
+    "profile_orders",
+    "salted_join_segment_totals",
+    "stream_reassembly_join",
+    "mm_real_jpeg_progressive",
+    "event_k_anonymity",
+    "doc_perceptron_calibration",
+    "embedding_pq_distortion",
+    "doc_trigram_fluency",
+    "corpus_classifier_agreement",
+    "minhash_incremental_md5",
+    "embedding_pq_topk",
+    "embedding_ivfpq_topk",
+    "embedding_lsh_near_dups",
+    "embedding_kmeans_clusters",
+    "embedding_semantic_dedup",
+    "doc_unigram_stats",
+    "corpus_mixture_rebalance",
+    "doc_pii_scrub",
+    "corpus_token_cardinality_bound",
+    "doc_length_quantiles_approx_bound",
+    "mm_real_audio",
+    "mm_real_frames",
+    "embedding_knn_label_probe",
+    "corpus_prep_report",
+    "fuzzy_name_matches",
+    "snapshot_diff_orders",
+    "embedding_pca_covariance",
+    "doc_bpe_merges",
+    "doc_bpe_token_stats",
+    "doc_bpe_vocab",
+    "minhash_lsh_candidates_md5",
+    "simhash_near_dups_md5",
+    "doc_decontamination",
+    "embedding_topk_qcosine",
+    "embedding_topk_mips",
+    "embedding_lsh_topk",
+    "embedding_ivf_topk",
+    "doc_token_stats",
+    "minhash_incremental",
+    "minhash_calibration",
     "embedding_pca_project",
     "corpus_token_cardinality_approx",
     "minhash_lsh_candidates",
