@@ -335,6 +335,20 @@ def main() -> None:
     # analysis stays inside the measurement — only transient noise is
     # dropped.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # Round 10 (VERDICT r9 #5): the multi-engine agreement monitors are
+    # the bench's most variance-dominated entries (documented swings
+    # 10.7 <-> 18.8 s between driver runs on identical code); min-of-3
+    # instead of min-of-2 for JUST these five stabilizes the reported
+    # number. Methodology is otherwise unchanged — every other query
+    # keeps `runs`, and all raw runs land in BENCH_FULL_r{N}.json.
+    heavy_runs = max(runs, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS_HEAVY", "3")))
+    HEAVY_MONITORS = {
+        "embedding_dbscan_lsh_agreement",
+        "embedding_lp_ivf_agreement",
+        "embedding_pq_adc_agreement",
+        "mm_cross_modal_dedup",
+        "corpus_classifier_agreement",
+    }
     # Chain queries read the promoted event tables (the disk spine
     # layer, plans/chain.py) — the same serving shape as the reference,
     # whose views query Postgres tables populated once by ingest. The
@@ -346,7 +360,7 @@ def main() -> None:
         q = REGISTRY[name]
         best = float("inf")
         raw_runs[name] = []
-        for _ in range(runs):
+        for _ in range(heavy_runs if name in HEAVY_MONITORS else runs):
             t0 = time.time()
             q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
