@@ -346,32 +346,30 @@ def attach_png_blob(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
             px[:, :, 1] = (2 * doc_id + 5 * r + 11 * c) % 256
             px[:, :, 2] = (3 * doc_id + r + 13 * c) % 256
             raw = px.reshape(h, w * 3).astype(np.int16)
-            prev = np.zeros(w * 3, dtype=np.int16)
-            out = bytearray()
-            for row in range(h):
-                cur = raw[row]
-                ft = row % 5
-                left = np.concatenate([np.zeros(3, dtype=np.int16), cur[:-3]])
-                ul = np.concatenate([np.zeros(3, dtype=np.int16), prev[:-3]])
-                if ft == 0:
-                    enc = cur
-                elif ft == 1:
-                    enc = cur - left
-                elif ft == 2:
-                    enc = cur - prev
-                elif ft == 3:
-                    enc = cur - (left + prev) // 2
-                else:  # Paeth
-                    p = left + prev - ul
-                    pa, pb, pc_ = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
-                    pred = np.where(
-                        (pa <= pb) & (pa <= pc_), left, np.where(pb <= pc_, prev, ul)
-                    )
-                    enc = cur - pred
-                out.append(ft)
-                out.extend((enc % 256).astype(np.uint8).tobytes())
-                prev = cur
-            comp = zlib.compress(bytes(out), 6)
+            # FILTER ENCODING has no sequential dependency (predictors
+            # read RAW neighbors, unlike decoding, which needs the
+            # reconstructed ones) — all rows encode in one vectorized
+            # pass (round 10; bytes identical to the former row loop,
+            # so the compressed blob and every decoded stat are
+            # unchanged)
+            stride = w * 3
+            zc = np.zeros((h, 3), dtype=np.int16)
+            left = np.concatenate([zc, raw[:, :-3]], axis=1)
+            prev = np.concatenate([np.zeros((1, stride), dtype=np.int16), raw[:-1]])
+            ul = np.concatenate([zc, prev[:, :-3]], axis=1)
+            p = left + prev - ul
+            pa, pb, pc_ = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            paeth = np.where(
+                (pa <= pb) & (pa <= pc_), left, np.where(pb <= pc_, prev, ul)
+            )
+            encs = np.stack(
+                [raw, raw - left, raw - prev, raw - (left + prev) // 2, raw - paeth]
+            )
+            ft = np.arange(h) % 5
+            lines = np.empty((h, 1 + stride), dtype=np.uint8)
+            lines[:, 0] = ft
+            lines[:, 1:] = (encs[ft, np.arange(h)] % 256).astype(np.uint8)
+            comp = zlib.compress(lines.tobytes(), 6)
             half = max(1, len(comp) // 2)
             ihdr = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
             return (
