@@ -72,6 +72,7 @@ def test_ring_capacity_drops_oldest():
     assert events[0][0] == 3  # sequence numbers survive the drop
 
 
+@pytest.mark.slowe2e
 def test_api_host_serves_real_ingest(spark, tmp_path, host):
     from blockchain_indexer_spark.streaming.runner import IngestPipeline
     from tests.test_streaming import _feed_rows
@@ -202,6 +203,7 @@ class _WsClient:
         self.sock.close()
 
 
+@pytest.mark.slowe2e
 def test_websocket_push_hashes_and_reorg_magic(host):
     """K5 over a real RFC 6455 socket: published batches arrive as
     pushed JSON text frames without the client asking, and a reorg

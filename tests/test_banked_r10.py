@@ -432,6 +432,7 @@ def test_minhash_union_calibration_matches_python_reference(spark):
     assert 8 in got
 
 
+@pytest.mark.slowe2e
 def test_opq_recall_stats_recompute(spark, sf_dir):
     """Independent recomputation: the one-row recall stats must equal
     a plain pandas join of the exact frame with each PQ variant — and
@@ -560,6 +561,7 @@ def test_retrieval_eval_qrels_self_hit(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slowe2e
 def test_simhash_incremental_equals_full(spark):
     """Union-equivalence for the banded hamming engine: any batch
     partition must accumulate to exactly the one-shot

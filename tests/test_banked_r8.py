@@ -55,6 +55,7 @@ def con(sf_dir):
 
 
 @pytest.mark.parametrize("name", sorted(PROMOTED))
+@pytest.mark.slowe2e
 def test_promoted_oracle_parity(spark, sf_dir, con, name):
     q = REGISTRY[name]
     spark_pdf = q.build(spark, sf_dir).toPandas()

@@ -49,6 +49,7 @@ def _scratch_views(pipe):
     )
 
 
+@pytest.mark.slowe2e
 def test_cache_equals_scratch_recompute_after_each_batch(spark, tmp_path):
     feed = _feed_rows(spark).cache()
     pipe = IngestPipeline(spark, str(tmp_path / "final"))

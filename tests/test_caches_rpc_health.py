@@ -54,6 +54,7 @@ def _sorted_rows(df, keys):
     )
 
 
+@pytest.mark.slowe2e
 def test_incremental_balance_refresh_equals_full(spark, tables):
     """Split event history in two batches: refreshing only stale keys
     after batch 2 must equal a from-scratch rebuild (T8 invariant)."""
@@ -110,6 +111,7 @@ def test_incremental_trust_refresh_equals_full(spark, tables):
     assert _sorted_rows(refreshed, keys) == _sorted_rows(full_trust, keys)
 
 
+@pytest.mark.slowe2e
 def test_all_addresses_covers_every_column(tables):
     addrs = {r["address"] for r in all_addresses(tables).collect()}
     for r in tables["erc20_transfer"].select("from", "to", "token").collect():
@@ -152,6 +154,7 @@ def make_transport():
     return transport
 
 
+@pytest.mark.slowe2e
 def test_download_blocks(spark):
     nums = spark.createDataFrame([(1,), (2,), (3,)], "number long")
     got = {r["number"]: r for r in download_blocks(nums, make_transport(), 4).collect()}
@@ -199,6 +202,7 @@ def test_rpc_pool_actually_concurrent():
     assert _time.time() - t0 >= 0.9
 
 
+@pytest.mark.slowe2e
 def test_health_predicates(spark):
     blocks = spark.createDataFrame([(n,) for n in (1, 2, 3, 5)], "number long")
     staging = spark.createDataFrame([(6,), (7, )], "number long")

@@ -108,6 +108,7 @@ def test_jdbc_cache_maintenance_equals_recompute(spark, derby):
         )
 
 
+@pytest.mark.slowe2e
 def test_jdbc_retract_replay_identical(spark, tmp_path_factory, feed_df):  # noqa: F811
     """T5 under JDBC: retract(reorg_block) deletes every row at or
     above the block server-side and drops the caches; replaying the

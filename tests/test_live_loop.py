@@ -141,6 +141,7 @@ def _wait(predicate, timeout=120, every=0.5):
     return False
 
 
+@pytest.mark.slowe2e
 def test_live_round_loop_gap_reorg_ordering(spark, tmp_path_factory, block_feed):
     feed_by_block, order = block_feed
     root = str(tmp_path_factory.mktemp("live"))

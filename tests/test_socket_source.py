@@ -48,6 +48,7 @@ class _PushServer:
         self.srv.close()
 
 
+@pytest.mark.slowe2e
 def test_socket_live_source_ingests_then_stalls(spark, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("socket_stream"))
     feed_df = _feed_rows(spark)

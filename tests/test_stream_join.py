@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import os
 import time
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -106,6 +107,7 @@ def test_stream_inner_matches_batch(spark, tmp_path_factory):
     assert got == batch and len(got) == 18
 
 
+@pytest.mark.slowe2e
 def test_stream_left_outer_emits_after_watermark(spark, tmp_path_factory):
     """The receipt-less tx must emit (hash, NULL) once the watermark
     passes its join horizon — fed in two phases so the second trigger

@@ -56,6 +56,7 @@ def feed_df(spark):
     return _feed_rows(spark).cache()
 
 
+@pytest.mark.slowe2e
 def test_streaming_ingest_exactly_once(spark, tmp_path_factory, feed_df):
     root = str(tmp_path_factory.mktemp("stream"))
     feed_dir, ckpt, out = (os.path.join(root, d) for d in ("feed", "ckpt", "final"))
@@ -97,6 +98,7 @@ def test_streaming_ingest_exactly_once(spark, tmp_path_factory, feed_df):
     assert any("block_group=" in p for p in os.listdir(os.path.join(out, "transaction")))
 
 
+@pytest.mark.slowe2e
 def test_micro_batch_promote_latency(spark, tmp_path_factory, feed_df):
     """BASELINE live-mode proxy: a 2000-row micro-batch must promote
     well inside the reference's 10 s serial-flush budget (Settings.cs:
@@ -235,6 +237,7 @@ def test_concurrent_importers_serialize(spark, tmp_path_factory, feed_df):
     assert blocks.count() == blocks.select("number").distinct().count()
 
 
+@pytest.mark.slowe2e
 def test_compaction_preserves_data_and_shrinks_files(spark, tmp_path_factory, feed_df):
     root = str(tmp_path_factory.mktemp("compact"))
     pipe = IngestPipeline(spark, os.path.join(root, "final"))

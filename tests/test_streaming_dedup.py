@@ -4,6 +4,7 @@ batch twin, checkpoint-restart state restoration, TTL wiring."""
 from __future__ import annotations
 
 import os
+import pytest
 
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -95,6 +96,7 @@ def test_streaming_first_seen_converges_to_batch_census(
     assert len(second) > 0
 
 
+@pytest.mark.slowe2e
 def test_streaming_first_seen_ttl_readmits(spark, tmp_path_factory):
     """With a TTL the operator must still run (timeout wiring) — TTL
     eviction timing itself isn't deterministic enough to assert in a
@@ -125,6 +127,7 @@ def test_streaming_first_seen_ttl_readmits(spark, tmp_path_factory):
     assert got == want
 
 
+@pytest.mark.slowe2e
 def test_streaming_minhash_index_update_equals_full_corpus(
     spark, tmp_path_factory
 ):

@@ -243,6 +243,7 @@ def test_balances_match_ledger_sum(ctx):
     assert (per_tx == 0).all()
 
 
+@pytest.mark.slowe2e
 def test_register_all_sql_surface(spark, ctx):
     """Every view is reachable as a plain spark.sql name — the surface a
     reference user queries after switching."""

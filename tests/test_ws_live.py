@@ -166,6 +166,7 @@ def test_ws_connection_rejects_bad_accept():
     srv.close()
 
 
+@pytest.mark.slowe2e
 def test_live_feeder_push_end_to_end(spark, tmp_path, gateway_ws):
     """The full LiveSource round: catch-up over the stale range, then
     blocks arrive via websocket push frames and land in final tables
