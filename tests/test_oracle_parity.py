@@ -12,13 +12,30 @@ from tools.check_correctness import compare, duck_con
 ORACLE_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
 ROWS_ONLY_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
 
+#: The five heaviest parity params (each >15 s; mm_cross_modal alone
+#: ~90 s — it replays three modality engines). They run in the slowe2e
+#: tier; the default profile keeps the other 158. All five stay
+#: covered every round by tools/check_correctness.py (the round flow's
+#: full sweep) and by the driver's rotation window when they cycle in.
+HEAVY_PARITY = {
+    "mm_cross_modal_dedup",
+    "embedding_dbscan_lsh_agreement",
+    "embedding_dbscan",
+    "embedding_knn_triangles",
+    "embedding_lp_ivf_agreement",
+}
+ORACLE_PARAMS = [
+    pytest.param(n, marks=pytest.mark.slowe2e) if n in HEAVY_PARITY else n
+    for n in ORACLE_QUERIES
+]
+
 
 @pytest.fixture(scope="module")
 def con(sf_dir):
     return duck_con(sf_dir)
 
 
-@pytest.mark.parametrize("name", ORACLE_QUERIES)
+@pytest.mark.parametrize("name", ORACLE_PARAMS)
 def test_oracle_parity(spark, sf_dir, con, name):
     q = REGISTRY[name]
     spark_pdf = q.build(spark, sf_dir).toPandas()

@@ -256,6 +256,7 @@ def test_register_all_sql_surface(spark, ctx):
         assert df.schema.fields, f"view {name} has no schema"
 
 
+@pytest.mark.slowe2e
 def test_uint256_overflow_value_through_ledger(spark):
     """Overflow policy end-to-end (VERDICT r1 #7): a transfer whose
     uint256 value exceeds DecimalType(38,0) decodes to value=NULL with
